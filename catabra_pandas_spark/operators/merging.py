@@ -1,0 +1,365 @@
+"""Interval joins: ``merge_intervals`` and ``find_containing_interval``.
+
+Reference semantics: ``catabra_pandas/merging.py:13-508`` (merge_intervals)
+and ``merging.py:511-649`` (find_containing_interval).  The reference
+executes these with a single-process sweep-line kernel
+(``merging.py:829-1113``); here the same semantics are declared to Catalyst
+as join predicates, with two distributed physical strategies behind one API
+(SURVEY.md §7 stage 2):
+
+* **direct** — one ``join`` carrying the full predicate.  With equi-keys
+  Catalyst runs a sort-merge/shuffled-hash join on the keys and evaluates the
+  interval predicate as a residual filter; with a small side it broadcasts.
+  This is the right plan whenever the equi-keys are selective (the common
+  keyed case, e.g. per-entity medical records).
+* **bucket** — bucketized range join for large×large inputs with weak or
+  absent equi-keys: explode each interval into coarse buckets of width ``W``
+  (``explode(sequence(floor(start/W), floor(stop/W)))``), equi-join on
+  (keys, bucket), apply the exact predicate as residual, and drop duplicate
+  pairs.  Turns an O(n·m) broadcast-nested-loop into a shuffle join whose
+  cost is O(matches + n·avg_span/W) — the strategy Databricks' range-join
+  hint automates, expressed in the open DataFrame API.
+
+Open/closed endpoint flags compile to strict/non-strict comparisons
+(truth table at reference ``merging.py:434-455`` collapses into one boolean
+expression — see ``util.interval_overlap_cond``).  Rows with empty intervals
+(null endpoints, start>stop, or start==stop with an open endpoint) never
+match (reference ``merging.py:138-139, 230-288``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+from ..util import as_list, ensure_columns, interval_overlap_cond, valid_interval_cond
+
+LEFT_ID = "__left_row_id__"
+RIGHT_ID = "__right_row_id__"
+
+
+def _numeric(c: Column, dt) -> Column:
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
+def merge_intervals(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str], None] = None,
+    left_on: Union[str, Sequence[str], None] = None,
+    right_on: Union[str, Sequence[str], None] = None,
+    how: str = "inner",
+    left_start: Optional[str] = None,
+    left_stop: Optional[str] = None,
+    right_start: Optional[str] = None,
+    right_stop: Optional[str] = None,
+    include_left_start: bool = True,
+    include_left_stop: bool = True,
+    include_right_start: bool = True,
+    include_right_stop: bool = True,
+    suffixes: tuple = ("_x", "_y"),
+    keep: str = "all",
+    keep_by: Union[str, Sequence[str], None] = None,
+    return_indexers: bool = False,
+    strategy: str = "auto",
+    bucket_width: Optional[float] = None,
+    left_id: Optional[str] = None,
+    right_id: Optional[str] = None,
+) -> DataFrame:
+    """Join two DataFrames on interval overlap plus optional equi-keys.
+
+    Mirrors reference ``merge_intervals`` (``merging.py:13-508``) with Spark
+    adaptations:
+
+    * ``keep="first"/"last"/"both"`` needs an order over ``right`` (``left``
+      for ``how="right"``); pandas uses row position, Spark rows are
+      unordered, so the order is taken from ``keep_by`` (default: a generated
+      ``__right_row_id__`` — supply ``keep_by`` or ``right_id`` for
+      deterministic results).
+    * ``return_indexers=True`` returns a DataFrame of id pairs
+      (``__left_row_id__``, ``__right_row_id__``; -1 for missing rows under
+      outer joins) instead of a positional ``(2,N)`` array
+      (reference ``merging.py:106-115``).  Pass ``left_id``/``right_id`` to
+      use existing id columns.
+    * ``strategy``: "direct", "bucket", or "auto" (direct when equi-keys or a
+      broadcastable side exist; bucket when ``bucket_width`` is given and no
+      equi-keys are present).
+    * ``keep_order``/``copy`` of the reference are meaningless on Spark
+      (no row order, immutable frames) and intentionally absent.
+
+    A ``None`` start/stop column means that endpoint is +/- infinity
+    (reference ``merging.py:67-78``); pass the same column as start and stop
+    to express points.
+    """
+    if how not in ("inner", "left", "right", "outer"):
+        raise ValueError(f"how must be inner/left/right/outer, got {how!r}")
+    if keep not in ("all", "first", "last", "both"):
+        raise ValueError(f"keep must be all/first/last/both, got {keep!r}")
+
+    if on is not None:
+        if left_on is not None or right_on is not None:
+            raise ValueError("on is mutually exclusive with left_on/right_on")
+        left_on = right_on = as_list(on)
+        drop_right_keys = True
+    else:
+        left_on = as_list(left_on)
+        right_on = as_list(right_on)
+        drop_right_keys = False
+    if len(left_on) != len(right_on):
+        raise ValueError("left_on and right_on must have equal length")
+
+    ensure_columns(left, left_on + [c for c in (left_start, left_stop) if c])
+    ensure_columns(right, right_on + [c for c in (right_start, right_stop) if c])
+
+    # --- attach row ids ------------------------------------------------
+    gen_left_id = left_id is None
+    gen_right_id = right_id is None
+    if gen_left_id:
+        left = left.withColumn(LEFT_ID, F.monotonically_increasing_id())
+    elif left_id != LEFT_ID:
+        left = left.withColumn(LEFT_ID, F.col(left_id))
+    if gen_right_id:
+        right = right.withColumn(RIGHT_ID, F.monotonically_increasing_id())
+    elif right_id != RIGHT_ID:
+        right = right.withColumn(RIGHT_ID, F.col(right_id))
+
+    # --- drop empty intervals (reference merging.py:230-288) -----------
+    lvalid = valid_interval_cond(
+        F.col(left_start) if left_start else None,
+        F.col(left_stop) if left_stop else None,
+        include_left_start, include_left_stop)
+    rvalid = valid_interval_cond(
+        F.col(right_start) if right_start else None,
+        F.col(right_stop) if right_stop else None,
+        include_right_start, include_right_stop)
+    lkeys_ok = F.lit(True)
+    for k in left_on:
+        lkeys_ok = lkeys_ok & F.col(k).isNotNull()
+    rkeys_ok = F.lit(True)
+    for k in right_on:
+        rkeys_ok = rkeys_ok & F.col(k).isNotNull()
+    lm = left.filter(lvalid & lkeys_ok)
+    rm = right.filter(rvalid & rkeys_ok)
+
+    # --- suffix overlapping columns ------------------------------------
+    overlap = (set(left.columns) & set(right.columns)) - {LEFT_ID, RIGHT_ID}
+    if drop_right_keys:
+        overlap -= set(left_on)
+    lsuf, rsuf = suffixes
+    lren = {c: c + lsuf for c in overlap if lsuf}
+    rren = {c: c + rsuf for c in overlap if rsuf}
+    if overlap and not lsuf and not rsuf:
+        raise ValueError(f"overlapping columns {sorted(overlap)} need a suffix")
+
+    def _apply_ren(df, ren):
+        for a, b in ren.items():
+            df = df.withColumnRenamed(a, b)
+        return df
+
+    # rename AFTER predicate construction is avoided by renaming first and
+    # translating the interval/key column names through the rename maps
+    lm_r = _apply_ren(lm, lren)
+    rm_r = _apply_ren(rm, rren)
+    l_name = lambda c: lren.get(c, c) if c else None  # noqa: E731
+    r_name = lambda c: rren.get(c, c) if c else None  # noqa: E731
+
+    # --- build join condition ------------------------------------------
+    eq = [lm_r[l_name(a)] == rm_r[r_name(b)] for a, b in zip(left_on, right_on)]
+    rng = interval_overlap_cond(
+        lm_r[l_name(left_start)] if left_start else None,
+        lm_r[l_name(left_stop)] if left_stop else None,
+        rm_r[r_name(right_start)] if right_start else None,
+        rm_r[r_name(right_stop)] if right_stop else None,
+        include_left_start, include_left_stop,
+        include_right_start, include_right_stop,
+    )
+
+    # --- physical strategy ---------------------------------------------
+    use_bucket = strategy == "bucket" or (
+        strategy == "auto" and not eq and bucket_width is not None)
+    if use_bucket:
+        if bucket_width is None:
+            raise ValueError("bucket strategy requires bucket_width")
+        matched = _bucket_join(
+            lm_r, rm_r, eq, rng, bucket_width,
+            l_name(left_start), l_name(left_stop),
+            r_name(right_start), r_name(right_stop))
+    else:
+        cond = rng
+        for e in eq:
+            cond = e & cond
+        matched = lm_r.join(rm_r, on=cond, how="inner")
+
+    if drop_right_keys:
+        for b in right_on:
+            matched = matched.drop(rm_r[r_name(b)])
+
+    # --- keep reduction (reference merging.py:728-748) ------------------
+    if keep != "all":
+        part_id = LEFT_ID if how != "right" else RIGHT_ID
+        order_cols = as_list(keep_by) if keep_by else [RIGHT_ID if how != "right" else LEFT_ID]
+        w = Window.partitionBy(part_id)
+        asc = w.orderBy(*[F.col(c).asc() for c in order_cols])
+        desc = w.orderBy(*[F.col(c).desc() for c in order_cols])
+        if keep == "first":
+            matched = matched.withColumn("__rn__", F.row_number().over(asc)) \
+                .filter(F.col("__rn__") == 1).drop("__rn__")
+        elif keep == "last":
+            matched = matched.withColumn("__rn__", F.row_number().over(desc)) \
+                .filter(F.col("__rn__") == 1).drop("__rn__")
+        else:  # both: first and last, deduplicated
+            matched = matched.withColumns({
+                "__rn_a__": F.row_number().over(asc),
+                "__rn_d__": F.row_number().over(desc),
+            }).filter((F.col("__rn_a__") == 1) | (F.col("__rn_d__") == 1)) \
+              .drop("__rn_a__", "__rn_d__")
+
+    # --- how: inject unmatched rows -------------------------------------
+    if how in ("left", "outer"):
+        unmatched_l = lm_r.join(matched.select(LEFT_ID), on=LEFT_ID, how="left_anti")
+        # rows dropped as invalid intervals still appear in left/outer output
+        invalid_l = _apply_ren(left.filter(~(lvalid & lkeys_ok)), lren)
+        matched = matched.unionByName(unmatched_l, allowMissingColumns=True) \
+                         .unionByName(invalid_l, allowMissingColumns=True)
+    if how in ("right", "outer"):
+        unmatched_r = rm_r.join(matched.select(RIGHT_ID), on=RIGHT_ID, how="left_anti")
+        invalid_r = _apply_ren(right.filter(~(rvalid & rkeys_ok)), rren)
+        if drop_right_keys:
+            # keep the key values: copy them into the (shared) key columns
+            for a, b in zip(left_on, right_on):
+                unmatched_r = unmatched_r.withColumn(l_name(a), F.col(r_name(b)) if r_name(b) in unmatched_r.columns else F.col(b))
+                invalid_r = invalid_r.withColumn(l_name(a), F.col(r_name(b)) if r_name(b) in invalid_r.columns else F.col(b))
+        matched = matched.unionByName(unmatched_r, allowMissingColumns=True) \
+                         .unionByName(invalid_r, allowMissingColumns=True)
+
+    if return_indexers:
+        out = matched.select(
+            F.coalesce(F.col(LEFT_ID), F.lit(-1)).alias(LEFT_ID),
+            F.coalesce(F.col(RIGHT_ID), F.lit(-1)).alias(RIGHT_ID),
+        )
+        return out
+    if gen_left_id:
+        matched = matched.drop(LEFT_ID)
+    if gen_right_id:
+        matched = matched.drop(RIGHT_ID)
+    return matched
+
+
+def _bucket_join(
+    lm: DataFrame,
+    rm: DataFrame,
+    eq: list,
+    rng: Column,
+    bucket_width: float,
+    l_start: Optional[str],
+    l_stop: Optional[str],
+    r_start: Optional[str],
+    r_stop: Optional[str],
+) -> DataFrame:
+    """Bucketized range join: explode intervals into width-W buckets, join on
+    the bucket id (+ any equi-keys), post-filter with the exact predicate,
+    and deduplicate pairs.  Intervals with an infinite/missing endpoint
+    cannot be bucketized on that side; both sides must supply start and stop
+    columns (callers fall back to the direct strategy otherwise).
+    """
+    if not all([l_start, l_stop, r_start, r_stop]):
+        raise ValueError("bucket strategy requires finite start/stop columns on both sides")
+    lsch = {f.name: f.dataType for f in lm.schema.fields}
+    rsch = {f.name: f.dataType for f in rm.schema.fields}
+    lb = F.explode(F.sequence(
+        F.floor(_numeric(F.col(l_start), lsch[l_start]) / F.lit(bucket_width)),
+        F.floor(_numeric(F.col(l_stop), lsch[l_stop]) / F.lit(bucket_width)),
+    )).alias("__bucket__")
+    rb = F.explode(F.sequence(
+        F.floor(_numeric(F.col(r_start), rsch[r_start]) / F.lit(bucket_width)),
+        F.floor(_numeric(F.col(r_stop), rsch[r_stop]) / F.lit(bucket_width)),
+    )).alias("__bucket__")
+    le = lm.select("*", lb)
+    re_ = rm.select("*", rb)
+    cond = le["__bucket__"] == re_["__bucket__"]
+    for e in eq:
+        cond = cond & e  # eq columns resolve by name through the exploded frames
+    # rebuild equality/range conditions against the exploded frames by name
+    joined = le.join(re_, on=cond, how="inner").drop(le["__bucket__"]).drop(re_["__bucket__"])
+    joined = joined.filter(rng)
+    return joined.dropDuplicates([LEFT_ID, RIGHT_ID])
+
+
+def find_containing_interval(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_cols: Union[str, Sequence[str]],
+    which: str = "first",
+    start_col: Optional[str] = "start",
+    stop_col: Optional[str] = "stop",
+    length_col: Optional[str] = None,
+    group_by: Union[str, Sequence[str], None] = None,
+    include_start: bool = True,
+    include_stop: bool = True,
+    interval_id: Optional[str] = None,
+) -> DataFrame:
+    """For each point, the id of the first/last containing interval, -1 if
+    none.  Reference: ``merging.py:511-649`` (delegates to merge_intervals at
+    ``merging.py:610-623``, as does this implementation).
+
+    "First"/"last" refer to interval ids: pass ``interval_id`` naming an
+    existing id column in ``intervals`` for deterministic results (the
+    reference uses row position, which Spark does not have).
+
+    Returns ``points`` with one added long column per point column: named
+    ``{col}__first`` / ``{col}__last`` for ``which="both"``, else ``{col}__{which}``
+    (the reference uses a column MultiIndex for "both", flattened here).
+    """
+    if which not in ("first", "last", "both"):
+        raise ValueError(f'which must be "first", "last" or "both", got {which!r}')
+    point_cols = as_list(point_cols)
+    group_by = as_list(group_by)
+    ensure_columns(points, point_cols + group_by)
+
+    if length_col is not None:
+        if (start_col is None) == (stop_col is None):
+            raise ValueError("with length_col, exactly one of start_col/stop_col must be given")
+        if stop_col is None:
+            intervals = intervals.withColumn("__stop__", F.col(start_col) + F.col(length_col))
+            stop_col = "__stop__"
+        else:
+            intervals = intervals.withColumn("__start__", F.col(stop_col) - F.col(length_col))
+            start_col = "__start__"
+
+    if interval_id is None:
+        intervals = intervals.withColumn(RIGHT_ID, F.monotonically_increasing_id())
+        interval_id = RIGHT_ID
+
+    pts = points.withColumn(LEFT_ID, F.monotonically_increasing_id())
+    out = pts
+    ivl = intervals.select(*group_by, start_col, stop_col, F.col(interval_id).alias(RIGHT_ID))
+
+    for pc in point_cols:
+        pairs = merge_intervals(
+            pts.select(*group_by, pc, LEFT_ID),
+            ivl,
+            left_on=group_by or None,
+            right_on=group_by or None,
+            how="inner",
+            left_start=pc, left_stop=pc,
+            right_start=start_col, right_stop=stop_col,
+            include_right_start=include_start,
+            include_right_stop=include_stop,
+            left_id=LEFT_ID, right_id=RIGHT_ID,
+            suffixes=("_pt", "_iv"),
+        )
+        agg_exprs = []
+        if which in ("first", "both"):
+            agg_exprs.append(F.min(RIGHT_ID).alias(f"{pc}__first"))
+        if which in ("last", "both"):
+            agg_exprs.append(F.max(RIGHT_ID).alias(f"{pc}__last"))
+        red = pairs.groupBy(LEFT_ID).agg(*agg_exprs)
+        out = out.join(red, on=LEFT_ID, how="left")
+        for suffix in (["first", "last"] if which == "both" else [which]):
+            out = out.withColumn(f"{pc}__{suffix}",
+                                 F.coalesce(F.col(f"{pc}__{suffix}"), F.lit(-1)))
+    return out.drop(LEFT_ID)

@@ -1,0 +1,77 @@
+"""Compatibility shims: factorize and inner_or_cross_join.
+
+Reference: ``catabra_pandas/misc.py:1119-1318`` (``factorize``) and
+``misc.py:939-978`` (``inner_or_cross_join``).
+
+On Spark, composite join keys need no factorization (Catalyst handles them
+natively — SURVEY.md §2.1 #11), so ``factorize`` exists for API parity and
+for the rare case where dense int64 ids are genuinely wanted (e.g. feeding a
+matrix library).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..util import as_list, ensure_columns
+
+
+def factorize(
+    left: DataFrame,
+    columns: Union[str, Sequence[str]],
+    right: Optional[DataFrame] = None,
+    right_columns: Union[str, Sequence[str], None] = None,
+    sort: bool = False,
+    key_name: str = "__key__",
+) -> tuple[DataFrame, Optional[DataFrame]]:
+    """Map rows of one or two DataFrames to shared dense int64 keys over the
+    given composite key columns (reference ``misc.py:1119-1318``).
+
+    Returns the input frame(s) with an added ``key_name`` long column; equal
+    composite keys (across both frames) get equal ids, 0-based consecutive.
+    ``sort=True`` makes ids order-preserving wrt the key tuple; otherwise ids
+    are still deterministic (sorted) because Spark has no insertion order.
+
+    Scale note: ids are assigned with ``row_number`` over a global sort of
+    the *distinct* keys — the distinct set is usually tiny relative to the
+    data; the id join back is a broadcast when it fits.
+    """
+    columns = as_list(columns)
+    ensure_columns(left, columns)
+    right_columns = as_list(right_columns) if right_columns is not None else columns
+    keys = left.select(*[F.col(c).alias(f"_k{i}") for i, c in enumerate(columns)])
+    if right is not None:
+        ensure_columns(right, right_columns)
+        keys = keys.unionByName(
+            right.select(*[F.col(c).alias(f"_k{i}") for i, c in enumerate(right_columns)])
+        )
+    kcols = [f"_k{i}" for i in range(len(columns))]
+    distinct = keys.distinct()
+    w = Window.partitionBy().orderBy(*[F.col(c).asc_nulls_last() for c in kcols])
+    ids = distinct.withColumn(key_name, F.row_number().over(w) - F.lit(1))
+
+    def attach(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+        cond = [df[c].eqNullSafe(ids[k]) for c, k in zip(cols, kcols)]
+        joined = df.join(F.broadcast(ids), on=cond and _and_all(cond), how="left")
+        return joined.drop(*kcols)
+
+    left_out = attach(left, columns)
+    right_out = attach(right, right_columns) if right is not None else None
+    return left_out, right_out
+
+
+def _and_all(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def inner_or_cross_join(left: DataFrame, right: DataFrame, on: Optional[str] = None) -> DataFrame:
+    """Inner join on ``on`` if both sides have that column, else cross join
+    (reference ``misc.py:939-978``)."""
+    if on is not None and on in left.columns and on in right.columns:
+        return left.join(right, on=on, how="inner")
+    return left.crossJoin(right)

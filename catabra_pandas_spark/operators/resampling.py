@@ -1,0 +1,492 @@
+"""EAV / interval resampling: ``resample_eav``, ``resample_interval``,
+``make_windows``.
+
+Reference semantics: ``catabra_pandas/resampling.py`` — ``resample_eav``
+(25-450, execution 1086-1406), ``resample_interval`` (453-788, execution
+1409-1555, factor math 2063-2124), ``make_windows`` (791-1083).
+
+Spark design (SURVEY.md §2.1 #3-#5, §3 "Spark lifecycle replacement"): the
+reference's per-entity strategy selector, layered-window sweep, Dask
+dispatch, and MAX_ROWS chunking all collapse into ONE declarative plan:
+
+    observations JOIN windows ON entity AND time-in-window
+    -> groupBy(window_id) with conditional aggregates
+    -> left-join back onto windows
+
+Catalyst turns the entity equi-key into a sort-merge/shuffled-hash join with
+the range predicate as residual filter; AQE handles skewed entities.  All
+standard aggregations (mean/min/max/median/std/var/sum/prod/skew/mad/sem/
+size/count/nunique/pXX) run in a SINGLE shuffle as conditional JVM-side
+aggregates — one pass regardless of how many (attribute, function) pairs are
+requested.  Rank aggregations (rXX/tXX) and mode/mode_count need one extra
+window/groupBy pass each over the already-joined pairs; custom Python
+callables run via Arrow-batched ``applyInPandas`` (the reference's callable
+contract at ``resampling.py:128-161`` IS the applyInPandas contract).
+
+Windows are a flat-column DataFrame — ``{time_col}_start``/``{time_col}_stop``
+replace the reference's 2-level column MultiIndex (``resampling.py:54-57``);
+a missing endpoint column means -inf/+inf (``resampling.py:58-59``); a null
+endpoint value invalidates the window (it matches no observations but still
+appears in the output).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Mapping, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
+
+from ..util import as_list, ensure_columns
+
+WINDOW_ID = "__window_id__"
+
+_STANDARD_AGGS = {
+    "mean", "min", "max", "median", "std", "var", "sum", "prod", "skew",
+    "mad", "sem", "size", "count", "nunique",
+}
+_RANK_RE = re.compile(r"^([rt])(-?\d+)$")
+_QUANTILE_RE = re.compile(r"^p(\d{1,2}(?:\.\d+)?)$")
+
+
+def _is_time_like(dt) -> bool:
+    return isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType))
+
+
+def resample_eav(
+    df: DataFrame,
+    windows: Union[DataFrame, "make_windows", Callable[[DataFrame], DataFrame]],
+    agg: Mapping[str, Union[str, Sequence[str], Callable]],
+    entity_col: str = "entity",
+    time_col: str = "timestamp",
+    attribute_col: str = "attribute",
+    value_col: str = "value",
+    include_start: bool = True,
+    include_stop: bool = True,
+    window_start_col: Optional[str] = None,
+    window_stop_col: Optional[str] = None,
+    tiebreak_col: Optional[str] = None,
+    custom_agg_schemas: Optional[Mapping[str, str]] = None,
+    optimize: str = "time",
+) -> DataFrame:
+    """Resample EAV observations into arbitrary (possibly overlapping,
+    possibly half-infinite) windows with per-attribute aggregation lists.
+
+    ``agg`` maps attribute -> aggregation(s); each aggregation is one of
+    mean, min, max, median, std, var, sum, prod, skew, mad, sem, size,
+    count, nunique, mode, mode_count, ``pXX`` (exact percentile, pandas
+    linear interpolation), ``rXX``/``tXX`` (value/time of the XX-th
+    observation in time order, negative = from the end), or a Python callable
+    ``pandas.Series -> scalar`` (reference ``resampling.py:74-95,128-161``).
+
+    Output: ``windows`` plus one column per (attribute, aggregation), named
+    ``{attribute}_{agg}`` (flattening the reference's column MultiIndex).
+    ``size``/``count`` are 0 for windows with no observations; other
+    aggregations are null (reference ``resampling.py:74-87``).
+
+    ``tiebreak_col``: column in ``df`` used to break ties between equal
+    timestamps for rank aggregations (the reference uses row position, which
+    Spark does not have; without it ties are broken arbitrarily).
+    ``optimize`` is accepted for API compatibility and ignored (AQE replaces
+    the reference's time/memory strategy knob — SURVEY.md §4).
+    """
+    if callable(windows) and not isinstance(windows, DataFrame):
+        windows = windows(df, entity_col=entity_col, time_col=time_col)
+    ensure_columns(df, [entity_col, time_col, attribute_col, value_col])
+
+    ws = window_start_col or f"{time_col}_start"
+    wp = window_stop_col or f"{time_col}_stop"
+    has_start = ws in windows.columns
+    has_stop = wp in windows.columns
+    if not has_start and not has_stop:
+        raise ValueError(f"windows needs at least one of {ws!r}, {wp!r}")
+    ensure_columns(windows, [entity_col])
+
+    # --- normalize agg spec -------------------------------------------
+    spec: dict[str, list] = {a: as_list(fns) for a, fns in agg.items()}
+    attrs = list(spec)
+
+    win = windows.withColumn(WINDOW_ID, F.monotonically_increasing_id())
+
+    # prune observations: null times ignored (resampling.py:47-48), only
+    # requested attributes (resampling.py:281-285)
+    obs_cols = [entity_col, time_col, attribute_col, value_col]
+    if tiebreak_col:
+        obs_cols.append(tiebreak_col)
+    obs = (
+        df.select(*obs_cols)
+        .filter(F.col(time_col).isNotNull() & F.col(attribute_col).isin(attrs))
+    )
+
+    # --- the join: entity + time-in-window ----------------------------
+    wjoin = win.select(
+        WINDOW_ID,
+        F.col(entity_col).alias("__w_entity__"),
+        *([F.col(ws).alias("__w_start__")] if has_start else []),
+        *([F.col(wp).alias("__w_stop__")] if has_stop else []),
+    )
+    cond = obs[entity_col] == wjoin["__w_entity__"]
+    if has_start:
+        cond = cond & ((obs[time_col] >= wjoin["__w_start__"]) if include_start
+                       else (obs[time_col] > wjoin["__w_start__"]))
+    if has_stop:
+        cond = cond & ((obs[time_col] <= wjoin["__w_stop__"]) if include_stop
+                       else (obs[time_col] < wjoin["__w_stop__"]))
+    pairs = obs.join(wjoin, on=cond, how="inner").drop("__w_entity__", "__w_start__", "__w_stop__")
+
+    attr = F.col(attribute_col)
+    val = F.col(value_col)
+    tim = F.col(time_col)
+
+    # --- bucket the aggregations (reference resampling.py:189-279) -----
+    std_exprs: list[Column] = []
+    mad_reqs: list[str] = []           # attributes needing mad
+    mode_reqs: dict[str, list[str]] = {}  # attr -> [mode, mode_count]
+    rank_reqs: list[tuple[str, str, int, str]] = []  # (attr, kind r/t, rank, out_name)
+    custom_reqs: list[tuple[str, Callable, str]] = []  # (attr, fn, out_name)
+
+    for a, fns in spec.items():
+        v = F.when(attr == F.lit(a), val)
+        t_ = F.when(attr == F.lit(a), tim)
+        here = F.when(attr == F.lit(a), F.lit(1))
+        for fn in fns:
+            if callable(fn):
+                custom_reqs.append((a, fn, f"{a}_{getattr(fn, '__name__', 'custom')}"))
+                continue
+            name = f"{a}_{fn}"
+            mq = _QUANTILE_RE.match(fn)
+            mr = _RANK_RE.match(fn)
+            if fn == "mean":
+                std_exprs.append(F.avg(v).alias(name))
+            elif fn == "min":
+                std_exprs.append(F.min(v).alias(name))
+            elif fn == "max":
+                std_exprs.append(F.max(v).alias(name))
+            elif fn == "sum":
+                std_exprs.append(F.sum(v).alias(name))
+            elif fn == "prod":
+                std_exprs.append(F.product(v).alias(name))
+            elif fn == "median":
+                std_exprs.append(F.percentile(v, F.lit(0.5)).alias(name))
+            elif mq:
+                std_exprs.append(F.percentile(v, F.lit(float(mq.group(1)) / 100.0)).alias(name))
+            elif fn == "std":
+                std_exprs.append(F.stddev_samp(v).alias(name))
+            elif fn == "var":
+                std_exprs.append(F.var_samp(v).alias(name))
+            elif fn == "sem":
+                std_exprs.append((F.stddev_samp(v) / F.sqrt(F.count(v))).alias(name))
+            elif fn == "skew":
+                # pandas-adjusted (bias-corrected) skewness G1, null for n<3 —
+                # matches pandas .skew() and DuckDB skewness()
+                n = F.count(v).cast("double")
+                m1 = F.avg(v)
+                m2 = F.avg(v * v)
+                m3 = F.avg(v * v * v)
+                mu2 = m2 - m1 * m1
+                mu3 = m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1
+                g1 = mu3 / F.pow(mu2, 1.5)
+                adj = F.sqrt(n * (n - 1)) / (n - 2)
+                std_exprs.append(F.when(n >= 3, adj * g1).alias(name))
+            elif fn == "size":
+                std_exprs.append(F.count(here).alias(name))
+            elif fn == "count":
+                std_exprs.append(F.count(v).alias(name))
+            elif fn == "nunique":
+                std_exprs.append(F.count_distinct(v).alias(name))
+            elif fn == "mad":
+                mad_reqs.append(a)
+            elif fn in ("mode", "mode_count"):
+                mode_reqs.setdefault(a, []).append(fn)
+            elif mr:
+                rank_reqs.append((a, mr.group(1), int(mr.group(2)), name))
+            else:
+                raise ValueError(f"unknown aggregation {fn!r} for attribute {a!r}")
+
+    out = win
+    if std_exprs:
+        out = out.join(pairs.groupBy(WINDOW_ID).agg(*std_exprs), on=WINDOW_ID, how="left")
+
+    # --- mad: two-pass mean-absolute-deviation per (window, attr) ------
+    if mad_reqs:
+        sub = pairs.filter(attr.isin(mad_reqs)).select(WINDOW_ID, attribute_col, value_col)
+        means = sub.groupBy(WINDOW_ID, attribute_col).agg(F.avg(value_col).alias("__mean__"))
+        mads = (
+            sub.join(means, on=[WINDOW_ID, attribute_col])
+            .groupBy(WINDOW_ID, attribute_col)
+            .agg(F.avg(F.abs(F.col(value_col) - F.col("__mean__"))).alias("__mad__"))
+        )
+        piv = mads.groupBy(WINDOW_ID).pivot(attribute_col, mad_reqs).agg(F.first("__mad__"))
+        for a in mad_reqs:
+            piv = piv.withColumnRenamed(a, f"{a}_mad")
+        out = out.join(piv, on=WINDOW_ID, how="left")
+
+    # --- mode / mode_count (reference misc.py:930-933 tie-break) --------
+    for a, wanted in mode_reqs.items():
+        sub = pairs.filter((attr == F.lit(a)) & val.isNotNull())
+        counts = sub.groupBy(WINDOW_ID, value_col).agg(F.count(F.lit(1)).alias("__cnt__"))
+        wnd = Window.partitionBy(WINDOW_ID).orderBy(F.col("__cnt__").desc(), F.col(value_col).asc())
+        best = counts.withColumn("__rn__", F.row_number().over(wnd)).filter(F.col("__rn__") == 1)
+        sel = [F.col(WINDOW_ID)]
+        if "mode" in wanted:
+            sel.append(F.col(value_col).alias(f"{a}_mode"))
+        if "mode_count" in wanted:
+            sel.append(F.col("__cnt__").alias(f"{a}_mode_count"))
+        out = out.join(best.select(*sel), on=WINDOW_ID, how="left")
+        if "mode_count" in wanted:
+            out = out.withColumn(f"{a}_mode_count", F.coalesce(F.col(f"{a}_mode_count"), F.lit(0)))
+
+    # --- rank aggregations rXX / tXX ------------------------------------
+    if rank_reqs:
+        by_attr: dict[str, list[tuple[str, int, str]]] = {}
+        for a, kind, r, name in rank_reqs:
+            by_attr.setdefault(a, []).append((kind, r, name))
+        for a, reqs in by_attr.items():
+            sub = pairs.filter(attr == F.lit(a))
+            tb = [F.col(tiebreak_col)] if tiebreak_col else []
+            w_asc = Window.partitionBy(WINDOW_ID).orderBy(tim.asc(), *[c.asc() for c in tb])
+            w_desc = Window.partitionBy(WINDOW_ID).orderBy(tim.desc(), *[c.desc() for c in tb])
+            need_asc = any(r >= 0 for _, r, _ in reqs)
+            need_desc = any(r < 0 for _, r, _ in reqs)
+            cols = {}
+            if need_asc:
+                cols["__rn_a__"] = F.row_number().over(w_asc)
+            if need_desc:
+                cols["__rn_d__"] = F.row_number().over(w_desc)
+            ranked = sub.withColumns(cols)
+            for kind, r, name in reqs:
+                src = tim if kind == "t" else val
+                picked = (
+                    ranked.filter((F.col("__rn_a__") == r + 1) if r >= 0
+                                  else (F.col("__rn_d__") == -r))
+                    .select(WINDOW_ID, src.alias(name))
+                )
+                out = out.join(picked, on=WINDOW_ID, how="left")
+
+    # --- custom callables via applyInPandas -----------------------------
+    if custom_reqs:
+        import pandas as pd  # noqa
+
+        for a, fn, name in custom_reqs:
+            ret_type = (custom_agg_schemas or {}).get(name, "double")
+            sub = pairs.filter(attr == F.lit(a)).select(WINDOW_ID, value_col)
+            schema = f"{WINDOW_ID} long, {name} {ret_type}"
+
+            def apply_fn(pdf, _fn=fn, _name=name):
+                res = _fn(pdf[value_col])
+                return pd.DataFrame({WINDOW_ID: [pdf[WINDOW_ID].iloc[0]], _name: [res]})
+
+            red = sub.groupBy(WINDOW_ID).applyInPandas(apply_fn, schema=schema)
+            out = out.join(red, on=WINDOW_ID, how="left")
+
+    # size/count are 0 (not null) for windows without observations
+    fills = {}
+    for a, fns in spec.items():
+        for fn in fns:
+            if not callable(fn) and fn in ("size", "count", "nunique"):
+                fills[f"{a}_{fn}"] = F.coalesce(F.col(f"{a}_{fn}"), F.lit(0))
+    if fills:
+        out = out.withColumns(fills)
+    return out.drop(WINDOW_ID)
+
+
+def resample_interval(
+    df: DataFrame,
+    windows: Union[DataFrame, "make_windows", Callable[[DataFrame], DataFrame]],
+    attributes: Optional[Sequence[str]] = None,
+    entity_col: str = "entity",
+    start_col: str = "start",
+    stop_col: str = "stop",
+    attribute_col: str = "attribute",
+    value_col: str = "value",
+    time_col: Optional[str] = None,
+    epsilon: float = 1e-7,
+    window_start_col: Optional[str] = None,
+    window_stop_col: Optional[str] = None,
+) -> DataFrame:
+    """Resample interval-valued observations into windows with the
+    duration-weighted sum  ``W_I = v * |W ∩ I| / |I|``  (reference
+    ``resampling.py:453-788``; edge-case table in the reference docstring and
+    ``resampling.py:2063-2124``):
+
+    * null ``v`` contributes 0;
+    * zero-length interval (``a == b``): fraction is 1 if ``a ∈ W`` else 0;
+    * infinite ``I`` with non-empty finite ``W ∩ I``: contributes
+      ``epsilon * sign(v)``;
+    * infinite ``I`` with infinite ``W ∩ I``: fraction is 1.
+
+    Output: ``windows`` + one double column per attribute (named by the
+    attribute value), 0-filled (reference ``resampling.py:1517``).
+    Window/interval overlap is evaluated with closed endpoints
+    (``resampling.py:478-480,493-495``).
+
+    Implementation: one entity equi-join with the overlap residual, a
+    ``when()`` cascade for the factor, one pivoted sum — two shuffles total.
+    """
+    tc = time_col or start_col
+    if callable(windows) and not isinstance(windows, DataFrame):
+        windows = windows(df, entity_col=entity_col, time_col=tc,
+                          start_col=start_col, stop_col=stop_col)
+    ensure_columns(df, [entity_col, start_col, stop_col, attribute_col, value_col])
+
+    ws = window_start_col or f"{tc}_start"
+    wp = window_stop_col or f"{tc}_stop"
+    has_start = ws in windows.columns
+    has_stop = wp in windows.columns
+    if not has_start and not has_stop:
+        raise ValueError(f"windows needs at least one of {ws!r}, {wp!r}")
+
+    if attributes is None:
+        attributes = [r[0] for r in df.select(attribute_col).distinct().collect()]
+    attributes = list(attributes)
+
+    win = windows.withColumn(WINDOW_ID, F.monotonically_increasing_id())
+
+    sch = {f.name: f.dataType for f in df.schema.fields}
+    timey = _is_time_like(sch[start_col])
+
+    def num(c: Column) -> Column:
+        return c.cast("timestamp").cast("double") if timey else c.cast("double")
+
+    obs = (
+        df.select(entity_col, start_col, stop_col, attribute_col, value_col)
+        .filter(F.col(attribute_col).isin(attributes))
+        .filter(F.col(start_col).isNotNull() & F.col(stop_col).isNotNull()
+                & (F.col(start_col) <= F.col(stop_col)))
+    )
+
+    wjoin = win.select(
+        WINDOW_ID,
+        F.col(entity_col).alias("__w_entity__"),
+        *([F.col(ws).alias("__w_start__")] if has_start else []),
+        *([F.col(wp).alias("__w_stop__")] if has_stop else []),
+    )
+    cond = obs[entity_col] == wjoin["__w_entity__"]
+    if has_start:
+        cond = cond & (wjoin["__w_start__"] <= obs[stop_col])
+    if has_stop:
+        cond = cond & (obs[start_col] <= wjoin["__w_stop__"])
+    pairs = obs.join(wjoin, on=cond, how="inner")
+
+    a = num(F.col(start_col))
+    b = num(F.col(stop_col))
+    s = num(F.col("__w_start__")) if has_start else F.lit(float("-inf"))
+    t_ = num(F.col("__w_stop__")) if has_stop else F.lit(float("inf"))
+    inter_lo = F.greatest(a, s)
+    inter_hi = F.least(b, t_)
+    len_i = b - a
+    len_int = inter_hi - inter_lo
+    v = F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))
+
+    inf = float("inf")
+    i_infinite = (a == F.lit(-inf)) | (b == F.lit(inf))
+    int_infinite = (inter_lo == F.lit(-inf)) | (inter_hi == F.lit(inf))
+
+    contrib = (
+        F.when(len_i == 0, v)                                   # point interval inside W (join guarantees a∈W)
+        .when(i_infinite & int_infinite, v)                      # fraction 1
+        .when(i_infinite, F.lit(epsilon) * F.signum(v))          # finite non-empty ∩, infinite I
+        .otherwise(v * len_int / len_i)
+    )
+
+    sums = (
+        pairs.withColumn("__contrib__", contrib)
+        .groupBy(WINDOW_ID)
+        .pivot(attribute_col, attributes)
+        .agg(F.sum("__contrib__"))
+    )
+    out = win.join(sums, on=WINDOW_ID, how="left")
+    out = out.withColumns({att: F.coalesce(F.col(att), F.lit(0.0)) for att in attributes})
+    return out.drop(WINDOW_ID)
+
+
+class make_windows:
+    """Lazy window-spec builder (reference ``resampling.py:791-1083``).
+
+    Each of ``entity``, ``start``, ``stop``, ``start_rel``, ``stop_rel``,
+    ``duration``, ``anchor`` may be a column name, a ``pyspark.sql.Column``
+    expression, a SQL expression string (prefixed ``expr:``), or a literal
+    scalar.  ``df`` may be a DataFrame, a callable ``DataFrame ->
+    DataFrame``, or a SQL string using the view name ``df`` — the
+    Spark-idiomatic replacement of the reference's ``eval()`` escape hatch
+    (``resampling.py:925-932``).
+
+    Calling the instance with the frame being resampled returns a windows
+    DataFrame with columns ``entity_col``, ``{time_col}_start``,
+    ``{time_col}_stop`` (the flat-column convention for the reference's
+    MultiIndex windows, SURVEY.md §1.1).
+    """
+
+    def __init__(self, df=None, entity=None, start=None, stop=None,
+                 start_rel=None, stop_rel=None, duration=None, anchor=None):
+        if start is not None and start_rel is not None:
+            raise ValueError("start and start_rel are mutually exclusive")
+        if stop is not None and stop_rel is not None:
+            raise ValueError("stop and stop_rel are mutually exclusive")
+        self.df = df
+        self.entity = entity
+        self.start = start
+        self.stop = stop
+        self.start_rel = start_rel
+        self.stop_rel = stop_rel
+        self.duration = duration
+        self.anchor = anchor
+
+    def _resolve(self, df: DataFrame, spec) -> Optional[Column]:
+        if spec is None:
+            return None
+        if isinstance(spec, Column):
+            return spec
+        if isinstance(spec, str):
+            if spec.startswith("expr:"):
+                return F.expr(spec[5:])
+            if spec in df.columns:
+                return F.col(spec)
+            return F.expr(spec)
+        return F.lit(spec)
+
+    def __call__(self, df: DataFrame, entity_col: str = "entity",
+                 time_col: str = "timestamp", **_: object) -> DataFrame:
+        src = df
+        if self.df is not None:
+            if isinstance(self.df, DataFrame):
+                src = self.df
+            elif isinstance(self.df, str):
+                df.createOrReplaceTempView("df")
+                src = df.sparkSession.sql(self.df)
+            elif callable(self.df):
+                src = self.df(df)
+            else:
+                raise ValueError(f"unsupported df spec {self.df!r}")
+
+        entity = self._resolve(src, self.entity)
+        if entity is None:
+            entity = F.col(entity_col)
+        start = self._resolve(src, self.start)
+        stop = self._resolve(src, self.stop)
+        start_rel = self._resolve(src, self.start_rel)
+        stop_rel = self._resolve(src, self.stop_rel)
+        duration = self._resolve(src, self.duration)
+        anchor = self._resolve(src, self.anchor)
+        if (start_rel is not None or stop_rel is not None) and anchor is None:
+            anchor = F.col(time_col)
+
+        if start_rel is not None:
+            start = anchor + start_rel
+        if stop_rel is not None:
+            stop = anchor + stop_rel
+        if duration is not None:
+            if start is not None and stop is None:
+                stop = start + duration
+            elif stop is not None and start is None:
+                start = stop - duration
+            else:
+                raise ValueError("duration requires exactly one endpoint")
+
+        cols = [entity.alias(entity_col)]
+        if start is not None:
+            cols.append(start.alias(f"{time_col}_start"))
+        if stop is not None:
+            cols.append(stop.alias(f"{time_col}_stop"))
+        return src.select(*cols)

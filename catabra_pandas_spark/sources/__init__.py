@@ -1,0 +1,37 @@
+"""Source layer: reading the engine's input tables.
+
+The reference has no storage layer (in-memory pandas frames only —
+SURVEY.md §2.3); on Spark the sources are ordinary ``spark.read`` scans so
+that Catalyst gets predicate pushdown / column pruning / partition pruning
+for free.  The one wrinkle this module owns: parquet files written with
+TIMESTAMP(NANOS) (pyarrow default) are rejected by Spark's vectorized reader
+unless ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case Spark
+4.x surfaces them as ``timestamp_ntz`` — ``read_table`` applies the setting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Session settings the engine relies on (safe to call repeatedly)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the driver's synthetic tables (TESTDATA.md)."""
+    configure(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    for t in tables:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,122 @@
+"""Shared conventions for the engine (SURVEY.md §7 "Conventions first").
+
+- Row identity/order: the reference relies on the implicit pandas row index
+  (reference merging.py:113-115); Spark has no row order, so operators that
+  need identity generate an explicit ``__row_id__`` long column.
+- Intervals are two ordinary columns; a missing endpoint column means that
+  endpoint is +/- infinity (reference resampling.py:58-59, merging.py:67-78).
+- Null endpoints mean "empty interval" and such rows never match
+  (reference merging.py:138-139).
+- Open/closed endpoint flags normalize to strict/non-strict comparison
+  operators (reference merging.py:434-455).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+ROW_ID = "__row_id__"
+
+
+def with_row_id(df: DataFrame, name: str = ROW_ID) -> DataFrame:
+    """Attach a unique long id per row.
+
+    ``monotonically_increasing_id`` is partition-local monotonic which is all
+    we need for identity; it does NOT reflect any global order (Spark rows are
+    unordered).  Scale note: purely narrow transformation — no shuffle.
+    """
+    if name in df.columns:
+        return df
+    return df.withColumn(name, F.monotonically_increasing_id())
+
+
+def as_list(x) -> list:
+    if x is None:
+        return []
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    return [x]
+
+
+def interval_overlap_cond(
+    l_start: Optional[Column],
+    l_stop: Optional[Column],
+    r_start: Optional[Column],
+    r_stop: Optional[Column],
+    include_l_start: bool = True,
+    include_l_stop: bool = True,
+    include_r_start: bool = True,
+    include_r_stop: bool = True,
+) -> Column:
+    """Non-empty-intersection predicate between intervals [a,b] and [c,d]
+    with per-endpoint openness, as one boolean expression.
+
+    The reference decomposes this into two disjoint containment queries via a
+    16-case truth table (reference merging.py:434-455); on Spark we can hand
+    Catalyst the direct predicate:
+
+        overlap  <=>  (a < d  or (a = d and a in I1 and d in I2))
+                 and  (c < b  or (c = b and c in I2 and b in I1))
+
+    A ``None`` endpoint column means +/- infinity, which makes the
+    corresponding conjunct vacuously true.
+    """
+    conds = []
+    if l_start is not None and r_stop is not None:
+        if include_l_start and include_r_stop:
+            conds.append(l_start <= r_stop)
+        else:
+            conds.append(l_start < r_stop)
+    if r_start is not None and l_stop is not None:
+        if include_r_start and include_l_stop:
+            conds.append(r_start <= l_stop)
+        else:
+            conds.append(r_start < l_stop)
+    if not conds:
+        return F.lit(True)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def valid_interval_cond(
+    start: Optional[Column],
+    stop: Optional[Column],
+    include_start: bool = True,
+    include_stop: bool = True,
+) -> Column:
+    """Rows with empty intervals are dropped before joining
+    (reference merging.py:230-288): null endpoints are empty; start > stop is
+    empty; start == stop is empty unless both endpoints are closed.
+    A missing endpoint column (None) is infinite, hence never empty on that
+    side, but the present endpoint must still be non-null.
+    """
+    conds = []
+    if start is not None:
+        conds.append(start.isNotNull())
+    if stop is not None:
+        conds.append(stop.isNotNull())
+    if start is not None and stop is not None:
+        if include_start and include_stop:
+            conds.append(start <= stop)
+        else:
+            conds.append(start < stop)
+    if not conds:
+        return F.lit(True)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def ensure_columns(df: DataFrame, cols: Iterable[str], what: str = "column") -> None:
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"missing {what}(s) {missing}; have {df.columns}")
+
+
+def qualify(df: DataFrame, cols: Sequence[str]) -> list[Column]:
+    return [df[c] for c in cols]
