@@ -1,0 +1,167 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from catabra_pandas_spark import find_containing_interval, merge_intervals
+from .conftest import assert_pdf_equal, to_sdf
+
+
+def _make_sides(seed, n_left=300, n_right=120, n_groups=12):
+    """FIXTURES.md F4: ~10% inverted (empty) intervals, some NaN endpoints."""
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "group": rng.integers(0, n_groups, n_left),
+        "start": rng.uniform(0, 100, n_left).round(1),
+        "idx": np.arange(n_left),
+    })
+    left["stop"] = (left["start"] + rng.uniform(0, 15, n_left).round(1))
+    inv = rng.random(n_left) < 0.1
+    left.loc[inv, ["start", "stop"]] = left.loc[inv, ["stop", "start"]].values
+    left.loc[rng.random(n_left) < 0.05, "start"] = np.nan
+    right = pd.DataFrame({
+        "group": rng.integers(0, n_groups, n_right),
+        "rstart": rng.uniform(0, 100, n_right).round(1),
+        "ridx": np.arange(n_right),
+    })
+    right["rstop"] = right["rstart"] + rng.uniform(0, 15, n_right).round(1)
+    inv = rng.random(n_right) < 0.1
+    right.loc[inv, ["rstart", "rstop"]] = right.loc[inv, ["rstart", "rstop"]].values[:, ::-1]
+    right.loc[rng.random(n_right) < 0.05, "rstop"] = np.nan
+    return left, right
+
+
+def _slow_pairs(left, right, on, incl=(True, True, True, True)):
+    """Brute force: equi-merge then post-filter with the interval predicate
+    (the reference's test oracle pattern, tests/test_merge_intervals.py:49-122)."""
+    ils, ilp, irs, irp = incl
+    m = left.merge(right, on=on) if on else left.merge(right, how="cross")
+
+    def valid(s, p, i1, i2):
+        if pd.isna(s) or pd.isna(p):
+            return False
+        return s <= p if (i1 and i2) else s < p
+
+    ok = []
+    for _, r in m.iterrows():
+        if not valid(r.start, r.stop, ils, ilp) or not valid(r.rstart, r.rstop, irs, irp):
+            ok.append(False)
+            continue
+        c1 = r.start < r.rstop or (r.start == r.rstop and ils and irp)
+        c2 = r.rstart < r.stop or (r.rstart == r.stop and irs and ilp)
+        ok.append(bool(c1 and c2))
+    return m[np.array(ok, dtype=bool)] if len(m) else m
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("incl", [(True, True, True, True), (False, True, True, False), (False, False, False, False)])
+def test_merge_inner_overlap(spark, seed, incl):
+    left, right = _make_sides(seed)
+    out = merge_intervals(
+        to_sdf(spark, left), to_sdf(spark, right), on="group", how="inner",
+        left_start="start", left_stop="stop", right_start="rstart", right_stop="rstop",
+        include_left_start=incl[0], include_left_stop=incl[1],
+        include_right_start=incl[2], include_right_stop=incl[3],
+    ).toPandas()
+    exp = _slow_pairs(left, right, "group", incl)
+    assert_pdf_equal(out, exp, sort_by=["idx", "ridx"])
+
+
+@pytest.mark.parametrize("how", ["left", "right", "outer"])
+def test_merge_how(spark, how):
+    left, right = _make_sides(2)
+    out = merge_intervals(
+        to_sdf(spark, left), to_sdf(spark, right), on="group", how=how,
+        left_start="start", left_stop="stop", right_start="rstart", right_stop="rstop",
+    ).toPandas()
+    m = _slow_pairs(left, right, "group")
+    if how in ("left", "outer"):
+        missing = left[~left.idx.isin(m.idx)].copy()
+        for c in ["rstart", "rstop", "ridx"]:
+            missing[c] = np.nan
+        m = pd.concat([m, missing], ignore_index=True)
+    if how in ("right", "outer"):
+        missing = right[~right.ridx.isin(m.ridx)].copy()
+        for c in ["start", "stop", "idx"]:
+            missing[c] = np.nan
+        m = pd.concat([m, missing], ignore_index=True)
+    assert_pdf_equal(out, m, sort_by=["idx", "ridx", "group"])
+
+
+@pytest.mark.parametrize("keep", ["first", "last", "both"])
+def test_merge_keep(spark, keep):
+    left, right = _make_sides(3)
+    out = merge_intervals(
+        to_sdf(spark, left), to_sdf(spark, right), on="group", how="inner",
+        left_start="start", left_stop="stop", right_start="rstart", right_stop="rstop",
+        keep=keep, keep_by="ridx",
+    ).toPandas()
+    m = _slow_pairs(left, right, "group")
+    parts = []
+    if keep in ("first", "both"):
+        parts.append(m.sort_values("ridx", kind="stable").groupby("idx", as_index=False).first())
+    if keep in ("last", "both"):
+        parts.append(m.sort_values("ridx", kind="stable").groupby("idx", as_index=False).last())
+    exp = pd.concat(parts, ignore_index=True).drop_duplicates(["idx", "ridx"])
+    # groupby.first reorders columns; restore
+    exp = exp[m.columns.tolist()]
+    assert_pdf_equal(out, exp, sort_by=["idx", "ridx"])
+
+
+def test_merge_half_infinite_and_points(spark):
+    left, right = _make_sides(4)
+    # left as points (start only), right half-infinite [rstart, +inf)
+    out = merge_intervals(
+        to_sdf(spark, left), to_sdf(spark, right), on="group", how="inner",
+        left_start="start", left_stop="start", right_start="rstart", right_stop=None,
+    ).toPandas()
+    m = left.merge(right, on="group")
+    m = m[m.start.notna() & m.rstart.notna() & (m.rstart <= m.start)]
+    assert_pdf_equal(out, m, sort_by=["idx", "ridx"])
+
+
+def test_merge_bucket_strategy_equivalence(spark):
+    left, right = _make_sides(5)
+    kw = dict(how="inner", left_start="start", left_stop="stop",
+              right_start="rstart", right_stop="rstop")
+    direct = merge_intervals(to_sdf(spark, left), to_sdf(spark, right), on="group", **kw).toPandas()
+    bucket = merge_intervals(to_sdf(spark, left), to_sdf(spark, right), on="group",
+                             strategy="bucket", bucket_width=10.0, **kw).toPandas()
+    assert_pdf_equal(bucket, direct, sort_by=["idx", "ridx"])
+    # no equi keys at all
+    small_l, small_r = left.head(50), right.head(30)
+    direct2 = merge_intervals(to_sdf(spark, small_l), to_sdf(spark, small_r),
+                              suffixes=("_l", "_r"), **kw).toPandas()
+    bucket2 = merge_intervals(to_sdf(spark, small_l), to_sdf(spark, small_r),
+                              suffixes=("_l", "_r"), strategy="bucket", bucket_width=25.0, **kw).toPandas()
+    assert_pdf_equal(bucket2, direct2, sort_by=["idx", "ridx"])
+
+
+def test_find_containing_interval(spark):
+    rng = np.random.default_rng(6)
+    points = pd.DataFrame({
+        "g": rng.integers(0, 5, 200),
+        "p": rng.uniform(-10, 110, 200).round(1),
+        "pidx": np.arange(200),
+    })
+    ivls = pd.DataFrame({
+        "g": rng.integers(0, 5, 60),
+        "start": rng.uniform(0, 100, 60).round(1),
+        "iid": np.arange(60),
+    })
+    ivls["stop"] = ivls["start"] + rng.uniform(0, 20, 60).round(1)
+    out = find_containing_interval(
+        to_sdf(spark, points), to_sdf(spark, ivls), point_cols="p", which="both",
+        start_col="start", stop_col="stop", group_by="g", interval_id="iid",
+    ).toPandas()
+
+    first, last = [], []
+    for _, r in points.iterrows():
+        c = ivls[(ivls.g == r.g) & (ivls.start <= r.p) & (r.p <= ivls.stop)]
+        first.append(c.iid.min() if len(c) else -1)
+        last.append(c.iid.max() if len(c) else -1)
+    exp = points.copy()
+    exp["p__first"] = first
+    exp["p__last"] = last
+    assert_pdf_equal(out, exp, sort_by=["pidx"])
