@@ -152,7 +152,9 @@ def resample_eav(
         here = F.when(attr == F.lit(a), F.lit(1))
         for fn in fns:
             if callable(fn):
-                custom_reqs.append((a, fn, f"{a}_{getattr(fn, '__name__', 'custom')}"))
+                raw = getattr(fn, "__name__", "custom")
+                safe = re.sub(r"\W+", "_", raw).strip("_") or "custom"
+                custom_reqs.append((a, fn, f"{a}_{safe}"))
                 continue
             name = f"{a}_{fn}"
             mq = _QUANTILE_RE.match(fn)
@@ -273,11 +275,13 @@ def resample_eav(
             sub = pairs.filter(attr == F.lit(a)).select(WINDOW_ID, value_col)
             schema = f"{WINDOW_ID} long, {name} {ret_type}"
 
-            def apply_fn(pdf, _fn=fn, _name=name):
-                res = _fn(pdf[value_col])
-                return pd.DataFrame({WINDOW_ID: [pdf[WINDOW_ID].iloc[0]], _name: [res]})
+            def make_apply(_fn, _name):
+                def apply_fn(pdf):
+                    res = _fn(pdf[value_col])
+                    return pd.DataFrame({WINDOW_ID: [pdf[WINDOW_ID].iloc[0]], _name: [res]})
+                return apply_fn
 
-            red = sub.groupBy(WINDOW_ID).applyInPandas(apply_fn, schema=schema)
+            red = sub.groupBy(WINDOW_ID).applyInPandas(make_apply(fn, name), schema=schema)
             out = out.join(red, on=WINDOW_ID, how="left")
 
     # size/count are 0 (not null) for windows without observations

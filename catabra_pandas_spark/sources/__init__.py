@@ -27,9 +27,29 @@ def configure(spark: SparkSession) -> SparkSession:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one of the driver's synthetic tables (TESTDATA.md)."""
+    """Read one of the driver's synthetic tables (TESTDATA.md).
+
+    TIMESTAMP(NANOS) parquet columns arrive as nanosecond longs under
+    ``nanosAsLong`` — convert them back to timestamps (microsecond
+    truncation; the synthetic data is second-granular).
+    """
     configure(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        from pyspark.sql import functions as F
+
+        for field in schema:
+            if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+                df = df.withColumn(field.name,
+                                   F.timestamp_micros(F.expr(f"`{field.name}` div 1000")))
+    except ImportError:  # pragma: no cover
+        pass
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

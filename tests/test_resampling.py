@@ -1,0 +1,248 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from catabra_pandas_spark import make_windows, resample_eav, resample_interval
+from .conftest import assert_pdf_equal, to_sdf
+
+
+def _eav_data(seed, n=600, n_entities=12, attrs=("hr", "bp", "temp")):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "entity": rng.integers(0, n_entities, n),
+        "timestamp": rng.uniform(0, 100, n).round(2),
+        "attribute": rng.choice(attrs, n),
+        "value": rng.normal(50, 10, n).round(2),
+    })
+    df.loc[rng.random(n) < 0.15, "value"] = np.nan
+    df.loc[rng.random(n) < 0.05, "timestamp"] = np.nan
+    df["obs_id"] = np.arange(n)
+    return df
+
+
+def _windows(seed, n_entities=12, per_entity=4, overlapping=True, na_frac=0.0):
+    rng = np.random.default_rng(seed + 1000)
+    rows = []
+    for e in range(n_entities):
+        for _ in range(per_entity):
+            s = rng.uniform(0, 80)
+            d = rng.uniform(5, 30) if overlapping else 10
+            rows.append((e, round(s, 2), round(s + d, 2)))
+    w = pd.DataFrame(rows, columns=["entity", "timestamp_start", "timestamp_stop"])
+    if na_frac:
+        w.loc[rng.random(len(w)) < na_frac, "timestamp_start"] = np.nan
+    w["win_id"] = np.arange(len(w))
+    return w
+
+
+def _slow_eav(df, win, agg, include_start=True, include_stop=True):
+    """Per-window python loop oracle (reference tests/util.py:13-130 pattern)."""
+    out = win.copy()
+    for a, fns in agg.items():
+        if not isinstance(fns, list):
+            fns = [fns]
+        for fn in fns:
+            vals = []
+            for _, w in win.iterrows():
+                sub = df[(df.entity == w.entity) & (df.attribute == a) & df.timestamp.notna()]
+                lo = sub.timestamp >= w.timestamp_start if include_start else sub.timestamp > w.timestamp_start
+                hi = sub.timestamp <= w.timestamp_stop if include_stop else sub.timestamp < w.timestamp_stop
+                if pd.isna(w.timestamp_start) or pd.isna(w.timestamp_stop):
+                    sub = sub.iloc[:0]
+                else:
+                    sub = sub[lo & hi]
+                sub = sub.sort_values(["timestamp", "obs_id"])
+                v = sub.value
+                vv = v.dropna()
+                if fn == "mean":
+                    r = vv.mean()
+                elif fn == "min":
+                    r = vv.min()
+                elif fn == "max":
+                    r = vv.max()
+                elif fn == "sum":
+                    r = vv.sum() if len(vv) else np.nan
+                elif fn == "prod":
+                    r = vv.prod() if len(vv) else np.nan
+                elif fn == "median":
+                    r = vv.median()
+                elif fn == "p25":
+                    r = vv.quantile(0.25)
+                elif fn == "std":
+                    r = vv.std()
+                elif fn == "var":
+                    r = vv.var()
+                elif fn == "sem":
+                    r = vv.sem()
+                elif fn == "skew":
+                    r = vv.skew() if len(vv) >= 3 else np.nan
+                elif fn == "mad":
+                    r = (vv - vv.mean()).abs().mean()
+                elif fn == "size":
+                    r = len(sub)
+                elif fn == "count":
+                    r = len(vv)
+                elif fn == "nunique":
+                    r = vv.nunique()
+                elif fn == "mode":
+                    if len(vv):
+                        vc = vv.value_counts()
+                        r = sorted(vc[vc == vc.max()].index)[0]
+                    else:
+                        r = np.nan
+                elif fn == "mode_count":
+                    r = vv.value_counts().max() if len(vv) else 0
+                elif fn.startswith("r") or fn.startswith("t"):
+                    k = int(fn[1:])
+                    col = sub.value if fn[0] == "r" else sub.timestamp
+                    try:
+                        r = col.iloc[k] if k >= 0 or -k <= len(col) else np.nan
+                        if k >= len(col):
+                            r = np.nan
+                    except IndexError:
+                        r = np.nan
+                else:
+                    raise AssertionError(fn)
+                vals.append(r)
+            out[f"{a}_{fn}"] = vals
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("incl", [(True, True), (True, False), (False, False)])
+def test_resample_eav_standard(spark, seed, incl):
+    df = _eav_data(seed)
+    win = _windows(seed, na_frac=0.1)
+    agg = {"hr": ["mean", "min", "max", "sum", "count", "size"],
+           "bp": ["median", "p25", "std", "var", "nunique"],
+           "temp": ["sem", "mad", "skew", "prod"]}
+    out = resample_eav(
+        to_sdf(spark, df), to_sdf(spark, win), agg,
+        include_start=incl[0], include_stop=incl[1], tiebreak_col="obs_id",
+    ).toPandas()
+    exp = _slow_eav(df, win, agg, *incl)
+    assert_pdf_equal(out, exp, sort_by=["win_id"])
+
+
+def test_resample_eav_mode_ranks(spark):
+    df = _eav_data(2)
+    # make values coarse so modes are meaningful
+    df["value"] = (df["value"] / 10).round()
+    win = _windows(2)
+    agg = {"hr": ["mode", "mode_count", "r0", "r-1", "r1"],
+           "bp": ["t0", "t-1"]}
+    out = resample_eav(to_sdf(spark, df), to_sdf(spark, win), agg,
+                       tiebreak_col="obs_id").toPandas()
+    exp = _slow_eav(df, win, agg)
+    assert_pdf_equal(out, exp, sort_by=["win_id"])
+
+
+def test_resample_eav_half_infinite_and_custom(spark):
+    df = _eav_data(3)
+    win = _windows(3).drop(columns=["timestamp_start"])  # -inf start
+
+    def myrange(s):
+        return float(s.max() - s.min()) if len(s.dropna()) else None
+
+    out = resample_eav(to_sdf(spark, df), to_sdf(spark, win),
+                       {"hr": ["count", myrange]}).toPandas()
+
+    exp = win.copy()
+    counts, ranges = [], []
+    for _, w in win.iterrows():
+        sub = df[(df.entity == w.entity) & (df.attribute == "hr")
+                 & df.timestamp.notna() & (df.timestamp <= w.timestamp_stop)]
+        counts.append(sub.value.notna().sum())
+        vv = sub.value.dropna()
+        ranges.append(vv.max() - vv.min() if len(vv) else np.nan)
+    exp["hr_count"] = counts
+    exp["hr_myrange"] = ranges
+    assert_pdf_equal(out, exp, sort_by=["win_id"])
+
+
+def _interval_data(seed, n=300, n_entities=10):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "entity": rng.integers(0, n_entities, n),
+        "start": rng.uniform(0, 100, n).round(2),
+        "attribute": rng.choice(["drug_a", "drug_b"], n),
+        "value": rng.normal(5, 2, n).round(2),
+    })
+    df["stop"] = df["start"] + rng.uniform(0, 20, n).round(2)
+    df.loc[rng.random(n) < 0.3, "stop"] = df["start"]  # zero-length
+    df.loc[rng.random(n) < 0.1, "value"] = np.nan
+    # a few infinite intervals
+    inf_idx = rng.choice(n, 6, replace=False)
+    df.loc[inf_idx[:3], "start"] = -np.inf
+    df.loc[inf_idx[3:], "stop"] = np.inf
+    return df
+
+
+def _slow_interval(df, win, attrs, epsilon=1e-7):
+    """Reference tests/util.py:133-269 pattern."""
+    out = win.copy()
+    for a in attrs:
+        vals = []
+        for _, w in win.iterrows():
+            if pd.isna(w.timestamp_start) or pd.isna(w.timestamp_stop):
+                vals.append(0.0)
+                continue
+            total = 0.0
+            sub = df[(df.entity == w.entity) & (df.attribute == a)
+                     & df.start.notna() & df.stop.notna() & (df.start <= df.stop)]
+            for _, r in sub.iterrows():
+                lo, hi = max(r.start, w.timestamp_start), min(r.stop, w.timestamp_stop)
+                if hi < lo:
+                    continue
+                v = 0.0 if pd.isna(r.value) else r.value
+                li = r.stop - r.start
+                if li == 0:
+                    f = 1.0
+                    total += v * f
+                elif np.isinf(li):
+                    if np.isinf(hi - lo):
+                        total += v
+                    else:
+                        total += epsilon * np.sign(v)
+                else:
+                    total += v * (hi - lo) / li
+            vals.append(total)
+        out[a] = vals
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_resample_interval(spark, seed):
+    df = _interval_data(seed)
+    win = _windows(seed, n_entities=10, na_frac=0.1).rename(
+        columns={"timestamp_start": "start_start", "timestamp_stop": "start_stop"})
+    sdf = to_sdf(spark, df)
+    swin = to_sdf(spark, win)
+    out = resample_interval(sdf, swin, attributes=["drug_a", "drug_b"]).toPandas()
+    exp = _slow_interval(df, win.rename(columns={
+        "start_start": "timestamp_start", "start_stop": "timestamp_stop"}),
+        ["drug_a", "drug_b"]).rename(columns={
+        "timestamp_start": "start_start", "timestamp_stop": "start_stop"})
+    assert_pdf_equal(out, exp, sort_by=["win_id"])
+
+
+def test_make_windows(spark):
+    df = _eav_data(4)
+    sdf = to_sdf(spark, df)
+    # relative windows anchored at each observation time
+    mw = make_windows(start_rel=-5.0, stop_rel=0.0)
+    win = mw(sdf, entity_col="entity", time_col="timestamp")
+    assert win.columns == ["entity", "timestamp_start", "timestamp_stop"]
+    row = win.filter("timestamp_stop is not null").first()
+    assert abs((row["timestamp_stop"] - row["timestamp_start"]) - 5.0) < 1e-9
+    # windows from an aggregated source via SQL string
+    mw2 = make_windows(
+        df="SELECT entity, max(timestamp) AS anchor FROM df GROUP BY entity",
+        anchor="anchor", start_rel=-10.0, duration=10.0)
+    win2 = mw2(sdf, entity_col="entity", time_col="timestamp")
+    assert win2.count() == df.entity.nunique()
+    # use in resample_eav end-to-end
+    out = resample_eav(sdf, mw2, {"hr": "count"}).toPandas()
+    assert len(out) == df.entity.nunique()
