@@ -1,0 +1,31 @@
+"""Large-scale training-data pipeline operators (beyond reference parity —
+the BASELINE.json north star: dedup, similarity search, multimodal columns,
+text analysis, designed for 100 TB inputs).
+
+All operators are declarative DataFrame transformations: shingling/hashing/
+signatures stay JVM-side (split/transform/xxhash64/aggregate), candidate
+generation is always a bucketed equi-join (never an all-pairs product), and
+Python appears only in Arrow-batched ``mapInPandas`` for multimodal decode
+stubs.
+"""
+
+from .dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from .similarity import cosine_topk, embedding_near_dup_pairs, lsh_cosine_topk
+from .text import detect_language, fingerprint, text_quality, token_count
+from .multimodal import attach_binary_metadata, decode_binary, sample_frames
+
+__all__ = [
+    "exact_dedup", "shingles", "minhash_signatures", "minhash_near_dup_pairs",
+    "simhash", "simhash_near_dup_pairs", "ngram_jaccard_pairs",
+    "cosine_topk", "lsh_cosine_topk", "embedding_near_dup_pairs",
+    "detect_language", "fingerprint", "text_quality", "token_count",
+    "attach_binary_metadata", "decode_binary", "sample_frames",
+]

@@ -1,0 +1,248 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point at 100 TB):
+
+* candidate generation is ALWAYS a bucketed equi-join — LSH band buckets,
+  simhash blocks, or shared shingles — never an O(n²) cross join;
+* signatures are computed with JVM-side array expressions
+  (``split``/``transform``/``xxhash64``/``array_min``), no Python in the
+  hot path;
+* every function returns a DataFrame pipeline that shuffles on the bucket
+  key once, so AQE can coalesce/split skewed buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..util import as_list
+
+# Mersenne prime 2^31-1 for the minhash permutation family: keeps
+# h*a + b < 2^62 so ANSI-mode int64 arithmetic cannot overflow
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(
+    df: DataFrame,
+    columns: Union[str, Sequence[str], None] = None,
+    id_col: Optional[str] = None,
+    mode: str = "mark",
+) -> DataFrame:
+    """Exact deduplication by content hash.
+
+    ``columns`` (default: all columns except ``id_col``) are md5-hashed into
+    ``dup_key``; the canonical row per group is the one with the smallest
+    ``id_col`` (required for deterministic results; falls back to an
+    arbitrary-but-stable row otherwise).
+
+    ``mode="mark"`` adds ``dup_key``, ``dup_count`` and ``is_duplicate``;
+    ``mode="drop"`` returns only canonical rows.  One hash-shuffle on
+    ``dup_key`` — the optimal distributed plan for exact dedup.
+    """
+    if mode not in ("mark", "drop"):
+        raise ValueError(f"mode must be mark/drop, got {mode!r}")
+    cols = as_list(columns) if columns else [c for c in df.columns if c != id_col]
+    key = F.md5(F.concat_ws("\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                                        for c in cols]))
+    out = df.withColumn("dup_key", key)
+    order = [F.col(id_col).asc()] if id_col else [F.lit(1)]
+    w = Window.partitionBy("dup_key").orderBy(*order)
+    out = out.withColumns({
+        "dup_count": F.count(F.lit(1)).over(
+            Window.partitionBy("dup_key").rowsBetween(Window.unboundedPreceding,
+                                                      Window.unboundedFollowing)),
+        "is_duplicate": F.row_number().over(w) > 1,
+    })
+    if mode == "drop":
+        out = out.filter(~F.col("is_duplicate")).drop("is_duplicate")
+    return out
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of normalized text, as an array<string>.
+    Documents with fewer than k tokens yield their full token string as the
+    single shingle."""
+    cleaned = F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", " "))
+    toks = F.filter(F.split(cleaned, r" +"), lambda t: t != "")
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_distinct(F.when(n > 0, sh).otherwise(F.array()))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: shingle → xxhash64 → n universal-hash
+    permutations ``(a*h + b) mod p`` → array_min.  Entirely JVM-side; output
+    columns: ``id_col``, ``signature`` (array<long> length ``num_hashes``).
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coefs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+             for _ in range(num_hashes)]
+    sh = shingles(F.col(text_col), k)
+    hashes = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE))
+    def perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)
+
+    sig = F.array(*[F.array_min(F.transform(hashes, perm(a, b))) for a, b in coefs])
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash LSH: band the signature, bucket-join
+    on (band_index, band_hash), estimate Jaccard as signature agreement,
+    keep pairs with estimate >= threshold.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated across
+    bands.  Shuffle cost: one explode+groupBy on band buckets (candidate
+    pairs only), never all-pairs.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, seed)
+    banded = sig.select(
+        id_col, "signature",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bi: F.hash(F.slice("signature", bi * r + 1, r)),
+        )).alias("band_idx", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, on=[F.col(f"l.band_idx") == F.col("r.band_idx"),
+                             F.col("l.band_hash") == F.col("r.band_hash"),
+                             F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.signature").alias("sig_a"),
+                F.col("r.signature").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                            lambda m: m))
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (cand.withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document from word-token hashes: bit_i = sign of
+    Σ_tokens (±1 depending on bit i of xxhash64(token)).  Output:
+    ``id_col``, ``simhash`` (long).  Pure array expressions, no shuffle."""
+    cleaned = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "))
+    toks = F.filter(F.split(cleaned, r" +"), lambda t: t != "")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    # shift amounts must be Python ints (shiftright takes no Column), so the
+    # bit positions unroll at plan-build time into one wide codegen'd expr
+    def bit_sum(i: int):
+        return F.aggregate(
+            th, F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1)))
+
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim.bitwiseOR(
+            F.when(bit_sum(i) > 0, F.shiftleft(F.lit(1).cast("long"), i))
+             .otherwise(F.lit(0).cast("long")))
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming on 64-bit
+    SimHash.  Pigeonhole candidate generation: split the hash into
+    ``blocks`` 16-bit blocks; any pair within distance ``blocks-1`` shares
+    at least one exact block → equi-join per block, then exact popcount
+    verification.  Returns (id_a, id_b, hamming)."""
+    sh = simhash(df, text_col, id_col)
+    width = 64 // blocks
+    blocked = sh.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+            for i in range(blocks)
+        ])).alias("block_idx", "block_val"),
+    )
+    l, r = blocked.alias("l"), blocked.alias("r")
+    cand = (
+        l.join(r, on=[F.col("l.block_idx") == F.col("r.block_idx"),
+                      F.col("l.block_val") == F.col("r.block_val"),
+                      F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.simhash").alias("h_a"), F.col("r.simhash").alias("h_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity pairs (the oracle-checkable
+    ground-truth for the MinHash estimate): explode distinct shingles,
+    self-join on the shingle string, count common shingles, Jaccard =
+    |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
+
+    Scale note: cost is Σ_shingle freq² — fine for near-dup corpora where
+    shingle frequencies are low; hot shingles should be pre-filtered (they
+    carry no near-dup signal).  Returns (id_a, id_b, jaccard)."""
+    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    l, r = sh.alias("l"), sh.alias("r")
+    common = (
+        l.join(r, on=[F.col("l.sh") == F.col("r.sh"),
+                      F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (common.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -1,0 +1,160 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from catabra_pandas_spark.pipeline import (
+    attach_binary_metadata, cosine_topk, decode_binary, detect_language,
+    embedding_near_dup_pairs, exact_dedup, fingerprint, lsh_cosine_topk,
+    minhash_near_dup_pairs, ngram_jaccard_pairs, sample_frames,
+    simhash_near_dup_pairs, text_quality, token_count,
+)
+from catabra_pandas_spark.sources import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF, "embeddings")
+
+
+def _with_planted_dups(spark, docs):
+    """Append near-duplicates: exact copies and one-token mutations."""
+    base = docs.limit(10).collect()
+    rows = []
+    for r in base:
+        rows.append((10000 + r.doc_id, r.text, r.lang, "copy", len(r.text)))
+        toks = r.text.split()
+        toks[len(toks) // 2] = "zzz"
+        rows.append((20000 + r.doc_id, " ".join(toks), r.lang, "mut", len(r.text)))
+    extra = spark.createDataFrame(rows, schema=docs.schema)
+    return docs.unionByName(extra)
+
+
+def test_exact_dedup(spark, docs):
+    d = _with_planted_dups(spark, docs)
+    out = exact_dedup(d, columns=["text"], id_col="doc_id", mode="mark").toPandas()
+    assert out.is_duplicate.sum() == 10  # the exact copies
+    dropped = exact_dedup(d, columns=["text"], id_col="doc_id", mode="drop")
+    assert dropped.count() == d.count() - 10
+    # canonical row is the smallest doc_id
+    dups = out[out.is_duplicate]
+    assert (dups.doc_id >= 10000).all()
+
+
+def test_ngram_jaccard_and_minhash(spark, docs):
+    d = _with_planted_dups(spark, docs)
+    exact = ngram_jaccard_pairs(d, k=3, threshold=0.5).toPandas()
+    # all 10 exact copies found with jaccard 1.0
+    copies = exact[(exact.id_b >= 10000) & (exact.id_b < 20000)
+                   & (exact.id_a == exact.id_b - 10000)]
+    assert len(copies) == 10 and np.allclose(copies.jaccard, 1.0)
+
+    mh = minhash_near_dup_pairs(d, k=3, num_hashes=64, bands=16,
+                                threshold=0.5).toPandas()
+    mh_pairs = set(zip(mh.id_a, mh.id_b))
+    # recall on exact copies must be perfect (identical signatures)
+    for a in copies.id_a:
+        assert (a, a + 10000) in mh_pairs
+    # estimates of high-jaccard pairs should be close
+    high = exact[exact.jaccard >= 0.8]
+    found = sum((a, b) in mh_pairs for a, b in zip(high.id_a, high.id_b))
+    assert found >= 0.8 * len(high)
+
+
+def test_simhash_near_dups(spark, docs):
+    d = _with_planted_dups(spark, docs)
+    out = simhash_near_dup_pairs(d, max_hamming=3).toPandas()
+    pairs = set(zip(out.id_a, out.id_b))
+    # exact copies have identical simhash (hamming 0)
+    for i in range(10):
+        a = docs.limit(10).collect()[i].doc_id
+        assert (a, a + 10000) in pairs
+    assert (out.hamming <= 3).all()
+
+
+def test_cosine_topk_exact(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(queries, emb, k=5).toPandas()
+    pdf = emb.toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float) for r in pdf.itertuples()}
+    for qid in range(5):
+        q = vecs[qid]
+        sims = sorted(
+            ((np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)), -i)
+             for i, v in vecs.items() if i != qid), reverse=True)
+        expect = [(-negi, round(s, 5)) for s, negi in sims[:5]]
+        got = out[out.query_id == qid].sort_values("rank")
+        assert list(got.neighbor_id) == [e[0] for e in expect]
+        assert np.allclose(got.cosine_sim.round(5), [e[1] for e in expect], atol=1e-4)
+
+
+def test_lsh_cosine_topk_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(queries, emb, k=3).toPandas()
+    # synthetic embeddings are near-random: top-3 cosine is only ~0.4, so
+    # use permissive buckets (4 planes) and many tables for recall
+    approx = lsh_cosine_topk(queries, emb, k=3, dim=64, planes=4, tables=16).toPandas()
+    exact_set = set(zip(exact.query_id, exact.neighbor_id))
+    approx_set = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_embedding_near_dup(spark, emb):
+    # plant a near-identical vector of vec_id 0
+    first = emb.filter("vec_id = 0").collect()[0]
+    v = [x + 0.001 for x in first.embedding]
+    extra = spark.createDataFrame([(9000, v, first.label)], schema=emb.schema)
+    out = embedding_near_dup_pairs(emb.unionByName(extra), threshold=0.99,
+                                   dim=64, planes=6, tables=6).toPandas()
+    assert ((out.id_a == 0) & (out.id_b == 9000)).any()
+
+
+def test_text_ops(spark, docs):
+    out = token_count(docs).toPandas()
+    pdf = docs.toPandas()
+    exp = pdf.text.str.lower().str.replace(r"[^a-z0-9 ]", " ", regex=True) \
+        .str.split().str.len()
+    exp.index = pdf.doc_id
+    assert (out.set_index("doc_id").n_tokens == exp).all()
+
+    q = text_quality(docs).toPandas()
+    assert {"quality_score", "stopword_ratio", "punct_ratio"} <= set(q.columns)
+    assert q.quality_score.between(0, 1).all()
+
+    lang = detect_language(docs).toPandas()
+    assert set(lang.lang_pred) <= {"en", "de", "fr", "es", "und"}
+
+    fp = fingerprint(docs).toPandas()
+    # reordering words leaves the fingerprint unchanged
+    shuffled = docs.withColumn(
+        "text", F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))))
+    fp2 = fingerprint(shuffled).toPandas()
+    assert (fp.sort_values("doc_id").fingerprint.values
+            == fp2.sort_values("doc_id").fingerprint.values).all()
+
+
+def test_multimodal_plumbing(spark, docs):
+    d = docs.withColumn("payload", F.encode(F.col("text"), "utf-8"))
+    d = attach_binary_metadata(d, "payload", modality="image", mime="image/png")
+    row = d.select("media_meta").first()
+    assert row.media_meta.modality == "image" and row.media_meta.width >= 1
+
+    feats = decode_binary(d, "payload").toPandas()
+    assert feats.features.map(len).eq(8).all()
+    # deterministic: same payload -> same features
+    f0 = decode_binary(d, "payload").toPandas()
+    assert feats.features[0] == f0.features[0]
+
+    frames = sample_frames(d.limit(5), every_n=7)
+    pf = frames.toPandas()
+    assert (pf.groupby("doc_id").frame_index.min() == 0).all()
