@@ -1,38 +1,921 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator of
+``catabra_pandas_spark`` (SURVEY.md §2 inventory + the pipeline tier);
+``oracle_sql()`` gives the DuckDB-equivalent SQL run on the same parquet
+tables.  Column names and float rounding (6 dp) are aligned on both sides so
+the driver's order-insensitive value-hash comparison can match exactly.
+
+Conventions used throughout: timestamps are projected to epoch seconds
+(orders/lineitem — second-granular) or epoch microseconds (events —
+sub-second) as BIGINT on both engines; computed doubles are rounded to 6 dp.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+import catabra_pandas_spark as cps
+import catabra_pandas_spark.pipeline as P
+from catabra_pandas_spark.sources import read_table
+
+DAY = 86400
+
+
+# --------------------------------------------------------------------------
+# shared input shapes
+# --------------------------------------------------------------------------
+
+def _li(spark, sf):
+    """Lineitem ship intervals: [shipdate, shipdate + quantity days]."""
+    li = read_table(spark, sf, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.col("l_suppkey").alias("skey"),
+        F.col("l_extendedprice").alias("price"),
+        F.unix_timestamp(F.col("l_shipdate")).alias("s_start"),
+        (F.unix_timestamp(F.col("l_shipdate"))
+         + F.lit(DAY) * F.col("l_quantity").cast("long")).alias("s_stop"),
+    )
+
+
+_LI_SQL = """
+    SELECT l_orderkey AS okey, l_linenumber AS lineno, l_suppkey AS skey,
+           l_extendedprice AS price,
+           epoch(l_shipdate)::BIGINT AS s_start,
+           epoch(l_shipdate)::BIGINT + 86400 * l_quantity::BIGINT AS s_stop
+    FROM lineitem
+"""
+
+
+def _ow(spark, sf):
+    """Order windows: [orderdate, orderdate + 30 days]."""
+    o = read_table(spark, sf, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ckey"),
+        F.unix_timestamp(F.col("o_orderdate")).alias("w_start"),
+        (F.unix_timestamp(F.col("o_orderdate")) + F.lit(30 * DAY)).alias("w_stop"),
+    )
+
+
+_OW_SQL = """
+    SELECT o_orderkey AS okey, o_custkey AS ckey,
+           epoch(o_orderdate)::BIGINT AS w_start,
+           epoch(o_orderdate)::BIGINT + 30 * 86400 AS w_stop
+    FROM orders
+"""
+
+
+def _ev(spark, sf):
+    """Events with microsecond epoch + deterministic injected nulls."""
+    e = read_table(spark, sf, "events")
+    return e.select(
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("etype"),
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("val"),
+    )
+
+
+_EV_SQL = """
+    SELECT event_id AS eid, user_id AS uid, event_type AS etype,
+           epoch_us(ts)::BIGINT AS t,
+           CASE WHEN event_type != 'error' THEN value END AS val
+    FROM events
+"""
+
+_TOKS = ("list_filter(string_split_regex(trim(regexp_replace(lower(text),"
+         "'[^a-z0-9 ]', ' ', 'g')), ' +'), x -> x != '')")
+
+
+# --------------------------------------------------------------------------
+# reference-parity queries
+# --------------------------------------------------------------------------
+
+def q_merge_overlap(spark, sf):
+    """merge_intervals inner overlap join with equi-key (SURVEY §2.1 #1)."""
+    out = cps.merge_intervals(
+        _li(spark, sf), _ow(spark, sf), on="okey", how="inner",
+        left_start="s_start", left_stop="s_stop",
+        right_start="w_start", right_stop="w_stop")
+    return out.select("okey", "lineno", "s_start", "s_stop", "w_start", "w_stop")
+
+
+_Q_MERGE_OVERLAP_SQL = f"""
+    SELECT l.okey, l.lineno, l.s_start, l.s_stop, o.w_start, o.w_stop
+    FROM ({_LI_SQL}) l JOIN ({_OW_SQL}) o
+      ON l.okey = o.okey AND l.s_start <= o.w_stop AND o.w_start <= l.s_stop
+"""
+
+
+def q_merge_open_endpoints(spark, sf):
+    """Open/closed endpoint flags -> strict comparisons (merging.py:434-455)."""
+    out = cps.merge_intervals(
+        _li(spark, sf), _ow(spark, sf), on="okey", how="inner",
+        left_start="s_start", left_stop="s_stop",
+        right_start="w_start", right_stop="w_stop",
+        include_left_start=False, include_right_stop=False)
+    return out.select("okey", "lineno", "s_start", "w_stop")
+
+
+_Q_MERGE_OPEN_SQL = f"""
+    SELECT l.okey, l.lineno, l.s_start, o.w_stop
+    FROM ({_LI_SQL}) l JOIN ({_OW_SQL}) o
+      ON l.okey = o.okey AND l.s_start < o.w_stop AND o.w_start <= l.s_stop
+"""
+
+
+def q_merge_left_keep_first(spark, sf):
+    """how=left + keep=first with deterministic keep_by."""
+    out = cps.merge_intervals(
+        _li(spark, sf), _ow(spark, sf).withColumnRenamed("okey", "rokey"),
+        left_on=["okey"], right_on=["rokey"], how="left", keep="first",
+        left_start="s_start", left_stop="s_stop",
+        right_start="w_start", right_stop="w_stop", keep_by=["w_start", "rokey"])
+    # lineitem rows are not globally unique -> compare content + multiplicity
+    return out.groupBy("okey", "lineno", "s_start", "s_stop",
+                       "w_start", "w_stop").agg(F.count(F.lit(1)).alias("n"))
+
+
+_Q_MERGE_LEFT_FIRST_SQL = f"""
+    WITH lid AS (
+      SELECT okey, lineno, s_start, s_stop, count(*) AS n
+      FROM ({_LI_SQL}) GROUP BY okey, lineno, s_start, s_stop
+    ), m AS (
+      SELECT l.okey, l.lineno, l.s_start, l.s_stop, l.n, o.w_start, o.w_stop,
+             row_number() OVER (PARTITION BY l.okey, l.lineno, l.s_start, l.s_stop
+                                ORDER BY o.w_start, o.okey) AS rn
+      FROM lid l JOIN ({_OW_SQL}) o
+        ON l.okey = o.okey AND l.s_start <= o.w_stop AND o.w_start <= l.s_stop
+    )
+    SELECT okey, lineno, s_start, s_stop, w_start, w_stop, n FROM m WHERE rn = 1
+    UNION ALL
+    SELECT l.okey, l.lineno, l.s_start, l.s_stop, NULL, NULL, l.n FROM lid l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ({_OW_SQL}) o
+      WHERE l.okey = o.okey AND l.s_start <= o.w_stop AND o.w_start <= l.s_stop)
+"""
+
+
+def q_find_containing(spark, sf):
+    """find_containing_interval (SURVEY §2.1 #2): first/last window per point."""
+    points = _li(spark, sf).select("okey", "lineno", F.col("s_start").alias("p"))
+    ivls = _ow(spark, sf).select("okey", "w_start", "w_stop",
+                                 F.col("okey").alias("iid"))
+    out = cps.find_containing_interval(
+        points, ivls, point_cols="p", which="both",
+        start_col="w_start", stop_col="w_stop", group_by="okey", interval_id="iid")
+    # lineitem rows are not globally unique -> compare content + multiplicity
+    return out.groupBy("okey", "lineno", "p", "p__first", "p__last").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+_Q_FIND_CONTAINING_SQL = f"""
+    WITH pts AS (
+      SELECT okey, lineno, s_start AS p, count(*) AS n
+      FROM ({_LI_SQL}) GROUP BY okey, lineno, s_start
+    )
+    SELECT p.okey, p.lineno, p.p,
+           COALESCE(min(o.okey), -1) AS p__first,
+           COALESCE(max(o.okey), -1) AS p__last,
+           p.n
+    FROM pts p LEFT JOIN ({_OW_SQL}) o
+      ON p.okey = o.okey AND o.w_start <= p.p AND p.p <= o.w_stop
+    GROUP BY p.okey, p.lineno, p.p, p.n
+"""
+
+
+def q_group_intervals(spark, sf):
+    """group_intervals (SURVEY §2.1 #6): cluster ship intervals per supplier,
+    gap > 2 days starts a new cluster; report per-cluster stats."""
+    gi = cps.group_intervals(_li(spark, sf), group_by="skey",
+                             start_col="s_start", stop_col="s_stop",
+                             distance=2 * DAY)
+    return gi.groupBy("skey", "interval_group").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("s_start").alias("g_start"),
+        F.max("s_stop").alias("g_stop"))
+
+
+_Q_GROUP_INTERVALS_SQL = f"""
+    WITH s AS (
+      SELECT skey, s_start, s_stop,
+             max(s_stop) OVER (PARTITION BY skey ORDER BY s_start, s_stop
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+      FROM ({_LI_SQL})
+    ), f AS (
+      SELECT skey, s_start, s_stop,
+             CASE WHEN runmax IS NULL OR s_start - runmax > 2*86400 THEN 1 ELSE 0 END AS newgrp
+      FROM s
+    ), g AS (
+      SELECT skey, s_start, s_stop,
+             sum(newgrp) OVER (PARTITION BY skey ORDER BY s_start, s_stop
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS interval_group
+      FROM f
+    )
+    SELECT skey, interval_group, count(*) AS n_rows,
+           min(s_start) AS g_start, max(s_stop) AS g_stop
+    FROM g GROUP BY skey, interval_group
+"""
+
+
+def _combine_sql(n_min: int, n_max) -> str:
+    band = f"cov >= {n_min}" + (f" AND cov <= {n_max}" if n_max is not None else "")
+    return f"""
+    WITH ev AS (
+      SELECT skey, s_start AS t, 1 AS delta, 0 AS tag FROM ({_LI_SQL})
+      UNION ALL
+      SELECT skey, s_stop AS t, -1 AS delta, 1 AS tag FROM ({_LI_SQL})
+    ), seg AS (
+      SELECT skey, t,
+             sum(delta) OVER w AS cov,
+             lead(t) OVER w AS seg_stop
+      FROM ev
+      WINDOW w AS (PARTITION BY skey ORDER BY t, tag
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), pos AS (
+      SELECT skey, t, seg_stop, cov, ({band}) AS in_band
+      FROM seg WHERE seg_stop IS NOT NULL AND seg_stop > t
+    ), pos2 AS (
+      SELECT skey, t, seg_stop, in_band,
+             coalesce(lag(in_band) OVER (PARTITION BY skey ORDER BY t), false)
+               AS prev_in
+      FROM pos
+    ), isl AS (
+      SELECT skey, t, seg_stop, in_band,
+             sum(CASE WHEN in_band AND NOT prev_in THEN 1 ELSE 0 END)
+             OVER (PARTITION BY skey ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM pos2
+    )
+    SELECT skey, min(t) AS c_start, max(seg_stop) AS c_stop
+    FROM isl WHERE in_band GROUP BY skey, island
+    """
+
+
+def q_combine_union(spark, sf):
+    """combine_intervals n_min=1 => per-supplier union (SURVEY §2.1 #7)."""
+    out = cps.combine_intervals(_li(spark, sf), start_col="s_start",
+                                stop_col="s_stop", group_by="skey", n_min=1)
+    return out.select("skey", F.col("s_start").alias("c_start"),
+                      F.col("s_stop").alias("c_stop"))
+
+
+def q_combine_k3(spark, sf):
+    """combine_intervals n_min=3 => 3-fold overlap regions."""
+    out = cps.combine_intervals(_li(spark, sf), start_col="s_start",
+                                stop_col="s_stop", group_by="skey", n_min=3)
+    return out.select("skey", F.col("s_start").alias("c_start"),
+                      F.col("s_stop").alias("c_stop"))
+
+
+def q_combine_gaps(spark, sf):
+    """combine_intervals n_min=n_max=0 => coverage gaps."""
+    out = cps.combine_intervals(_li(spark, sf), start_col="s_start",
+                                stop_col="s_stop", group_by="skey",
+                                n_min=0, n_max=0)
+    return out.select("skey", F.col("s_start").alias("c_start"),
+                      F.col("s_stop").alias("c_stop"))
+
+
+def q_grouped_mode(spark, sf):
+    """grouped_mode (SURVEY §2.1 #8): modal order priority per customer."""
+    o = read_table(spark, sf, "orders")
+    return cps.grouped_mode(o, group_by="o_custkey", column="o_orderpriority",
+                            mode_name="mode", count_name="count")
+
+
+_Q_GROUPED_MODE_SQL = """
+    WITH c AS (
+      SELECT o_custkey, o_orderpriority, count(*) AS cnt
+      FROM orders GROUP BY o_custkey, o_orderpriority
+    ), r AS (
+      SELECT o_custkey, o_orderpriority AS mode, cnt AS count,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY cnt DESC, o_orderpriority) AS rn
+      FROM c
+    )
+    SELECT o_custkey, mode, count FROM r WHERE rn = 1
+"""
+
+
+def q_prev_next(spark, sf):
+    """prev_next_values (SURVEY §2.1 #9) on orders per customer."""
+    o = read_table(spark, sf, "orders")
+    out = cps.prev_next_values(
+        o, sort_by=["o_orderdate", "o_orderkey"], group_by="o_custkey",
+        columns={"o_totalprice": {"prev_name": "prev_total", "prev_fill": -1.0,
+                                  "next_name": "next_total"}},
+        first_indicator_name="is_first", last_indicator_name="is_last")
+    return out.select("o_orderkey", "o_custkey",
+                      F.round("prev_total", 6).alias("prev_total"),
+                      F.round("next_total", 6).alias("next_total"),
+                      "is_first", "is_last")
+
+
+_Q_PREV_NEXT_SQL = """
+    SELECT o_orderkey, o_custkey,
+           round(coalesce(lag(o_totalprice) OVER w, -1.0), 6) AS prev_total,
+           round(lead(o_totalprice) OVER w, 6) AS next_total,
+           row_number() OVER w = 1 AS is_first,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) = 1 AS is_last
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_impute_ffill(spark, sf):
+    """impute ffill with limit (SURVEY §2.1 #10) on events per user."""
+    out = cps.impute(_ev(spark, sf), method="ffill", columns="val",
+                     group_by="uid", order_by=["t", "eid"], limit=3)
+    return out.select("eid", "uid", "t", F.round("val", 6).alias("val"))
+
+
+_Q_IMPUTE_FFILL_SQL = f"""
+    WITH e AS ({_EV_SQL})
+    SELECT eid, uid, t,
+           round(coalesce(val, last_value(val IGNORE NULLS) OVER
+                 (PARTITION BY uid ORDER BY t, eid
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)), 6) AS val
+    FROM e
+"""
+
+
+def q_impute_linear(spark, sf):
+    """impute linear (interior-only interpolation) on events per user."""
+    out = cps.impute(_ev(spark, sf), method="linear", columns="val",
+                     group_by="uid", order_by=["t", "eid"])
+    return out.select("eid", "uid", "t", F.round("val", 6).alias("val"))
+
+
+_Q_IMPUTE_LINEAR_SQL = f"""
+    WITH e AS ({_EV_SQL}),
+    p AS (
+      SELECT eid, uid, t, val,
+             row_number() OVER w AS pos,
+             last_value(val IGNORE NULLS) OVER
+               (PARTITION BY uid ORDER BY t, eid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN val IS NOT NULL THEN rn0 END IGNORE NULLS) OVER
+               (PARTITION BY uid ORDER BY t, eid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp,
+             first_value(val IGNORE NULLS) OVER
+               (PARTITION BY uid ORDER BY t, eid
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN val IS NOT NULL THEN rn0 END IGNORE NULLS) OVER
+               (PARTITION BY uid ORDER BY t, eid
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+      FROM (SELECT *, row_number() OVER (PARTITION BY uid ORDER BY t, eid) AS rn0 FROM e)
+      WINDOW w AS (PARTITION BY uid ORDER BY t, eid)
+    )
+    SELECT eid, uid, t,
+           round(coalesce(val, pv + (nv - pv) * (pos - pp) / (np - pp)), 6) AS val
+    FROM p
+"""
+
+
+def _weekly_windows(spark, sf):
+    ev = _ev(spark, sf)
+    wk = 7 * DAY * 1_000_000
+    return (ev.select("uid", (F.floor(F.col("t") / wk) * wk).alias("w_start"))
+            .distinct()
+            .select(F.col("uid").alias("entity"),
+                    F.col("w_start").alias("t_start"),
+                    (F.col("w_start") + wk).alias("t_stop")))
+
+
+_WEEKLY_SQL = """
+    SELECT DISTINCT user_id AS entity,
+           (epoch_us(ts)::BIGINT // 604800000000) * 604800000000 AS t_start,
+           (epoch_us(ts)::BIGINT // 604800000000) * 604800000000 + 604800000000 AS t_stop
+    FROM events
+"""
+
+
+def q_resample_eav_basic(spark, sf):
+    """resample_eav standard aggs (SURVEY §2.1 #3) into weekly user windows.
+    Windows half-open [start, stop) like typical tumbling windows."""
+    ev = _ev(spark, sf).select(F.col("uid").alias("entity"),
+                               F.col("t"), F.col("etype").alias("attribute"),
+                               F.col("val").alias("value"), "eid")
+    win = _weekly_windows(spark, sf)
+    out = cps.resample_eav(
+        ev, win, {"click": ["count", "mean", "min", "max", "sum", "size"],
+                  "view": ["nunique"]},
+        entity_col="entity", time_col="t", include_stop=False, tiebreak_col="eid")
+    return out.select(
+        "entity", "t_start", "t_stop",
+        F.col("click_count").alias("click_count"),
+        F.round("click_mean", 6).alias("click_mean"),
+        F.round("click_min", 6).alias("click_min"),
+        F.round("click_max", 6).alias("click_max"),
+        F.round("click_sum", 6).alias("click_sum"),
+        "click_size", "view_nunique")
+
+
+_Q_RESAMPLE_BASIC_SQL = f"""
+    WITH e AS ({_EV_SQL}), w AS ({_WEEKLY_SQL})
+    SELECT w.entity, w.t_start, w.t_stop,
+           count(CASE WHEN e.etype = 'click' THEN e.val END) AS click_count,
+           round(avg(CASE WHEN e.etype = 'click' THEN e.val END), 6) AS click_mean,
+           round(min(CASE WHEN e.etype = 'click' THEN e.val END), 6) AS click_min,
+           round(max(CASE WHEN e.etype = 'click' THEN e.val END), 6) AS click_max,
+           round(sum(CASE WHEN e.etype = 'click' THEN e.val END), 6) AS click_sum,
+           count(CASE WHEN e.etype = 'click' THEN 1 END) AS click_size,
+           count(DISTINCT CASE WHEN e.etype = 'view' THEN e.val END) AS view_nunique
+    FROM w LEFT JOIN e
+      ON e.uid = w.entity AND e.t >= w.t_start AND e.t < w.t_stop
+      AND e.etype IN ('click', 'view')
+    GROUP BY w.entity, w.t_start, w.t_stop
+"""
+
+
+def q_resample_eav_quantiles(spark, sf):
+    """Exact percentiles (pandas/duckdb linear interpolation, NOT approx)."""
+    ev = _ev(spark, sf).select(F.col("uid").alias("entity"), "t",
+                               F.col("etype").alias("attribute"),
+                               F.col("val").alias("value"))
+    win = _weekly_windows(spark, sf)
+    out = cps.resample_eav(ev, win, {"view": ["median", "p25", "p90", "std", "var"]},
+                           entity_col="entity", time_col="t", include_stop=False)
+    return out.select("entity", "t_start", "t_stop",
+                      F.round("view_median", 6).alias("view_median"),
+                      F.round("view_p25", 6).alias("view_p25"),
+                      F.round("view_p90", 6).alias("view_p90"),
+                      F.round("view_std", 6).alias("view_std"),
+                      F.round("view_var", 6).alias("view_var"))
+
+
+_Q_RESAMPLE_QUANT_SQL = f"""
+    WITH e AS ({_EV_SQL}), w AS ({_WEEKLY_SQL})
+    SELECT w.entity, w.t_start, w.t_stop,
+           round(quantile_cont(e.val, 0.5), 6)  AS view_median,
+           round(quantile_cont(e.val, 0.25), 6) AS view_p25,
+           round(quantile_cont(e.val, 0.9), 6)  AS view_p90,
+           round(stddev_samp(e.val), 6) AS view_std,
+           round(var_samp(e.val), 6) AS view_var
+    FROM w LEFT JOIN (SELECT * FROM e WHERE etype = 'view') e
+      ON e.uid = w.entity AND e.t >= w.t_start AND e.t < w.t_stop
+    GROUP BY w.entity, w.t_start, w.t_stop
+"""
+
+
+def q_resample_eav_ranks(spark, sf):
+    """Rank aggregations rXX/tXX (first/last/2nd observation per window)."""
+    ev = _ev(spark, sf).select(F.col("uid").alias("entity"), "t",
+                               F.col("etype").alias("attribute"),
+                               F.col("val").alias("value"), "eid")
+    win = _weekly_windows(spark, sf)
+    out = cps.resample_eav(ev, win, {"click": ["r0", "r-1", "r1", "t0", "t-1"]},
+                           entity_col="entity", time_col="t",
+                           include_stop=False, tiebreak_col="eid")
+    return out.select("entity", "t_start", "t_stop",
+                      F.round("click_r0", 6).alias("click_r0"),
+                      F.round("click_r-1", 6).alias("click_rm1"),
+                      F.round("click_r1", 6).alias("click_r1"),
+                      F.col("click_t0").alias("click_t0"),
+                      F.col("click_t-1").alias("click_tm1"))
+
+
+_Q_RESAMPLE_RANKS_SQL = f"""
+    WITH e AS ({_EV_SQL}), w AS ({_WEEKLY_SQL}),
+    j AS (
+      SELECT w.entity, w.t_start, w.t_stop, e.val, e.t,
+             row_number() OVER (PARTITION BY w.entity, w.t_start
+                                ORDER BY e.t, e.eid) AS ra,
+             row_number() OVER (PARTITION BY w.entity, w.t_start
+                                ORDER BY e.t DESC, e.eid DESC) AS rd
+      FROM w JOIN e
+        ON e.uid = w.entity AND e.t >= w.t_start AND e.t < w.t_stop
+        AND e.etype = 'click'
+    )
+    SELECT w.entity, w.t_start, w.t_stop,
+           round(max(CASE WHEN j.ra = 1 THEN j.val END), 6) AS click_r0,
+           round(max(CASE WHEN j.rd = 1 THEN j.val END), 6) AS click_rm1,
+           round(max(CASE WHEN j.ra = 2 THEN j.val END), 6) AS click_r1,
+           max(CASE WHEN j.ra = 1 THEN j.t END) AS click_t0,
+           max(CASE WHEN j.rd = 1 THEN j.t END) AS click_tm1
+    FROM w LEFT JOIN j
+      ON j.entity = w.entity AND j.t_start = w.t_start AND j.t_stop = w.t_stop
+    GROUP BY w.entity, w.t_start, w.t_stop
+"""
+
+
+def q_resample_eav_mode(spark, sf):
+    """mode/mode_count with deterministic tie-break (misc.py:930-933)."""
+    ev = _ev(spark, sf).select(
+        F.col("uid").alias("entity"), "t", F.col("etype").alias("attribute"),
+        F.round(F.col("val") / 50.0).alias("value"))
+    win = _weekly_windows(spark, sf)
+    out = cps.resample_eav(ev, win, {"view": ["mode", "mode_count"]},
+                           entity_col="entity", time_col="t", include_stop=False)
+    return out.select("entity", "t_start", "t_stop",
+                      F.round("view_mode", 6).alias("view_mode"),
+                      "view_mode_count")
+
+
+_Q_RESAMPLE_MODE_SQL = f"""
+    WITH e AS (SELECT eid, uid, t, etype, round(val / 50.0) AS val FROM ({_EV_SQL})),
+    w AS ({_WEEKLY_SQL}),
+    c AS (
+      SELECT w.entity, w.t_start, w.t_stop, e.val, count(*) AS cnt
+      FROM w JOIN e ON e.uid = w.entity AND e.t >= w.t_start AND e.t < w.t_stop
+        AND e.etype = 'view' AND e.val IS NOT NULL
+      GROUP BY w.entity, w.t_start, w.t_stop, e.val
+    ), r AS (
+      SELECT entity, t_start, t_stop, val, cnt,
+             row_number() OVER (PARTITION BY entity, t_start
+                                ORDER BY cnt DESC, val) AS rn
+      FROM c
+    )
+    SELECT w.entity, w.t_start, w.t_stop,
+           round(r.val, 6) AS view_mode,
+           coalesce(r.cnt, 0) AS view_mode_count
+    FROM w LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+      ON r.entity = w.entity AND r.t_start = w.t_start AND r.t_stop = w.t_stop
+"""
+
+
+def q_resample_interval(spark, sf):
+    """resample_interval (SURVEY §2.1 #4): duration-weighted price into
+    order windows."""
+    ivl = _li(spark, sf).select(F.col("okey").alias("entity"),
+                                F.col("s_start").alias("start"),
+                                F.col("s_stop").alias("stop"),
+                                F.lit("price").alias("attribute"),
+                                F.col("price").alias("value"))
+    win = _ow(spark, sf).select(F.col("okey").alias("entity"),
+                                F.col("w_start").alias("start_start"),
+                                F.col("w_stop").alias("start_stop"))
+    out = cps.resample_interval(ivl, win, attributes=["price"])
+    return out.select("entity", "start_start", "start_stop",
+                      F.round("price", 6).alias("price"))
+
+
+_Q_RESAMPLE_INTERVAL_SQL = f"""
+    WITH i AS ({_LI_SQL}), w AS ({_OW_SQL}),
+    j AS (
+      SELECT w.okey AS entity, w.w_start, w.w_stop, i.price,
+             greatest(i.s_start, w.w_start) AS lo,
+             least(i.s_stop, w.w_stop) AS hi,
+             i.s_stop - i.s_start AS len_i
+      FROM w JOIN i ON i.okey = w.okey
+        AND i.s_start <= w.w_stop AND w.w_start <= i.s_stop
+    )
+    SELECT w.okey AS entity, w.w_start AS start_start, w.w_stop AS start_stop,
+           round(coalesce(sum(CASE WHEN j.len_i = 0 THEN j.price
+                              ELSE j.price * (j.hi - j.lo) / j.len_i END), 0.0), 6)
+             AS price
+    FROM w LEFT JOIN j ON j.entity = w.okey AND j.w_start = w.w_start
+    GROUP BY w.okey, w.w_start, w.w_stop
+"""
+
+
+def q_factorize(spark, sf):
+    """factorize (SURVEY §2.1 #11): dense ids over a composite key."""
+    li = read_table(spark, sf, "lineitem")
+    out, _ = cps.factorize(li, ["l_returnflag", "l_linestatus"], sort=True)
+    return (out.groupBy("l_returnflag", "l_linestatus", "__key__")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("l_returnflag", "l_linestatus",
+                    F.col("__key__").alias("key"), "n"))
+
+
+_Q_FACTORIZE_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           dense_rank() OVER (ORDER BY l_returnflag, l_linestatus) - 1 AS key,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_inner_or_cross(spark, sf):
+    """inner_or_cross_join (SURVEY §2.1 #12): missing key -> cross join."""
+    n = read_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    r = read_table(spark, sf, "region").select("r_regionkey", "r_name")
+    return cps.inner_or_cross_join(n, r, on="no_such_column")
+
+
+_Q_INNER_CROSS_SQL = """
+    SELECT n_nationkey, n_name, r_regionkey, r_name
+    FROM (SELECT n_nationkey, n_name FROM nation) CROSS JOIN
+         (SELECT r_regionkey, r_name FROM region)
+"""
+
+
+# --------------------------------------------------------------------------
+# pipeline-tier queries (dedup / similarity / text)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    docs = read_table(spark, sf, "documents")
+    out = P.exact_dedup(docs, columns=["text"], id_col="doc_id", mode="mark")
+    return out.select("doc_id", "dup_key", "dup_count", "is_duplicate")
+
+
+_Q_DEDUP_EXACT_SQL = """
+    SELECT doc_id, md5(text) AS dup_key,
+           count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1
+             AS is_duplicate
+    FROM documents
+"""
+
+
+def q_fingerprint(spark, sf):
+    docs = read_table(spark, sf, "documents")
+    return P.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+_Q_FINGERPRINT_SQL = f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+             AS fingerprint
+    FROM documents
+"""
+
+
+def q_text_stats(spark, sf):
+    docs = read_table(spark, sf, "documents")
+    out = P.text_quality(P.token_count(docs))
+    return out.select("doc_id", "n_tokens",
+                      F.round("stopword_ratio", 6).alias("stopword_ratio"),
+                      F.round("punct_ratio", 6).alias("punct_ratio"),
+                      F.round("digit_ratio", 6).alias("digit_ratio"),
+                      F.round("quality_score", 6).alias("quality_score"))
+
+
+_EN_STOP_SQL = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this']"
+
+_Q_TEXT_STATS_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             length(text)::DOUBLE AS n_chars,
+             len({_TOKS})::DOUBLE AS n_tokens,
+             len(list_filter({_TOKS}, x -> list_contains({_EN_STOP_SQL}, x)))::DOUBLE AS n_stop,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS n_digit
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+             CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stopword_ratio,
+             CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END AS digit_ratio,
+             CASE WHEN n_tokens > 0 THEN length(array_to_string(toks, '')) / n_tokens ELSE 0.0 END AS avg_tok
+      FROM t
+    )
+    SELECT doc_id, n_tokens, round(stopword_ratio, 6) AS stopword_ratio,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(digit_ratio, 6) AS digit_ratio,
+           round((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN avg_tok BETWEEN 3 AND 12 THEN 0.2 ELSE 0.0 END)
+               + (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.2 ELSE 0.0 END)
+               + (CASE WHEN punct_ratio <= 0.1 THEN 0.1 ELSE 0.0 END)
+               + (CASE WHEN digit_ratio <= 0.2 THEN 0.1 ELSE 0.0 END), 6)
+             AS quality_score
+    FROM r
+"""
+
+
+def q_langid(spark, sf):
+    docs = read_table(spark, sf, "documents")
+    return P.detect_language(docs).select("doc_id", "lang_pred")
+
+
+def _lang_cnt_sql(words):
+    pat = "\\b(" + "|".join(words) + ")\\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+_Q_LANGID_SQL = f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_lang_cnt_sql(["the","and","of","to","is","that"])} AS c_en,
+             {_lang_cnt_sql(["der","die","und","ist","nicht","das"])} AS c_de,
+             {_lang_cnt_sql(["le","la","et","les","des","une"])} AS c_fr,
+             {_lang_cnt_sql(["el","los","las","es","una","que"])} AS c_es
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+                WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM s
+"""
+
+
+def q_ngram_jaccard(spark, sf):
+    """Exact 2-gram Jaccard near-dup pairs (ground truth for MinHash)."""
+    docs = read_table(spark, sf, "documents")
+    out = P.ngram_jaccard_pairs(docs, k=2, threshold=0.12)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_Q_NGRAM_JACCARD_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i) g
+      WHERE len(t) > 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+    FROM common c JOIN sizes sa ON sa.doc_id = c.id_a
+                  JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common) >= 0.12
+"""
+
+
+def q_cosine_topk(spark, sf):
+    """Brute-force cosine top-5 neighbors for the first 10 vectors."""
+    emb = read_table(spark, sf, "embeddings")
+    out = P.cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+
+
+_Q_COSINE_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS sim,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                         c.neighbor_id) AS rank
+      FROM q JOIN c ON q.query_id != c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank
+    FROM s WHERE rank <= 5
+"""
+
+
+def q_embedding_neardup_exact(spark, sf):
+    """Exact embedding near-dup pairs (cosine >= 0.5) on a capped subset —
+    the ground truth the LSH variant approximates."""
+    emb = read_table(spark, sf, "embeddings").filter(F.col("vec_id") < 1000)
+    out = P.cosine_topk(emb, emb, k=1000, broadcast_queries=True)
+    return (out.filter((F.col("cosine_sim") >= 0.5)
+                       & (F.col("query_id") < F.col("neighbor_id")))
+            .select(F.col("query_id").alias("id_a"),
+                    F.col("neighbor_id").alias("id_b"),
+                    F.round("cosine_sim", 6).alias("cosine_sim")))
+
+
+_Q_EMB_NEARDUP_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 1000)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.5
+"""
+
+
+# --- rows-only checks (approximate / non-SQL-expressible operators) -------
+
+def q_minhash_lsh(spark, sf):
+    docs = read_table(spark, sf, "documents")
+    return P.minhash_near_dup_pairs(docs, k=2, num_hashes=64, bands=16,
+                                    threshold=0.3)
+
+
+def q_simhash(spark, sf):
+    docs = read_table(spark, sf, "documents")
+    return P.simhash_near_dup_pairs(docs, max_hamming=8)
+
+
+def q_lsh_ann(spark, sf):
+    emb = read_table(spark, sf, "embeddings")
+    return P.lsh_cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=5,
+                             dim=64, planes=4, tables=16)
+
+
+def q_multimodal_decode(spark, sf):
+    docs = read_table(spark, sf, "documents").limit(200)
+    d = docs.withColumn("payload", F.encode(F.col("text"), "utf-8"))
+    d = P.attach_binary_metadata(d, "payload", modality="image", mime="image/png")
+    out = P.decode_binary(d, "payload")
+    return out.select("doc_id", F.col("media_meta.width").alias("width"),
+                      F.round(F.element_at("features", 1), 6).alias("f0"))
+
+
+def q_resample_eav_custom(spark, sf):
+    """Custom Python aggregation via applyInPandas (resampling.py:128-161)."""
+    ev = _ev(spark, sf).select(F.col("uid").alias("entity"), "t",
+                               F.col("etype").alias("attribute"),
+                               F.col("val").alias("value"))
+    win = _weekly_windows(spark, sf)
+
+    def value_range(s):
+        s = s.dropna()
+        return float(s.max() - s.min()) if len(s) else None
+
+    out = cps.resample_eav(ev, win, {"view": [value_range]},
+                           entity_col="entity", time_col="t", include_stop=False)
+    return out.select("entity", "t_start", "t_stop",
+                      F.round("view_value_range", 6).alias("view_value_range"))
+
+
+_Q_RESAMPLE_CUSTOM_SQL = f"""
+    WITH e AS ({_EV_SQL}), w AS ({_WEEKLY_SQL})
+    SELECT w.entity, w.t_start, w.t_stop,
+           round(max(e.val) - min(e.val), 6) AS view_value_range
+    FROM w LEFT JOIN (SELECT * FROM e WHERE etype = 'view') e
+      ON e.uid = w.entity AND e.t >= w.t_start AND e.t < w.t_stop
+    GROUP BY w.entity, w.t_start, w.t_stop
+"""
+
+
+# --------------------------------------------------------------------------
+# driver API
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the SURVEY §7 stage-2 minimum slice — keyed interval
+    overlap join of lineitem ship intervals with order windows."""
+    return q_merge_overlap(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "merge_overlap": q_merge_overlap,
+        "merge_open_endpoints": q_merge_open_endpoints,
+        "merge_left_keep_first": q_merge_left_keep_first,
+        "find_containing": q_find_containing,
+        "group_intervals": q_group_intervals,
+        "combine_union": q_combine_union,
+        "combine_k3": q_combine_k3,
+        "combine_gaps": q_combine_gaps,
+        "grouped_mode": q_grouped_mode,
+        "prev_next": q_prev_next,
+        "impute_ffill": q_impute_ffill,
+        "impute_linear": q_impute_linear,
+        "resample_eav_basic": q_resample_eav_basic,
+        "resample_eav_quantiles": q_resample_eav_quantiles,
+        "resample_eav_ranks": q_resample_eav_ranks,
+        "resample_eav_mode": q_resample_eav_mode,
+        "resample_eav_custom": q_resample_eav_custom,
+        "resample_interval": q_resample_interval,
+        "factorize": q_factorize,
+        "inner_or_cross": q_inner_or_cross,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "text_stats": q_text_stats,
+        "langid": q_langid,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
+        # approximate / plumbing operators: rows-only driver check
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "lsh_ann": q_lsh_ann,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "merge_overlap": _Q_MERGE_OVERLAP_SQL,
+        "merge_open_endpoints": _Q_MERGE_OPEN_SQL,
+        "merge_left_keep_first": _Q_MERGE_LEFT_FIRST_SQL,
+        "find_containing": _Q_FIND_CONTAINING_SQL,
+        "group_intervals": _Q_GROUP_INTERVALS_SQL,
+        "combine_union": _combine_sql(1, None),
+        "combine_k3": _combine_sql(3, None),
+        "combine_gaps": _combine_sql(0, 0),
+        "grouped_mode": _Q_GROUPED_MODE_SQL,
+        "prev_next": _Q_PREV_NEXT_SQL,
+        "impute_ffill": _Q_IMPUTE_FFILL_SQL,
+        "impute_linear": _Q_IMPUTE_LINEAR_SQL,
+        "resample_eav_basic": _Q_RESAMPLE_BASIC_SQL,
+        "resample_eav_quantiles": _Q_RESAMPLE_QUANT_SQL,
+        "resample_eav_ranks": _Q_RESAMPLE_RANKS_SQL,
+        "resample_eav_mode": _Q_RESAMPLE_MODE_SQL,
+        "resample_eav_custom": _Q_RESAMPLE_CUSTOM_SQL,
+        "resample_interval": _Q_RESAMPLE_INTERVAL_SQL,
+        "factorize": _Q_FACTORIZE_SQL,
+        "inner_or_cross": _Q_INNER_CROSS_SQL,
+        "dedup_exact": _Q_DEDUP_EXACT_SQL,
+        "fingerprint": _Q_FINGERPRINT_SQL,
+        "text_stats": _Q_TEXT_STATS_SQL,
+        "langid": _Q_LANGID_SQL,
+        "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
+        "cosine_topk": _Q_COSINE_TOPK_SQL,
+        "embedding_neardup_exact": _Q_EMB_NEARDUP_SQL,
+    }

@@ -14,6 +14,7 @@ from .dedup import (
     minhash_near_dup_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    shingle_rows,
     shingles,
     simhash,
     simhash_near_dup_pairs,
@@ -23,7 +24,7 @@ from .text import detect_language, fingerprint, text_quality, token_count
 from .multimodal import attach_binary_metadata, decode_binary, sample_frames
 
 __all__ = [
-    "exact_dedup", "shingles", "minhash_signatures", "minhash_near_dup_pairs",
+    "exact_dedup", "shingles", "shingle_rows", "minhash_signatures", "minhash_near_dup_pairs",
     "simhash", "simhash_near_dup_pairs", "ngram_jaccard_pairs",
     "cosine_topk", "lsh_cosine_topk", "embedding_near_dup_pairs",
     "detect_language", "fingerprint", "text_quality", "token_count",

@@ -63,7 +63,13 @@ def exact_dedup(
 def shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles of normalized text, as an array<string>.
     Documents with fewer than k tokens yield their full token string as the
-    single shingle."""
+    single shingle.
+
+    NOTE: array-lambda form — fine for a single evaluation, but Catalyst
+    inlines the token pipeline into each per-element lambda, so do NOT
+    reference this repeatedly in one projection; the scalable row-wise form
+    is ``shingle_rows`` (explode + window lead), which all the near-dup
+    operators below use."""
     cleaned = F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", " "))
     toks = F.filter(F.split(cleaned, r" +"), lambda t: t != "")
     n = F.size(toks)
@@ -74,6 +80,25 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(n > 0, sh).otherwise(F.array()))
 
 
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Distinct (id, shingle) rows via posexplode + window ``lead`` — the
+    linear, whole-stage-codegen-friendly shingling used by the near-dup
+    operators.  One shuffle on ``id_col`` (the sort for the lead window);
+    every downstream signature/join pass reuses that partitioning."""
+    cleaned = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "))
+    toks = F.filter(F.split(cleaned, r" +"), lambda t: t != "")
+    t = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    wn = Window.partitionBy(id_col)
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    # concat_ws skips nulls, so the single shingle of a short doc (< k
+    # tokens) is just its full token string — same as shingles()
+    t = t.withColumns({"sh": F.concat_ws(" ", *parts),
+                       "__n__": F.count(F.lit(1)).over(wn)})
+    keep = (F.col("pos") <= F.col("__n__") - k) | ((F.col("__n__") < k) & (F.col("pos") == 0))
+    return t.filter(keep).select(id_col, "sh").distinct()
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -82,22 +107,28 @@ def minhash_signatures(
     num_hashes: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash signature per document: shingle → xxhash64 → n universal-hash
-    permutations ``(a*h + b) mod p`` → array_min.  Entirely JVM-side; output
-    columns: ``id_col``, ``signature`` (array<long> length ``num_hashes``).
-    """
+    """MinHash signature per document: shingle rows → xxhash64 → n
+    universal-hash permutations ``min((a*h + b) mod p)`` as n min-aggregates
+    in ONE groupBy over the exploded shingles.  Documents with no shingles
+    (empty text) are omitted.  Output: ``id_col``, ``signature``
+    (array<long> length ``num_hashes``).
+
+    Deliberately explode-based: the nested-array-lambda formulation makes
+    Catalyst inline the tokenizer into every per-element lambda (quadratic
+    recompute, measured ~60x slower); explode + hash-aggregate is linear
+    and partial-aggregates map-side."""
     import random
 
     rnd = random.Random(seed)
     coefs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
              for _ in range(num_hashes)]
-    sh = shingles(F.col(text_col), k)
-    hashes = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE))
-    def perm(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)
-
-    sig = F.array(*[F.array_min(F.transform(hashes, perm(a, b))) for a, b in coefs])
-    return df.select(F.col(id_col), sig.alias("signature"))
+    rows = shingle_rows(df, text_col, id_col, k)
+    h = (F.abs(F.xxhash64("sh")) % F.lit(_MERSENNE)).alias("h")
+    aggs = [F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(coefs)]
+    agg = rows.select(id_col, h).groupBy(id_col).agg(*aggs)
+    return agg.select(F.col(id_col),
+                      F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("signature"))
 
 
 def minhash_near_dup_pairs(
@@ -157,26 +188,31 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash per document from word-token hashes: bit_i = sign of
     Σ_tokens (±1 depending on bit i of xxhash64(token)).  Output:
-    ``id_col``, ``simhash`` (long).  Pure array expressions, no shuffle."""
+    ``id_col``, ``simhash`` (long); tokenless documents get simhash 0.
+
+    Explode-based like ``minhash_signatures``: per-token rows, then one
+    groupBy with 64 conditional-sum aggregates (map-side partial), then the
+    bits packed from the 64 scalar columns."""
     cleaned = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "))
     toks = F.filter(F.split(cleaned, r" +"), lambda t: t != "")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-
-    # shift amounts must be Python ints (shiftright takes no Column), so the
-    # bit positions unroll at plan-build time into one wide codegen'd expr
-    def bit_sum(i: int):
-        return F.aggregate(
-            th, F.lit(0),
-            lambda acc, h: acc + F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1)).otherwise(F.lit(-1)))
-
+    rows = df.select(F.col(id_col), F.explode(toks).alias("tok")) \
+             .select(id_col, F.xxhash64("tok").alias("h"))
+    aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = rows.groupBy(id_col).agg(*aggs)
     sim = F.lit(0).cast("long")
     for i in range(bits):
         sim = sim.bitwiseOR(
-            F.when(bit_sum(i) > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
              .otherwise(F.lit(0).cast("long")))
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    packed = agg.select(F.col(id_col), sim.alias("simhash"))
+    # keep one row per input id (tokenless docs -> 0), like the array form
+    return (df.select(id_col).distinct()
+            .join(packed, on=id_col, how="left")
+            .withColumn("simhash", F.coalesce(F.col("simhash"), F.lit(0).cast("long"))))
 
 
 def simhash_near_dup_pairs(
@@ -230,7 +266,7 @@ def ngram_jaccard_pairs(
     Scale note: cost is Σ_shingle freq² — fine for near-dup corpora where
     shingle frequencies are low; hot shingles should be pre-filtered (they
     carry no near-dup signal).  Returns (id_a, id_b, jaccard)."""
-    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh"))
+    sh = shingle_rows(df, text_col, id_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     l, r = sh.alias("l"), sh.alias("r")
     common = (

