@@ -60,11 +60,30 @@ def main():
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # exact percentile is a TypedImperativeAggregate; the default
+        # ObjectHashAggregate fallback (128 in-memory keys) degrades it to
+        # sort-based aggregation on any realistic group count
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+        # wide codegen (64-agg signatures, unrolled dot products) fills the
+        # default 240 MB JIT code cache over a 20-query session
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()
+
+    # one warm-up pass at the smallest SF: steady-state numbers, not
+    # first-run JIT/codegen compilation (the reference's %timeit baseline
+    # likewise reports warm runs)
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.environ.get("SPARK_GRAFT_NO_WARMUP") != "1":
+        for name in HEADLINE:
+            try:
+                qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -240,31 +240,30 @@ def resample_eav(
             out = out.withColumn(f"{a}_mode_count", F.coalesce(F.col(f"{a}_mode_count"), F.lit(0)))
 
     # --- rank aggregations rXX / tXX ------------------------------------
+    # ONE window pass over (window, attribute) + ONE conditional groupBy +
+    # ONE join back, regardless of how many (attribute, rank) pairs are
+    # requested — a per-rank filter+join costs a shuffle each and dominated
+    # the profile at sf0.1 before this rewrite.
     if rank_reqs:
-        by_attr: dict[str, list[tuple[str, int, str]]] = {}
+        rank_attrs = sorted({a for a, _, _, _ in rank_reqs})
+        sub = pairs.filter(attr.isin(rank_attrs))
+        tb = [F.col(tiebreak_col)] if tiebreak_col else []
+        wp = Window.partitionBy(WINDOW_ID, attribute_col)
+        w_asc = wp.orderBy(tim.asc(), *[c.asc() for c in tb])
+        w_desc = wp.orderBy(tim.desc(), *[c.desc() for c in tb])
+        cols = {}
+        if any(r >= 0 for _, _, r, _ in rank_reqs):
+            cols["__rn_a__"] = F.row_number().over(w_asc)
+        if any(r < 0 for _, _, r, _ in rank_reqs):
+            cols["__rn_d__"] = F.row_number().over(w_desc)
+        ranked = sub.withColumns(cols)
+        rank_exprs = []
         for a, kind, r, name in rank_reqs:
-            by_attr.setdefault(a, []).append((kind, r, name))
-        for a, reqs in by_attr.items():
-            sub = pairs.filter(attr == F.lit(a))
-            tb = [F.col(tiebreak_col)] if tiebreak_col else []
-            w_asc = Window.partitionBy(WINDOW_ID).orderBy(tim.asc(), *[c.asc() for c in tb])
-            w_desc = Window.partitionBy(WINDOW_ID).orderBy(tim.desc(), *[c.desc() for c in tb])
-            need_asc = any(r >= 0 for _, r, _ in reqs)
-            need_desc = any(r < 0 for _, r, _ in reqs)
-            cols = {}
-            if need_asc:
-                cols["__rn_a__"] = F.row_number().over(w_asc)
-            if need_desc:
-                cols["__rn_d__"] = F.row_number().over(w_desc)
-            ranked = sub.withColumns(cols)
-            for kind, r, name in reqs:
-                src = tim if kind == "t" else val
-                picked = (
-                    ranked.filter((F.col("__rn_a__") == r + 1) if r >= 0
-                                  else (F.col("__rn_d__") == -r))
-                    .select(WINDOW_ID, src.alias(name))
-                )
-                out = out.join(picked, on=WINDOW_ID, how="left")
+            src = tim if kind == "t" else val
+            hit = (F.col("__rn_a__") == r + 1) if r >= 0 else (F.col("__rn_d__") == -r)
+            rank_exprs.append(F.max(F.when((attr == F.lit(a)) & hit, src)).alias(name))
+        out = out.join(ranked.groupBy(WINDOW_ID).agg(*rank_exprs),
+                       on=WINDOW_ID, how="left")
 
     # --- custom callables via applyInPandas -----------------------------
     if custom_reqs:
