@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 import catabra_pandas_spark as cps
 import catabra_pandas_spark.pipeline as P
+import catabra_pandas_spark.streaming as STRM
 from catabra_pandas_spark.sources import read_table
 
 DAY = 86400
@@ -811,6 +812,49 @@ def q_lsh_ann(spark, sf):
                              dim=64, planes=4, tables=16)
 
 
+def q_sessionize(spark, sf):
+    """Streaming-native sessionization (F.session_window, batch mode here;
+    the same expression runs incrementally under readStream + watermark —
+    see catabra_pandas_spark/streaming).  Semantics = group_intervals with
+    point_col and distance=30min (reference misc.py:125-257): events of one
+    user closer than the gap form one session."""
+    ev = read_table(spark, sf, "events").select(
+        F.col("user_id").alias("entity"),
+        F.col("ts").alias("timestamp"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"))
+    out = STRM.stream_sessionize(ev, "30 minutes", agg={"value": ["mean"]})
+    return out.select(
+        "entity",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("session_start"),
+        F.unix_micros(F.col("session_stop").cast("timestamp")).alias("session_stop"),
+        "n_events",
+        F.round("value_mean", 6).alias("value_mean"))
+
+
+_Q_SESSIONIZE_SQL = """
+    WITH e AS (
+      SELECT user_id AS entity, ts,
+             CASE WHEN event_type != 'error' THEN value END AS val
+      FROM events
+    ), m AS (
+      SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY entity ORDER BY ts)
+    ), g AS (
+      SELECT *, sum(brk) OVER (PARTITION BY entity ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT entity,
+           epoch_us(min(ts))::BIGINT AS session_start,
+           epoch_us(max(ts))::BIGINT AS session_stop,
+           count(*) AS n_events,
+           round(avg(val), 6) AS value_mean
+    FROM g GROUP BY entity, sid
+"""
+
+
 def q_multimodal_decode(spark, sf):
     docs = read_table(spark, sf, "documents").limit(200)
     d = docs.withColumn("payload", F.encode(F.col("text"), "utf-8"))
@@ -886,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup_exact": q_embedding_neardup_exact,
+        "sessionize": q_sessionize,
         # approximate / plumbing operators: rows-only driver check
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -923,4 +968,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
         "cosine_topk": _Q_COSINE_TOPK_SQL,
         "embedding_neardup_exact": _Q_EMB_NEARDUP_SQL,
+        "sessionize": _Q_SESSIONIZE_SQL,
     }

@@ -31,6 +31,7 @@ HEADLINE = [
     "resample_eav_quantiles",
     "resample_eav_ranks",
     "resample_interval",
+    "sessionize",
     "dedup_exact",
     "fingerprint",
     "text_stats",

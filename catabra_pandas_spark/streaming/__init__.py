@@ -1,0 +1,143 @@
+"""Structured Streaming analogues of the batch operators.
+
+The reference library has no streaming layer (SURVEY.md §2.3) — but two of
+its operators are exactly the workloads Structured Streaming models
+natively, and at 100 TB/day the streaming formulation is how they would
+run in production:
+
+* ``group_intervals(distance=gap)`` over an append-only event stream IS
+  sessionization → ``F.session_window(time, gap)`` (reference
+  ``catabra_pandas/misc.py:125-257``: single-linkage clustering of points
+  with gap ``distance`` ≡ session windows over event times);
+* ``resample_eav`` with *regular* windows (the reference detects these at
+  ``resampling.py:1732-1746``) IS a tumbling/sliding windowed aggregation
+  → ``F.window(time, duration, slide)``.
+
+Both run incrementally with a watermark bounding state: late events beyond
+the watermark are dropped instead of buffered forever — the knob the batch
+reference never needed because it saw all data at once.
+
+These functions take ANY DataFrame — batch or streaming — because the
+window expressions are identical in both modes; tests exercise the batch
+path for value-correctness and the streaming path (``readStream`` +
+``trigger(availableNow)``) for plumbing.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..util import as_list
+
+_STREAM_AGGS = {
+    "mean": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
+    "count": F.count, "std": F.stddev_samp, "var": F.var_samp,
+}
+
+
+def stream_sessionize(
+    df: DataFrame,
+    gap: Union[str, Column],
+    entity_col: str = "entity",
+    time_col: str = "timestamp",
+    watermark: Optional[str] = None,
+    agg: Optional[Mapping[str, Sequence[str]]] = None,
+) -> DataFrame:
+    """Streaming ``group_intervals``: cluster events of one entity whose
+    time gap is below ``gap`` into sessions (reference ``misc.py:125-257``
+    with ``point_col`` + ``distance`` — same single-linkage semantics).
+
+    Returns one row per (entity, session): ``session_start``,
+    ``session_stop``, ``n_events`` plus any extra ``agg`` columns
+    ({column: [fn, ...]}, fns from mean/min/max/sum/count/std/var, named
+    ``{col}_{fn}``).
+
+    ``gap`` is a SQL interval string (e.g. ``"30 minutes"``) for time
+    columns.  On a streaming DataFrame pass ``watermark`` (e.g.
+    ``"1 hour"``) to bound session state; batch DataFrames may leave it
+    None.  State then scales with *open* sessions per entity — the
+    streaming-native replacement for the reference's all-in-memory
+    clustering.
+    """
+    src = df
+    if watermark is not None:
+        src = src.withWatermark(time_col, watermark)
+    exprs = [
+        F.min(time_col).alias("session_start"),
+        F.max(time_col).alias("session_stop"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    for c, fns in (agg or {}).items():
+        for fn in as_list(fns):
+            if fn not in _STREAM_AGGS:
+                raise ValueError(f"unsupported streaming agg {fn!r}")
+            exprs.append(_STREAM_AGGS[fn](c).alias(f"{c}_{fn}"))
+    sess = F.session_window(F.col(time_col), gap)
+    return (
+        src.groupBy(F.col(entity_col), sess)
+        .agg(*exprs)
+        .select(
+            entity_col,
+            F.col("session_window.start").alias("window_start"),
+            F.col("session_window.end").alias("window_stop"),
+            *[e_name for e_name in
+              ["session_start", "session_stop", "n_events"]],
+            *[f"{c}_{fn}" for c, fns in (agg or {}).items()
+              for fn in as_list(fns)],
+        )
+    )
+
+
+def stream_resample_eav(
+    df: DataFrame,
+    agg: Mapping[str, Sequence[str]],
+    duration: str,
+    slide: Optional[str] = None,
+    entity_col: str = "entity",
+    time_col: str = "timestamp",
+    attribute_col: str = "attribute",
+    value_col: str = "value",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Streaming ``resample_eav`` for REGULAR windows: per-attribute
+    aggregations over tumbling (``slide=None``) or sliding windows —
+    the incremental form of the reference's regular-window fast path
+    (``resampling.py:1738-1763``).
+
+    ``agg`` maps attribute -> [fn, ...] with fns from
+    mean/min/max/sum/count/std/var; output columns ``{attribute}_{fn}``
+    (same naming as the batch ``resample_eav``).  One row per
+    (entity, window) that has at least one observation.
+
+    The aggregation is conditional (``CASE WHEN attribute = a``) inside a
+    single groupBy — one shuffle, partial aggregation map-side, identical
+    to the batch plan; the window expression replaces the interval join
+    because regular windows assign each observation to its window(s)
+    by arithmetic.
+    """
+    src = df
+    if watermark is not None:
+        src = src.withWatermark(time_col, watermark)
+    win = F.window(F.col(time_col), duration, slide) if slide else \
+        F.window(F.col(time_col), duration)
+    attr = F.col(attribute_col)
+    exprs = []
+    for a, fns in agg.items():
+        v = F.when(attr == F.lit(a), F.col(value_col))
+        for fn in as_list(fns):
+            if fn not in _STREAM_AGGS:
+                raise ValueError(f"unsupported streaming agg {fn!r}")
+            exprs.append(_STREAM_AGGS[fn](v).alias(f"{a}_{fn}"))
+    return (
+        src.filter(attr.isin(list(agg)))
+        .groupBy(F.col(entity_col), win)
+        .agg(*exprs)
+        .select(
+            entity_col,
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_stop"),
+            *[f"{a}_{fn}" for a, fns in agg.items() for fn in as_list(fns)],
+        )
+    )

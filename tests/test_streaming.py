@@ -1,0 +1,108 @@
+"""Streaming tier: batch-mode value correctness (the window expressions are
+identical in both modes) + real ``readStream`` plumbing with
+``trigger(availableNow)`` into a memory sink."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from catabra_pandas_spark import group_intervals
+from catabra_pandas_spark.streaming import stream_resample_eav, stream_sessionize
+
+from .conftest import assert_pdf_equal
+
+
+def _events_pdf():
+    # 2 entities, clear 10-minute-gap session structure
+    rows = []
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    for ent, offs in [
+        ("a", [0, 1, 2, 30, 31, 90]),       # sessions {0,1,2} {30,31} {90}
+        ("b", [5, 40, 41, 42]),              # sessions {5} {40,41,42}
+    ]:
+        for i, m in enumerate(offs):
+            rows.append({
+                "entity": ent,
+                "timestamp": base + pd.Timedelta(minutes=m),
+                "attribute": "hr" if i % 2 == 0 else "spo2",
+                "value": float(10 * m + i),
+            })
+    return pd.DataFrame(rows)
+
+
+def test_sessionize_batch_matches_group_intervals(spark):
+    pdf = _events_pdf()
+    sdf = spark.createDataFrame(pdf)
+    out = stream_sessionize(sdf, "10 minutes", agg={"value": ["mean", "count"]}) \
+        .toPandas()
+
+    # oracle 1: group_intervals with the same gap on the same points gives
+    # the same cluster structure (session_window gap is exclusive at the
+    # stop edge; distance on points with inclusive=True merges gap==dist,
+    # so use a hair under 10 minutes)
+    gi = group_intervals(sdf, group_by="entity", point_col="timestamp",
+                         distance=599.9)
+    gsess = (gi.groupBy("entity", "interval_group")
+             .agg(F.min("timestamp").alias("session_start"),
+                  F.max("timestamp").alias("session_stop"),
+                  F.count(F.lit(1)).alias("n_events"),
+                  F.avg("value").alias("value_mean"),
+                  F.count("value").alias("value_count"))
+             .drop("interval_group")
+             .toPandas())
+    assert_pdf_equal(
+        out.drop(columns=["window_start", "window_stop"]),
+        gsess,
+        sort_by=["entity", "session_start"],
+    )
+    # session_window invariants
+    assert (out["session_stop"] < out["window_stop"]).all()
+    assert (out["session_start"] >= out["window_start"]).all()
+    assert len(out) == 5
+
+
+def test_resample_tumbling_batch_values(spark):
+    pdf = _events_pdf()
+    sdf = spark.createDataFrame(pdf)
+    out = stream_resample_eav(
+        sdf, {"hr": ["mean", "count"], "spo2": ["max"]},
+        duration="1 hour").toPandas()
+
+    # pandas oracle: floor timestamps to the hour, conditional aggs
+    pdf = pdf.assign(w=pdf["timestamp"].dt.floor("h"))
+    exp = (pdf.groupby(["entity", "w"])
+           .apply(lambda g: pd.Series({
+               "hr_mean": g.loc[g.attribute == "hr", "value"].mean(),
+               "hr_count": float(g.loc[g.attribute == "hr", "value"].count()),
+               "spo2_max": g.loc[g.attribute == "spo2", "value"].max(),
+           }), include_groups=False)
+           .reset_index()
+           .rename(columns={"w": "window_start"}))
+    got = out.drop(columns=["window_stop"]).assign(
+        hr_count=lambda d: d.hr_count.astype(float))
+    assert_pdf_equal(got, exp, sort_by=["entity", "window_start"])
+
+
+def test_streaming_plumbing_available_now(spark, tmp_path):
+    """Real streaming execution: parquet source -> watermark -> session
+    window -> memory sink, results equal to the batch run."""
+    pdf = _events_pdf()
+    src_dir = str(tmp_path / "stream_src")
+    spark.createDataFrame(pdf).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    assert stream.isStreaming
+    sess = stream_sessionize(stream, "10 minutes", watermark="1 hour",
+                             agg={"value": ["mean"]})
+    q = (sess.writeStream.format("memory").queryName("sess_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_test").toPandas()
+
+    batch = stream_sessionize(spark.createDataFrame(pdf), "10 minutes",
+                              agg={"value": ["mean"]}).toPandas()
+    assert_pdf_equal(got, batch, sort_by=["entity", "session_start"])
