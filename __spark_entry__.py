@@ -215,8 +215,9 @@ _Q_GROUP_INTERVALS_SQL = f"""
       FROM s
     ), g AS (
       SELECT skey, s_start, s_stop,
-             sum(newgrp) OVER (PARTITION BY skey ORDER BY s_start, s_stop
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS interval_group
+             CAST(sum(newgrp) OVER (PARTITION BY skey ORDER BY s_start, s_stop
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                  AS BIGINT) AS interval_group
       FROM f
     )
     SELECT skey, interval_group, count(*) AS n_rows,

@@ -67,7 +67,6 @@ def group_intervals(
     if distance is None:
         distance = 0
 
-    dt = dict(df.dtypes)
     schema = {f.name: f.dataType for f in df.schema.fields}
     start = _orderable(F.col(start_col), schema[start_col])
     stop = _orderable(F.col(stop_col), schema[stop_col])

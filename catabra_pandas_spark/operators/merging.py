@@ -10,15 +10,26 @@ as join predicates, with two distributed physical strategies behind one API
 * **direct** — one ``join`` carrying the full predicate.  With equi-keys
   Catalyst runs a sort-merge/shuffled-hash join on the keys and evaluates the
   interval predicate as a residual filter; with a small side it broadcasts.
-  This is the right plan whenever the equi-keys are selective (the common
-  keyed case, e.g. per-entity medical records).
+  ``how`` maps straight onto the native join type (left/right/full outer
+  joins with residual conditions are supported by sort-merge join), so no
+  anti-join passes or row-id bookkeeping are needed for unmatched rows.
 * **bucket** — bucketized range join for large×large inputs with weak or
   absent equi-keys: explode each interval into coarse buckets of width ``W``
   (``explode(sequence(floor(start/W), floor(stop/W)))``), equi-join on
   (keys, bucket), apply the exact predicate as residual, and drop duplicate
   pairs.  Turns an O(n·m) broadcast-nested-loop into a shuffle join whose
   cost is O(matches + n·avg_span/W) — the strategy Databricks' range-join
-  hint automates, expressed in the open DataFrame API.
+  hint automates, expressed in the open DataFrame API.  This strategy
+  requires finite start/stop columns on both sides and raises otherwise
+  (there is no automatic fallback; pick ``strategy="direct"`` for
+  half-infinite intervals).
+
+Determinism: row ids, when the engine has to generate them (``keep``
+reduction, ``return_indexers``, bucket pair-dedup), are **content-derived**
+— a 128-bit xxhash64 of the row plus a duplicate rank — never
+``monotonically_increasing_id``, whose values depend on partition layout and
+intra-partition row order and can silently differ between two evaluations of
+the same plan under task retries or AQE re-planning.
 
 Open/closed endpoint flags compile to strict/non-strict comparisons
 (truth table at reference ``merging.py:434-455`` collapses into one boolean
@@ -46,13 +57,36 @@ def _numeric(c: Column, dt) -> Column:
     return c.cast("double")
 
 
+def _stamp_content_id(df: DataFrame, name: str) -> DataFrame:
+    """Deterministic unique-per-row id: a struct of a 128-bit content hash
+    and a duplicate rank.
+
+    Stable across plan re-evaluations, task retries, and AQE re-planning —
+    unlike ``monotonically_increasing_id``, whose values depend on partition
+    layout and intra-partition row order, so two plan branches reading the
+    same id-stamped frame can silently disagree.  Identical rows are
+    interchangeable, so the arbitrary rank assignment among duplicates cannot
+    change any downstream result.  Costs one shuffle of ``df`` (the dup-rank
+    window partitions by the content hash); only paid when ids are actually
+    needed.
+    """
+    cols = [F.col(c) for c in df.columns]
+    h1 = F.xxhash64(F.lit(0), *cols)
+    h2 = F.xxhash64(F.lit(1), *cols)
+    w = Window.partitionBy(h1, h2).orderBy(F.lit(1))
+    return df.withColumn(
+        name,
+        F.struct(h1.alias("h1"), h2.alias("h2"), F.row_number().over(w).alias("n")),
+    )
+
+
 def merge_intervals(
     left: DataFrame,
     right: DataFrame,
     on: Union[str, Sequence[str], None] = None,
     left_on: Union[str, Sequence[str], None] = None,
     right_on: Union[str, Sequence[str], None] = None,
-    how: str = "inner",
+    how: str = "left",
     left_start: Optional[str] = None,
     left_stop: Optional[str] = None,
     right_start: Optional[str] = None,
@@ -72,22 +106,23 @@ def merge_intervals(
 ) -> DataFrame:
     """Join two DataFrames on interval overlap plus optional equi-keys.
 
-    Mirrors reference ``merge_intervals`` (``merging.py:13-508``) with Spark
-    adaptations:
+    Mirrors reference ``merge_intervals`` (``merging.py:13-508``) incl. the
+    ``how="left"`` default, with Spark adaptations:
 
     * ``keep="first"/"last"/"both"`` needs an order over ``right`` (``left``
       for ``how="right"``); pandas uses row position, Spark rows are
       unordered, so the order is taken from ``keep_by`` (default: a generated
-      ``__right_row_id__`` — supply ``keep_by`` or ``right_id`` for
-      deterministic results).
+      content-hash id — supply ``keep_by`` or ``right_id`` for meaningful
+      results).  The reduction is one ``min_by``/``max_by`` aggregation per
+      kept row (no window pass, no anti-join).
     * ``return_indexers=True`` returns a DataFrame of id pairs
-      (``__left_row_id__``, ``__right_row_id__``; -1 for missing rows under
-      outer joins) instead of a positional ``(2,N)`` array
-      (reference ``merging.py:106-115``).  Pass ``left_id``/``right_id`` to
-      use existing id columns.
-    * ``strategy``: "direct", "bucket", or "auto" (direct when equi-keys or a
-      broadcastable side exist; bucket when ``bucket_width`` is given and no
-      equi-keys are present).
+      (``__left_row_id__``, ``__right_row_id__``) instead of a positional
+      ``(2,N)`` array (reference ``merging.py:106-115``).  With user-supplied
+      ``left_id``/``right_id`` (recommended; they must be unique) missing
+      rows get id -1; generated ids are opaque content-hash structs and
+      missing rows are null.
+    * ``strategy``: "direct", "bucket", or "auto" (direct unless
+      ``bucket_width`` is given and no equi-keys are present).
     * ``keep_order``/``copy`` of the reference are meaningless on Spark
       (no row order, immutable frames) and intentionally absent.
 
@@ -115,17 +150,36 @@ def merge_intervals(
     ensure_columns(left, left_on + [c for c in (left_start, left_stop) if c])
     ensure_columns(right, right_on + [c for c in (right_start, right_stop) if c])
 
-    # --- attach row ids ------------------------------------------------
+    # --- physical strategy & id requirements ---------------------------
+    has_eq = len(left_on) > 0
+    use_bucket = strategy == "bucket" or (
+        strategy == "auto" and not has_eq and bucket_width is not None)
+    # full outer without equi-keys cannot run as a native BNLJ full join;
+    # the bucket strategy is inner-only: both fall back to inner + anti-joins
+    anti_path = (use_bucket and how != "inner") or (how == "outer" and not has_eq)
+    need_left_id = (return_indexers or use_bucket or anti_path
+                    or (keep != "all" and how != "right"))
+    need_right_id = (return_indexers or use_bucket or anti_path
+                     or (keep != "all" and (how == "right" or keep_by is None)))
+
+    # --- attach row ids (only when something consumes them) ------------
     gen_left_id = left_id is None
     gen_right_id = right_id is None
-    if gen_left_id:
-        left = left.withColumn(LEFT_ID, F.monotonically_increasing_id())
-    elif left_id != LEFT_ID:
-        left = left.withColumn(LEFT_ID, F.col(left_id))
-    if gen_right_id:
-        right = right.withColumn(RIGHT_ID, F.monotonically_increasing_id())
-    elif right_id != RIGHT_ID:
-        right = right.withColumn(RIGHT_ID, F.col(right_id))
+    has_lid = has_rid = False
+    if not gen_left_id:
+        if left_id != LEFT_ID:
+            left = left.withColumn(LEFT_ID, F.col(left_id))
+        has_lid = True
+    elif need_left_id:
+        left = _stamp_content_id(left, LEFT_ID)
+        has_lid = True
+    if not gen_right_id:
+        if right_id != RIGHT_ID:
+            right = right.withColumn(RIGHT_ID, F.col(right_id))
+        has_rid = True
+    elif need_right_id:
+        right = _stamp_content_id(right, RIGHT_ID)
+        has_rid = True
 
     # --- drop empty intervals (reference merging.py:230-288) -----------
     lvalid = valid_interval_cond(
@@ -167,6 +221,12 @@ def merge_intervals(
     l_name = lambda c: lren.get(c, c) if c else None  # noqa: E731
     r_name = lambda c: rren.get(c, c) if c else None  # noqa: E731
 
+    l_out_cols = [lren.get(c, c) for c in left.columns]
+    r_out_cols = [rren.get(c, c) for c in right.columns]
+    if drop_right_keys:
+        dropped = {r_name(b) for b in right_on}
+        r_out_cols = [c for c in r_out_cols if c not in dropped]
+
     # --- build join condition ------------------------------------------
     eq = [lm_r[l_name(a)] == rm_r[r_name(b)] for a, b in zip(left_on, right_on)]
     rng = interval_overlap_cond(
@@ -177,10 +237,11 @@ def merge_intervals(
         include_left_start, include_left_stop,
         include_right_start, include_right_stop,
     )
+    cond = rng
+    for e in eq:
+        cond = e & cond
 
-    # --- physical strategy ---------------------------------------------
-    use_bucket = strategy == "bucket" or (
-        strategy == "auto" and not eq and bucket_width is not None)
+    # --- join ----------------------------------------------------------
     if use_bucket:
         if bucket_width is None:
             raise ValueError("bucket strategy requires bucket_width")
@@ -188,63 +249,104 @@ def merge_intervals(
             lm_r, rm_r, eq, rng, bucket_width,
             l_name(left_start), l_name(left_stop),
             r_name(right_start), r_name(right_stop))
-    else:
-        cond = rng
-        for e in eq:
-            cond = e & cond
+    elif anti_path:
         matched = lm_r.join(rm_r, on=cond, how="inner")
+    else:
+        native = {"inner": "inner", "left": "left", "right": "right", "outer": "full"}[how]
+        matched = lm_r.join(rm_r, on=cond, how=native)
 
+    # unify the key columns for on= (pandas semantics: one key column whose
+    # value survives outer joins from whichever side is present); must run
+    # before any union, while the parent-frame column lineage still resolves
     if drop_right_keys:
-        for b in right_on:
-            matched = matched.drop(rm_r[r_name(b)])
+        for a, b in zip(left_on, right_on):
+            la = l_name(a)
+            matched = (
+                matched.withColumn("__key_tmp__", F.coalesce(lm_r[la], rm_r[r_name(b)]))
+                .drop(lm_r[la]).drop(rm_r[r_name(b)])
+                .withColumnRenamed("__key_tmp__", la)
+            )
+
+    # anti-join unmatched-row injection — only for the strategies that cannot
+    # express how= natively (ids here are content-derived, so both branches
+    # of the plan agree on them)
+    if anti_path or (use_bucket and how != "inner"):
+        if how in ("left", "outer"):
+            unmatched_l = lm_r.join(matched.select(LEFT_ID), on=LEFT_ID, how="left_anti")
+            matched = matched.unionByName(unmatched_l, allowMissingColumns=True)
+        if how in ("right", "outer"):
+            unmatched_r = rm_r.join(matched.select(RIGHT_ID), on=RIGHT_ID, how="left_anti")
+            if drop_right_keys:
+                for a, b in zip(left_on, right_on):
+                    unmatched_r = unmatched_r.withColumn(l_name(a), F.col(r_name(b)))
+                    unmatched_r = unmatched_r.drop(r_name(b)) if r_name(b) != l_name(a) else unmatched_r
+            matched = matched.unionByName(unmatched_r, allowMissingColumns=True)
 
     # --- keep reduction (reference merging.py:728-748) ------------------
+    # one min_by/max_by aggregation per kept row: collapses the reference's
+    # sort + positional slice (and round 1's window + filter + anti-join,
+    # ~4 shuffles) into the single groupBy shuffle
     if keep != "all":
         part_id = LEFT_ID if how != "right" else RIGHT_ID
+        if how != "right":
+            own_names = list(l_out_cols)
+        else:
+            own_names = list(r_out_cols) + ([l_name(a) for a in left_on] if drop_right_keys else [])
+        own_set = set(own_names)
+        other_names = [c for c in matched.columns if c not in own_set]
         order_cols = as_list(keep_by) if keep_by else [RIGHT_ID if how != "right" else LEFT_ID]
-        w = Window.partitionBy(part_id)
-        asc = w.orderBy(*[F.col(c).asc() for c in order_cols])
-        desc = w.orderBy(*[F.col(c).desc() for c in order_cols])
-        if keep == "first":
-            matched = matched.withColumn("__rn__", F.row_number().over(asc)) \
-                .filter(F.col("__rn__") == 1).drop("__rn__")
-        elif keep == "last":
-            matched = matched.withColumn("__rn__", F.row_number().over(desc)) \
-                .filter(F.col("__rn__") == 1).drop("__rn__")
-        else:  # both: first and last, deduplicated
-            matched = matched.withColumns({
-                "__rn_a__": F.row_number().over(asc),
-                "__rn_d__": F.row_number().over(desc),
-            }).filter((F.col("__rn_a__") == 1) | (F.col("__rn_d__") == 1)) \
-              .drop("__rn_a__", "__rn_d__")
+        order_struct = F.struct(*[F.col(c) for c in order_cols])
+        others = F.struct(*[F.col(c).alias(c) for c in other_names])
+        own_aggs = [F.first(F.col(c)).alias(c) for c in own_names if c != part_id]
 
-    # --- how: inject unmatched rows -------------------------------------
+        base, passthru = matched, None
+        if how == "outer":
+            # unmatched other-side rows have a null partition id; they bypass
+            # the reduction (grouping them together would merge them all)
+            passthru = matched.filter(F.col(part_id).isNull())
+            base = matched.filter(F.col(part_id).isNotNull())
+
+        if keep in ("first", "last"):
+            pick = (F.min_by(others, order_struct) if keep == "first"
+                    else F.max_by(others, order_struct))
+            red = base.groupBy(part_id).agg(*own_aggs, pick.alias("__pick__"))
+            red = red.select(
+                part_id, *[c for c in own_names if c != part_id],
+                *[F.col("__pick__").getField(c).alias(c) for c in other_names])
+        else:  # both: first and last, deduplicated
+            red = base.groupBy(part_id).agg(
+                *own_aggs,
+                F.min_by(others, order_struct).alias("__f__"),
+                F.max_by(others, order_struct).alias("__l__"))
+            red = red.withColumn(
+                "__b__", F.explode(F.array_distinct(F.array("__f__", "__l__"))))
+            red = red.select(
+                part_id, *[c for c in own_names if c != part_id],
+                *[F.col("__b__").getField(c).alias(c) for c in other_names])
+        matched = red if passthru is None else \
+            red.unionByName(passthru.select(*red.columns))
+
+    # --- how: rows dropped as invalid intervals / null keys still appear
+    # in left/right/outer output (reference merging.py:751-787)
     if how in ("left", "outer"):
-        unmatched_l = lm_r.join(matched.select(LEFT_ID), on=LEFT_ID, how="left_anti")
-        # rows dropped as invalid intervals still appear in left/outer output
         invalid_l = _apply_ren(left.filter(~(lvalid & lkeys_ok)), lren)
-        matched = matched.unionByName(unmatched_l, allowMissingColumns=True) \
-                         .unionByName(invalid_l, allowMissingColumns=True)
+        matched = matched.unionByName(invalid_l, allowMissingColumns=True)
     if how in ("right", "outer"):
-        unmatched_r = rm_r.join(matched.select(RIGHT_ID), on=RIGHT_ID, how="left_anti")
         invalid_r = _apply_ren(right.filter(~(rvalid & rkeys_ok)), rren)
         if drop_right_keys:
-            # keep the key values: copy them into the (shared) key columns
             for a, b in zip(left_on, right_on):
-                unmatched_r = unmatched_r.withColumn(l_name(a), F.col(r_name(b)) if r_name(b) in unmatched_r.columns else F.col(b))
-                invalid_r = invalid_r.withColumn(l_name(a), F.col(r_name(b)) if r_name(b) in invalid_r.columns else F.col(b))
-        matched = matched.unionByName(unmatched_r, allowMissingColumns=True) \
-                         .unionByName(invalid_r, allowMissingColumns=True)
+                invalid_r = invalid_r.withColumn(l_name(a), F.col(r_name(b)))
+                if r_name(b) != l_name(a):
+                    invalid_r = invalid_r.drop(r_name(b))
+        matched = matched.unionByName(invalid_r, allowMissingColumns=True)
 
     if return_indexers:
-        out = matched.select(
-            F.coalesce(F.col(LEFT_ID), F.lit(-1)).alias(LEFT_ID),
-            F.coalesce(F.col(RIGHT_ID), F.lit(-1)).alias(RIGHT_ID),
-        )
-        return out
-    if gen_left_id:
+        lcol = F.col(LEFT_ID) if gen_left_id else F.coalesce(F.col(LEFT_ID), F.lit(-1))
+        rcol = F.col(RIGHT_ID) if gen_right_id else F.coalesce(F.col(RIGHT_ID), F.lit(-1))
+        return matched.select(lcol.alias(LEFT_ID), rcol.alias(RIGHT_ID))
+    if has_lid and gen_left_id:
         matched = matched.drop(LEFT_ID)
-    if gen_right_id:
+    if has_rid and gen_right_id:
         matched = matched.drop(RIGHT_ID)
     return matched
 
@@ -263,8 +365,9 @@ def _bucket_join(
     """Bucketized range join: explode intervals into width-W buckets, join on
     the bucket id (+ any equi-keys), post-filter with the exact predicate,
     and deduplicate pairs.  Intervals with an infinite/missing endpoint
-    cannot be bucketized on that side; both sides must supply start and stop
-    columns (callers fall back to the direct strategy otherwise).
+    cannot be bucketized, so both sides must supply finite start and stop
+    columns; otherwise this raises (no automatic fallback — use
+    ``strategy="direct"``).
     """
     if not all([l_start, l_stop, r_start, r_stop]):
         raise ValueError("bucket strategy requires finite start/stop columns on both sides")
@@ -283,7 +386,6 @@ def _bucket_join(
     cond = le["__bucket__"] == re_["__bucket__"]
     for e in eq:
         cond = cond & e  # eq columns resolve by name through the exploded frames
-    # rebuild equality/range conditions against the exploded frames by name
     joined = le.join(re_, on=cond, how="inner").drop(le["__bucket__"]).drop(re_["__bucket__"])
     joined = joined.filter(rng)
     return joined.dropDuplicates([LEFT_ID, RIGHT_ID])
@@ -307,12 +409,19 @@ def find_containing_interval(
     ``merging.py:610-623``, as does this implementation).
 
     "First"/"last" refer to interval ids: pass ``interval_id`` naming an
-    existing id column in ``intervals`` for deterministic results (the
-    reference uses row position, which Spark does not have).
+    existing id column in ``intervals`` for meaningful results (the reference
+    uses row position, which Spark does not have; generated ids are a
+    deterministic content hash — stable, but with no meaningful order).
 
     Returns ``points`` with one added long column per point column: named
     ``{col}__first`` / ``{col}__last`` for ``which="both"``, else ``{col}__{which}``
     (the reference uses a column MultiIndex for "both", flattened here).
+
+    Implementation note: the containment pairs are aggregated by point
+    CONTENT (``group_by`` + point value) and joined back onto ``points`` —
+    min/max are idempotent under row duplication, so no per-row point id is
+    needed and the result is deterministic by construction (duplicate points
+    simply receive the same answer).
     """
     if which not in ("first", "last", "both"):
         raise ValueError(f'which must be "first", "last" or "both", got {which!r}')
@@ -331,35 +440,39 @@ def find_containing_interval(
             start_col = "__start__"
 
     if interval_id is None:
-        intervals = intervals.withColumn(RIGHT_ID, F.monotonically_increasing_id())
+        # deterministic content hash (NOT monotonically_increasing_id: its
+        # values could differ between plan re-evaluations)
+        intervals = intervals.withColumn(
+            RIGHT_ID, F.xxhash64(*[F.col(c) for c in intervals.columns]))
         interval_id = RIGHT_ID
 
-    pts = points.withColumn(LEFT_ID, F.monotonically_increasing_id())
-    out = pts
-    ivl = intervals.select(*group_by, start_col, stop_col, F.col(interval_id).alias(RIGHT_ID))
+    ivl = intervals.select(
+        *group_by,
+        F.col(start_col).alias("__iv_start__"),
+        F.col(stop_col).alias("__iv_stop__"),
+        F.col(interval_id).alias(RIGHT_ID))
 
+    out = points
     for pc in point_cols:
         pairs = merge_intervals(
-            pts.select(*group_by, pc, LEFT_ID),
+            points.select(*group_by, pc),
             ivl,
-            left_on=group_by or None,
-            right_on=group_by or None,
+            on=group_by or None,
             how="inner",
             left_start=pc, left_stop=pc,
-            right_start=start_col, right_stop=stop_col,
+            right_start="__iv_start__", right_stop="__iv_stop__",
             include_right_start=include_start,
             include_right_stop=include_stop,
-            left_id=LEFT_ID, right_id=RIGHT_ID,
-            suffixes=("_pt", "_iv"),
+            right_id=RIGHT_ID,
         )
         agg_exprs = []
         if which in ("first", "both"):
             agg_exprs.append(F.min(RIGHT_ID).alias(f"{pc}__first"))
         if which in ("last", "both"):
             agg_exprs.append(F.max(RIGHT_ID).alias(f"{pc}__last"))
-        red = pairs.groupBy(LEFT_ID).agg(*agg_exprs)
-        out = out.join(red, on=LEFT_ID, how="left")
+        red = pairs.groupBy(*group_by, pc).agg(*agg_exprs)
+        out = out.join(red, on=group_by + [pc], how="left")
         for suffix in (["first", "last"] if which == "both" else [which]):
             out = out.withColumn(f"{pc}__{suffix}",
                                  F.coalesce(F.col(f"{pc}__{suffix}"), F.lit(-1)))
-    return out.drop(LEFT_ID)
+    return out

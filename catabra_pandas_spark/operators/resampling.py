@@ -28,6 +28,15 @@ replace the reference's 2-level column MultiIndex (``resampling.py:54-57``);
 a missing endpoint column means -inf/+inf (``resampling.py:58-59``); a null
 endpoint value invalidates the window (it matches no observations but still
 appears in the output).
+
+Determinism: windows are identified by their CONTENT — (entity, start, stop)
+— never by a generated ``monotonically_increasing_id`` (whose values depend
+on partition layout and row order, so the two plan branches that join
+aggregates back onto the windows could silently disagree under task retries
+or AQE re-planning).  The join projection is ``distinct()``-ed on the content
+key, aggregates are grouped by it, and results are left-joined back onto the
+full windows frame; duplicate windows simply receive the same (correct)
+aggregate row.
 """
 
 from __future__ import annotations
@@ -40,7 +49,8 @@ from pyspark.sql import types as T
 
 from ..util import as_list, ensure_columns
 
-WINDOW_ID = "__window_id__"
+# internal content-key column names: entity / window start / window stop
+_KE, _KS, _KP = "__w_ent__", "__w_start__", "__w_stop__"
 
 _STANDARD_AGGS = {
     "mean", "min", "max", "median", "std", "var", "sum", "prod", "skew",
@@ -63,7 +73,7 @@ def resample_eav(
     attribute_col: str = "attribute",
     value_col: str = "value",
     include_start: bool = True,
-    include_stop: bool = True,
+    include_stop: bool = False,
     window_start_col: Optional[str] = None,
     window_stop_col: Optional[str] = None,
     tiebreak_col: Optional[str] = None,
@@ -90,6 +100,8 @@ def resample_eav(
     Spark does not have; without it ties are broken arbitrarily).
     ``optimize`` is accepted for API compatibility and ignored (AQE replaces
     the reference's time/memory strategy knob — SURVEY.md §4).
+    ``include_start``/``include_stop`` default to True/False exactly as in
+    the reference (``resampling.py:109-112``).
     """
     if callable(windows) and not isinstance(windows, DataFrame):
         windows = windows(df, entity_col=entity_col, time_col=time_col)
@@ -107,7 +119,15 @@ def resample_eav(
     spec: dict[str, list] = {a: as_list(fns) for a, fns in agg.items()}
     attrs = list(spec)
 
-    win = windows.withColumn(WINDOW_ID, F.monotonically_increasing_id())
+    # content key: windows are identified by (entity, start, stop), not by a
+    # generated id (see module docstring "Determinism")
+    key_cols = [_KE] + ([_KS] if has_start else []) + ([_KP] if has_stop else [])
+    key_map = {_KE: F.col(entity_col)}
+    if has_start:
+        key_map[_KS] = F.col(ws)
+    if has_stop:
+        key_map[_KP] = F.col(wp)
+    win = windows.withColumns(key_map)
 
     # prune observations: null times ignored (resampling.py:47-48), only
     # requested attributes (resampling.py:281-285)
@@ -120,20 +140,17 @@ def resample_eav(
     )
 
     # --- the join: entity + time-in-window ----------------------------
-    wjoin = win.select(
-        WINDOW_ID,
-        F.col(entity_col).alias("__w_entity__"),
-        *([F.col(ws).alias("__w_start__")] if has_start else []),
-        *([F.col(wp).alias("__w_stop__")] if has_stop else []),
-    )
-    cond = obs[entity_col] == wjoin["__w_entity__"]
+    # distinct() so duplicate windows do not double-count observations; the
+    # aggregate row is fanned back out by the final join on the content key
+    wjoin = win.select(*key_cols).distinct()
+    cond = obs[entity_col] == wjoin[_KE]
     if has_start:
-        cond = cond & ((obs[time_col] >= wjoin["__w_start__"]) if include_start
-                       else (obs[time_col] > wjoin["__w_start__"]))
+        cond = cond & ((obs[time_col] >= wjoin[_KS]) if include_start
+                       else (obs[time_col] > wjoin[_KS]))
     if has_stop:
-        cond = cond & ((obs[time_col] <= wjoin["__w_stop__"]) if include_stop
-                       else (obs[time_col] < wjoin["__w_stop__"]))
-    pairs = obs.join(wjoin, on=cond, how="inner").drop("__w_entity__", "__w_start__", "__w_stop__")
+        cond = cond & ((obs[time_col] <= wjoin[_KP]) if include_stop
+                       else (obs[time_col] < wjoin[_KP]))
+    pairs = obs.join(wjoin, on=cond, how="inner")
 
     attr = F.col(attribute_col)
     val = F.col(value_col)
@@ -208,34 +225,34 @@ def resample_eav(
 
     out = win
     if std_exprs:
-        out = out.join(pairs.groupBy(WINDOW_ID).agg(*std_exprs), on=WINDOW_ID, how="left")
+        out = out.join(pairs.groupBy(*key_cols).agg(*std_exprs), on=key_cols, how="left")
 
     # --- mad: two-pass mean-absolute-deviation per (window, attr) ------
     if mad_reqs:
-        sub = pairs.filter(attr.isin(mad_reqs)).select(WINDOW_ID, attribute_col, value_col)
-        means = sub.groupBy(WINDOW_ID, attribute_col).agg(F.avg(value_col).alias("__mean__"))
+        sub = pairs.filter(attr.isin(mad_reqs)).select(*key_cols, attribute_col, value_col)
+        means = sub.groupBy(*key_cols, attribute_col).agg(F.avg(value_col).alias("__mean__"))
         mads = (
-            sub.join(means, on=[WINDOW_ID, attribute_col])
-            .groupBy(WINDOW_ID, attribute_col)
+            sub.join(means, on=[*key_cols, attribute_col])
+            .groupBy(*key_cols, attribute_col)
             .agg(F.avg(F.abs(F.col(value_col) - F.col("__mean__"))).alias("__mad__"))
         )
-        piv = mads.groupBy(WINDOW_ID).pivot(attribute_col, mad_reqs).agg(F.first("__mad__"))
+        piv = mads.groupBy(*key_cols).pivot(attribute_col, mad_reqs).agg(F.first("__mad__"))
         for a in mad_reqs:
             piv = piv.withColumnRenamed(a, f"{a}_mad")
-        out = out.join(piv, on=WINDOW_ID, how="left")
+        out = out.join(piv, on=key_cols, how="left")
 
     # --- mode / mode_count (reference misc.py:930-933 tie-break) --------
     for a, wanted in mode_reqs.items():
         sub = pairs.filter((attr == F.lit(a)) & val.isNotNull())
-        counts = sub.groupBy(WINDOW_ID, value_col).agg(F.count(F.lit(1)).alias("__cnt__"))
-        wnd = Window.partitionBy(WINDOW_ID).orderBy(F.col("__cnt__").desc(), F.col(value_col).asc())
+        counts = sub.groupBy(*key_cols, value_col).agg(F.count(F.lit(1)).alias("__cnt__"))
+        wnd = Window.partitionBy(*key_cols).orderBy(F.col("__cnt__").desc(), F.col(value_col).asc())
         best = counts.withColumn("__rn__", F.row_number().over(wnd)).filter(F.col("__rn__") == 1)
-        sel = [F.col(WINDOW_ID)]
+        sel = [F.col(c) for c in key_cols]
         if "mode" in wanted:
             sel.append(F.col(value_col).alias(f"{a}_mode"))
         if "mode_count" in wanted:
             sel.append(F.col("__cnt__").alias(f"{a}_mode_count"))
-        out = out.join(best.select(*sel), on=WINDOW_ID, how="left")
+        out = out.join(best.select(*sel), on=key_cols, how="left")
         if "mode_count" in wanted:
             out = out.withColumn(f"{a}_mode_count", F.coalesce(F.col(f"{a}_mode_count"), F.lit(0)))
 
@@ -248,9 +265,9 @@ def resample_eav(
         rank_attrs = sorted({a for a, _, _, _ in rank_reqs})
         sub = pairs.filter(attr.isin(rank_attrs))
         tb = [F.col(tiebreak_col)] if tiebreak_col else []
-        wp = Window.partitionBy(WINDOW_ID, attribute_col)
-        w_asc = wp.orderBy(tim.asc(), *[c.asc() for c in tb])
-        w_desc = wp.orderBy(tim.desc(), *[c.desc() for c in tb])
+        wspec = Window.partitionBy(*key_cols, attribute_col)
+        w_asc = wspec.orderBy(tim.asc(), *[c.asc() for c in tb])
+        w_desc = wspec.orderBy(tim.desc(), *[c.desc() for c in tb])
         cols = {}
         if any(r >= 0 for _, _, r, _ in rank_reqs):
             cols["__rn_a__"] = F.row_number().over(w_asc)
@@ -262,26 +279,31 @@ def resample_eav(
             src = tim if kind == "t" else val
             hit = (F.col("__rn_a__") == r + 1) if r >= 0 else (F.col("__rn_d__") == -r)
             rank_exprs.append(F.max(F.when((attr == F.lit(a)) & hit, src)).alias(name))
-        out = out.join(ranked.groupBy(WINDOW_ID).agg(*rank_exprs),
-                       on=WINDOW_ID, how="left")
+        out = out.join(ranked.groupBy(*key_cols).agg(*rank_exprs),
+                       on=key_cols, how="left")
 
     # --- custom callables via applyInPandas -----------------------------
     if custom_reqs:
         import pandas as pd  # noqa
 
+        key_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in wjoin.schema.fields)
+
         for a, fn, name in custom_reqs:
             ret_type = (custom_agg_schemas or {}).get(name, "double")
-            sub = pairs.filter(attr == F.lit(a)).select(WINDOW_ID, value_col)
-            schema = f"{WINDOW_ID} long, {name} {ret_type}"
+            sub = pairs.filter(attr == F.lit(a)).select(*key_cols, value_col)
+            schema = f"{key_ddl}, {name} {ret_type}"
 
-            def make_apply(_fn, _name):
-                def apply_fn(pdf):
-                    res = _fn(pdf[value_col])
-                    return pd.DataFrame({WINDOW_ID: [pdf[WINDOW_ID].iloc[0]], _name: [res]})
+            def make_apply(_fn, _name, _keys):
+                def apply_fn(key, pdf):
+                    data = {k: [v] for k, v in zip(_keys, key)}
+                    data[_name] = [_fn(pdf[value_col])]
+                    return pd.DataFrame(data)
                 return apply_fn
 
-            red = sub.groupBy(WINDOW_ID).applyInPandas(make_apply(fn, name), schema=schema)
-            out = out.join(red, on=WINDOW_ID, how="left")
+            red = sub.groupBy(*key_cols).applyInPandas(
+                make_apply(fn, name, key_cols), schema=schema)
+            out = out.join(red, on=key_cols, how="left")
 
     # size/count are 0 (not null) for windows without observations
     fills = {}
@@ -291,7 +313,7 @@ def resample_eav(
                 fills[f"{a}_{fn}"] = F.coalesce(F.col(f"{a}_{fn}"), F.lit(0))
     if fills:
         out = out.withColumns(fills)
-    return out.drop(WINDOW_ID)
+    return out.drop(*key_cols)
 
 
 def resample_interval(
@@ -344,7 +366,15 @@ def resample_interval(
         attributes = [r[0] for r in df.select(attribute_col).distinct().collect()]
     attributes = list(attributes)
 
-    win = windows.withColumn(WINDOW_ID, F.monotonically_increasing_id())
+    # content key instead of a generated window id (module docstring
+    # "Determinism"): duplicate windows receive the same aggregate row
+    key_cols = [_KE] + ([_KS] if has_start else []) + ([_KP] if has_stop else [])
+    key_map = {_KE: F.col(entity_col)}
+    if has_start:
+        key_map[_KS] = F.col(ws)
+    if has_stop:
+        key_map[_KP] = F.col(wp)
+    win = windows.withColumns(key_map)
 
     sch = {f.name: f.dataType for f in df.schema.fields}
     timey = _is_time_like(sch[start_col])
@@ -359,23 +389,18 @@ def resample_interval(
                 & (F.col(start_col) <= F.col(stop_col)))
     )
 
-    wjoin = win.select(
-        WINDOW_ID,
-        F.col(entity_col).alias("__w_entity__"),
-        *([F.col(ws).alias("__w_start__")] if has_start else []),
-        *([F.col(wp).alias("__w_stop__")] if has_stop else []),
-    )
-    cond = obs[entity_col] == wjoin["__w_entity__"]
+    wjoin = win.select(*key_cols).distinct()
+    cond = obs[entity_col] == wjoin[_KE]
     if has_start:
-        cond = cond & (wjoin["__w_start__"] <= obs[stop_col])
+        cond = cond & (wjoin[_KS] <= obs[stop_col])
     if has_stop:
-        cond = cond & (obs[start_col] <= wjoin["__w_stop__"])
+        cond = cond & (obs[start_col] <= wjoin[_KP])
     pairs = obs.join(wjoin, on=cond, how="inner")
 
     a = num(F.col(start_col))
     b = num(F.col(stop_col))
-    s = num(F.col("__w_start__")) if has_start else F.lit(float("-inf"))
-    t_ = num(F.col("__w_stop__")) if has_stop else F.lit(float("inf"))
+    s = num(F.col(_KS)) if has_start else F.lit(float("-inf"))
+    t_ = num(F.col(_KP)) if has_stop else F.lit(float("inf"))
     inter_lo = F.greatest(a, s)
     inter_hi = F.least(b, t_)
     len_i = b - a
@@ -395,13 +420,13 @@ def resample_interval(
 
     sums = (
         pairs.withColumn("__contrib__", contrib)
-        .groupBy(WINDOW_ID)
+        .groupBy(*key_cols)
         .pivot(attribute_col, attributes)
         .agg(F.sum("__contrib__"))
     )
-    out = win.join(sums, on=WINDOW_ID, how="left")
+    out = win.join(sums, on=key_cols, how="left")
     out = out.withColumns({att: F.coalesce(F.col(att), F.lit(0.0)) for att in attributes})
-    return out.drop(WINDOW_ID)
+    return out.drop(*key_cols)
 
 
 class make_windows:

@@ -138,6 +138,49 @@ def test_merge_bucket_strategy_equivalence(spark):
     assert_pdf_equal(bucket2, direct2, sort_by=["idx", "ridx"])
 
 
+def test_merge_keep_with_duplicate_left_rows(spark):
+    """Duplicate left rows each keep their own reduced match (VERDICT r1
+    determinism fix: content-hash ids + dup rank, not mono_id)."""
+    left = pd.DataFrame({"group": [1, 1, 1], "start": [0.0, 0.0, 5.0],
+                         "stop": [10.0, 10.0, 9.0]})
+    right = pd.DataFrame({"group": [1, 1], "rstart": [1.0, 2.0],
+                          "rstop": [3.0, 6.0], "ridx": [0, 1]})
+    out = merge_intervals(
+        to_sdf(spark, left), to_sdf(spark, right), on="group", how="left",
+        keep="first", keep_by="ridx",
+        left_start="start", left_stop="stop",
+        right_start="rstart", right_stop="rstop").toPandas()
+    assert len(out) == 3
+    dup = out[out.start == 0.0]
+    assert len(dup) == 2 and (dup.ridx == 0).all()
+
+
+def test_merge_outer_keyless(spark):
+    """Keyless full outer falls back to inner + deterministic anti-joins."""
+    left = pd.DataFrame({"start": [0.0, 50.0], "stop": [5.0, 55.0], "idx": [0, 1]})
+    right = pd.DataFrame({"rstart": [4.0, 100.0], "rstop": [6.0, 101.0], "ridx": [0, 1]})
+    out = merge_intervals(
+        to_sdf(spark, left), to_sdf(spark, right), how="outer",
+        left_start="start", left_stop="stop",
+        right_start="rstart", right_stop="rstop").toPandas()
+    assert len(out) == 3
+    matched = out[out.idx.notna() & out.ridx.notna()]
+    assert len(matched) == 1 and matched.iloc[0].idx == 0 and matched.iloc[0].ridx == 0
+
+
+def test_merge_return_indexers(spark):
+    left, right = _make_sides(8)
+    out = merge_intervals(
+        to_sdf(spark, left), to_sdf(spark, right), on="group", how="left",
+        left_start="start", left_stop="stop",
+        right_start="rstart", right_stop="rstop",
+        left_id="idx", right_id="ridx", return_indexers=True).toPandas()
+    m = _slow_pairs(left, right, "group")
+    got = set(zip(out["__left_row_id__"], out["__right_row_id__"]))
+    assert {p for p in got if p[1] != -1} == set(zip(m.idx, m.ridx))
+    assert {p[0] for p in got if p[1] == -1} == set(left.idx) - set(m.idx)
+
+
 def test_find_containing_interval(spark):
     rng = np.random.default_rng(6)
     points = pd.DataFrame({
