@@ -35,8 +35,11 @@ HEADLINE = [
     "dedup_exact",
     "fingerprint",
     "text_stats",
-    "minhash_lsh",
-    "simhash",
+    # raw LSH operators (the driver-checked minhash_lsh/simhash entries are
+    # recall certificates that also compute the exact ground truth; the raw
+    # variants time the approximate operators themselves)
+    "minhash_lsh_raw",
+    "simhash_raw",
     "ngram_jaccard",
     "cosine_topk",
     "lsh_ann",
@@ -72,7 +75,10 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = entry.queries()
+    qs = dict(entry.queries())
+    for name in HEADLINE:
+        if name not in qs:
+            qs[name] = getattr(entry, f"q_{name}")
 
     # one warm-up pass at the smallest SF: steady-state numbers, not
     # first-run JIT/codegen compilation (the reference's %timeit baseline

@@ -257,16 +257,32 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: Optional[int] = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity pairs (the oracle-checkable
     ground-truth for the MinHash estimate): explode distinct shingles,
     self-join on the shingle string, count common shingles, Jaccard =
     |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
 
-    Scale note: cost is Σ_shingle freq² — fine for near-dup corpora where
-    shingle frequencies are low; hot shingles should be pre-filtered (they
-    carry no near-dup signal).  Returns (id_a, id_b, jaccard)."""
+    ``max_doc_freq`` is the hot-shingle cap that makes the Σ freq² self-join
+    survive a real corpus: shingles appearing in more than ``max_doc_freq``
+    documents are removed from every document's shingle set BEFORE the join
+    (standard MinHash/LSH practice — a shingle shared by thousands of
+    documents carries no near-duplicate signal but contributes freq²
+    candidate pairs, a quadratic blowup on one hot key).  Jaccard is then
+    computed over the capped sets, which is the documented semantics (sizes
+    shrink together with intersections).  ``None`` disables the cap.
+
+    Scale note: with the cap, worst-case join cost is bounded by
+    Σ min(freq, cap)² ≤ cap · Σ freq — linear in corpus size.
+    Returns (id_a, id_b, jaccard)."""
     sh = shingle_rows(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        wdf = Window.partitionBy("sh")
+        # window (not groupBy+join): leaves sh hash-partitioned by shingle,
+        # exactly the partitioning the self-join below needs
+        sh = (sh.withColumn("__df__", F.count(F.lit(1)).over(wdf))
+              .filter(F.col("__df__") <= max_doc_freq).drop("__df__"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     l, r = sh.alias("l"), sh.alias("r")
     common = (

@@ -144,14 +144,32 @@ def lsh_cosine_topk(
     corpus_vec: str = "embedding",
     dim: int = 64,
     planes: int = 8,
-    tables: int = 4,
+    tables: int = 8,
     seed: int = 42,
+    probe_bits: int = 1,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k: ``tables`` independent random-hyperplane
     signatures bucket both sides; candidates = bucket collisions in any
     table; exact cosine re-scoring + top-k.  The all-pairs product becomes
-    an equi-join on (table, signature) — the 100 TB plan.  Recall rises
-    with ``tables``, bucket size falls with ``planes``."""
+    an equi-join on (table, signature) — the 100 TB plan.
+
+    **Multi-probe** (Lv et al., "Multi-probe LSH", VLDB 2007): with
+    ``probe_bits=1`` each query additionally probes every bucket at Hamming
+    distance 1 from its signature.  This lets ``planes`` stay high (buckets
+    stay selective — a low-plane signature collides with most of the corpus
+    and degenerates into all-pairs) while recovering the recall the extra
+    planes would cost; probing multiplies only the tiny query side
+    (``x planes+1``), never the corpus.
+
+    Plan shape: signatures are map-only pandas-UDF matmuls; the query side
+    (ids + vectors + probed signatures) is broadcast
+    (``broadcast_queries``), so candidate generation AND exact re-scoring
+    happen map-side over a single corpus scan with no corpus shuffle; only
+    the scored (query, neighbor, sim) triples — vectors already dropped —
+    pass through the dedup/top-k exchange.  Set
+    ``broadcast_queries=False`` for a large query set to get the
+    shuffle-on-(table, signature) bucket join instead."""
     def with_sigs(df, id_alias, vec_alias, idc, vecc):
         out = df.select(F.col(idc).alias(id_alias),
                         F.col(vecc).cast("array<double>").alias(vec_alias))
@@ -162,18 +180,28 @@ def lsh_cosine_topk(
                               keep_cols=[vec_alias])
 
     q = with_sigs(queries, "query_id", "__qv__", query_id, query_vec)
-    # bucket join: shuffle on (table, signature) — the scalable plan; the
-    # hint also keeps Catalyst from broadcasting a side whose size estimate
-    # is unreliable here
-    c = with_sigs(corpus, "neighbor_id", "__cv__", corpus_id, corpus_vec).hint("shuffle_hash")
-    cand = (
-        q.join(c, on=[q["table_idx"] == c["table_idx"], q["sig"] == c["sig"],
-                      F.col("query_id") != F.col("neighbor_id")])
-        .select("query_id", "__qv__", "neighbor_id", "__cv__")
+    if probe_bits:
+        if probe_bits != 1:
+            raise ValueError("probe_bits must be 0 or 1")
+        q = q.select(
+            "query_id", "__qv__", "table_idx",
+            F.explode(F.array(
+                F.col("sig"),
+                *[F.col("sig").bitwiseXOR(F.lit(1 << b)) for b in range(planes)],
+            )).alias("sig"))
+    c = with_sigs(corpus, "neighbor_id", "__cv__", corpus_id, corpus_vec)
+    qj = F.broadcast(q) if broadcast_queries else q
+    joined = c.join(
+        qj, on=[q["table_idx"] == c["table_idx"], q["sig"] == c["sig"],
+                F.col("query_id") != F.col("neighbor_id")])
+    # score BEFORE deduplicating: the cosine is codegen arithmetic on rows
+    # that are already co-located, and dropping the vectors here means the
+    # dedup exchange carries only (query, neighbor, sim) triples
+    scored = (
+        joined.withColumn("cosine_sim", cosine(F.col("__qv__"), F.col("__cv__"), dim))
+        .select("query_id", "neighbor_id", "cosine_sim")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cosine_sim",
-                             cosine(F.col("__qv__"), F.col("__cv__"), dim))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

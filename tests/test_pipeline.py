@@ -100,10 +100,12 @@ def test_cosine_topk_exact(spark, emb):
 def test_lsh_cosine_topk_recall(spark, emb):
     queries = emb.filter(F.col("vec_id") < 20)
     exact = cosine_topk(queries, emb, k=3).toPandas()
-    # synthetic embeddings are near-random: top-3 cosine is only ~0.4, so
-    # use permissive buckets (4 planes) and many tables for recall
-    approx = lsh_cosine_topk(queries, emb, k=3, dim=64, planes=4, tables=16).toPandas()
     exact_set = set(zip(exact.query_id, exact.neighbor_id))
+    # synthetic embeddings are near-random (top-3 cosine only ~0.4), the
+    # hard case for LSH: selective 8-plane buckets need Hamming-1
+    # multi-probe to keep recall
+    approx = lsh_cosine_topk(queries, emb, k=3, dim=64, planes=8, tables=12,
+                             probe_bits=1).toPandas()
     approx_set = set(zip(approx.query_id, approx.neighbor_id))
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.6, f"LSH recall too low: {recall}"
