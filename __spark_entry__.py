@@ -163,6 +163,105 @@ _Q_MERGE_LEFT_FIRST_SQL = f"""
 """
 
 
+def q_merge_keep_both(spark, sf):
+    """keep="both": first AND last match per left row, deduplicated
+    (reference merging.py:728-748), reduced with one min_by+max_by
+    aggregation."""
+    out = cps.merge_intervals(
+        _li(spark, sf), _ow(spark, sf).withColumnRenamed("okey", "rokey"),
+        left_on=["okey"], right_on=["rokey"], how="left", keep="both",
+        left_start="s_start", left_stop="s_stop",
+        right_start="w_start", right_stop="w_stop", keep_by=["w_start", "rokey"])
+    # lineitem rows are not globally unique -> compare content + multiplicity
+    return out.groupBy("okey", "lineno", "s_start", "s_stop",
+                       "rokey", "w_start", "w_stop").agg(F.count(F.lit(1)).alias("n"))
+
+
+_Q_MERGE_KEEP_BOTH_SQL = f"""
+    WITH lid AS (
+      SELECT okey, lineno, s_start, s_stop, count(*) AS n
+      FROM ({_LI_SQL}) GROUP BY okey, lineno, s_start, s_stop
+    ), m AS (
+      SELECT l.okey, l.lineno, l.s_start, l.s_stop, l.n,
+             o.okey AS rokey, o.w_start, o.w_stop,
+             row_number() OVER (PARTITION BY l.okey, l.lineno, l.s_start, l.s_stop
+                                ORDER BY o.w_start, o.okey) AS ra,
+             row_number() OVER (PARTITION BY l.okey, l.lineno, l.s_start, l.s_stop
+                                ORDER BY o.w_start DESC, o.okey DESC) AS rd
+      FROM lid l JOIN ({_OW_SQL}) o
+        ON l.okey = o.okey AND l.s_start <= o.w_stop AND o.w_start <= l.s_stop
+    )
+    SELECT okey, lineno, s_start, s_stop, rokey, w_start, w_stop, n
+    FROM m WHERE ra = 1 OR rd = 1
+    UNION ALL
+    SELECT l.okey, l.lineno, l.s_start, l.s_stop, NULL, NULL, NULL, l.n FROM lid l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ({_OW_SQL}) o
+      WHERE l.okey = o.okey AND l.s_start <= o.w_stop AND o.w_start <= l.s_stop)
+"""
+
+
+def q_merge_indexers(spark, sf):
+    """return_indexers=True with user-supplied unique ids (reference
+    merging.py:106-115): (order, lineitem-row) id pairs for the overlap
+    join instead of the materialized frame; -1 marks unmatched lefts."""
+    l = _ow(spark, sf)
+    r = _li(spark, sf).select(
+        (F.col("okey") * 10 + F.col("lineno")).alias("rid"),
+        F.col("okey").alias("rokey"), "s_start", "s_stop")
+    out = cps.merge_intervals(
+        l, r, left_on=["okey"], right_on=["rokey"], how="left",
+        left_start="w_start", left_stop="w_stop",
+        right_start="s_start", right_stop="s_stop",
+        left_id="okey", right_id="rid", return_indexers=True)
+    return out.select(F.col("__left_row_id__").alias("lid"),
+                      F.col("__right_row_id__").alias("rid"))
+
+
+_Q_MERGE_INDEXERS_SQL = f"""
+    WITH o AS ({_OW_SQL}),
+         l AS (SELECT okey * 10 + lineno AS rid, okey, s_start, s_stop
+               FROM ({_LI_SQL}))
+    SELECT o.okey AS lid, l.rid AS rid
+    FROM o JOIN l ON o.okey = l.okey
+       AND o.w_start <= l.s_stop AND l.s_start <= o.w_stop
+    UNION ALL
+    SELECT o.okey AS lid, -1 AS rid FROM o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM l WHERE o.okey = l.okey
+        AND o.w_start <= l.s_stop AND l.s_start <= o.w_stop)
+"""
+
+
+def q_bucket_range_join(spark, sf):
+    """T3 analogue (BASELINE.md: pure inequality, NO equi-keys): keyless
+    interval-overlap join with strategy="bucket" — intervals explode into
+    30-day buckets, equi-join on the bucket id, residual exact predicate,
+    pair dedup.  This is the large x large plan that replaces the O(n*m)
+    broadcast nested loop."""
+    l = (_li(spark, sf)
+         .filter((F.col("lineno") == 1) & (F.col("okey") % 8 == 0))
+         .select("okey", "lineno", "s_start", "s_stop"))
+    r = (_ow(spark, sf).filter(F.col("okey") % 37 == 0)
+         .select(F.col("okey").alias("rokey"), "w_start", "w_stop"))
+    out = cps.merge_intervals(
+        l, r, how="inner",
+        left_start="s_start", left_stop="s_stop",
+        right_start="w_start", right_stop="w_stop",
+        strategy="bucket", bucket_width=float(30 * DAY))
+    return out.select("okey", "lineno", "rokey", "w_start")
+
+
+_Q_BUCKET_RANGE_SQL = f"""
+    WITH l AS (SELECT okey, lineno, s_start, s_stop FROM ({_LI_SQL})
+               WHERE lineno = 1 AND okey % 8 = 0),
+         r AS (SELECT okey AS rokey, w_start, w_stop FROM ({_OW_SQL})
+               WHERE okey % 37 = 0)
+    SELECT l.okey, l.lineno, r.rokey, r.w_start
+    FROM l JOIN r ON l.s_start <= r.w_stop AND r.w_start <= l.s_stop
+"""
+
+
 def q_find_containing(spark, sf):
     """find_containing_interval (SURVEY §2.1 #2): first/last window per point."""
     points = _li(spark, sf).select("okey", "lineno", F.col("s_start").alias("p"))
@@ -382,6 +481,83 @@ _Q_IMPUTE_LINEAR_SQL = f"""
 """
 
 
+def q_impute_bfill(spark, sf):
+    """impute bfill with limit (reference misc.py:744-758)."""
+    out = cps.impute(_ev(spark, sf), method="bfill", columns="val",
+                     group_by="uid", order_by=["t", "eid"], limit=3)
+    return out.select("eid", "uid", "t", F.round("val", 6).alias("val"))
+
+
+_Q_IMPUTE_BFILL_SQL = f"""
+    WITH e AS ({_EV_SQL})
+    SELECT eid, uid, t,
+           round(coalesce(val, first_value(val IGNORE NULLS) OVER
+                 (PARTITION BY uid ORDER BY t, eid
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)), 6) AS val
+    FROM e
+"""
+
+
+def q_impute_afill(spark, sf):
+    """impute afill: mean of ffill and bfill, coalesced to whichever exists
+    (reference misc.py:744-758)."""
+    out = cps.impute(_ev(spark, sf), method="afill", columns="val",
+                     group_by="uid", order_by=["t", "eid"])
+    return out.select("eid", "uid", "t", F.round("val", 6).alias("val"))
+
+
+_Q_IMPUTE_AFILL_SQL = f"""
+    WITH e AS ({_EV_SQL}),
+    fb AS (
+      SELECT eid, uid, t, val,
+             last_value(val IGNORE NULLS) OVER
+               (PARTITION BY uid ORDER BY t, eid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fwd,
+             first_value(val IGNORE NULLS) OVER
+               (PARTITION BY uid ORDER BY t, eid
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bwd
+      FROM e
+    )
+    SELECT eid, uid, t,
+           round(coalesce(fwd + (bwd - fwd) / 2.0, fwd, bwd), 6) AS val
+    FROM fb
+"""
+
+
+def q_impute_lfill(spark, sf):
+    """impute lfill: linear interpolation, then ffill, then bfill
+    (reference misc.py:744-758 + 720-721)."""
+    out = cps.impute(_ev(spark, sf), method="lfill", columns="val",
+                     group_by="uid", order_by=["t", "eid"])
+    return out.select("eid", "uid", "t", F.round("val", 6).alias("val"))
+
+
+_Q_IMPUTE_LFILL_SQL = f"""
+    WITH e AS ({_EV_SQL}),
+    p AS (
+      SELECT eid, uid, t, val,
+             row_number() OVER w AS pos,
+             last_value(val IGNORE NULLS) OVER
+               (PARTITION BY uid ORDER BY t, eid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN val IS NOT NULL THEN rn0 END IGNORE NULLS) OVER
+               (PARTITION BY uid ORDER BY t, eid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pp,
+             first_value(val IGNORE NULLS) OVER
+               (PARTITION BY uid ORDER BY t, eid
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN val IS NOT NULL THEN rn0 END IGNORE NULLS) OVER
+               (PARTITION BY uid ORDER BY t, eid
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+      FROM (SELECT *, row_number() OVER (PARTITION BY uid ORDER BY t, eid) AS rn0 FROM e)
+      WINDOW w AS (PARTITION BY uid ORDER BY t, eid)
+    )
+    SELECT eid, uid, t,
+           round(coalesce(val, pv + (nv - pv) * (pos - pp) / (np - pp), pv, nv), 6) AS val
+    FROM p
+"""
+
+
 def _weekly_windows(spark, sf):
     ev = _ev(spark, sf)
     wk = 7 * DAY * 1_000_000
@@ -576,6 +752,39 @@ _Q_RESAMPLE_INTERVAL_SQL = f"""
              AS price
     FROM w LEFT JOIN j ON j.entity = w.okey AND j.w_start = w.w_start
     GROUP BY w.okey, w.w_start, w.w_stop
+"""
+
+
+def q_make_windows(spark, sf):
+    """make_windows (SURVEY §2.1 #5, reference resampling.py:791-1083):
+    relative windows anchored per entity — [first_event + 1h, +3d) — built
+    from the lazy spec's SQL-source escape hatch (the Spark replacement of
+    the reference's eval() string, resampling.py:925-932) and consumed
+    end-to-end by resample_eav."""
+    HOUR = 3_600_000_000  # event time is epoch micros
+    ev = _ev(spark, sf).select(F.col("uid").alias("entity"), "t",
+                               F.col("etype").alias("attribute"),
+                               F.col("val").alias("value"))
+    mw = cps.make_windows(
+        df="SELECT entity, min(t) AS anchor FROM df GROUP BY entity",
+        anchor="anchor", start_rel=HOUR, duration=72 * HOUR)
+    out = cps.resample_eav(ev, mw, {"click": ["count"], "view": ["count"]},
+                           entity_col="entity", time_col="t")
+    return out.select("entity", "t_start", "t_stop",
+                      "click_count", "view_count")
+
+
+_Q_MAKE_WINDOWS_SQL = f"""
+    WITH e AS ({_EV_SQL}),
+    a AS (SELECT uid AS entity, min(t) AS anchor FROM e GROUP BY uid),
+    w AS (SELECT entity, anchor + 3600000000 AS t_start,
+                 anchor + 3600000000 + 72 * 3600000000 AS t_stop FROM a)
+    SELECT w.entity, w.t_start, w.t_stop,
+           count(CASE WHEN e.etype = 'click' THEN e.val END) AS click_count,
+           count(CASE WHEN e.etype = 'view' THEN e.val END) AS view_count
+    FROM w LEFT JOIN e
+      ON e.uid = w.entity AND e.t >= w.t_start AND e.t < w.t_stop
+    GROUP BY w.entity, w.t_start, w.t_stop
 """
 
 
@@ -1016,6 +1225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_overlap": q_merge_overlap,
         "merge_open_endpoints": q_merge_open_endpoints,
         "merge_left_keep_first": q_merge_left_keep_first,
+        "merge_keep_both": q_merge_keep_both,
+        "merge_indexers": q_merge_indexers,
+        "bucket_range_join": q_bucket_range_join,
         "find_containing": q_find_containing,
         "group_intervals": q_group_intervals,
         "combine_union": q_combine_union,
@@ -1024,7 +1236,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_mode": q_grouped_mode,
         "prev_next": q_prev_next,
         "impute_ffill": q_impute_ffill,
+        "impute_bfill": q_impute_bfill,
+        "impute_afill": q_impute_afill,
+        "impute_lfill": q_impute_lfill,
         "impute_linear": q_impute_linear,
+        "make_windows": q_make_windows,
         "resample_eav_basic": q_resample_eav_basic,
         "resample_eav_quantiles": q_resample_eav_quantiles,
         "resample_eav_ranks": q_resample_eav_ranks,
@@ -1056,6 +1272,9 @@ def oracle_sql() -> dict[str, str]:
         "merge_overlap": _Q_MERGE_OVERLAP_SQL,
         "merge_open_endpoints": _Q_MERGE_OPEN_SQL,
         "merge_left_keep_first": _Q_MERGE_LEFT_FIRST_SQL,
+        "merge_keep_both": _Q_MERGE_KEEP_BOTH_SQL,
+        "merge_indexers": _Q_MERGE_INDEXERS_SQL,
+        "bucket_range_join": _Q_BUCKET_RANGE_SQL,
         "find_containing": _Q_FIND_CONTAINING_SQL,
         "group_intervals": _Q_GROUP_INTERVALS_SQL,
         "combine_union": _combine_sql(1, None),
@@ -1064,7 +1283,11 @@ def oracle_sql() -> dict[str, str]:
         "grouped_mode": _Q_GROUPED_MODE_SQL,
         "prev_next": _Q_PREV_NEXT_SQL,
         "impute_ffill": _Q_IMPUTE_FFILL_SQL,
+        "impute_bfill": _Q_IMPUTE_BFILL_SQL,
+        "impute_afill": _Q_IMPUTE_AFILL_SQL,
+        "impute_lfill": _Q_IMPUTE_LFILL_SQL,
         "impute_linear": _Q_IMPUTE_LINEAR_SQL,
+        "make_windows": _Q_MAKE_WINDOWS_SQL,
         "resample_eav_basic": _Q_RESAMPLE_BASIC_SQL,
         "resample_eav_quantiles": _Q_RESAMPLE_QUANT_SQL,
         "resample_eav_ranks": _Q_RESAMPLE_RANKS_SQL,

@@ -20,6 +20,7 @@ import __spark_entry__ as entry  # noqa: E402
 HEADLINE = [
     "merge_overlap",
     "merge_left_keep_first",
+    "bucket_range_join",
     "find_containing",
     "group_intervals",
     "combine_union",

@@ -157,9 +157,9 @@ def merge_intervals(
     # full outer without equi-keys cannot run as a native BNLJ full join;
     # the bucket strategy is inner-only: both fall back to inner + anti-joins
     anti_path = (use_bucket and how != "inner") or (how == "outer" and not has_eq)
-    need_left_id = (return_indexers or use_bucket or anti_path
+    need_left_id = (return_indexers or anti_path
                     or (keep != "all" and how != "right"))
-    need_right_id = (return_indexers or use_bucket or anti_path
+    need_right_id = (return_indexers or anti_path
                      or (keep != "all" and (how == "right" or keep_by is None)))
 
     # --- attach row ids (only when something consumes them) ------------
@@ -363,11 +363,17 @@ def _bucket_join(
     r_stop: Optional[str],
 ) -> DataFrame:
     """Bucketized range join: explode intervals into width-W buckets, join on
-    the bucket id (+ any equi-keys), post-filter with the exact predicate,
-    and deduplicate pairs.  Intervals with an infinite/missing endpoint
-    cannot be bucketized, so both sides must supply finite start and stop
-    columns; otherwise this raises (no automatic fallback — use
-    ``strategy="direct"``).
+    the bucket id (+ any equi-keys), post-filter with the exact predicate.
+    Pair uniqueness WITHOUT a dedup shuffle: an overlapping pair appears in
+    every bucket its intersection spans, so each pair is emitted only from
+    the single bucket containing ``max(l_start, r_start)`` — a point every
+    overlapping pair's intersection contains.  (A ``dropDuplicates`` over
+    the candidate pairs cost a full extra shuffle of the match set and
+    forced row-id generation; this filter is free and needs no ids.)
+
+    Intervals with an infinite/missing endpoint cannot be bucketized, so
+    both sides must supply finite start and stop columns; otherwise this
+    raises (no automatic fallback — use ``strategy="direct"``).
     """
     if not all([l_start, l_stop, r_start, r_stop]):
         raise ValueError("bucket strategy requires finite start/stop columns on both sides")
@@ -383,12 +389,13 @@ def _bucket_join(
     )).alias("__bucket__")
     le = lm.select("*", lb)
     re_ = rm.select("*", rb)
-    cond = le["__bucket__"] == re_["__bucket__"]
+    anchor = F.floor(F.greatest(_numeric(le[l_start], lsch[l_start]),
+                                _numeric(re_[r_start], rsch[r_start])) / F.lit(bucket_width))
+    cond = (le["__bucket__"] == re_["__bucket__"]) & (le["__bucket__"] == anchor)
     for e in eq:
         cond = cond & e  # eq columns resolve by name through the exploded frames
     joined = le.join(re_, on=cond, how="inner").drop(le["__bucket__"]).drop(re_["__bucket__"])
-    joined = joined.filter(rng)
-    return joined.dropDuplicates([LEFT_ID, RIGHT_ID])
+    return joined.filter(rng)
 
 
 def find_containing_interval(
