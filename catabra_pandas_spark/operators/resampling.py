@@ -129,6 +129,12 @@ def resample_eav(
         key_map[_KP] = F.col(wp)
     win = windows.withColumns(key_map)
 
+    # bool values promote to a float type for aggregation (reference
+    # _get_default_value, resampling.py:1558-1570: bool -> float32; Spark's
+    # numeric aggregates reject BooleanType outright)
+    if isinstance(df.schema[value_col].dataType, T.BooleanType):
+        df = df.withColumn(value_col, F.col(value_col).cast("double"))
+
     # prune observations: null times ignored (resampling.py:47-48), only
     # requested attributes (resampling.py:281-285)
     obs_cols = [entity_col, time_col, attribute_col, value_col]

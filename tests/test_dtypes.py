@@ -1,0 +1,176 @@
+"""Dtype-matrix coverage, modeled on the reference test generator's sweep
+(reference tests/util.py:377-416: float/int/bool/timedelta/timestamp/str/
+ordered-categorical).  Spark mapping: double/long/boolean/day-time-interval/
+timestamp/string; ordered categoricals are strings (SURVEY.md §1.2).
+
+Each test runs an operator on non-numeric endpoint/value dtypes and compares
+against a local pandas oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from catabra_pandas_spark import group_intervals, merge_intervals, resample_eav
+from .conftest import assert_pdf_equal, to_sdf
+
+
+def _ts(seed, n, base="2024-01-01"):
+    rng = np.random.default_rng(seed)
+    return pd.Timestamp(base) + pd.to_timedelta(rng.integers(0, 90 * 24 * 3600, n), unit="s")
+
+
+def _pairs_oracle(left, right, on):
+    """Equi-merge + interval post-filter, closed endpoints (the reference's
+    test oracle pattern)."""
+    m = left.merge(right, on=on)
+    ok = (m["start"] <= m["rstop"]) & (m["rstart"] <= m["stop"])
+    return m[ok.fillna(False)]
+
+
+@pytest.mark.parametrize("kind", ["timestamp", "date", "string", "timedelta"])
+def test_merge_intervals_dtype_matrix(spark, kind):
+    rng = np.random.default_rng(11)
+    n_l, n_r = 200, 80
+    if kind == "timestamp":
+        ls = _ts(1, n_l)
+        rs = _ts(2, n_r)
+        ld = pd.to_timedelta(rng.integers(0, 10 * 24 * 3600, n_l), unit="s")
+        rd = pd.to_timedelta(rng.integers(0, 10 * 24 * 3600, n_r), unit="s")
+        left = pd.DataFrame({"g": rng.integers(0, 8, n_l), "start": ls, "stop": ls + ld,
+                             "idx": np.arange(n_l)})
+        right = pd.DataFrame({"g": rng.integers(0, 8, n_r), "rstart": rs, "rstop": rs + rd,
+                              "ridx": np.arange(n_r)})
+    elif kind == "date":
+        ls = _ts(3, n_l).normalize()
+        rs = _ts(4, n_r).normalize()
+        left = pd.DataFrame({"g": rng.integers(0, 8, n_l), "start": ls.date,
+                             "stop": (ls + pd.to_timedelta(rng.integers(0, 14, n_l), unit="D")).date,
+                             "idx": np.arange(n_l)})
+        right = pd.DataFrame({"g": rng.integers(0, 8, n_r), "rstart": rs.date,
+                              "rstop": (rs + pd.to_timedelta(rng.integers(0, 14, n_r), unit="D")).date,
+                              "ridx": np.arange(n_r)})
+    elif kind == "string":
+        # lexicographically ordered version-ish strings
+        def vstr(a):
+            return np.array([f"v{x:04d}" for x in a])
+        a = rng.integers(0, 500, n_l)
+        b = rng.integers(0, 500, n_r)
+        left = pd.DataFrame({"g": rng.integers(0, 8, n_l), "start": vstr(a),
+                             "stop": vstr(a + rng.integers(0, 60, n_l)),
+                             "idx": np.arange(n_l)})
+        right = pd.DataFrame({"g": rng.integers(0, 8, n_r), "rstart": vstr(b),
+                              "rstop": vstr(b + rng.integers(0, 60, n_r)),
+                              "ridx": np.arange(n_r)})
+    else:  # timedelta -> Spark day-time interval
+        a = pd.to_timedelta(rng.integers(0, 3600, n_l), unit="s")
+        b = pd.to_timedelta(rng.integers(0, 3600, n_r), unit="s")
+        left = pd.DataFrame({"g": rng.integers(0, 8, n_l), "start": a,
+                             "stop": a + pd.to_timedelta(rng.integers(0, 600, n_l), unit="s"),
+                             "idx": np.arange(n_l)})
+        right = pd.DataFrame({"g": rng.integers(0, 8, n_r), "rstart": b,
+                              "rstop": b + pd.to_timedelta(rng.integers(0, 600, n_r), unit="s"),
+                              "ridx": np.arange(n_r)})
+
+    out = merge_intervals(
+        to_sdf(spark, left), to_sdf(spark, right), on="g", how="inner",
+        left_start="start", left_stop="stop",
+        right_start="rstart", right_stop="rstop").toPandas()
+    exp = _pairs_oracle(left, right, "g")
+    if kind == "timedelta":
+        # Spark day-time intervals come back as timedelta64; normalize
+        for c in ("start", "stop"):
+            out[c] = pd.to_timedelta(out[c])
+        for c in ("rstart", "rstop"):
+            out[c] = pd.to_timedelta(out[c])
+    assert_pdf_equal(out, exp, sort_by=["idx", "ridx"])
+
+
+def test_group_intervals_timestamp(spark):
+    """Timestamp endpoints; distance is seconds (epoch-seconds comparison
+    domain, documented in group_intervals)."""
+    rng = np.random.default_rng(12)
+    n = 300
+    s = _ts(5, n)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 6, n),
+        "start": s,
+        "stop": s + pd.to_timedelta(rng.integers(0, 48 * 3600, n), unit="s"),
+        "idx": np.arange(n),
+    })
+    out = group_intervals(to_sdf(spark, df), group_by="g",
+                          start_col="start", stop_col="stop",
+                          distance=6 * 3600).toPandas()
+
+    # pandas oracle: sort by (start, stop), islands where gap > distance
+    exp_groups = {}
+    for g, sub in df.sort_values(["start", "stop"]).groupby("g"):
+        gid, runmax = -1, None
+        for _, r in sub.iterrows():
+            if runmax is None or (r.start - runmax).total_seconds() > 6 * 3600:
+                gid += 1
+            runmax = r.stop if runmax is None else max(runmax, r.stop)
+            exp_groups[r.idx] = gid
+    exp = df.copy()
+    exp["interval_group"] = exp.idx.map(exp_groups)
+    out["start"] = pd.to_datetime(out["start"])
+    out["stop"] = pd.to_datetime(out["stop"])
+    assert_pdf_equal(out, exp, sort_by=["idx"])
+
+
+def test_resample_eav_timestamp_windows_bool_values(spark):
+    """Timestamp time axis + boolean values: bool promotes to a float type
+    (reference resampling.py:1558-1570) and aggregates like pandas."""
+    rng = np.random.default_rng(13)
+    n = 400
+    t = _ts(6, n)
+    df = pd.DataFrame({
+        "entity": rng.integers(0, 8, n),
+        "timestamp": t,
+        "attribute": rng.choice(["ok", "warn"], n),
+        "value": rng.random(n) < 0.4,
+    })
+    wins = []
+    for e in range(8):
+        for w in range(3):
+            s = pd.Timestamp("2024-01-01") + pd.Timedelta(days=int(rng.integers(0, 60)))
+            wins.append((e, s, s + pd.Timedelta(days=14)))
+    win = pd.DataFrame(wins, columns=["entity", "timestamp_start", "timestamp_stop"])
+    win["win_id"] = np.arange(len(win))
+
+    out = resample_eav(to_sdf(spark, df), to_sdf(spark, win),
+                       {"ok": ["mean", "sum", "count"]},
+                       include_start=True, include_stop=False).toPandas()
+
+    exp = win.copy()
+    means, sums, counts = [], [], []
+    for _, w in win.iterrows():
+        sub = df[(df.entity == w.entity) & (df.attribute == "ok")
+                 & (df.timestamp >= w.timestamp_start) & (df.timestamp < w.timestamp_stop)]
+        v = sub.value.astype(float)
+        means.append(v.mean() if len(v) else np.nan)
+        sums.append(v.sum() if len(v) else np.nan)
+        counts.append(len(v))
+    exp["ok_mean"], exp["ok_sum"], exp["ok_count"] = means, sums, counts
+    for c in ("timestamp_start", "timestamp_stop"):
+        out[c] = pd.to_datetime(out[c])
+    assert_pdf_equal(out, exp, sort_by=["win_id"])
+
+
+def test_merge_string_keep_first(spark):
+    """keep reduction over string intervals (min_by on string order)."""
+    left = pd.DataFrame({"g": [1, 1, 2], "start": ["b", "f", "a"],
+                         "stop": ["d", "h", "c"], "idx": [0, 1, 2]})
+    right = pd.DataFrame({"g": [1, 1, 1, 2], "rstart": ["a", "c", "g", "b"],
+                          "rstop": ["c", "e", "i", "b"], "ridx": [0, 1, 2, 3]})
+    out = merge_intervals(
+        to_sdf(spark, left), to_sdf(spark, right), on="g", how="left",
+        keep="first", keep_by="rstart",
+        left_start="start", left_stop="stop",
+        right_start="rstart", right_stop="rstop").toPandas()
+    m = _pairs_oracle(left, right, "g")
+    exp = m.sort_values("rstart", kind="stable").groupby("idx", as_index=False).first()
+    exp = exp[m.columns.tolist()]
+    assert_pdf_equal(out, exp, sort_by=["idx"])
