@@ -1131,6 +1131,50 @@ def _lsh_ann_sql(dim=64, planes=8, tables=12, seed=42, n_queries=20, k=5) -> str
 """
 
 
+def q_ivf_ann(spark, sf):
+    """IVF-flat ANN (the second scale path besides LSH): deterministic
+    codebook = the 16 lowest-id corpus vectors, probe the 4 nearest cells
+    per query, exact re-score.  Fully oracle-checked: the DuckDB twin
+    replays cell assignment, probing, and top-k from the same codebook."""
+    emb = read_table(spark, sf, "embeddings")
+    out = P.ivf_cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=5,
+                            n_centroids=16, n_probe=4)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+
+
+_Q_IVF_ANN_SQL = """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16),
+    asgn AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                         c.cid) AS rn
+      FROM emb e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM asgn WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, cid AS cell FROM asgn
+               WHERE vec_id < 20 AND rn <= 4),
+    cand AS (
+      SELECT p.query_id, ce.vec_id AS neighbor_id
+      FROM qprobe p JOIN cells ce ON ce.cell = p.cell
+      WHERE ce.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_cosine_similarity(q.v, n.v) AS sim,
+             row_number() OVER (PARTITION BY c.query_id
+                                ORDER BY list_cosine_similarity(q.v, n.v) DESC,
+                                         c.neighbor_id) AS rank
+      FROM cand c JOIN emb q ON q.vec_id = c.query_id
+                  JOIN emb n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank
+    FROM scored WHERE rank <= 5
+"""
+
+
 def q_sessionize(spark, sf):
     """Streaming-native sessionization (F.session_window, batch mode here;
     the same expression runs incrementally under readStream + watermark —
@@ -1261,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         # multimodal plumbing: rows-only driver check (decode is stubbed —
         # no codec in the container)
         "multimodal_decode": q_multimodal_decode,
@@ -1310,4 +1355,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _ngram_sql(0.8),
         # full DuckDB twin of the multi-probe LSH ANN (literal hyperplanes)
         "lsh_ann": _lsh_ann_sql(),
+        # full DuckDB twin of IVF-flat ANN (deterministic codebook)
+        "ivf_ann": _Q_IVF_ANN_SQL,
     }

@@ -44,6 +44,7 @@ HEADLINE = [
     "ngram_jaccard",
     "cosine_topk",
     "lsh_ann",
+    "ivf_ann",
 ]
 
 

@@ -19,14 +19,16 @@ from .dedup import (
     simhash,
     simhash_near_dup_pairs,
 )
-from .similarity import cosine_topk, embedding_near_dup_pairs, lsh_cosine_topk
+from .similarity import (cosine_topk, embedding_near_dup_pairs,
+                         ivf_cosine_topk, lsh_cosine_topk)
 from .text import detect_language, fingerprint, text_quality, token_count
 from .multimodal import attach_binary_metadata, decode_binary, sample_frames
 
 __all__ = [
     "exact_dedup", "shingles", "shingle_rows", "minhash_signatures", "minhash_near_dup_pairs",
     "simhash", "simhash_near_dup_pairs", "ngram_jaccard_pairs",
-    "cosine_topk", "lsh_cosine_topk", "embedding_near_dup_pairs",
+    "cosine_topk", "lsh_cosine_topk",
+    "ivf_cosine_topk", "embedding_near_dup_pairs",
     "detect_language", "fingerprint", "text_quality", "token_count",
     "attach_binary_metadata", "decode_binary", "sample_frames",
 ]

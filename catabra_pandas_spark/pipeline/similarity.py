@@ -209,6 +209,87 @@ def lsh_cosine_topk(
             .select("query_id", "neighbor_id", "cosine_sim", "rank"))
 
 
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int | None = None,
+    centroids: list | None = None,
+) -> DataFrame:
+    """IVF-flat approximate cosine top-k: partition the corpus into
+    ``n_centroids`` Voronoi cells (nearest centroid by cosine), search only
+    the ``n_probe`` cells nearest to each query, re-score exactly.
+
+    Centroid selection is deliberately deterministic — the ``n_centroids``
+    corpus vectors with the smallest ids (the standard IVF-flat
+    random-sample baseline, made reproducible and therefore
+    oracle-checkable; pass ``centroids`` as [(id, vector), ...] to plug in
+    k-means or any other codebook).
+
+    Plan shape (the 100 TB story): the centroid matrix is tiny and
+    closure-captured, so cell assignment is ONE Arrow-batched pandas-UDF
+    matmul over a single corpus scan — map-only, no shuffle; query probes
+    are broadcast; candidates are scored map-side and only (query,
+    neighbor, sim) triples reach the top-k exchange.  Fraction of corpus
+    scanned ~= n_probe / n_centroids.  Ties in centroid order break by
+    centroid id (stable argsort), matching the SQL twin's
+    (cosine DESC, cid ASC) ordering.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    if dim is None:
+        dim = _infer_dim(corpus, corpus_vec)
+    if centroids is None:
+        cent_rows = (corpus
+                     .select(F.col(corpus_id).alias("cid"),
+                             F.col(corpus_vec).cast("array<double>").alias("cv"))
+                     .orderBy("cid").limit(n_centroids).collect())
+        centroids = [(r["cid"], r["cv"]) for r in cent_rows]
+    C = np.asarray([v for _, v in centroids], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cids = np.asarray([int(i) for i, _ in centroids], dtype=np.int64)
+
+    def make_probe_udf(top: int):
+        @pandas_udf(T.ArrayType(T.LongType()))
+        def probe_udf(vecs):
+            import pandas as pd
+            m = np.asarray(vecs.tolist(), dtype=np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            sims = mn @ Cn.T                                  # batch × K
+            order = np.argsort(-sims, axis=1, kind="stable")  # ties -> cid asc
+            return pd.Series(list(cids[order[:, :top]]))
+        return probe_udf
+
+    c = (corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                       F.col(corpus_vec).cast("array<double>").alias("__cv__"))
+         .withColumn("cell", F.element_at(make_probe_udf(1)(F.col("__cv__")), 1)))
+    q = (queries.select(F.col(query_id).alias("query_id"),
+                        F.col(query_vec).cast("array<double>").alias("__qv__"))
+         .select("query_id", "__qv__",
+                 F.explode(make_probe_udf(n_probe)(F.col("__qv__"))).alias("cell")))
+    joined = c.join(F.broadcast(q),
+                    on=[q["cell"] == c["cell"],
+                        F.col("query_id") != F.col("neighbor_id")])
+    # a corpus vector lives in exactly one cell and the probed cells are
+    # distinct, so pairs are already unique — no dedup exchange needed
+    scored = (joined
+              .withColumn("cosine_sim", cosine(F.col("__qv__"), F.col("__cv__"), dim))
+              .select("query_id", "neighbor_id", "cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine_sim", "rank"))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -111,6 +111,24 @@ def test_lsh_cosine_topk_recall(spark, emb):
     assert recall >= 0.6, f"LSH recall too low: {recall}"
 
 
+def test_ivf_cosine_topk(spark, emb):
+    from catabra_pandas_spark.pipeline import ivf_cosine_topk
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(queries, emb, k=3).toPandas()
+    exact_set = set(zip(exact.query_id, exact.neighbor_id))
+    approx = ivf_cosine_topk(queries, emb, k=3, n_centroids=16, n_probe=4).toPandas()
+    approx_set = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # scans ~n_probe/n_centroids = 25% of the corpus; near-random vectors
+    # are the worst case, so a modest floor
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+    # every reported neighbor must carry its true cosine (exact re-scoring)
+    merged = approx.merge(exact, on=["query_id", "neighbor_id"],
+                          suffixes=("_a", "_e"))
+    assert np.allclose(merged.cosine_sim_a, merged.cosine_sim_e, atol=1e-9)
+
+
 def test_embedding_near_dup(spark, emb):
     # plant a near-identical vector of vec_id 0
     first = emb.filter("vec_id = 0").collect()[0]
