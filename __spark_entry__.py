@@ -1131,6 +1131,42 @@ def _lsh_ann_sql(dim=64, planes=8, tables=12, seed=42, n_queries=20, k=5) -> str
 """
 
 
+def q_stream_resample(spark, sf):
+    """stream_resample_eav (streaming analogue of regular-window
+    resample_eav, reference resampling.py:1738-1763) in batch mode: the
+    identical window expression runs incrementally under readStream +
+    watermark (exercised in tests/test_streaming.py).  Tumbling 1-day
+    windows per user with conditional per-attribute aggregates."""
+    e = read_table(spark, sf, "events").select(
+        F.col("user_id").alias("entity"),
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("attribute"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"))
+    out = STRM.stream_resample_eav(
+        e, {"click": ["count", "mean", "sum"], "view": ["count"]},
+        duration="1 day")
+    return out.select(
+        "entity", F.unix_micros(F.col("window_start")).alias("w_start"),
+        "click_count",
+        F.round("click_mean", 6).alias("click_mean"),
+        F.round("click_sum", 6).alias("click_sum"),
+        "view_count")
+
+
+_Q_STREAM_RESAMPLE_SQL = f"""
+    WITH e AS ({_EV_SQL}),
+    b AS (SELECT uid AS entity, (t // 86400000000) * 86400000000 AS w_start,
+                 etype, val
+          FROM e WHERE etype IN ('click', 'view'))
+    SELECT entity, w_start,
+           count(CASE WHEN etype = 'click' THEN val END) AS click_count,
+           round(avg(CASE WHEN etype = 'click' THEN val END), 6) AS click_mean,
+           round(sum(CASE WHEN etype = 'click' THEN val END), 6) AS click_sum,
+           count(CASE WHEN etype = 'view' THEN val END) AS view_count
+    FROM b GROUP BY entity, w_start
+"""
+
+
 def q_ivf_ann(spark, sf):
     """IVF-flat ANN (the second scale path besides LSH): deterministic
     codebook = the 16 lowest-id corpus vectors, probe the 4 nearest cells
@@ -1227,6 +1263,53 @@ def q_multimodal_decode(spark, sf):
                       F.round(F.element_at("features", 1), 6).alias("f0"))
 
 
+def q_multimodal_audio(spark, sf):
+    """REAL multimodal decode, oracle-checked end-to-end: per-user event
+    values quantize to int16 samples, pack into a PCM16 binary payload,
+    and the mapInPandas pcm16 decoder recovers waveform statistics; the
+    DuckDB oracle recomputes the same statistics from the raw values
+    without ever seeing the binary — the byte roundtrip must be exact."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+    import numpy as np
+
+    e = _ev(spark, sf).filter(F.col("val").isNotNull())
+    clip = F.greatest(F.lit(-32768), F.least(F.lit(32767), F.floor(F.col("val") * 100)))
+    samples = (e.select("uid", clip.cast("int").alias("s"), "t", "eid")
+               .groupBy("uid")
+               .agg(F.transform(
+                   F.sort_array(F.collect_list(F.struct("t", "eid", "s"))),
+                   lambda r: r["s"]).alias("samples")))
+
+    @pandas_udf(T.BinaryType())
+    def pack(col):
+        return col.map(lambda s: np.asarray(s, dtype="<i2").tobytes())
+
+    d = samples.withColumn("payload", pack(F.col("samples"))).drop("samples")
+    d = P.attach_binary_metadata(d, "payload", modality="audio", mime="audio/pcm16")
+    out = P.decode_binary(d, "payload")
+    return out.select(
+        "uid",
+        F.element_at("features", 1).alias("n_samples"),
+        F.round(F.element_at("features", 2), 6).alias("s_mean"),
+        F.round(F.element_at("features", 3), 6).alias("s_rms"),
+        F.element_at("features", 4).alias("s_min"),
+        F.element_at("features", 5).alias("s_max"))
+
+
+_Q_MULTIMODAL_AUDIO_SQL = f"""
+    WITH e AS ({_EV_SQL}),
+    s AS (SELECT uid,
+                 greatest(-32768, least(32767, floor(val * 100)))::BIGINT AS s
+          FROM e WHERE val IS NOT NULL)
+    SELECT uid, count(*)::DOUBLE AS n_samples,
+           round(avg(s), 6) AS s_mean,
+           round(sqrt(avg(s * s)), 6) AS s_rms,
+           min(s)::DOUBLE AS s_min, max(s)::DOUBLE AS s_max
+    FROM s GROUP BY uid
+"""
+
+
 def q_resample_eav_custom(spark, sf):
     """Custom Python aggregation via applyInPandas (resampling.py:128-161)."""
     ev = _ev(spark, sf).select(F.col("uid").alias("entity"), "t",
@@ -1301,13 +1384,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "sessionize": q_sessionize,
+        "stream_resample": q_stream_resample,
         # approximate tier: oracle-backed recall certificates / DuckDB twin
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
-        # multimodal plumbing: rows-only driver check (decode is stubbed —
-        # no codec in the container)
+        # multimodal: real pcm16 roundtrip (oracle-checked) + the stubbed
+        # codec-format plumbing (rows-only; no codec in the container)
+        "multimodal_audio": q_multimodal_audio,
         "multimodal_decode": q_multimodal_decode,
     }
 
@@ -1349,6 +1434,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _Q_COSINE_TOPK_SQL,
         "embedding_neardup_exact": _Q_EMB_NEARDUP_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
+        "stream_resample": _Q_STREAM_RESAMPLE_SQL,
         # recall certificates: oracle = the exact ground truth the
         # approximate operator must fully recover (see q_minhash_lsh)
         "minhash_lsh": _ngram_sql(0.8),
@@ -1357,4 +1443,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": _lsh_ann_sql(),
         # full DuckDB twin of IVF-flat ANN (deterministic codebook)
         "ivf_ann": _Q_IVF_ANN_SQL,
+        # real pcm16 decode roundtrip: oracle computes the same waveform
+        # stats from the raw values, never seeing the binary
+        "multimodal_audio": _Q_MULTIMODAL_AUDIO_SQL,
     }

@@ -1,18 +1,28 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads are ordinary ``binary`` columns with a metadata
 struct; decode / feature-extraction / frame-sampling run as Arrow-batched
-``mapInPandas`` so each executor processes column batches (the decode
-libraries are NOT in this container — the decode kernel is a clearly-marked
-stub with a deterministic fake so the Spark-side contract — schema,
-partitioning, batch shape — is real and tested; swap ``_decode_payload``
-for a real codec in production).
+``mapInPandas`` so each executor processes column batches.
+
+Decode is dispatched on the metadata ``mime``:
+
+* **REAL decoders** (pure numpy, no external codec) for raw formats:
+  16-bit little-endian PCM audio (``audio/pcm16``) and binary netpbm
+  images (``image/x-portable-pixmap`` P6 / ``image/x-portable-graymap``
+  P5).  These are genuine byte-level decoders — the driver's
+  ``multimodal_audio`` query round-trips values -> PCM bytes -> decoded
+  statistics against a DuckDB oracle that never sees the binary.
+* a clearly-marked deterministic STUB for codec formats (jpeg/png/mp3/mp4
+  — the codecs are not in this container); swap ``_decode_fake`` for
+  PIL/ffmpeg/soundfile in production.  The Spark-side contract — schema,
+  partitioning, Arrow batch shape — is identical either way.
 """
 
 from __future__ import annotations
 
 from typing import Iterator, Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
@@ -50,19 +60,73 @@ def attach_binary_metadata(
     ))
 
 
-def _decode_payload(payload: bytes, meta: dict) -> list[float]:
-    """STUB decode kernel.  In production this calls the real codec
-    (PIL/ffmpeg/soundfile — not available in this container).  The
-    deterministic fake returns an 8-dim feature from the payload bytes so
-    the distributed plumbing is testable end-to-end."""
-    if payload is None:
-        raise NotImplementedError(
-            "real decode requires an image/audio codec; install one and "
-            "replace _decode_payload")
+def _decode_pcm16(payload: bytes, meta: dict) -> list[float]:
+    """REAL decode: 16-bit little-endian mono PCM -> 8-dim audio features
+    [n_samples, mean, rms, min, max, zero_crossings, first, last]."""
+    x = np.frombuffer(payload, dtype="<i2").astype(np.float64)
+    if x.size == 0:
+        return [0.0] * 8
+    zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    return [float(x.size), float(x.mean()), float(np.sqrt((x * x).mean())),
+            float(x.min()), float(x.max()), zc, float(x[0]), float(x[-1])]
+
+
+def _decode_netpbm(payload: bytes, meta: dict) -> list[float]:
+    """REAL decode: binary netpbm raster (P6 RGB / P5 grayscale) -> 8-dim
+    image features [width, height, channels, mean_c1, mean_c2, mean_c3,
+    std_all, maxval]."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload: {payload[:2]!r}")
+    channels = 3 if payload[:2] == b"P6" else 1
+    # header = magic + 3 ints, whitespace-separated, '#' comments to EOL
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels,
+                           offset=pos).astype(np.float64)
+    px = raster.reshape(h, w, channels)
+    means = [float(px[:, :, c].mean()) for c in range(channels)]
+    means += [0.0] * (3 - channels)
+    return [float(w), float(h), float(channels), *means,
+            float(raster.std()), float(maxval)]
+
+
+def _decode_fake(payload: bytes, meta: dict) -> list[float]:
+    """STUB for codec formats (jpeg/png/mp3/mp4 — no codec in this
+    container).  Deterministic 8-dim byte-accumulator so the distributed
+    plumbing stays testable end-to-end; replace with PIL/ffmpeg/soundfile
+    in production."""
     acc = [0.0] * 8
     for i, byte in enumerate(payload[:1024]):
         acc[i % 8] += byte / 255.0
     return acc
+
+
+_DECODERS = {
+    "audio/pcm16": _decode_pcm16,
+    "image/x-portable-pixmap": _decode_netpbm,
+    "image/x-portable-graymap": _decode_netpbm,
+}
+
+
+def _decode_payload(payload: bytes, meta: dict) -> list[float]:
+    """Dispatch on metadata mime: real numpy decoders for raw formats,
+    the marked stub otherwise."""
+    if payload is None:
+        raise NotImplementedError("null payload has nothing to decode")
+    mime = (meta or {}).get("mime") if hasattr(meta, "get") else None
+    return _DECODERS.get(mime, _decode_fake)(payload, meta)
 
 
 def decode_binary(

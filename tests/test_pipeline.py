@@ -178,3 +178,33 @@ def test_multimodal_plumbing(spark, docs):
     frames = sample_frames(d.limit(5), every_n=7)
     pf = frames.toPandas()
     assert (pf.groupby("doc_id").frame_index.min() == 0).all()
+
+
+def test_multimodal_real_decoders(spark):
+    """pcm16 and netpbm decoders recover exact byte-level content."""
+    rng = np.random.default_rng(21)
+    wave = rng.integers(-3000, 3000, 500).astype("<i2")
+    # P6 RGB 4x3 image with a comment in the header
+    px = rng.integers(0, 256, (3, 4, 3)).astype(np.uint8)
+    ppm = b"P6\n# a comment\n4 3\n255\n" + px.tobytes()
+    pdf = pd.DataFrame({
+        "id": [0, 1],
+        "payload": [wave.tobytes(), ppm],
+        "mime": ["audio/pcm16", "image/x-portable-pixmap"],
+    })
+    sdf = spark.createDataFrame(pdf)
+    a = attach_binary_metadata(sdf.filter("id = 0"), "payload",
+                               modality="audio", mime="audio/pcm16")
+    fa = decode_binary(a, "payload").toPandas().features[0]
+    x = wave.astype(np.float64)
+    assert fa[0] == 500 and abs(fa[1] - x.mean()) < 1e-9
+    assert abs(fa[2] - np.sqrt((x * x).mean())) < 1e-9
+    assert fa[3] == x.min() and fa[4] == x.max()
+
+    i = attach_binary_metadata(sdf.filter("id = 1"), "payload",
+                               modality="image", mime="image/x-portable-pixmap")
+    fi = decode_binary(i, "payload").toPandas().features[0]
+    assert fi[:3] == [4.0, 3.0, 3.0]
+    for c in range(3):
+        assert abs(fi[3 + c] - px[:, :, c].astype(float).mean()) < 1e-9
+    assert abs(fi[6] - px.astype(float).std()) < 1e-9 and fi[7] == 255.0
