@@ -31,12 +31,17 @@ def factorize(
 
     Returns the input frame(s) with an added ``key_name`` long column; equal
     composite keys (across both frames) get equal ids, 0-based consecutive.
-    ``sort=True`` makes ids order-preserving wrt the key tuple; otherwise ids
-    are still deterministic (sorted) because Spark has no insertion order.
+    ``sort=True`` makes ids order-preserving wrt the key tuple; the default
+    assigns ids in an arbitrary-but-deterministic order (Spark has no
+    insertion order to preserve).
 
-    Scale note: ids are assigned with ``row_number`` over a global sort of
-    the *distinct* keys — the distinct set is usually tiny relative to the
-    data; the id join back is a broadcast when it fits.
+    Scale: the default path is fully distributed — distinct keys hash into
+    ``n_buckets`` buckets, ids are (bucket offset + in-bucket rank), and
+    only the ``n_buckets`` bucket counts ever reach the driver (the counts
+    are materialized once, so every consumer of the ids sees the same
+    assignment).  ``sort=True`` ranks over a single-partition global sort
+    of the distinct keys: exact order preservation, appropriate for
+    enum-like key sets; prefer the default for high-cardinality keys.
     """
     columns = as_list(columns)
     ensure_columns(left, columns)
@@ -49,12 +54,31 @@ def factorize(
         )
     kcols = [f"_k{i}" for i in range(len(columns))]
     distinct = keys.distinct()
-    w = Window.partitionBy().orderBy(*[F.col(c).asc_nulls_last() for c in kcols])
-    ids = distinct.withColumn(key_name, F.row_number().over(w) - F.lit(1))
+
+    if sort:
+        w = Window.partitionBy().orderBy(*[F.col(c).asc_nulls_last() for c in kcols])
+        ids = distinct.withColumn(key_name, F.row_number().over(w) - F.lit(1))
+    else:
+        n_buckets = 1024
+        bucket = (F.abs(F.xxhash64(*[F.col(c) for c in kcols])) % n_buckets).cast("int")
+        counts = {r["__b__"]: r["cnt"]
+                  for r in distinct.groupBy(bucket.alias("__b__"))
+                  .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        offsets, acc = [], 0
+        for b in range(n_buckets):
+            offsets.append(acc)
+            acc += counts.get(b, 0)
+        off_arr = F.array(*[F.lit(o).cast("long") for o in offsets])
+        wb = Window.partitionBy(bucket).orderBy(
+            *[F.col(c).asc_nulls_last() for c in kcols])
+        ids = distinct.withColumn(
+            key_name,
+            F.element_at(off_arr, bucket + 1) + F.row_number().over(wb) - F.lit(1))
 
     def attach(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         cond = [df[c].eqNullSafe(ids[k]) for c, k in zip(cols, kcols)]
-        joined = df.join(F.broadcast(ids), on=cond and _and_all(cond), how="left")
+        joined = df.join(F.broadcast(ids) if sort else ids,
+                         on=cond and _and_all(cond), how="left")
         return joined.drop(*kcols)
 
     left_out = attach(left, columns)

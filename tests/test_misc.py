@@ -1,0 +1,44 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from catabra_pandas_spark import factorize, inner_or_cross_join
+from .conftest import to_sdf
+
+
+def test_factorize_dense_shared_ids(spark):
+    rng = np.random.default_rng(31)
+    left = pd.DataFrame({"a": rng.integers(0, 50, 400),
+                         "b": rng.choice(["x", "y", "z"], 400)})
+    right = pd.DataFrame({"a": rng.integers(25, 75, 300),
+                          "b": rng.choice(["x", "y", "w"], 300)})
+    lo, ro = factorize(to_sdf(spark, left), ["a", "b"],
+                       right=to_sdf(spark, right), right_columns=["a", "b"])
+    lp, rp = lo.toPandas(), ro.toPandas()
+    both = pd.concat([lp, rp], ignore_index=True)
+    # dense 0..n-1 over the union of distinct keys
+    n_keys = both[["a", "b"]].drop_duplicates().shape[0]
+    assert set(both["__key__"]) == set(range(n_keys))
+    # equal keys -> equal ids across both frames (id is a function of the key)
+    assert (both.groupby(["a", "b"])["__key__"].nunique() == 1).all()
+    assert (both.groupby("__key__")[["a", "b"]].nunique() == 1).all().all()
+    # deterministic: a second run assigns identical ids
+    lo2, _ = factorize(to_sdf(spark, left), ["a", "b"],
+                       right=to_sdf(spark, right), right_columns=["a", "b"])
+    m = lp.merge(lo2.toPandas(), on=["a", "b"], suffixes=("_1", "_2"))
+    assert (m["__key___1"] == m["__key___2"]).all()
+
+
+def test_factorize_sorted(spark):
+    left = pd.DataFrame({"k": ["c", "a", "b", "a", "c"]})
+    lo, _ = factorize(to_sdf(spark, left), "k", sort=True)
+    got = dict(lo.toPandas().drop_duplicates().values[:, :2])
+    assert {k: int(v) for k, v in got.items()} == {"a": 0, "b": 1, "c": 2}
+
+
+def test_inner_or_cross(spark):
+    l = to_sdf(spark, pd.DataFrame({"k": [1, 2], "x": [10, 20]}))
+    r = to_sdf(spark, pd.DataFrame({"k": [1, 1, 3], "y": [5, 6, 7]}))
+    assert inner_or_cross_join(l, r, on="k").count() == 2
+    assert inner_or_cross_join(l, r.drop("k"), on="k").count() == 6
