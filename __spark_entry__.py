@@ -614,6 +614,143 @@ _Q_RESAMPLE_BASIC_SQL = f"""
 """
 
 
+def q_resample_eav_moments(spark, sf):
+    """Higher-moment / less-common aggregations: bias-corrected skewness,
+    standard error of the mean, mean absolute deviation (two-pass), and
+    product (reference agg vocabulary, resampling.py:74-95)."""
+    ev = _ev(spark, sf).select(F.col("uid").alias("entity"), "t",
+                               F.col("etype").alias("attribute"),
+                               F.col("val").alias("value"))
+    win = _weekly_windows(spark, sf)
+    out = cps.resample_eav(ev, win, {"view": ["skew", "sem", "mad", "prod"]},
+                           entity_col="entity", time_col="t", include_stop=False)
+    return out.select(
+        "entity", "t_start", "t_stop",
+        F.round("view_skew", 6).alias("view_skew"),
+        F.round("view_sem", 6).alias("view_sem"),
+        F.round("view_mad", 6).alias("view_mad"),
+        # product magnitudes explode; compare in log-space
+        F.round(F.log(F.abs(F.col("view_prod"))), 6).alias("view_logprod"))
+
+
+_Q_RESAMPLE_MOMENTS_SQL = f"""
+    WITH e AS ({_EV_SQL}), w AS ({_WEEKLY_SQL}),
+    j AS (
+      SELECT w.entity, w.t_start, w.t_stop, e.val
+      FROM w LEFT JOIN e
+        ON e.uid = w.entity AND e.t >= w.t_start AND e.t < w.t_stop
+        AND e.etype = 'view'
+    ),
+    m AS (
+      SELECT entity, t_start, t_stop,
+             count(val) AS n,
+             avg(val) AS mu,
+             skewness(val) AS sk,
+             stddev_samp(val) AS sd,
+             product(val) AS pr
+      FROM j GROUP BY entity, t_start, t_stop
+    ),
+    mad AS (
+      SELECT j.entity, j.t_start, j.t_stop,
+             avg(abs(j.val - m.mu)) AS mad_v
+      FROM j JOIN m ON j.entity = m.entity AND j.t_start = m.t_start
+                   AND j.t_stop = m.t_stop
+      WHERE j.val IS NOT NULL
+      GROUP BY j.entity, j.t_start, j.t_stop
+    )
+    SELECT m.entity, m.t_start, m.t_stop,
+           round(CASE WHEN m.n >= 3 THEN m.sk END, 6) AS view_skew,
+           round(m.sd / sqrt(m.n), 6) AS view_sem,
+           round(mad.mad_v, 6) AS view_mad,
+           round(ln(abs(m.pr)), 6) AS view_logprod
+    FROM m LEFT JOIN mad ON m.entity = mad.entity AND m.t_start = mad.t_start
+                        AND m.t_stop = mad.t_stop
+"""
+
+
+def q_combine_attrs(spark, sf):
+    """combine_intervals with attr_cols (reference misc.py:260-436):
+    overlapping intervals of the SAME attribute count once — per-attribute
+    union first, then the coverage count; regions where >= 2 DISTINCT
+    return-flags are shipping concurrently per supplier."""
+    li = _li(spark, sf)
+    flagged = read_table(spark, sf, "lineitem").select(
+        F.col("l_suppkey").alias("skey"),
+        F.col("l_returnflag").alias("flag"),
+        F.unix_timestamp("l_shipdate").alias("s_start"),
+        (F.unix_timestamp("l_shipdate")
+         + F.lit(DAY) * F.col("l_quantity").cast("long")).alias("s_stop"))
+    out = cps.combine_intervals(flagged, start_col="s_start", stop_col="s_stop",
+                                attr_cols="flag", group_by="skey", n_min=2)
+    return out.select("skey", F.col("s_start").alias("c_start"),
+                      F.col("s_stop").alias("c_stop"))
+
+
+_Q_COMBINE_ATTRS_SQL = """
+    WITH src AS (
+      SELECT l_suppkey AS skey, l_returnflag AS flag,
+             epoch(l_shipdate)::BIGINT AS s_start,
+             epoch(l_shipdate)::BIGINT + 86400 * l_quantity::BIGINT AS s_stop
+      FROM lineitem
+    ),
+    -- level 1: union per (skey, flag) so equal-flag overlaps count once
+    ev1 AS (
+      SELECT skey, flag, s_start AS t, 1 AS delta, 0 AS tag FROM src
+      UNION ALL
+      SELECT skey, flag, s_stop AS t, -1 AS delta, 1 AS tag FROM src
+    ), seg1 AS (
+      SELECT skey, flag, t, sum(delta) OVER w AS cov, lead(t) OVER w AS seg_stop
+      FROM ev1
+      WINDOW w AS (PARTITION BY skey, flag ORDER BY t, tag
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), pos1 AS (
+      SELECT skey, flag, t, seg_stop, (cov >= 1) AS in_band
+      FROM seg1 WHERE seg_stop IS NOT NULL AND seg_stop > t
+    ), pos1b AS (
+      SELECT skey, flag, t, seg_stop, in_band,
+             coalesce(lag(in_band) OVER (PARTITION BY skey, flag ORDER BY t),
+                      false) AS prev_in
+      FROM pos1
+    ), isl1 AS (
+      SELECT skey, flag, t, seg_stop, in_band,
+             sum(CASE WHEN in_band AND NOT prev_in THEN 1 ELSE 0 END)
+             OVER (PARTITION BY skey, flag ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM pos1b
+    ), uni AS (
+      SELECT skey, min(t) AS u_start, max(seg_stop) AS u_stop
+      FROM isl1 WHERE in_band GROUP BY skey, flag, island
+    ),
+    -- level 2: coverage >= 2 over the per-flag unions
+    ev2 AS (
+      SELECT skey, u_start AS t, 1 AS delta, 0 AS tag FROM uni
+      UNION ALL
+      SELECT skey, u_stop AS t, -1 AS delta, 1 AS tag FROM uni
+    ), seg2 AS (
+      SELECT skey, t, sum(delta) OVER w AS cov, lead(t) OVER w AS seg_stop
+      FROM ev2
+      WINDOW w AS (PARTITION BY skey ORDER BY t, tag
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), pos2 AS (
+      SELECT skey, t, seg_stop, (cov >= 2) AS in_band
+      FROM seg2 WHERE seg_stop IS NOT NULL AND seg_stop > t
+    ), pos2b AS (
+      SELECT skey, t, seg_stop, in_band,
+             coalesce(lag(in_band) OVER (PARTITION BY skey ORDER BY t),
+                      false) AS prev_in
+      FROM pos2
+    ), isl2 AS (
+      SELECT skey, t, seg_stop, in_band,
+             sum(CASE WHEN in_band AND NOT prev_in THEN 1 ELSE 0 END)
+             OVER (PARTITION BY skey ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM pos2b
+    )
+    SELECT skey, min(t) AS c_start, max(seg_stop) AS c_stop
+    FROM isl2 WHERE in_band GROUP BY skey, island
+"""
+
+
 def q_resample_eav_quantiles(spark, sf):
     """Exact percentiles (pandas/duckdb linear interpolation, NOT approx)."""
     ev = _ev(spark, sf).select(F.col("uid").alias("entity"), "t",
@@ -1360,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combine_union": q_combine_union,
         "combine_k3": q_combine_k3,
         "combine_gaps": q_combine_gaps,
+        "combine_attrs": q_combine_attrs,
         "grouped_mode": q_grouped_mode,
         "prev_next": q_prev_next,
         "impute_ffill": q_impute_ffill,
@@ -1370,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "make_windows": q_make_windows,
         "resample_eav_basic": q_resample_eav_basic,
         "resample_eav_quantiles": q_resample_eav_quantiles,
+        "resample_eav_moments": q_resample_eav_moments,
         "resample_eav_ranks": q_resample_eav_ranks,
         "resample_eav_mode": q_resample_eav_mode,
         "resample_eav_custom": q_resample_eav_custom,
@@ -1410,6 +1549,7 @@ def oracle_sql() -> dict[str, str]:
         "combine_union": _combine_sql(1, None),
         "combine_k3": _combine_sql(3, None),
         "combine_gaps": _combine_sql(0, 0),
+        "combine_attrs": _Q_COMBINE_ATTRS_SQL,
         "grouped_mode": _Q_GROUPED_MODE_SQL,
         "prev_next": _Q_PREV_NEXT_SQL,
         "impute_ffill": _Q_IMPUTE_FFILL_SQL,
@@ -1420,6 +1560,7 @@ def oracle_sql() -> dict[str, str]:
         "make_windows": _Q_MAKE_WINDOWS_SQL,
         "resample_eav_basic": _Q_RESAMPLE_BASIC_SQL,
         "resample_eav_quantiles": _Q_RESAMPLE_QUANT_SQL,
+        "resample_eav_moments": _Q_RESAMPLE_MOMENTS_SQL,
         "resample_eav_ranks": _Q_RESAMPLE_RANKS_SQL,
         "resample_eav_mode": _Q_RESAMPLE_MODE_SQL,
         "resample_eav_custom": _Q_RESAMPLE_CUSTOM_SQL,

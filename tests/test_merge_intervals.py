@@ -181,6 +181,29 @@ def test_merge_return_indexers(spark):
     assert {p[0] for p in got if p[1] == -1} == set(left.idx) - set(m.idx)
 
 
+def test_find_containing_length_col(spark):
+    """length_col + one endpoint == explicit endpoints (reference
+    merging.py:582-594)."""
+    rng = np.random.default_rng(9)
+    points = pd.DataFrame({"g": rng.integers(0, 4, 80),
+                           "p": rng.uniform(0, 100, 80).round(1),
+                           "pidx": np.arange(80)})
+    ivls = pd.DataFrame({"g": rng.integers(0, 4, 30),
+                         "start": rng.uniform(0, 90, 30).round(1),
+                         "length": rng.uniform(0, 25, 30).round(1),
+                         "iid": np.arange(30)})
+    via_len = find_containing_interval(
+        to_sdf(spark, points), to_sdf(spark, ivls), point_cols="p",
+        which="both", start_col="start", stop_col=None, length_col="length",
+        group_by="g", interval_id="iid").toPandas()
+    expl = ivls.assign(stop=ivls.start + ivls.length)
+    via_stop = find_containing_interval(
+        to_sdf(spark, points), to_sdf(spark, expl), point_cols="p",
+        which="both", start_col="start", stop_col="stop",
+        group_by="g", interval_id="iid").toPandas()
+    assert_pdf_equal(via_len, via_stop, sort_by=["pidx"])
+
+
 def test_find_containing_interval(spark):
     rng = np.random.default_rng(6)
     points = pd.DataFrame({
