@@ -159,6 +159,53 @@ def test_resample_eav_timestamp_windows_bool_values(spark):
     assert_pdf_equal(out, exp, sort_by=["win_id"])
 
 
+def test_resample_interval_timestamp(spark):
+    """resample_interval's duration-weighted factor on timestamp endpoints
+    (epoch-seconds arithmetic path)."""
+    from catabra_pandas_spark import resample_interval
+
+    rng = np.random.default_rng(14)
+    n = 200
+    s = _ts(7, n)
+    df = pd.DataFrame({
+        "entity": rng.integers(0, 6, n),
+        "start": s,
+        "attribute": np.where(rng.random(n) < 0.5, "drug_a", "drug_b"),
+        "value": rng.normal(5, 2, n).round(2),
+    })
+    df["stop"] = df["start"] + pd.to_timedelta(rng.integers(0, 20 * 24 * 3600, n), unit="s")
+    wins = []
+    for e in range(6):
+        for _ in range(3):
+            ws = pd.Timestamp("2024-01-15") + pd.Timedelta(days=int(rng.integers(0, 60)))
+            wins.append((e, ws, ws + pd.Timedelta(days=10)))
+    win = pd.DataFrame(wins, columns=["entity", "start_start", "start_stop"])
+    win["win_id"] = np.arange(len(win))
+
+    out = resample_interval(to_sdf(spark, df), to_sdf(spark, win),
+                            attributes=["drug_a", "drug_b"]).toPandas()
+
+    exp = win.copy()
+    for a in ("drug_a", "drug_b"):
+        vals = []
+        for _, w in win.iterrows():
+            total = 0.0
+            sub = df[(df.entity == w.entity) & (df.attribute == a)]
+            for _, r in sub.iterrows():
+                lo = max(r.start, w.start_start)
+                hi = min(r.stop, w.start_stop)
+                if hi < lo:
+                    continue
+                v = 0.0 if pd.isna(r.value) else r.value
+                li = (r.stop - r.start).total_seconds()
+                total += v if li == 0 else v * (hi - lo).total_seconds() / li
+            vals.append(total)
+        exp[a] = vals
+    for c in ("start_start", "start_stop"):
+        out[c] = pd.to_datetime(out[c])
+    assert_pdf_equal(out, exp, sort_by=["win_id"])
+
+
 def test_merge_string_keep_first(spark):
     """keep reduction over string intervals (min_by on string order)."""
     left = pd.DataFrame({"g": [1, 1, 2], "start": ["b", "f", "a"],

@@ -109,6 +109,39 @@ def test_merge_keep(spark, keep):
     assert_pdf_equal(out, exp, sort_by=["idx", "ridx"])
 
 
+@pytest.mark.parametrize("how", ["right", "outer"])
+def test_merge_keep_first_with_right_and_outer(spark, how):
+    """keep partitions by the RIGHT row for how="right" (reference swaps
+    sides, merging.py:151-164); for how="outer" unmatched other-side rows
+    bypass the reduction."""
+    left, right = _make_sides(7)
+    out = merge_intervals(
+        to_sdf(spark, left), to_sdf(spark, right), on="group", how=how,
+        keep="first", keep_by="idx" if how == "right" else "ridx",
+        left_start="start", left_stop="stop",
+        right_start="rstart", right_stop="rstop",
+    ).toPandas()
+    m = _slow_pairs(left, right, "group")
+    if how == "right":
+        red = m.sort_values("idx", kind="stable").groupby("ridx", as_index=False).first()
+        red = red[m.columns.tolist()]
+        missing = right[~right.ridx.isin(m.ridx)].copy()
+        for c in ["start", "stop", "idx"]:
+            missing[c] = np.nan
+        exp = pd.concat([red, missing], ignore_index=True)
+    else:
+        red = m.sort_values("ridx", kind="stable").groupby("idx", as_index=False).first()
+        red = red[m.columns.tolist()]
+        miss_l = left[~left.idx.isin(m.idx)].copy()
+        for c in ["rstart", "rstop", "ridx"]:
+            miss_l[c] = np.nan
+        miss_r = right[~right.ridx.isin(m.ridx)].copy()
+        for c in ["start", "stop", "idx"]:
+            miss_r[c] = np.nan
+        exp = pd.concat([red, miss_l, miss_r], ignore_index=True)
+    assert_pdf_equal(out, exp, sort_by=["idx", "ridx", "group"])
+
+
 def test_merge_half_infinite_and_points(spark):
     left, right = _make_sides(4)
     # left as points (start only), right half-infinite [rstart, +inf)
