@@ -55,3 +55,32 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     for t in tables:
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by=None,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Sink: write a result table with scale-sane defaults.
+
+    * ``partition_by`` — hive-style directory partitioning for downstream
+      partition pruning (pick low-cardinality columns; a high-cardinality
+      partition key means millions of tiny files).
+    * ``max_records_per_file`` caps file size so a skewed task cannot emit
+      one giant file (Spark splits output files at the cap without an
+      extra shuffle).
+
+    The write is an ordinary ``DataFrameWriter`` pipeline — no collect, no
+    coalesce(1); output parallelism follows the plan's partitioning, which
+    AQE has already coalesced to sensible sizes.
+    """
+    w = (df.write.format(fmt).mode(mode)
+         .option("maxRecordsPerFile", max_records_per_file))
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = w.partitionBy(*cols)
+    w.save(path)
