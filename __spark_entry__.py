@@ -586,7 +586,8 @@ def q_resample_eav_basic(spark, sf):
     out = cps.resample_eav(
         ev, win, {"click": ["count", "mean", "min", "max", "sum", "size"],
                   "view": ["nunique"]},
-        entity_col="entity", time_col="t", include_stop=False, tiebreak_col="eid")
+        entity_col="entity", time_col="t", include_stop=False, tiebreak_col="eid",
+        assume_unique_windows=True)
     return out.select(
         "entity", "t_start", "t_stop",
         F.col("click_count").alias("click_count"),
@@ -623,7 +624,8 @@ def q_resample_eav_moments(spark, sf):
                                F.col("val").alias("value"))
     win = _weekly_windows(spark, sf)
     out = cps.resample_eav(ev, win, {"view": ["skew", "sem", "mad", "prod"]},
-                           entity_col="entity", time_col="t", include_stop=False)
+                           entity_col="entity", time_col="t", include_stop=False,
+                           assume_unique_windows=True)
     return out.select(
         "entity", "t_start", "t_stop",
         F.round("view_skew", 6).alias("view_skew"),
@@ -758,7 +760,8 @@ def q_resample_eav_quantiles(spark, sf):
                                F.col("val").alias("value"))
     win = _weekly_windows(spark, sf)
     out = cps.resample_eav(ev, win, {"view": ["median", "p25", "p90", "std", "var"]},
-                           entity_col="entity", time_col="t", include_stop=False)
+                           entity_col="entity", time_col="t", include_stop=False,
+                           assume_unique_windows=True)
     return out.select("entity", "t_start", "t_stop",
                       F.round("view_median", 6).alias("view_median"),
                       F.round("view_p25", 6).alias("view_p25"),
@@ -789,7 +792,8 @@ def q_resample_eav_ranks(spark, sf):
     win = _weekly_windows(spark, sf)
     out = cps.resample_eav(ev, win, {"click": ["r0", "r-1", "r1", "t0", "t-1"]},
                            entity_col="entity", time_col="t",
-                           include_stop=False, tiebreak_col="eid")
+                           include_stop=False, tiebreak_col="eid",
+                           assume_unique_windows=True)
     return out.select("entity", "t_start", "t_stop",
                       F.round("click_r0", 6).alias("click_r0"),
                       F.round("click_r-1", 6).alias("click_rm1"),
@@ -829,7 +833,8 @@ def q_resample_eav_mode(spark, sf):
         F.round(F.col("val") / 50.0).alias("value"))
     win = _weekly_windows(spark, sf)
     out = cps.resample_eav(ev, win, {"view": ["mode", "mode_count"]},
-                           entity_col="entity", time_col="t", include_stop=False)
+                           entity_col="entity", time_col="t", include_stop=False,
+                           assume_unique_windows=True)
     return out.select("entity", "t_start", "t_stop",
                       F.round("view_mode", 6).alias("view_mode"),
                       "view_mode_count")
@@ -868,7 +873,8 @@ def q_resample_interval(spark, sf):
     win = _ow(spark, sf).select(F.col("okey").alias("entity"),
                                 F.col("w_start").alias("start_start"),
                                 F.col("w_stop").alias("start_stop"))
-    out = cps.resample_interval(ivl, win, attributes=["price"])
+    out = cps.resample_interval(ivl, win, attributes=["price"],
+                                assume_unique_windows=True)
     return out.select("entity", "start_start", "start_stop",
                       F.round("price", 6).alias("price"))
 
@@ -906,7 +912,8 @@ def q_make_windows(spark, sf):
         df="SELECT entity, min(t) AS anchor FROM df GROUP BY entity",
         anchor="anchor", start_rel=HOUR, duration=72 * HOUR)
     out = cps.resample_eav(ev, mw, {"click": ["count"], "view": ["count"]},
-                           entity_col="entity", time_col="t")
+                           entity_col="entity", time_col="t",
+                           assume_unique_windows=True)
     return out.select("entity", "t_start", "t_stop",
                       "click_count", "view_count")
 
@@ -1459,7 +1466,8 @@ def q_resample_eav_custom(spark, sf):
         return float(s.max() - s.min()) if len(s) else None
 
     out = cps.resample_eav(ev, win, {"view": [value_range]},
-                           entity_col="entity", time_col="t", include_stop=False)
+                           entity_col="entity", time_col="t", include_stop=False,
+                           assume_unique_windows=True)
     return out.select("entity", "t_start", "t_stop",
                       F.round("view_value_range", 6).alias("view_value_range"))
 

@@ -79,6 +79,7 @@ def resample_eav(
     tiebreak_col: Optional[str] = None,
     custom_agg_schemas: Optional[Mapping[str, str]] = None,
     optimize: str = "time",
+    assume_unique_windows: bool = False,
 ) -> DataFrame:
     """Resample EAV observations into arbitrary (possibly overlapping,
     possibly half-infinite) windows with per-attribute aggregation lists.
@@ -102,6 +103,10 @@ def resample_eav(
     the reference's time/memory strategy knob — SURVEY.md §4).
     ``include_start``/``include_stop`` default to True/False exactly as in
     the reference (``resampling.py:109-112``).
+    ``assume_unique_windows=True`` skips the window-key ``distinct()``
+    (one exchange) — ONLY safe when no two windows share
+    (entity, start, stop); duplicates would then double-count
+    observations.
     """
     if callable(windows) and not isinstance(windows, DataFrame):
         windows = windows(df, entity_col=entity_col, time_col=time_col)
@@ -148,7 +153,9 @@ def resample_eav(
     # --- the join: entity + time-in-window ----------------------------
     # distinct() so duplicate windows do not double-count observations; the
     # aggregate row is fanned back out by the final join on the content key
-    wjoin = win.select(*key_cols).distinct()
+    wjoin = win.select(*key_cols)
+    if not assume_unique_windows:
+        wjoin = wjoin.distinct()
     cond = obs[entity_col] == wjoin[_KE]
     if has_start:
         cond = cond & ((obs[time_col] >= wjoin[_KS]) if include_start
@@ -335,6 +342,7 @@ def resample_interval(
     epsilon: float = 1e-7,
     window_start_col: Optional[str] = None,
     window_stop_col: Optional[str] = None,
+    assume_unique_windows: bool = False,
 ) -> DataFrame:
     """Resample interval-valued observations into windows with the
     duration-weighted sum  ``W_I = v * |W ∩ I| / |I|``  (reference
@@ -395,7 +403,9 @@ def resample_interval(
                 & (F.col(start_col) <= F.col(stop_col)))
     )
 
-    wjoin = win.select(*key_cols).distinct()
+    wjoin = win.select(*key_cols)
+    if not assume_unique_windows:
+        wjoin = wjoin.distinct()
     cond = obs[entity_col] == wjoin[_KE]
     if has_start:
         cond = cond & (wjoin[_KS] <= obs[stop_col])
