@@ -1112,6 +1112,26 @@ def _ngram_sql(threshold: float, max_doc_freq: int = 50) -> str:
 _Q_NGRAM_JACCARD_SQL = _ngram_sql(0.12)
 
 
+def q_bpe_tokens(spark, sf):
+    """BPE-ish subword token estimate for training-data budgeting
+    (alphabetic runs ~4 chars/subword, per-digit tokens, per-symbol
+    tokens) — pure JVM expressions, zero shuffles."""
+    docs = read_table(spark, sf, "documents")
+    return P.token_count_bpe(docs).select("doc_id", "n_tokens_bpe")
+
+
+_Q_BPE_TOKENS_SQL = r"""
+    SELECT doc_id,
+           (coalesce(list_sum(list_transform(
+                regexp_extract_all(lower(text), '[a-z]+'),
+                w -> ceil(length(w) / 4.0))), 0)
+            + len(regexp_extract_all(lower(text), '[0-9]'))
+            + len(regexp_extract_all(lower(text), '[^a-z0-9\s]')))::BIGINT
+             AS n_tokens_bpe
+    FROM documents
+"""
+
+
 def q_cosine_topk(spark, sf):
     """Brute-force cosine top-5 neighbors for the first 10 vectors."""
     emb = read_table(spark, sf, "embeddings")
@@ -1526,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "text_stats": q_text_stats,
+        "bpe_tokens": q_bpe_tokens,
         "langid": q_langid,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -1578,6 +1599,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "fingerprint": _Q_FINGERPRINT_SQL,
         "text_stats": _Q_TEXT_STATS_SQL,
+        "bpe_tokens": _Q_BPE_TOKENS_SQL,
         "langid": _Q_LANGID_SQL,
         "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
         "cosine_topk": _Q_COSINE_TOPK_SQL,

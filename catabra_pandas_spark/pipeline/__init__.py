@@ -21,8 +21,10 @@ from .dedup import (
 )
 from .similarity import (cosine_topk, embedding_near_dup_pairs,
                          ivf_cosine_topk, lsh_cosine_topk)
-from .text import detect_language, fingerprint, text_quality, token_count
-from .multimodal import attach_binary_metadata, decode_binary, sample_frames
+from .text import (detect_language, fingerprint, text_quality,
+                   token_count, token_count_bpe)
+from .multimodal import (attach_binary_metadata, decode_binary,
+                         resize_image, sample_frames)
 
 __all__ = [
     "exact_dedup", "shingles", "shingle_rows", "minhash_signatures", "minhash_near_dup_pairs",
@@ -30,5 +32,6 @@ __all__ = [
     "cosine_topk", "lsh_cosine_topk",
     "ivf_cosine_topk", "embedding_near_dup_pairs",
     "detect_language", "fingerprint", "text_quality", "token_count",
-    "attach_binary_metadata", "decode_binary", "sample_frames",
+    "token_count_bpe",
+    "attach_binary_metadata", "decode_binary", "resize_image", "sample_frames",
 ]

@@ -156,6 +156,54 @@ def decode_binary(
     return df.mapInPandas(mapper, schema=out_schema)
 
 
+def resize_image(
+    df: DataFrame,
+    binary_col: str,
+    out_width: int,
+    out_height: int,
+    meta_col: str = "media_meta",
+    out_col: str = "payload_resized",
+) -> DataFrame:
+    """Resize image payloads via ``mapInPandas`` (Arrow batches, narrow map
+    — no shuffle).  REAL nearest-neighbor resampling for binary netpbm
+    payloads (pure numpy index selection, byte-exact and deterministic);
+    codec formats (jpeg/png) raise ``NotImplementedError`` inside the
+    mapper since no codec ships in this container.  The output column is a
+    payload of the SAME format (P5/P6 with a rewritten header), so resized
+    rows flow through ``decode_binary`` unchanged."""
+    out_schema = T.StructType(df.schema.fields + [
+        T.StructField(out_col, T.BinaryType())])
+    in_cols = df.columns
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for p, m in zip(pdf[binary_col], pdf.get(meta_col, [None] * len(pdf))):
+                mime = (m or {}).get("mime") if hasattr(m, "get") else None
+                if mime not in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+                    raise NotImplementedError(
+                        f"resize of {mime!r} needs an image codec; only "
+                        "netpbm payloads resize natively in this container")
+                feats = _decode_netpbm(p, m)
+                w, h, c = int(feats[0]), int(feats[1]), int(feats[2])
+                maxval = int(feats[7])
+                # re-parse raster (header length = total - raster bytes)
+                raster = np.frombuffer(
+                    p, dtype=np.uint8, count=w * h * c,
+                    offset=len(p) - w * h * c).reshape(h, w, c)
+                ys = (np.arange(out_height) * h) // out_height
+                xs = (np.arange(out_width) * w) // out_width
+                small = raster[ys][:, xs]
+                magic = b"P6" if c == 3 else b"P5"
+                hdr = b"%s\n%d %d\n%d\n" % (magic, out_width, out_height, maxval)
+                outs.append(hdr + small.tobytes())
+            pdf = pdf.copy()
+            pdf[out_col] = outs
+            yield pdf[in_cols + [out_col]]
+
+    return df.mapInPandas(mapper, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     meta_col: str = "media_meta",

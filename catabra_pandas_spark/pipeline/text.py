@@ -38,6 +38,27 @@ def token_count(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, F.size(_tokens(F.col(text_col))).cast("long"))
 
 
+def token_count_bpe(df: DataFrame, text_col: str = "text",
+                    out_col: str = "n_tokens_bpe",
+                    chars_per_subword: int = 4) -> DataFrame:
+    """BPE-ish subword token estimate (for LLM training-data budgeting,
+    where whitespace counts undershoot): alphabetic runs contribute
+    ``ceil(len / chars_per_subword)`` subwords (BPE merges average ~4
+    chars/token on English), every digit is its own token (GPT-style
+    digit splitting), and every other non-space symbol is one token.
+
+    Pure JVM column expressions (regexp_extract_all + array aggregate) —
+    narrow, zero-shuffle, SQL-replayable."""
+    low = F.lower(F.col(text_col))
+    words = F.regexp_extract_all(low, F.lit(r"[a-z]+"), 0)
+    sub = F.aggregate(
+        F.transform(words, lambda w: F.ceil(F.length(w) / F.lit(float(chars_per_subword))).cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    digits = F.regexp_count(low, F.lit(r"[0-9]"))
+    punct = F.regexp_count(low, F.lit(r"[^a-z0-9\s]"))
+    return df.withColumn(out_col, (sub + digits + punct).cast("long"))
+
+
 def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features: lengths, ratios, and a composite score.
 

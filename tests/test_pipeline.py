@@ -180,6 +180,47 @@ def test_multimodal_plumbing(spark, docs):
     assert (pf.groupby("doc_id").frame_index.min() == 0).all()
 
 
+def test_token_count_bpe(spark, docs):
+    import math
+    import re as _re
+
+    from catabra_pandas_spark.pipeline import token_count_bpe
+
+    out = token_count_bpe(docs).toPandas().set_index("doc_id").n_tokens_bpe
+    pdf = docs.toPandas()
+    for _, r in pdf.head(50).iterrows():
+        low = r.text.lower()
+        exp = (sum(math.ceil(len(w) / 4.0) for w in _re.findall(r"[a-z]+", low))
+               + len(_re.findall(r"[0-9]", low))
+               + len(_re.findall(r"[^a-z0-9\s]", low)))
+        assert out[r.doc_id] == exp
+
+
+def test_resize_image(spark):
+    from catabra_pandas_spark.pipeline import resize_image
+
+    rng = np.random.default_rng(22)
+    px = rng.integers(0, 256, (6, 8, 3)).astype(np.uint8)
+    ppm = b"P6\n8 6\n255\n" + px.tobytes()
+    sdf = spark.createDataFrame(pd.DataFrame({"id": [0], "payload": [ppm]}))
+    d = attach_binary_metadata(sdf, "payload", modality="image",
+                               mime="image/x-portable-pixmap")
+    out = resize_image(d, "payload", out_width=4, out_height=3).toPandas()
+    resized = out.payload_resized[0]
+    assert resized.startswith(b"P6\n4 3\n255\n")
+    got = np.frombuffer(resized, dtype=np.uint8,
+                        offset=len(b"P6\n4 3\n255\n")).reshape(3, 4, 3)
+    ys = (np.arange(3) * 6) // 3
+    xs = (np.arange(4) * 8) // 4
+    assert (got == px[ys][:, xs]).all()
+    # resized payload decodes through the same pcm/netpbm dispatch
+    d2 = attach_binary_metadata(
+        spark.createDataFrame(pd.DataFrame({"id": [0], "payload": [bytes(resized)]})),
+        "payload", modality="image", mime="image/x-portable-pixmap")
+    feats = decode_binary(d2, "payload").toPandas().features[0]
+    assert feats[:3] == [4.0, 3.0, 3.0]
+
+
 def test_multimodal_real_decoders(spark):
     """pcm16 and netpbm decoders recover exact byte-level content."""
     rng = np.random.default_rng(21)
