@@ -325,6 +325,31 @@ _Q_GROUP_INTERVALS_SQL = f"""
 """
 
 
+def q_group_intervals_ts(spark, sf):
+    """group_intervals on RAW timestamp columns (no pre-conversion):
+    exercises the time-like endpoint path (epoch-seconds comparison
+    domain) against the driver gate; output projected to epoch seconds
+    for the engine-neutral hash compare."""
+    li = read_table(spark, sf, "lineitem")
+    iv = li.select(
+        F.col("l_suppkey").alias("skey"),
+        F.col("l_shipdate").alias("ship_start"),
+        (F.col("l_shipdate")
+         + F.make_dt_interval(days=F.col("l_quantity").cast("int"))).alias("ship_stop"))
+    gi = cps.group_intervals(iv, group_by="skey",
+                             start_col="ship_start", stop_col="ship_stop",
+                             distance=2 * DAY)
+    return gi.groupBy("skey", "interval_group").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.unix_timestamp("ship_start")).alias("g_start"),
+        F.max(F.unix_timestamp("ship_stop")).alias("g_stop"))
+
+
+# identical clustering to group_intervals (the epoch-seconds domain is the
+# same), so the oracle is the epoch formulation
+_Q_GROUP_INTERVALS_TS_SQL = _Q_GROUP_INTERVALS_SQL
+
+
 def _combine_sql(n_min: int, n_max) -> str:
     band = f"cov >= {n_min}" + (f" AND cov <= {n_max}" if n_max is not None else "")
     return f"""
@@ -1522,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_range_join": q_bucket_range_join,
         "find_containing": q_find_containing,
         "group_intervals": q_group_intervals,
+        "group_intervals_ts": q_group_intervals_ts,
         "combine_union": q_combine_union,
         "combine_k3": q_combine_k3,
         "combine_gaps": q_combine_gaps,
@@ -1575,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
         "bucket_range_join": _Q_BUCKET_RANGE_SQL,
         "find_containing": _Q_FIND_CONTAINING_SQL,
         "group_intervals": _Q_GROUP_INTERVALS_SQL,
+        "group_intervals_ts": _Q_GROUP_INTERVALS_TS_SQL,
         "combine_union": _combine_sql(1, None),
         "combine_k3": _combine_sql(3, None),
         "combine_gaps": _combine_sql(0, 0),
