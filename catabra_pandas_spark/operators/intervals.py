@@ -55,6 +55,14 @@ def group_intervals(
     ``>=`` otherwise — reference ``misc.py:230-249``); class id = cumulative
     sum of the new-class flag.  Timestamp endpoints are compared in epoch
     seconds so ``distance`` is a number of seconds.
+
+    Scale note: with ``group_by`` this is one shuffle on the group keys and
+    sorted in-partition streaming (parallel across groups).  WITHOUT
+    ``group_by`` the running max is a single global sorted pass — Spark
+    executes the empty-partition window on one task, so keyless clustering
+    of a cluster-scale table will bottleneck; supply a coarse partition key
+    whenever one exists (the reference has the identical sequential
+    dependency, it is inherent to single-linkage clustering).
     """
     group_by = as_list(group_by)
     if point_col is not None:
@@ -108,7 +116,10 @@ def combine_intervals(
     cumulative sum ordered by (t, starts-first); adjacent event pairs define
     constant-coverage segments; in-band segments ([n_min, n_max]) are
     coalesced into maximal runs with a second cumulative-sum island pass.
-    Two window passes over one shuffle on the group keys.
+    Two window passes over one shuffle on the group keys.  As with
+    ``group_intervals``, the keyless (no ``group_by``) sweep is a single
+    global cumulative sum and runs on one task — supply a partition key for
+    cluster-scale inputs.
     """
     group_by = as_list(group_by)
     attr_cols = as_list(attr_cols)

@@ -169,6 +169,13 @@ def test_merge_bucket_strategy_equivalence(spark):
     bucket2 = merge_intervals(to_sdf(spark, small_l), to_sdf(spark, small_r),
                               suffixes=("_l", "_r"), strategy="bucket", bucket_width=25.0, **kw).toPandas()
     assert_pdf_equal(bucket2, direct2, sort_by=["idx", "ridx"])
+    # bucket composes with how=left and keep reduction
+    kw2 = dict(kw, how="left", keep="first", keep_by="ridx")
+    direct3 = merge_intervals(to_sdf(spark, left), to_sdf(spark, right),
+                              on="group", **kw2).toPandas()
+    bucket3 = merge_intervals(to_sdf(spark, left), to_sdf(spark, right), on="group",
+                              strategy="bucket", bucket_width=10.0, **kw2).toPandas()
+    assert_pdf_equal(bucket3, direct3, sort_by=["idx", "ridx"])
 
 
 def test_merge_keep_with_duplicate_left_rows(spark):

@@ -109,6 +109,10 @@ def test_lsh_cosine_topk_recall(spark, emb):
     approx_set = set(zip(approx.query_id, approx.neighbor_id))
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.6, f"LSH recall too low: {recall}"
+    # shuffle-join variant (large query sets) is result-identical
+    shuf = lsh_cosine_topk(queries, emb, k=3, dim=64, planes=8, tables=12,
+                           probe_bits=1, broadcast_queries=False).toPandas()
+    assert set(zip(shuf.query_id, shuf.neighbor_id)) == approx_set
 
 
 def test_ivf_cosine_topk(spark, emb):
