@@ -310,13 +310,17 @@ def embedding_near_dup_pairs(
     b = _rh_signatures(base, "__id__", "__v__", planes, tables, seed,
                        keep_cols=["__v__"]).withColumnRenamed("table_idx", "t")
     l, r = b.alias("l"), b.alias("r").hint("shuffle_hash")
+    # score INSIDE the bucket join, then threshold, then dedup — the
+    # (rare) surviving pairs are tiny triples, so the dedup exchange never
+    # carries vectors (same fix as lsh_cosine_topk, VERDICT r1 #3)
     cand = (
         l.join(r, on=[F.col("l.t") == F.col("r.t"), F.col("l.sig") == F.col("r.sig"),
                       F.col("l.__id__") < F.col("r.__id__")])
+        .withColumn("cosine_sim",
+                    cosine(F.col("l.__v__"), F.col("r.__v__"), dim))
+        .filter(F.col("cosine_sim") >= threshold)
         .select(F.col("l.__id__").alias("id_a"), F.col("r.__id__").alias("id_b"),
-                F.col("l.__v__").alias("va"), F.col("r.__v__").alias("vb"))
+                "cosine_sim")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (cand.withColumn("cosine_sim", cosine(F.col("va"), F.col("vb"), dim))
-            .filter(F.col("cosine_sim") >= threshold)
-            .select("id_a", "id_b", "cosine_sim"))
+    return cand
