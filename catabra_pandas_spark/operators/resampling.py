@@ -134,10 +134,13 @@ def resample_eav(
         key_map[_KP] = F.col(wp)
     win = windows.withColumns(key_map)
 
-    # bool values promote to a float type for aggregation (reference
-    # _get_default_value, resampling.py:1558-1570: bool -> float32; Spark's
-    # numeric aggregates reject BooleanType outright)
-    if isinstance(df.schema[value_col].dataType, T.BooleanType):
+    # bool/int values promote to a float type for aggregation (reference
+    # _get_default_value, resampling.py:1558-1570: bool -> float32,
+    # int -> float64 — aggregates must be able to represent "no data" as
+    # NaN/null; Spark's numeric aggregates also reject BooleanType outright)
+    if isinstance(df.schema[value_col].dataType,
+                  (T.BooleanType, T.ByteType, T.ShortType,
+                   T.IntegerType, T.LongType)):
         df = df.withColumn(value_col, F.col(value_col).cast("double"))
 
     # prune observations: null times ignored (resampling.py:47-48), only
