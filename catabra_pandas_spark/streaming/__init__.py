@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import Mapping, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
 
 from ..util import as_list
 
@@ -88,6 +89,65 @@ def stream_sessionize(
               for fn in as_list(fns)],
         )
     )
+
+
+def stream_ffill(
+    df: DataFrame,
+    value_col: str = "value",
+    entity_col: str = "entity",
+    time_col: str = "timestamp",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Streaming forward-fill — a CUSTOM STATEFUL operator via
+    ``applyInPandasWithState`` (the escape hatch for semantics the built-in
+    streaming windows cannot express; batch analogue:
+    ``operators.impute(method="ffill")``, reference ``misc.py:699-845``).
+
+    State per entity = the last non-null value seen.  Each micro-batch
+    sorts its group rows by event time, forward-fills within the batch
+    (vectorized pandas), seeds leading nulls from state, and persists the
+    new tail value — O(1) state per entity, unbounded stream.  Equals the
+    batch ffill exactly when each entity's events arrive in event-time
+    order across micro-batches (the file/kafka-partition-per-entity
+    layout); disorder within one micro-batch is handled by the sort.
+
+    ``value_col`` must be numeric (state is stored as double).  Batch
+    DataFrames dispatch to the equivalent window formulation so one call
+    site serves both modes.
+    """
+    if not df.isStreaming:
+        from ..operators.sequences import impute
+        return impute(df, method="ffill", columns=value_col,
+                      group_by=entity_col, order_by=time_col)
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = df.withWatermark(time_col, watermark) if watermark else df
+    cols = df.columns
+    out_schema = df.schema
+    state_schema = T.StructType([T.StructField("last", T.DoubleType())])
+
+    def fn(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            s = pdf[value_col].astype("float64")
+            filled = s.ffill()
+            if last is not None:
+                filled = filled.fillna(last)
+            nn = s.dropna()
+            if len(nn):
+                last = float(nn.iloc[-1])
+            out = pdf.copy()
+            out[value_col] = filled
+            yield out[cols]
+        if last is not None:
+            state.update((last,))
+
+    return (src.groupBy(entity_col)
+            .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                    GroupStateTimeout.NoTimeout))
 
 
 def stream_resample_eav(

@@ -9,10 +9,11 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from catabra_pandas_spark import group_intervals
-from catabra_pandas_spark.streaming import stream_resample_eav, stream_sessionize
+from catabra_pandas_spark import group_intervals, impute
+from catabra_pandas_spark.streaming import (stream_ffill, stream_resample_eav,
+                                            stream_sessionize)
 
-from .conftest import assert_pdf_equal
+from .conftest import assert_pdf_equal, to_sdf
 
 
 def _events_pdf():
@@ -84,6 +85,50 @@ def test_resample_tumbling_batch_values(spark):
     got = out.drop(columns=["window_stop"]).assign(
         hr_count=lambda d: d.hr_count.astype(float))
     assert_pdf_equal(got, exp, sort_by=["entity", "window_start"])
+
+
+def test_stream_ffill_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): state carries the
+    last non-null value ACROSS micro-batches (maxFilesPerTrigger=1 forces
+    one batch per file), matching the batch window ffill."""
+    import time as _time
+
+    base = pd.Timestamp("2026-01-01")
+    early = pd.DataFrame({
+        "entity": ["a", "a", "b", "b"],
+        "timestamp": [base, base + pd.Timedelta(minutes=1),
+                      base, base + pd.Timedelta(minutes=2)],
+        "value": [1.0, None, None, 4.0],
+    })
+    late = pd.DataFrame({
+        "entity": ["a", "a", "b"],
+        "timestamp": [base + pd.Timedelta(minutes=10),
+                      base + pd.Timedelta(minutes=11),
+                      base + pd.Timedelta(minutes=10)],
+        "value": [None, 7.0, None],   # 'a' min10 and 'b' min10 fill from state
+    })
+    src_dir = str(tmp_path / "ffill_src")
+    to_sdf(spark, early).coalesce(1).write.mode("overwrite").parquet(src_dir)
+    _time.sleep(1.2)  # file-source batch order follows modification time
+    to_sdf(spark, late).coalesce(1).write.mode("append").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    out = stream_ffill(stream, value_col="value")
+    q = (out.writeStream.format("memory").queryName("ffill_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ffill_test").toPandas()
+
+    both = pd.concat([early, late], ignore_index=True)
+    exp = impute(to_sdf(spark, both), method="ffill", columns="value",
+                 group_by="entity", order_by="timestamp").toPandas()
+    assert_pdf_equal(got, exp, sort_by=["entity", "timestamp"])
+    # the cross-batch fills specifically
+    g = got.set_index(["entity", "timestamp"]).value
+    assert g[("a", base + pd.Timedelta(minutes=10))] == 1.0
+    assert g[("b", base + pd.Timedelta(minutes=10))] == 4.0
 
 
 def test_streaming_plumbing_available_now(spark, tmp_path):
