@@ -35,6 +35,14 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     b = b.sort_values(sort_cols, kind="stable").reset_index(drop=True)
     for c in cols:
         x, y = a[c], b[c]
+        # the driver hashes VALUES+REPRESENTATION: equal values in different
+        # dtypes (e.g. DuckDB HUGEINT surfacing as object, or int vs float)
+        # red the row even when this value compare passes — r1's
+        # group_intervals failed exactly this way
+        kx, ky = x.dtype.kind, y.dtype.kind
+        if kx != ky and not ({kx, ky} <= {"i", "u"}):
+            problems.append(
+                f"col {c}: dtype kinds differ ({x.dtype} vs {y.dtype}) (HASH RISK)")
         if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
             x = pd.to_numeric(x, errors="coerce").astype(float)
             y = pd.to_numeric(y, errors="coerce").astype(float)
