@@ -159,8 +159,11 @@ def merge_intervals(
     anti_path = (use_bucket and how != "inner") or (how == "outer" and not has_eq)
     need_left_id = (return_indexers or anti_path
                     or (keep != "all" and how != "right"))
+    # keep + outer additionally needs right ids: rights whose every match is
+    # reduced away must be re-injected as unmatched afterwards
     need_right_id = (return_indexers or anti_path
-                     or (keep != "all" and (how == "right" or keep_by is None)))
+                     or (keep != "all" and (how in ("right", "outer")
+                                            or keep_by is None)))
 
     # --- attach row ids (only when something consumes them) ------------
     gen_left_id = left_id is None
@@ -325,6 +328,20 @@ def merge_intervals(
                 *[F.col("__b__").getField(c).alias(c) for c in other_names])
         matched = red if passthru is None else \
             red.unionByName(passthru.select(*red.columns))
+
+        # reference semantics: missing-row injection happens AFTER the keep
+        # reduction (merging.py:498-501 -> _finalize_indexers), so under
+        # how="outer" a right row whose every match was reduced away comes
+        # back as unmatched (deterministic: ids are content-derived)
+        if how == "outer":
+            kept_r = matched.select(RIGHT_ID).filter(F.col(RIGHT_ID).isNotNull())
+            dropped_r = rm_r.join(kept_r, on=RIGHT_ID, how="left_anti")
+            if drop_right_keys:
+                for a, b in zip(left_on, right_on):
+                    dropped_r = dropped_r.withColumn(l_name(a), F.col(r_name(b)))
+                    if r_name(b) != l_name(a):
+                        dropped_r = dropped_r.drop(r_name(b))
+            matched = matched.unionByName(dropped_r, allowMissingColumns=True)
 
     # --- how: rows dropped as invalid intervals / null keys still appear
     # in left/right/outer output (reference merging.py:751-787)

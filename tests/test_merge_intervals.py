@@ -135,11 +135,51 @@ def test_merge_keep_first_with_right_and_outer(spark, how):
         miss_l = left[~left.idx.isin(m.idx)].copy()
         for c in ["rstart", "rstop", "ridx"]:
             miss_l[c] = np.nan
-        miss_r = right[~right.ridx.isin(m.ridx)].copy()
+        # reference injects missing rows AFTER the keep reduction
+        # (merging.py:498-501): rights reduced away count as unmatched
+        miss_r = right[~right.ridx.isin(red.ridx)].copy()
         for c in ["start", "stop", "idx"]:
             miss_r[c] = np.nan
         exp = pd.concat([red, miss_l, miss_r], ignore_index=True)
     assert_pdf_equal(out, exp, sort_by=["idx", "ridx", "group"])
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "outer"])
+@pytest.mark.parametrize("keep", ["all", "first", "both"])
+def test_merge_how_keep_grid(spark, how, keep):
+    """Full how x keep interaction grid against a pandas oracle (the
+    reference sweeps these as independent axes; interactions are where the
+    reduction/unmatched-injection logic can go wrong)."""
+    left, right = _make_sides(11, n_left=120, n_right=60)
+    out = merge_intervals(
+        to_sdf(spark, left), to_sdf(spark, right), on="group", how=how,
+        keep=keep, keep_by="idx" if how == "right" else "ridx",
+        left_start="start", left_stop="stop",
+        right_start="rstart", right_stop="rstop").toPandas()
+
+    m = _slow_pairs(left, right, "group")
+    if keep != "all":
+        part, order = ("ridx", "idx") if how == "right" else ("idx", "ridx")
+        s = m.sort_values(order, kind="stable")
+        parts = []
+        if keep in ("first", "both"):
+            parts.append(s.groupby(part, as_index=False, sort=False).head(1))
+        if keep in ("last", "both"):
+            parts.append(s.groupby(part, as_index=False, sort=False).tail(1))
+        m = pd.concat(parts, ignore_index=True).drop_duplicates(["idx", "ridx"])
+    if how in ("left", "outer"):
+        missing = left[~left.idx.isin(m.idx)].copy()
+        for c in ["rstart", "rstop", "ridx"]:
+            missing[c] = np.nan
+        m = pd.concat([m, missing], ignore_index=True)
+    if how in ("right", "outer"):
+        missing = right[~right.ridx.isin(m.ridx)].copy()
+        for c in ["start", "stop", "idx"]:
+            missing[c] = np.nan
+        m = pd.concat([m, missing], ignore_index=True)
+    assert_pdf_equal(out, m[["group", "start", "idx", "stop",
+                             "rstart", "ridx", "rstop"]],
+                     sort_by=["idx", "ridx", "group"])
 
 
 def test_merge_half_infinite_and_points(spark):
