@@ -261,6 +261,23 @@ def test_merge_return_indexers(spark):
     assert {p[0] for p in got if p[1] == -1} == set(left.idx) - set(m.idx)
 
 
+def test_merge_return_indexers_with_keep(spark):
+    """Indexers reflect the post-reduction pair set (reference applies
+    _finalize_indexers after _keep_indexers)."""
+    left, right = _make_sides(12)
+    out = merge_intervals(
+        to_sdf(spark, left), to_sdf(spark, right), on="group", how="left",
+        keep="first", keep_by="ridx",
+        left_start="start", left_stop="stop",
+        right_start="rstart", right_stop="rstop",
+        left_id="idx", right_id="ridx", return_indexers=True).toPandas()
+    m = _slow_pairs(left, right, "group")
+    red = m.sort_values("ridx", kind="stable").groupby("idx", as_index=False).head(1)
+    exp = set(zip(red.idx, red.ridx)) | \
+        {(i, -1) for i in left.idx if i not in set(m.idx)}
+    assert set(zip(out["__left_row_id__"], out["__right_row_id__"])) == exp
+
+
 def test_find_containing_length_col(spark):
     """length_col + one endpoint == explicit endpoints (reference
     merging.py:582-594)."""
