@@ -431,12 +431,21 @@ _Q_GROUPED_MODE_SQL = """
 
 
 def q_prev_next(spark, sf):
-    """prev_next_values (SURVEY §2.1 #9) on orders per customer."""
-    o = read_table(spark, sf, "orders")
+    """prev_next_values (SURVEY §2.1 #9) on orders per customer.
+
+    The value column is nulled on a deterministic subset of rows so the
+    oracle exercises the boundary-only fill semantics (reference
+    ``misc.py:595-604``): ``prev_fill``/``next_fill`` apply only at the
+    first/last row of each group — a genuinely-null neighbor value must
+    stay null, NOT be replaced by the fill.
+    """
+    o = read_table(spark, sf, "orders").withColumn(
+        "tp", F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("double"))
+               .otherwise(F.col("o_totalprice")))
     out = cps.prev_next_values(
         o, sort_by=["o_orderdate", "o_orderkey"], group_by="o_custkey",
-        columns={"o_totalprice": {"prev_name": "prev_total", "prev_fill": -1.0,
-                                  "next_name": "next_total"}},
+        columns={"tp": {"prev_name": "prev_total", "prev_fill": -1.0,
+                        "next_name": "next_total", "next_fill": -2.0}},
         first_indicator_name="is_first", last_indicator_name="is_last")
     return out.select("o_orderkey", "o_custkey",
                       F.round("prev_total", 6).alias("prev_total"),
@@ -444,14 +453,22 @@ def q_prev_next(spark, sf):
                       "is_first", "is_last")
 
 
+# lag(x, 1, default) / lead(x, 1, default): the default applies only when
+# the offset row is outside the partition (ANSI semantics, same as Spark) —
+# an in-partition null value passes through as null.
 _Q_PREV_NEXT_SQL = """
+    WITH o AS (
+      SELECT *, CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                     ELSE o_totalprice END AS tp
+      FROM orders
+    )
     SELECT o_orderkey, o_custkey,
-           round(coalesce(lag(o_totalprice) OVER w, -1.0), 6) AS prev_total,
-           round(lead(o_totalprice) OVER w, 6) AS next_total,
+           round(lag(tp, 1, -1.0) OVER w, 6) AS prev_total,
+           round(lead(tp, 1, -2.0) OVER w, 6) AS next_total,
            row_number() OVER w = 1 AS is_first,
            row_number() OVER (PARTITION BY o_custkey
                               ORDER BY o_orderdate DESC, o_orderkey DESC) = 1 AS is_last
-    FROM orders
+    FROM o
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 

@@ -55,15 +55,19 @@ def prev_next_values(
     for col, spec in columns.items():
         prev_name = spec.get("prev_name")
         next_name = spec.get("next_name")
+        # Fill values apply ONLY at group boundaries (first row for prev, last
+        # row for next) — a genuinely-null neighbor *value* stays null, per
+        # reference ``misc.py:595-604`` (``s[prev_mask] = prev_fill``).  lag/
+        # lead's third argument has exactly this semantics: the default is
+        # used when the offset row lies outside the partition, never when the
+        # offset row exists but holds null.
         if prev_name is not None:
-            c = F.lag(F.col(col), 1).over(w)
-            if "prev_fill" in spec and spec["prev_fill"] is not None:
-                c = F.coalesce(c, F.lit(spec["prev_fill"]))
+            fill = spec.get("prev_fill")
+            c = F.lag(F.col(col), 1, fill).over(w)
             new_cols.append((prev_name, c))
         if next_name is not None:
-            c = F.lead(F.col(col), 1).over(w)
-            if "next_fill" in spec and spec["next_fill"] is not None:
-                c = F.coalesce(c, F.lit(spec["next_fill"]))
+            fill = spec.get("next_fill")
+            c = F.lead(F.col(col), 1, fill).over(w)
             new_cols.append((next_name, c))
 
     if first_indicator_name is not None:

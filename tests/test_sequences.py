@@ -33,10 +33,16 @@ def test_prev_next_values(spark, seed):
 
     exp = pdf.sort_values(["entity", "t"]).copy()
     g = exp.groupby("entity")["v"]
-    exp["v_prev"] = g.shift(1).fillna(-1.0)
-    exp["v_next"] = g.shift(-1)
+    # Reference semantics (misc.py:595-604): prev_fill applies ONLY to the
+    # first row of each group; a null predecessor *value* stays null.
+    exp["v_prev"] = g.shift(1)
     exp["is_first"] = ~exp.duplicated("entity")
+    exp.loc[exp["is_first"], "v_prev"] = -1.0
+    exp["v_next"] = g.shift(-1)
     exp["is_last"] = ~exp.duplicated("entity", keep="last")
+    # The fixture guarantees interior null predecessors (group 0 is all-null),
+    # so this test genuinely distinguishes boundary-only fill from coalesce.
+    assert exp.loc[~exp["is_first"], "v_prev"].isna().any()
     assert_pdf_equal(out, exp, sort_by=["entity", "t"])
 
 
