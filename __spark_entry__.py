@@ -78,7 +78,7 @@ def _ev(spark, sf):
         F.col("event_id").alias("eid"),
         F.col("user_id").alias("uid"),
         F.col("event_type").alias("etype"),
-        F.unix_micros(F.col("ts")).alias("t"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
         F.when(F.col("event_type") != "error", F.col("value")).alias("val"),
     )
 
@@ -1352,7 +1352,8 @@ def q_stream_resample(spark, sf):
         e, {"click": ["count", "mean", "sum"], "view": ["count"]},
         duration="1 day")
     return out.select(
-        "entity", F.unix_micros(F.col("window_start")).alias("w_start"),
+        "entity",
+        F.unix_micros(F.col("window_start").cast("timestamp")).alias("w_start"),
         "click_count",
         F.round("click_mean", 6).alias("click_mean"),
         F.round("click_sum", 6).alias("click_sum"),

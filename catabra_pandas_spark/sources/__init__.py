@@ -20,9 +20,20 @@ TABLES = (
 
 
 def configure(spark: SparkSession) -> SparkSession:
-    """Session settings the engine relies on (safe to call repeatedly)."""
+    """Session settings the engine relies on (safe to call repeatedly).
+
+    ``inferTimestampNTZ`` is disabled because parquet timestamps written
+    without ``isAdjustedToUTC`` (pyarrow's tz-naive default) would otherwise
+    surface as ``TIMESTAMP_NTZ``, which Spark rejects in ``unix_micros`` /
+    time-window expressions.  With the session timezone pinned to UTC the
+    instant-semantics read is value-identical to the NTZ read.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:  # pragma: no cover - older Spark without the conf
+        pass
     return spark
 
 
@@ -49,6 +60,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                                    F.timestamp_micros(F.expr(f"`{field.name}` div 1000")))
     except ImportError:  # pragma: no cover
         pass
+    return _normalize_timestamps(df)
+
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any ``TIMESTAMP_NTZ`` column to ``TIMESTAMP``.
+
+    Belt-and-braces on top of ``configure``'s ``inferTimestampNTZ`` switch:
+    the conf only affects schema inference at scan planning, so a relation
+    cached before ``configure`` ran (or an NTZ column from another source)
+    would still leak NTZ into consumers.  Session tz is pinned UTC, so the
+    cast is value-preserving.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

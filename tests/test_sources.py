@@ -24,3 +24,26 @@ def test_read_table_nanos(spark):
     dt = dict(ev.dtypes)["ts"]
     assert "timestamp" in dt
     assert ev.limit(5).count() == 5
+
+
+def test_read_table_normalizes_ntz(spark, tmp_path):
+    """A tz-naive (TIMESTAMP_NTZ-inferred) parquet timestamp must come out of
+    read_table as plain TIMESTAMP so unix_micros/time-window consumers work
+    (round-3 driver regression: events.ts surfaced as TIMESTAMP_NTZ)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path)
+    tbl = pa.table({
+        "ts": pa.array(
+            pd.to_datetime(["2024-01-01 00:00:00", "2024-01-02 12:34:56"]),
+            type=pa.timestamp("us")),  # no tz -> isAdjustedToUTC=false
+        "v": pa.array([1.0, 2.0]),
+    })
+    pq.write_table(tbl, f"{path}/t.parquet")
+    df = read_table(spark, path, "t")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = (df.select(F.unix_micros(F.col("ts")).alias("us"))
+             .toPandas().us.sort_values().tolist())
+    assert got == [1704067200000000, 1704198896000000]
