@@ -157,8 +157,10 @@ def merge_intervals(
     # full outer without equi-keys cannot run as a native BNLJ full join;
     # the bucket strategy is inner-only: both fall back to inner + anti-joins
     anti_path = (use_bucket and how != "inner") or (how == "outer" and not has_eq)
+    # the keep reduction partitions by LEFT_ID for every how except "right"
+    # (where it partitions by RIGHT_ID and, absent keep_by, ORDERS by LEFT_ID)
     need_left_id = (return_indexers or anti_path
-                    or (keep != "all" and how != "right"))
+                    or (keep != "all" and (how != "right" or keep_by is None)))
     # keep + outer additionally needs right ids: rights whose every match is
     # reduced away must be re-injected as unmatched afterwards
     need_right_id = (return_indexers or anti_path

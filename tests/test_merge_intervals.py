@@ -218,6 +218,34 @@ def test_merge_bucket_strategy_equivalence(spark):
     assert_pdf_equal(bucket3, direct3, sort_by=["idx", "ridx"])
 
 
+@pytest.mark.parametrize("keep", ["first", "last", "both"])
+def test_merge_keep_right_without_keep_by(spark, keep):
+    """how="right" + keep without keep_by orders by the generated left
+    content-hash id (reference swaps sides, merging.py:151-164).  The pick
+    among matches is arbitrary-but-deterministic, so assert structure: one
+    kept row per matched right (<=2 for "both"), every kept pair a true
+    match, unmatched rights preserved.  Regression: r3 raised
+    UNRESOLVED_COLUMN __left_row_id__ here (need_left_id missed the case)."""
+    left, right = _make_sides(13, n_left=120, n_right=60)
+    out = merge_intervals(
+        to_sdf(spark, left), to_sdf(spark, right), on="group", how="right",
+        keep=keep,
+        left_start="start", left_stop="stop",
+        right_start="rstart", right_stop="rstop").toPandas()
+    m = _slow_pairs(left, right, "group")
+    matched_r = set(m.ridx)
+    got_matched = out[out.idx.notna()]
+    per_right = got_matched.groupby("ridx").size()
+    assert set(per_right.index) == matched_r
+    assert (per_right <= (2 if keep == "both" else 1)).all()
+    if keep != "both":
+        assert (per_right == 1).all()
+    true_pairs = set(zip(m.idx, m.ridx))
+    assert set(zip(got_matched.idx, got_matched.ridx)) <= true_pairs
+    # unmatched rights come through with null left columns
+    assert set(out[out.idx.isna()].ridx) == set(right.ridx) - matched_r
+
+
 def test_merge_keep_with_duplicate_left_rows(spark):
     """Duplicate left rows each keep their own reduced match (VERDICT r1
     determinism fix: content-hash ids + dup rank, not mono_id)."""
