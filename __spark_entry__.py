@@ -490,6 +490,32 @@ _Q_IMPUTE_FFILL_SQL = f"""
 """
 
 
+def q_stream_ffill(spark, sf):
+    """stream_ffill (custom stateful streaming op, streaming/__init__.py) in
+    batch-dispatch mode: identical fill semantics to impute ffill without
+    limit, value promoted to double (= the streaming path's state dtype).
+    The incremental applyInPandasWithState path is exercised in
+    tests/test_streaming.py."""
+    e = _ev(spark, sf).select("eid", F.col("uid").alias("entity"),
+                              F.col("t").alias("timestamp"),
+                              F.col("val").alias("value"))
+    out = STRM.stream_ffill(e, value_col="value", entity_col="entity",
+                            time_col="timestamp")
+    return out.select("eid", "entity", "timestamp",
+                      F.round("value", 6).alias("value"))
+
+
+_Q_STREAM_FFILL_SQL = f"""
+    WITH e AS ({_EV_SQL})
+    SELECT eid, uid AS entity, t AS timestamp,
+           round(coalesce(val, last_value(val IGNORE NULLS) OVER
+                 (PARTITION BY uid ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE,
+                 6) AS value
+    FROM e
+"""
+
+
 def q_impute_linear(spark, sf):
     """impute linear (interior-only interpolation) on events per user."""
     out = cps.impute(_ev(spark, sf), method="linear", columns="val",
@@ -1597,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "sessionize": q_sessionize,
         "stream_resample": q_stream_resample,
+        "stream_ffill": q_stream_ffill,
         # approximate tier: oracle-backed recall certificates / DuckDB twin
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1651,6 +1678,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_exact": _Q_EMB_NEARDUP_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
         "stream_resample": _Q_STREAM_RESAMPLE_SQL,
+        "stream_ffill": _Q_STREAM_FFILL_SQL,
         # recall certificates: oracle = the exact ground truth the
         # approximate operator must fully recover (see q_minhash_lsh)
         "minhash_lsh": _ngram_sql(0.8),

@@ -13,7 +13,6 @@ Catalyst reuses across all columns computed here.
 
 from __future__ import annotations
 
-import sys
 from typing import Mapping, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
@@ -124,13 +123,19 @@ def impute(
     base = Window.partitionBy(*group_by).orderBy(*[F.col(c) for c in order_by]) if group_by \
         else Window.partitionBy().orderBy(*[F.col(c) for c in order_by])
 
-    lim = limit if limit is not None else sys.maxsize
+    # limit=None must map to the UNBOUNDED frame bound, not a huge numeric
+    # offset: Spark executes unboundedPreceding..currentRow as a streaming
+    # running aggregate, while any finite bound is a sliding frame that
+    # buffers `lim` preceding rows per row — a per-partition memory blowup
+    # at scale for no semantic difference.
+    lo = Window.unboundedPreceding if limit is None else -limit
+    hi = Window.unboundedFollowing if limit is None else limit
 
     def _ffill(col: str, w: WindowSpec) -> Column:
-        return F.last(F.col(col), ignorenulls=True).over(w.rowsBetween(-lim, 0))
+        return F.last(F.col(col), ignorenulls=True).over(w.rowsBetween(lo, 0))
 
     def _bfill(col: str, w: WindowSpec) -> Column:
-        return F.first(F.col(col), ignorenulls=True).over(w.rowsBetween(0, lim))
+        return F.first(F.col(col), ignorenulls=True).over(w.rowsBetween(0, hi))
 
     if method in ("ffill", "bfill", "afill"):
         upd = {}

@@ -117,20 +117,32 @@ def stream_ffill(
     """
     if not df.isStreaming:
         from ..operators.sequences import impute
-        return impute(df, method="ffill", columns=value_col,
-                      group_by=entity_col, order_by=time_col)
+        out = impute(df, method="ffill", columns=value_col,
+                     group_by=entity_col, order_by=time_col)
+        # parity with the streaming path, whose state/output is double
+        return out.withColumn(value_col, F.col(value_col).cast("double"))
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     src = df.withWatermark(time_col, watermark) if watermark else df
     cols = df.columns
-    out_schema = df.schema
+    # filled values are float64; declare the value column double so Arrow
+    # conversion cannot fail/truncate integer inputs (matches the batch
+    # impute, which promotes fill columns to double)
+    out_schema = T.StructType([
+        T.StructField(f.name, T.DoubleType() if f.name == value_col else f.dataType,
+                      True if f.name == value_col else f.nullable)
+        for f in df.schema.fields])
     state_schema = T.StructType([T.StructField("last", T.DoubleType())])
 
     def fn(key, pdfs, state):
         last = state.get[0] if state.exists else None
-        for pdf in pdfs:
+        # one group's micro-batch arrives as multiple Arrow chunks in no
+        # guaranteed order — concat before sorting or cross-chunk disorder
+        # fills incorrectly
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(time_col)
             s = pdf[value_col].astype("float64")
             filled = s.ffill()

@@ -131,6 +131,42 @@ def test_stream_ffill_stateful(spark, tmp_path):
     assert g[("b", base + pd.Timedelta(minutes=10))] == 4.0
 
 
+def test_stream_ffill_integer_values(spark, tmp_path):
+    """Integer value columns must not fail Arrow conversion: the filled
+    output is declared double (float64 state), in both modes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2026-01-01")
+    src_dir = str(tmp_path / "ffill_int_src")
+    # pyarrow write: a genuine int64 column with a NULL (createDataFrame
+    # would surface pd.NA as double NaN, which is a value, not missing)
+    tbl = pa.table({
+        "entity": pa.array(["a", "a", "a"]),
+        "timestamp": pa.array(
+            [base + pd.Timedelta(minutes=m) for m in (0, 1, 2)],
+            type=pa.timestamp("us")),
+        "value": pa.array([5, None, 7], type=pa.int64()),
+    })
+    import os
+    os.makedirs(src_dir, exist_ok=True)
+    pq.write_table(tbl, f"{src_dir}/part0.parquet")
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = stream_ffill(stream, value_col="value")
+    q = (out.writeStream.format("memory").queryName("ffill_int_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ffill_int_test").toPandas()
+    assert got.value.dtype.kind == "f"
+    assert sorted(got.value) == [5.0, 5.0, 7.0]
+    # batch dispatch agrees on dtype and values
+    batch = stream_ffill(spark.read.parquet(src_dir), value_col="value").toPandas()
+    assert batch.value.dtype.kind == "f"
+    assert sorted(batch.value) == [5.0, 5.0, 7.0]
+
+
 def test_streaming_plumbing_available_now(spark, tmp_path):
     """Real streaming execution: parquet source -> watermark -> session
     window -> memory sink, results equal to the batch run."""
