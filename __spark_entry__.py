@@ -1488,12 +1488,61 @@ _Q_SESSIONIZE_SQL = """
 
 
 def q_multimodal_decode(spark, sf):
-    docs = read_table(spark, sf, "documents").limit(200)
-    d = docs.withColumn("payload", F.encode(F.col("text"), "utf-8"))
-    d = P.attach_binary_metadata(d, "payload", modality="image", mime="image/png")
+    """REAL image decode, oracle-checked end-to-end (mirrors the pcm16
+    trick of q_multimodal_audio): per-document a deterministic grayscale
+    P5 netpbm payload is synthesized (header incl. a comment line, raster
+    bytes a doc_id-seeded linear pattern), the mapInPandas netpbm decoder
+    (pipeline/multimodal.py:74) recovers width/height/mean/std from the
+    BYTES, and the DuckDB oracle recomputes the same statistics from the
+    generating formula without ever seeing the binary — header parsing and
+    raster layout must be byte-exact."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+    import numpy as np
+
+    docs = read_table(spark, sf, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 200)
+
+    @pandas_udf(T.BinaryType())
+    def make_p5(doc_id):
+        def build(d):
+            d = int(d)
+            w, h = d % 16 + 1, d % 8 + 1
+            i = np.arange(w * h, dtype=np.int64)
+            raster = ((d * 31 + i * 7) % 256).astype(np.uint8)
+            hdr = b"P5\n# synthetic raster\n%d %d\n255\n" % (w, h)
+            return hdr + raster.tobytes()
+        return doc_id.map(build)
+
+    d = docs.withColumn("payload", make_p5(F.col("doc_id")))
+    d = P.attach_binary_metadata(d, "payload", modality="image",
+                                 mime="image/x-portable-graymap")
     out = P.decode_binary(d, "payload")
-    return out.select("doc_id", F.col("media_meta.width").alias("width"),
-                      F.round(F.element_at("features", 1), 6).alias("f0"))
+    return out.select(
+        "doc_id",
+        F.element_at("features", 1).alias("width"),
+        F.element_at("features", 2).alias("height"),
+        F.element_at("features", 3).alias("channels"),
+        F.round(F.element_at("features", 4), 6).alias("mean_gray"),
+        F.round(F.element_at("features", 7), 6).alias("std_gray"),
+        F.element_at("features", 8).alias("maxval"))
+
+
+_Q_MULTIMODAL_DECODE_SQL = """
+    WITH d AS (
+      SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h, (doc_id * 31 + unnest(range(0, w * h)) * 7) % 256 AS v
+      FROM d
+    )
+    SELECT doc_id, w::DOUBLE AS width, h::DOUBLE AS height, 1.0 AS channels,
+           round(avg(v), 6) AS mean_gray,
+           round(stddev_pop(v), 6) AS std_gray,
+           255.0 AS maxval
+    FROM px GROUP BY doc_id, w, h
+"""
 
 
 def q_multimodal_audio(spark, sf):
@@ -1687,7 +1736,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": _lsh_ann_sql(),
         # full DuckDB twin of IVF-flat ANN (deterministic codebook)
         "ivf_ann": _Q_IVF_ANN_SQL,
-        # real pcm16 decode roundtrip: oracle computes the same waveform
-        # stats from the raw values, never seeing the binary
+        # real decode roundtrips: oracles recompute the same stats from the
+        # generating values/formula, never seeing the binary
         "multimodal_audio": _Q_MULTIMODAL_AUDIO_SQL,
+        "multimodal_decode": _Q_MULTIMODAL_DECODE_SQL,
     }

@@ -93,6 +93,9 @@ def _decode_netpbm(payload: bytes, meta: dict) -> list[float]:
         fields.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
+    if maxval > 255:
+        # 2-byte samples; a uint8 read would silently misdecode
+        raise ValueError(f"netpbm maxval {maxval} > 255 (16-bit) not supported")
     raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels,
                            offset=pos).astype(np.float64)
     px = raster.reshape(h, w, channels)

@@ -253,3 +253,15 @@ def test_multimodal_real_decoders(spark):
     for c in range(3):
         assert abs(fi[3 + c] - px[:, :, c].astype(float).mean()) < 1e-9
     assert abs(fi[6] - px.astype(float).std()) < 1e-9 and fi[7] == 255.0
+
+
+def test_netpbm_rejects_16bit_maxval():
+    """maxval > 255 means 2-byte samples; a uint8 read would silently
+    misdecode, so the decoder must raise instead."""
+    import pytest
+
+    from catabra_pandas_spark.pipeline.multimodal import _decode_netpbm
+
+    payload = b"P5\n2 2\n65535\n" + bytes(8)
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_netpbm(payload, {})
