@@ -93,14 +93,15 @@ def main():
             except Exception:
                 pass
 
-    # best-of-2 per query, like the reference's %timeit baseline: this VM
+    # best-of-3 per query, like the reference's %timeit baseline: this VM
     # shows sporadic multi-second stalls (same plan: 1.8 s vs 14.9 s across
-    # runs), and min-of-repeats is the standard steady-state estimator
+    # runs; in round 4, 10.1/4.1/2.0 s for one query back-to-back), and
+    # min-of-repeats is the standard steady-state estimator
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

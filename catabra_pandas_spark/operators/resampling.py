@@ -64,6 +64,57 @@ def _is_time_like(dt) -> bool:
     return isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType))
 
 
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _grid_long(c: Column, dt) -> Optional[Column]:
+    """Exact long representation for grid arithmetic (timestamps -> epoch
+    micros, integrals -> long); None for types where floor-div/modulo
+    equality cannot be computed exactly (float/decimal/string)."""
+    if _is_time_like(dt):
+        return F.unix_micros(c.cast("timestamp"))
+    if isinstance(dt, _INTEGRAL):
+        return c.cast("long")
+    return None
+
+
+def _detect_regular_grid(wjoin: DataFrame) -> Optional[tuple[int, int]]:
+    """Return ``(origin, duration)`` (long units) if the windows form an
+    aligned constant-duration grid — every non-null window has the same
+    ``stop - start`` and every start is ``origin + k * duration`` — else
+    None.  The check is exact (long arithmetic) and costs one small
+    aggregate job over the windows frame (map-side partial aggregation;
+    the windows side is orders of magnitude smaller than the observations
+    side, which is what the fast path avoids shuffling through a theta
+    join).  Null-endpoint windows don't disqualify the grid: their null
+    index simply matches no observation in the equi-join, which is exactly
+    the reference's invalid-window semantics (``resampling.py:58-59``).
+
+    Reference parity: this is the regular-window detection of
+    ``catabra_pandas/resampling.py:1738-1763``, re-expressed as a grid test
+    so window assignment becomes arithmetic instead of an interval join.
+
+    Single-pass alignment trick: given all durations equal ``d``, the
+    starts lie on one grid iff ``pmod(start, stop - start)`` takes a single
+    value — each row uses its OWN duration as the modulus, so no prior pass
+    is needed to learn ``d``.
+    """
+    sch = {f.name: f.dataType for f in wjoin.schema.fields}
+    s = _grid_long(F.col(_KS), sch[_KS])
+    p = _grid_long(F.col(_KP), sch[_KP])
+    if s is None or p is None:
+        return None
+    stats = wjoin.select(s.alias("s"), (p - s).alias("d")).agg(
+        F.count_distinct(F.col("d")).alias("nd"),
+        F.min("d").alias("d"),
+        F.min("s").alias("o"),
+        F.count_distinct(F.pmod(F.col("s"), F.col("d"))).alias("nres"),
+    ).first()
+    if stats.nd != 1 or stats.d is None or stats.d <= 0 or stats.nres != 1:
+        return None
+    return int(stats.o), int(stats.d)
+
+
 def resample_eav(
     df: DataFrame,
     windows: Union[DataFrame, "make_windows", Callable[[DataFrame], DataFrame]],
@@ -80,6 +131,7 @@ def resample_eav(
     custom_agg_schemas: Optional[Mapping[str, str]] = None,
     optimize: str = "time",
     assume_unique_windows: bool = False,
+    regular: Union[bool, str] = "auto",
 ) -> DataFrame:
     """Resample EAV observations into arbitrary (possibly overlapping,
     possibly half-infinite) windows with per-attribute aggregation lists.
@@ -107,6 +159,16 @@ def resample_eav(
     (one exchange) — ONLY safe when no two windows share
     (entity, start, stop); duplicates would then double-count
     observations.
+
+    ``regular="auto"`` (default) probes the windows frame for an aligned
+    constant-duration grid (the reference's regular-window fast path,
+    ``resampling.py:1738-1763``); if found, each observation's window is
+    assigned by floor-division and the interval theta-join becomes a plain
+    (entity, window_index) equi-join — the dominant shape at scale
+    (tumbling windows).  The probe costs one small aggregate job over the
+    windows frame at call time; pass ``regular=False`` to skip it (e.g.
+    when windows are known-irregular or the windows plan is expensive to
+    evaluate twice).
     """
     if callable(windows) and not isinstance(windows, DataFrame):
         windows = windows(df, entity_col=entity_col, time_col=time_col)
@@ -159,14 +221,59 @@ def resample_eav(
     wjoin = win.select(*key_cols)
     if not assume_unique_windows:
         wjoin = wjoin.distinct()
-    cond = obs[entity_col] == wjoin[_KE]
-    if has_start:
-        cond = cond & ((obs[time_col] >= wjoin[_KS]) if include_start
-                       else (obs[time_col] > wjoin[_KS]))
-    if has_stop:
-        cond = cond & ((obs[time_col] <= wjoin[_KP]) if include_stop
-                       else (obs[time_col] < wjoin[_KP]))
-    pairs = obs.join(wjoin, on=cond, how="inner")
+
+    grid = None
+    if regular in ("auto", True) and has_start and has_stop:
+        obs_long = _grid_long(F.col(time_col), df.schema[time_col].dataType)
+        wsch = {f.name: f.dataType for f in wjoin.schema.fields}
+        same_scale = (_is_time_like(wsch[_KS]) == _is_time_like(
+            df.schema[time_col].dataType))
+        if obs_long is not None and same_scale:
+            grid = _detect_regular_grid(wjoin)
+
+    if grid is not None:
+        # regular-window fast path: window index by exact long arithmetic,
+        # theta join -> equi join on (entity, index).  Boundary handling
+        # reproduces the four include_start/include_stop combinations; only
+        # the doubly-inclusive case can put one observation into two
+        # adjacent windows (array + explode, 1 element in the common case).
+        origin, dur = grid
+        IDX = "__w_idx__"
+        wsch2 = {f.name: f.dataType for f in wjoin.schema.fields}
+        w_idx = ((_grid_long(F.col(_KS), wsch2[_KS]) - F.lit(origin))
+                 / F.lit(dur)).cast("long")
+        wfast = wjoin.withColumn(IDX, w_idx)
+        x = obs_long - F.lit(origin)
+        r = F.pmod(x, F.lit(dur))
+        # x - r is an exact multiple of dur, so the double division below is
+        # an exact integer (|epoch micros| < 2^53) and the cast is lossless
+        base = ((x - r) / F.lit(dur)).cast("long")
+        on_edge = r == 0
+        if include_start and not include_stop:
+            idx = base
+        elif include_stop and not include_start:
+            idx = F.when(on_edge, base - 1).otherwise(base)
+        elif include_start and include_stop:
+            idx = F.explode(F.when(on_edge, F.array(base - 1, base))
+                            .otherwise(F.array(base)))
+        else:
+            idx = F.when(~on_edge, base)  # boundary obs match no window
+        ofast = obs.withColumn(IDX, idx)
+        if not (include_start or include_stop):
+            ofast = ofast.filter(F.col(IDX).isNotNull())
+        pairs = ofast.join(
+            wfast, on=[ofast[entity_col] == wfast[_KE],
+                       ofast[IDX] == wfast[IDX]],
+            how="inner").drop(ofast[IDX]).drop(wfast[IDX])
+    else:
+        cond = obs[entity_col] == wjoin[_KE]
+        if has_start:
+            cond = cond & ((obs[time_col] >= wjoin[_KS]) if include_start
+                           else (obs[time_col] > wjoin[_KS]))
+        if has_stop:
+            cond = cond & ((obs[time_col] <= wjoin[_KP]) if include_stop
+                           else (obs[time_col] < wjoin[_KP]))
+        pairs = obs.join(wjoin, on=cond, how="inner")
 
     attr = F.col(attribute_col)
     val = F.col(value_col)

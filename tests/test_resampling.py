@@ -126,6 +126,58 @@ def test_resample_eav_standard(spark, seed, incl):
     assert_pdf_equal(out, exp, sort_by=["win_id"])
 
 
+@pytest.mark.parametrize("incl", [(True, True), (True, False),
+                                  (False, True), (False, False)])
+def test_resample_eav_regular_grid_fast_path(spark, incl):
+    """An aligned constant-duration (tumbling) grid takes the arithmetic
+    window-assignment fast path (reference resampling.py:1738-1763); its
+    results must equal the generic interval-join path for all four endpoint
+    combinations, including boundary observations, observations before the
+    first window, and null-endpoint windows."""
+    rng = np.random.default_rng(17)
+    n = 400
+    df = pd.DataFrame({
+        "entity": rng.integers(0, 6, n),
+        "timestamp": rng.integers(-50, 1000, n).astype("int64"),
+        "attribute": rng.choice(["hr", "bp"], n),
+        "value": rng.normal(50, 10, n).round(2),
+    })
+    # force exact boundary hits
+    df.loc[:40, "timestamp"] = rng.choice([0, 100, 200, 500], 41)
+    df["obs_id"] = np.arange(n)
+    rows = [(e, s, s + 100.0) for e in range(6) for s in range(0, 1000, 100)]
+    win = pd.DataFrame(rows, columns=["entity", "timestamp_start", "timestamp_stop"])
+    win["win_id"] = np.arange(len(win))
+    agg = {"hr": ["mean", "count", "sum"], "bp": ["max", "size"]}
+
+    recs = [(int(e), None if i == 3 else int(s), int(p), int(w))  # null start: invalid window
+            for i, (e, s, p, w) in enumerate(win.itertuples(index=False))]
+    sdf = to_sdf(spark, df)
+    swin = spark.createDataFrame(
+        recs, "entity long, timestamp_start long, timestamp_stop long, win_id long")
+    fast = resample_eav(sdf, swin, agg, include_start=incl[0],
+                        include_stop=incl[1], tiebreak_col="obs_id")
+    # the fast path joins on the derived window index
+    assert "__w_idx__" in fast._jdf.queryExecution().executedPlan().toString()
+    slow = resample_eav(sdf, swin, agg, include_start=incl[0],
+                        include_stop=incl[1], tiebreak_col="obs_id",
+                        regular=False).toPandas()
+    assert_pdf_equal(fast.toPandas(), slow, sort_by=["win_id"])
+
+
+def test_resample_eav_irregular_falls_back(spark):
+    """Non-constant durations must not take the grid path."""
+    df = _eav_data(5)
+    df["timestamp"] = (df["timestamp"] * 100).fillna(-1).astype("int64")
+    df.loc[df.timestamp < 0, "timestamp"] = None
+    win = pd.DataFrame({
+        "entity": [0, 0, 1], "timestamp_start": [0, 100, 0],
+        "timestamp_stop": [100, 350, 80], "win_id": [0, 1, 2]})
+    out = resample_eav(to_sdf(spark, df), spark.createDataFrame(win),
+                       {"hr": ["count"]}, tiebreak_col="obs_id")
+    assert "__w_idx__" not in out._jdf.queryExecution().executedPlan().toString()
+
+
 def test_resample_eav_mode_ranks(spark):
     df = _eav_data(2)
     # make values coarse so modes are meaningful
