@@ -60,7 +60,10 @@ def factorize(
         ids = distinct.withColumn(key_name, F.row_number().over(w) - F.lit(1))
     else:
         n_buckets = 1024
-        bucket = (F.abs(F.xxhash64(*[F.col(c) for c in kcols])) % n_buckets).cast("int")
+        # pmod, not abs(...)%: abs(Long.MIN_VALUE) is still negative and
+        # would index element_at with a non-positive position
+        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in kcols]),
+                        F.lit(n_buckets)).cast("int")
         counts = {r["__b__"]: r["cnt"]
                   for r in distinct.groupBy(bucket.alias("__b__"))
                   .agg(F.count(F.lit(1)).alias("cnt")).collect()}

@@ -487,7 +487,21 @@ def resample_interval(
         raise ValueError(f"windows needs at least one of {ws!r}, {wp!r}")
 
     if attributes is None:
-        attributes = [r[0] for r in df.select(attribute_col).distinct().collect()]
+        # discovery requires materializing the distinct attribute values on
+        # the driver (the subsequent pivot needs a literal column list), so
+        # it is CAPPED: at 100 TB an uncapped full-table distinct in the hot
+        # path is a driver OOM.  Pass `attributes` explicitly in production
+        # pipelines — it also skips this extra job entirely.
+        cap = 1000
+        rows = df.select(attribute_col).distinct().limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise ValueError(
+                f"more than {cap} distinct values in {attribute_col!r}; "
+                "pass `attributes` explicitly (the pivoted output needs a "
+                "bounded column list)")
+        # sorted: collect order is partition-dependent, and the pivot column
+        # order must be deterministic across plan re-evaluations
+        attributes = sorted((r[0] for r in rows if r[0] is not None), key=str)
     attributes = list(attributes)
 
     # content key instead of a generated window id (module docstring
