@@ -233,6 +233,36 @@ _Q_MERGE_INDEXERS_SQL = f"""
 """
 
 
+def q_merge_str_intervals(spark, sf):
+    """merge_intervals over STRING (lexicographic) endpoints: part names as
+    point intervals, first-letter buckets from nation names as containing
+    ranges (closing the dtype-matrix gap vs reference tests/util.py:377-416
+    — arbitrary comparable dtypes, not just numeric/timestamp).  Keyless
+    how="left": unmatched parts survive with null bucket."""
+    part = read_table(spark, sf, "part").select(
+        F.col("p_partkey").alias("pkey"),
+        F.lower(F.col("p_name")).alias("pname"))
+    nat = (read_table(spark, sf, "nation")
+           .select(F.lower(F.substring(F.col("n_name"), 1, 1)).alias("lo"))
+           .distinct()
+           .withColumn("hi", F.concat(F.col("lo"), F.lit("~"))))
+    out = cps.merge_intervals(
+        part, nat, how="left",
+        left_start="pname", left_stop="pname",
+        right_start="lo", right_stop="hi")
+    return out.select("pkey", "pname", "lo", "hi")
+
+
+_Q_MERGE_STR_SQL = """
+    WITH p AS (SELECT p_partkey AS pkey, lower(p_name) AS pname FROM part),
+    i AS (SELECT DISTINCT lower(substr(n_name, 1, 1)) AS lo,
+                 lower(substr(n_name, 1, 1)) || '~' AS hi
+          FROM nation)
+    SELECT p.pkey, p.pname, i.lo, i.hi
+    FROM p LEFT JOIN i ON p.pname >= i.lo AND p.pname <= i.hi
+"""
+
+
 def q_bucket_range_join(spark, sf):
     """T3 analogue (BASELINE.md: pure inequality, NO equi-keys): keyless
     interval-overlap join with strategy="bucket" — intervals explode into
@@ -1637,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_left_keep_first": q_merge_left_keep_first,
         "merge_keep_both": q_merge_keep_both,
         "merge_indexers": q_merge_indexers,
+        "merge_str_intervals": q_merge_str_intervals,
         "bucket_range_join": q_bucket_range_join,
         "find_containing": q_find_containing,
         "group_intervals": q_group_intervals,
@@ -1692,6 +1723,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_left_keep_first": _Q_MERGE_LEFT_FIRST_SQL,
         "merge_keep_both": _Q_MERGE_KEEP_BOTH_SQL,
         "merge_indexers": _Q_MERGE_INDEXERS_SQL,
+        "merge_str_intervals": _Q_MERGE_STR_SQL,
         "bucket_range_join": _Q_BUCKET_RANGE_SQL,
         "find_containing": _Q_FIND_CONTAINING_SQL,
         "group_intervals": _Q_GROUP_INTERVALS_SQL,

@@ -439,9 +439,11 @@ def find_containing_interval(
     uses row position, which Spark does not have; generated ids are a
     deterministic content hash — stable, but with no meaningful order).
 
-    Returns ``points`` with one added long column per point column: named
+    Returns ``points`` with one added id column per point column: named
     ``{col}__first`` / ``{col}__last`` for ``which="both"``, else ``{col}__{which}``
     (the reference uses a column MultiIndex for "both", flattened here).
+    The id column has ``interval_id``'s type when supplied, else
+    DECIMAL(38,0) (generated 126-bit content hash).
 
     Implementation note: the containment pairs are aggregated by point
     CONTENT (``group_by`` + point value) and joined back onto ``points`` —
@@ -466,10 +468,19 @@ def find_containing_interval(
             start_col = "__start__"
 
     if interval_id is None:
-        # deterministic content hash (NOT monotonically_increasing_id: its
-        # values could differ between plan re-evaluations)
+        # deterministic 126-bit content hash as DECIMAL(38,0) (NOT
+        # monotonically_increasing_id: its values could differ between plan
+        # re-evaluations; NOT a single xxhash64: at >= 4B intervals 64-bit
+        # birthday collisions become plausible and would silently merge two
+        # intervals' ids).  Decimal keeps min/max ordering and the -1
+        # missing sentinel working.
+        cols = [F.col(c) for c in intervals.columns]
+        maxlong = F.lit(2 ** 63 - 1)
+        h1 = F.xxhash64(F.lit(0), *cols).bitwiseAND(maxlong).cast("decimal(20,0)")
+        h2 = F.xxhash64(F.lit(1), *cols).bitwiseAND(maxlong).cast("decimal(20,0)")
+        two63 = F.lit("9223372036854775808").cast("decimal(20,0)")
         intervals = intervals.withColumn(
-            RIGHT_ID, F.xxhash64(*[F.col(c) for c in intervals.columns]))
+            RIGHT_ID, (h1 * two63 + h2).cast("decimal(38,0)"))
         interval_id = RIGHT_ID
 
     ivl = intervals.select(

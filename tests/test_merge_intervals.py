@@ -356,3 +356,24 @@ def test_find_containing_interval(spark):
     exp["p__first"] = first
     exp["p__last"] = last
     assert_pdf_equal(out, exp, sort_by=["pidx"])
+
+
+def test_find_containing_generated_id(spark):
+    """Without interval_id, ids are a generated 126-bit content hash
+    (DECIMAL(38,0)): distinct intervals get distinct ids, equal-content
+    intervals the same id, points outside all intervals -1."""
+    points = pd.DataFrame({"g": [1, 1, 1, 2], "p": [5.0, 15.0, 99.0, 5.0]})
+    ivls = pd.DataFrame({"g": [1, 1, 1, 2],
+                         "start": [0.0, 10.0, 0.0, 0.0],
+                         "stop": [9.0, 19.0, 9.0, 9.0]})  # rows 0,2 identical
+    out = find_containing_interval(
+        to_sdf(spark, points), to_sdf(spark, ivls), point_cols="p",
+        which="first", start_col="start", stop_col="stop", group_by="g")
+    assert dict(out.dtypes)["p__first"] == "decimal(38,0)"
+    pdf = out.toPandas().sort_values(["g", "p"]).reset_index(drop=True)
+    ids = pdf.p__first.astype(object)
+    assert ids[2] == -1                       # p=99 in no interval
+    # p=5 matches the duplicated [0,9] interval (one shared id), p=15 the
+    # [10,19] interval (a different id)
+    assert ids[0] != -1 and ids[1] != -1 and ids[0] != ids[1]
+    assert ids[3] != -1
