@@ -151,6 +151,10 @@ def resample_eav(
     ``tiebreak_col``: column in ``df`` used to break ties between equal
     timestamps for rank aggregations (the reference uses row position, which
     Spark does not have; without it ties are broken arbitrarily).
+    Custom callables' output types come from ``custom_agg_schemas``
+    ({out_col_name: DDL type}) when given, else from probing the callable
+    with a 3-row dummy Series on the driver (reference
+    ``resampling.py:256-272``).
     ``optimize`` is accepted for API compatibility and ignored (AQE replaces
     the reference's time/memory strategy knob — SURVEY.md §4).
     ``include_start``/``include_stop`` default to True/False exactly as in
@@ -413,7 +417,9 @@ def resample_eav(
             f"{f.name} {f.dataType.simpleString()}" for f in wjoin.schema.fields)
 
         for a, fn, name in custom_reqs:
-            ret_type = (custom_agg_schemas or {}).get(name, "double")
+            ret_type = (custom_agg_schemas or {}).get(name)
+            if ret_type is None:
+                ret_type = _probe_custom_agg(fn)
             sub = pairs.filter(attr == F.lit(a)).select(*key_cols, value_col)
             schema = f"{key_ddl}, {name} {ret_type}"
 
@@ -437,6 +443,36 @@ def resample_eav(
     if fills:
         out = out.withColumns(fills)
     return out.drop(*key_cols)
+
+
+def _probe_custom_agg(fn) -> str:
+    """Infer a custom aggregation's output DDL type by probing the callable
+    with a 3-row dummy Series on the driver — reference ergonomics
+    (``catabra_pandas/resampling.py:256-272`` probes with a dummy frame).
+    Runs USER CODE at plan time on the driver; callers who must avoid that
+    pass ``custom_agg_schemas`` instead (which always wins).  Falls back to
+    ``double`` if the probe raises or returns something unmappable.
+    """
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    try:
+        r = fn(pd.Series([1.0, 2.0, 3.0]))
+    except Exception:
+        return "double"
+    if isinstance(r, (bool, np.bool_)):
+        return "boolean"
+    if isinstance(r, (int, np.integer)):
+        return "bigint"
+    if isinstance(r, (float, np.floating)) or r is None:
+        return "double"
+    if isinstance(r, str):
+        return "string"
+    if isinstance(r, (pd.Timestamp, datetime.datetime, np.datetime64)):
+        return "timestamp"
+    return "double"
 
 
 def resample_interval(

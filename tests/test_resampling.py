@@ -216,6 +216,29 @@ def test_resample_eav_half_infinite_and_custom(spark):
     assert_pdf_equal(out, exp, sort_by=["win_id"])
 
 
+def test_resample_eav_custom_agg_schema_probe(spark):
+    """Without custom_agg_schemas, the output type is inferred by probing
+    the callable with a dummy Series (reference resampling.py:256-272)."""
+    df = _eav_data(4)
+    win = _windows(4)
+
+    def n_valid(s):
+        return int(s.notna().sum())
+
+    def verdict(s):
+        return "some" if s.notna().any() else "none"
+
+    out = resample_eav(to_sdf(spark, df), to_sdf(spark, win),
+                       {"hr": [n_valid, verdict]})
+    dt = dict(out.dtypes)
+    assert dt["hr_n_valid"] == "bigint"
+    assert dt["hr_verdict"] == "string"
+    pdf = out.toPandas()
+    # None = window with no observations at all (the callable never ran)
+    assert set(pdf.hr_verdict.dropna().unique()) <= {"some", "none"}
+    assert (pdf.loc[pdf.hr_verdict == "some", "hr_n_valid"] > 0).all()
+
+
 def _interval_data(seed, n=300, n_entities=10):
     rng = np.random.default_rng(seed)
     df = pd.DataFrame({
