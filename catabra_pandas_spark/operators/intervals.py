@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 from ..util import as_list, ensure_columns
 
 GROUP_ID = "interval_group"
+_CHUNK = "__chunk__"
 
 
 def _orderable(c: Column, dt) -> Column:
@@ -28,6 +29,41 @@ def _orderable(c: Column, dt) -> Column:
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         return c.cast("timestamp").cast("double")
     return c
+
+
+def _default_chunks(df: DataFrame) -> int:
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return max(8, min(128, 2 * par))
+
+
+def _range_chunks(df: DataFrame, num: Column, n_chunks: int):
+    """Attach a range-chunk id (0..P-1) from approximate quantile cuts of
+    ``num`` so chunk order == value order (equal values share a chunk; rows
+    with null ``num`` land in chunk 0, where ascending null-first ordering
+    puts them anyway).  Returns ``(df_with_chunk, P)``; ``P == 1`` means
+    chunking is pointless (empty input or a single distinct value).
+
+    This is the scaffolding that turns a keyless global window into P
+    parallel per-chunk windows: the quantile probe is one aggregate job and
+    every cross-chunk dependency is later carried via P-element literal
+    arrays computed from per-chunk summaries (the only driver-side data is
+    O(P) scalars — never rows).
+    """
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    cuts = (df.select(num.cast("double").alias("__q__"))
+            .approxQuantile("__q__", probs, 1.0 / (4 * n_chunks)))
+    cuts = sorted(set(cuts))
+    if not cuts:
+        return df.withColumn(_CHUNK, F.lit(0)), 1
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    chunk = F.coalesce(
+        F.size(F.filter(arr, lambda c: c <= num.cast("double"))), F.lit(0))
+    return df.withColumn(_CHUNK, chunk.cast("int")), len(cuts) + 1
+
+
+def _chunk_lit_array(values, n: int) -> Column:
+    """P-element literal array indexed by ``element_at(arr, chunk + 1)``."""
+    return F.array(*[F.lit(values.get(i)) for i in range(n)])
 
 
 def group_intervals(
@@ -58,11 +94,15 @@ def group_intervals(
 
     Scale note: with ``group_by`` this is one shuffle on the group keys and
     sorted in-partition streaming (parallel across groups).  WITHOUT
-    ``group_by`` the running max is a single global sorted pass — Spark
-    executes the empty-partition window on one task, so keyless clustering
-    of a cluster-scale table will bottleneck; supply a coarse partition key
-    whenever one exists (the reference has the identical sequential
-    dependency, it is inherent to single-linkage clustering).
+    ``group_by`` the sequential single-linkage dependency is distributed as
+    a two-pass chunked merge: range-chunk by start (approximate-quantile
+    cuts), run the island window per chunk IN PARALLEL, then stitch chunks
+    with two O(P)-scalar driver summaries — the carried-in prefix max of
+    stops acts as one virtual interval, so a local island boundary survives
+    globally iff it also clears the carry (``start - prefix_max >
+    distance``), and island ids are shifted by per-chunk island counts.
+    Costs three extra small aggregate jobs; replaces the single-task global
+    window that would bottleneck a cluster-scale keyless call.
     """
     group_by = as_list(group_by)
     if point_col is not None:
@@ -79,16 +119,65 @@ def group_intervals(
     start = _orderable(F.col(start_col), schema[start_col])
     stop = _orderable(F.col(stop_col), schema[stop_col])
 
-    w = Window.partitionBy(*group_by).orderBy(start.asc(), stop.asc()) if group_by \
-        else Window.partitionBy().orderBy(start.asc(), stop.asc())
-    run_max_prev = F.max(stop).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    gap = start - run_max_prev
-    if inclusive:
-        new_flag = run_max_prev.isNull() | (gap > F.lit(distance))
+    def flag_from(run_max_prev: Column) -> Column:
+        gap = start - run_max_prev
+        if inclusive:
+            return run_max_prev.isNull() | (gap > F.lit(distance))
+        return run_max_prev.isNull() | (gap >= F.lit(distance))
+
+    if group_by:
+        w = Window.partitionBy(*group_by).orderBy(start.asc(), stop.asc())
+        new_flag = flag_from(
+            F.max(stop).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        gid = F.sum(new_flag.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)) - F.lit(1)
+        return df.withColumn(group_id_name, gid)
+
+    # ---- keyless: distributed two-pass chunked merge ---------------------
+    chunked, P = _range_chunks(df, start, _default_chunks(df))
+    w = Window.partitionBy(_CHUNK).orderBy(start.asc(), stop.asc())
+    if P == 1:
+        new_flag = flag_from(
+            F.max(stop).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        gid = F.sum(new_flag.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)) - F.lit(1)
+        return chunked.withColumn(group_id_name, gid).drop(_CHUNK)
+
+    # chunk summaries -> exclusive prefix max of stops (the carry)
+    mx = {r[_CHUNK]: r["mx"] for r in
+          chunked.groupBy(_CHUNK).agg(F.max(stop).alias("mx")).collect()}
+    carry, run = {}, None
+    for i in range(P):
+        carry[i] = run
+        m = mx.get(i)
+        if m is not None:
+            run = m if run is None else max(run, m)
+    local_flag = flag_from(
+        F.max(stop).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    if all(v is None for v in carry.values()):  # all stops null: no carry
+        flagged = chunked.withColumn("__flag__", local_flag)
     else:
-        new_flag = run_max_prev.isNull() | (gap >= F.lit(distance))
-    gid = F.sum(new_flag.cast("long")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.lit(1)
-    return df.withColumn(group_id_name, gid)
+        carry_col = F.element_at(_chunk_lit_array(carry, P), F.col(_CHUNK) + 1)
+        carry_gap = start - carry_col
+        clears_carry = carry_col.isNull() | (
+            (carry_gap > F.lit(distance)) if inclusive
+            else (carry_gap >= F.lit(distance)))
+        flagged = chunked.withColumn("__flag__", local_flag & clears_carry)
+
+    # per-chunk island counts -> exclusive prefix sums (the id offsets)
+    cnts = {r[_CHUNK]: r["n"] for r in
+            flagged.groupBy(_CHUNK).agg(
+                F.sum(F.col("__flag__").cast("long")).alias("n")).collect()}
+    offs, acc = {}, 0
+    for i in range(P):
+        offs[i] = acc
+        acc += int(cnts.get(i) or 0)
+    off_col = F.element_at(_chunk_lit_array(offs, P), F.col(_CHUNK) + 1)
+    gid = off_col + F.sum(F.col("__flag__").cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)) - F.lit(1)
+    # a chunk whose first rows continue the previous chunk's island has no
+    # new-island flag yet; cumsum 0 + offset - 1 = previous chunk's last id
+    return flagged.withColumn(group_id_name, gid).drop(_CHUNK, "__flag__")
 
 
 def combine_intervals(
@@ -162,10 +251,67 @@ def _coverage_bands(
                        F.lit(-1).alias("__delta__"), F.lit(1).alias("__tag__"))
     events = starts.unionByName(stops)
 
-    w = Window.partitionBy(*group_by).orderBy(F.col("__t__").asc(), F.col("__tag__").asc()) \
-        if group_by else Window.partitionBy().orderBy(F.col("__t__").asc(), F.col("__tag__").asc())
-    cov = F.sum("__delta__").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    seg_stop = F.lead("__t__", 1).over(w)
+    def band(c):
+        b = c >= n_min
+        return b and c <= n_max if n_max is not None else b
+
+    if group_by:
+        w = Window.partitionBy(*group_by).orderBy(
+            F.col("__t__").asc(), F.col("__tag__").asc())
+        cov = F.sum("__delta__").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        seg_stop = F.lead("__t__", 1).over(w)
+        prev_default = F.lit(False)
+        island_off = F.lit(0).cast("long")
+    else:
+        # keyless: distributed chunked sweep.  Range-chunk by event time,
+        # run the coverage/island windows per chunk in parallel, and carry
+        # the three cross-chunk dependencies via O(P)-scalar summaries:
+        # (1) running coverage -> exclusive prefix sum of chunk deltas,
+        # (2) the segment spanning a chunk boundary -> next non-empty
+        #     chunk's first event time as the lead() fallback,
+        # (3) island continuation -> the previous chunk's final coverage
+        #     decides the boundary prev-in-band value, and per-chunk island
+        #     counts shift the island ids (a continuing run then reproduces
+        #     the previous chunk's island id exactly).
+        chunked, P = _range_chunks(events, F.col("__t__"), _default_chunks(events))
+        w = Window.partitionBy(_CHUNK).orderBy(
+            F.col("__t__").asc(), F.col("__tag__").asc())
+        if P == 1:
+            events = chunked
+            cov = F.sum("__delta__").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            seg_stop = F.lead("__t__", 1).over(w)
+            prev_default = F.lit(False)
+            island_off = F.lit(0).cast("long")
+        else:
+            summ = chunked.groupBy(_CHUNK).agg(
+                F.sum("__delta__").alias("s"), F.min("__t__").alias("t0")).collect()
+            sums = {r[_CHUNK]: int(r["s"]) for r in summ}
+            firsts = {r[_CHUNK]: r["t0"] for r in summ}
+            prefix, acc = {}, 0
+            for i in range(P):
+                prefix[i] = acc
+                acc += sums.get(i, 0)
+            nxt, nt = {}, None
+            for i in reversed(range(P)):
+                nxt[i] = nt
+                if i in firsts:
+                    nt = firsts[i]
+            first_ne = min(firsts) if firsts else 0
+            # boundary prev-in: the nearest previous positive segment is the
+            # previous non-empty chunk's last event, whose coverage is this
+            # chunk's prefix sum (chunks in between are empty)
+            prevb = {i: (i > first_ne and band(prefix[i])) for i in range(P)}
+
+            events = chunked
+            cov = (F.element_at(_chunk_lit_array(prefix, P), F.col(_CHUNK) + 1)
+                   + F.sum("__delta__").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+            seg_stop = F.coalesce(
+                F.lead("__t__", 1).over(w),
+                F.element_at(_chunk_lit_array(nxt, P), F.col(_CHUNK) + 1))
+            prev_default = F.element_at(
+                _chunk_lit_array(prevb, P), F.col(_CHUNK) + 1)
+            island_off = None  # filled below, needs the flag counts
+
     # zero-length segments are ignored entirely: never emitted and never
     # splitting an in-band run (reference behavior, e.g. an isolated point
     # inside a gap does not split the gap — misc.py:377-427)
@@ -178,11 +324,24 @@ def _coverage_bands(
     seg = seg.withColumn("__in__", in_band)
 
     # coalesce adjacent in-band segments into maximal intervals
-    prev_in = F.lag("__in__", 1, False).over(w)
-    island = F.sum((F.col("__in__") & ~prev_in).cast("long")).over(
+    prev_in = F.coalesce(F.lag("__in__", 1).over(w), prev_default)
+    flag = (F.col("__in__") & ~prev_in).cast("long")
+    if island_off is None:
+        seg = seg.withColumn("__flag__", flag)
+        cnts = {r[_CHUNK]: int(r["n"] or 0) for r in
+                seg.groupBy(_CHUNK).agg(F.sum("__flag__").alias("n")).collect()}
+        offs, acc = {}, 0
+        for i in range(P):
+            offs[i] = acc
+            acc += cnts.get(i, 0)
+        island_off = F.element_at(_chunk_lit_array(offs, P), F.col(_CHUNK) + 1)
+        flag = F.col("__flag__")
+    island = island_off + F.sum(flag).over(
         w.rowsBetween(Window.unboundedPreceding, 0))
     seg = seg.withColumn("__island__", island).filter(F.col("__in__"))
     out = seg.groupBy(*group_by, "__island__").agg(
         F.min("__t__").alias(start_col), F.max("__seg_stop__").alias(stop_col)
     ).drop("__island__")
+    if not group_by:
+        out = out.drop(_CHUNK) if _CHUNK in out.columns else out
     return out

@@ -114,6 +114,39 @@ def test_combine_intervals_attrs(spark):
     assert_pdf_equal(out, exp, sort_by=["g", "start", "stop"])
 
 
+@pytest.mark.parametrize("seed,distance,inclusive", [(3, 0.0, True), (4, 1.5, False)])
+def test_group_intervals_keyless_chunked(spark, seed, distance, inclusive):
+    """The keyless path (distributed two-pass chunked merge) must equal the
+    grouped single-window path run with a constant key.  600 rows over a
+    wide value range forces multiple quantile chunks, including islands
+    that span chunk boundaries."""
+    pdf = _rand_intervals(seed, n=600, n_groups=1).assign(g=0)
+    # a few giant intervals that swallow many chunks (the carry cascade)
+    pdf.loc[:2, "stop"] = pdf.loc[:2, "start"] + 40.0
+    sdf = to_sdf(spark, pdf)
+    keyless = group_intervals(sdf, start_col="start", stop_col="stop",
+                              distance=distance, inclusive=inclusive).toPandas()
+    grouped = group_intervals(sdf, group_by="g", start_col="start", stop_col="stop",
+                              distance=distance, inclusive=inclusive).toPandas()
+    assert_pdf_equal(keyless, grouped, sort_by=["start", "stop", "attr"])
+
+
+@pytest.mark.parametrize("n_min,n_max", [(1, None), (2, None), (0, 0), (2, 3)])
+def test_combine_intervals_keyless_chunked(spark, n_min, n_max):
+    """Keyless coverage sweep (chunked) == grouped sweep with constant key:
+    running coverage, boundary-spanning segments, and islands continuing
+    across chunks must all stitch correctly."""
+    pdf = _rand_intervals(11, n=600, n_groups=1).assign(g=0)
+    pdf.loc[:2, "stop"] = pdf.loc[:2, "start"] + 40.0
+    sdf = to_sdf(spark, pdf)
+    keyless = combine_intervals(sdf, start_col="start", stop_col="stop",
+                                n_min=n_min, n_max=n_max).toPandas()
+    grouped = combine_intervals(sdf, start_col="start", stop_col="stop",
+                                group_by="g", n_min=n_min, n_max=n_max
+                                ).toPandas().drop(columns=["g"])
+    assert_pdf_equal(keyless, grouped, sort_by=["start", "stop"])
+
+
 def test_grouped_mode(spark):
     rng = np.random.default_rng(7)
     pdf = pd.DataFrame({
