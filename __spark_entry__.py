@@ -380,6 +380,33 @@ def q_group_intervals_ts(spark, sf):
 _Q_GROUP_INTERVALS_TS_SQL = _Q_GROUP_INTERVALS_SQL
 
 
+def q_group_intervals_keyless(spark, sf):
+    """KEYLESS group_intervals — global single-linkage sessionization of the
+    whole events timeline with no entity key.  Exercises the distributed
+    two-pass chunked merge (operators/intervals.py): range-chunk by start,
+    per-chunk islands, carry stitched via prefix max; the DuckDB oracle is
+    the classic single-pass gap-and-island, so chunk stitching must be
+    value-exact."""
+    e = _ev(spark, sf).select("eid", "t")
+    out = cps.group_intervals(e, point_col="t", distance=600_000_000)  # 10 min
+    return out.select("eid", "t", F.col("interval_group").alias("grp"))
+
+
+_Q_GROUP_KEYLESS_SQL = f"""
+    WITH e AS ({_EV_SQL}),
+    m AS (SELECT eid, t,
+                 max(t) OVER (ORDER BY t, eid
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+          FROM e),
+    f AS (SELECT eid, t,
+                 CASE WHEN rm IS NULL OR t - rm > 600000000 THEN 1 ELSE 0 END AS brk
+          FROM m)
+    SELECT eid, t,
+           (sum(brk) OVER (ORDER BY t, eid ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS grp
+    FROM f
+"""
+
+
 def _combine_sql(n_min: int, n_max) -> str:
     band = f"cov >= {n_min}" + (f" AND cov <= {n_max}" if n_max is not None else "")
     return f"""
@@ -1672,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "find_containing": q_find_containing,
         "group_intervals": q_group_intervals,
         "group_intervals_ts": q_group_intervals_ts,
+        "group_intervals_keyless": q_group_intervals_keyless,
         "combine_union": q_combine_union,
         "combine_k3": q_combine_k3,
         "combine_gaps": q_combine_gaps,
@@ -1728,6 +1756,7 @@ def oracle_sql() -> dict[str, str]:
         "find_containing": _Q_FIND_CONTAINING_SQL,
         "group_intervals": _Q_GROUP_INTERVALS_SQL,
         "group_intervals_ts": _Q_GROUP_INTERVALS_TS_SQL,
+        "group_intervals_keyless": _Q_GROUP_KEYLESS_SQL,
         "combine_union": _combine_sql(1, None),
         "combine_k3": _combine_sql(3, None),
         "combine_gaps": _combine_sql(0, 0),
