@@ -153,8 +153,12 @@ def minhash_near_dup_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes, seed)
+    # candidate generation over bare (id, band, hash) rows: the band
+    # self-join exchange carries 3 scalars per row, never the signature
+    # array (which would be duplicated `bands` times through the shuffle);
+    # signatures are joined back only onto the deduplicated candidates
     banded = sig.select(
-        id_col, "signature",
+        id_col,
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda bi: F.hash(F.slice("signature", bi * r + 1, r)),
@@ -163,15 +167,16 @@ def minhash_near_dup_pairs(
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
-        left.join(right, on=[F.col(f"l.band_idx") == F.col("r.band_idx"),
+        left.join(right, on=[F.col("l.band_idx") == F.col("r.band_idx"),
                              F.col("l.band_hash") == F.col("r.band_hash"),
                              F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
         .select(F.col(f"l.{id_col}").alias("id_a"),
-                F.col(f"r.{id_col}").alias("id_b"),
-                F.col("l.signature").alias("sig_a"),
-                F.col("r.signature").alias("sig_b"))
+                F.col(f"r.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    cand = cand.join(sa, "id_a").join(sb, "id_b")
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                             lambda m: m))
     est = agree.cast("double") / F.lit(float(num_hashes))
