@@ -23,6 +23,7 @@ import catabra_pandas_spark.streaming as STRM
 from catabra_pandas_spark.sources import read_table
 
 DAY = 86400
+WK_US = 7 * DAY * 1_000_000  # the weekly-window grid used by the resample queries
 
 
 # --------------------------------------------------------------------------
@@ -712,7 +713,7 @@ def q_resample_eav_basic(spark, sf):
         ev, win, {"click": ["count", "mean", "min", "max", "sum", "size"],
                   "view": ["nunique"]},
         entity_col="entity", time_col="t", include_stop=False, tiebreak_col="eid",
-        assume_unique_windows=True)
+        assume_unique_windows=True, regular=(0, WK_US))
     return out.select(
         "entity", "t_start", "t_stop",
         F.col("click_count").alias("click_count"),
@@ -750,7 +751,7 @@ def q_resample_eav_moments(spark, sf):
     win = _weekly_windows(spark, sf)
     out = cps.resample_eav(ev, win, {"view": ["skew", "sem", "mad", "prod"]},
                            entity_col="entity", time_col="t", include_stop=False,
-                           assume_unique_windows=True)
+                           assume_unique_windows=True, regular=(0, WK_US))
     return out.select(
         "entity", "t_start", "t_stop",
         F.round("view_skew", 6).alias("view_skew"),
@@ -886,7 +887,7 @@ def q_resample_eav_quantiles(spark, sf):
     win = _weekly_windows(spark, sf)
     out = cps.resample_eav(ev, win, {"view": ["median", "p25", "p90", "std", "var"]},
                            entity_col="entity", time_col="t", include_stop=False,
-                           assume_unique_windows=True)
+                           assume_unique_windows=True, regular=(0, WK_US))
     return out.select("entity", "t_start", "t_stop",
                       F.round("view_median", 6).alias("view_median"),
                       F.round("view_p25", 6).alias("view_p25"),
@@ -918,7 +919,7 @@ def q_resample_eav_ranks(spark, sf):
     out = cps.resample_eav(ev, win, {"click": ["r0", "r-1", "r1", "t0", "t-1"]},
                            entity_col="entity", time_col="t",
                            include_stop=False, tiebreak_col="eid",
-                           assume_unique_windows=True)
+                           assume_unique_windows=True, regular=(0, WK_US))
     return out.select("entity", "t_start", "t_stop",
                       F.round("click_r0", 6).alias("click_r0"),
                       F.round("click_r-1", 6).alias("click_rm1"),
@@ -959,7 +960,7 @@ def q_resample_eav_mode(spark, sf):
     win = _weekly_windows(spark, sf)
     out = cps.resample_eav(ev, win, {"view": ["mode", "mode_count"]},
                            entity_col="entity", time_col="t", include_stop=False,
-                           assume_unique_windows=True)
+                           assume_unique_windows=True, regular=(0, WK_US))
     return out.select("entity", "t_start", "t_stop",
                       F.round("view_mode", 6).alias("view_mode"),
                       "view_mode_count")
@@ -1662,7 +1663,7 @@ def q_resample_eav_custom(spark, sf):
 
     out = cps.resample_eav(ev, win, {"view": [value_range]},
                            entity_col="entity", time_col="t", include_stop=False,
-                           assume_unique_windows=True)
+                           assume_unique_windows=True, regular=(0, WK_US))
     return out.select("entity", "t_start", "t_stop",
                       F.round("view_value_range", 6).alias("view_value_range"))
 

@@ -172,7 +172,10 @@ def resample_eav(
     (tumbling windows).  The probe costs one small aggregate job over the
     windows frame at call time; pass ``regular=False`` to skip it (e.g.
     when windows are known-irregular or the windows plan is expensive to
-    evaluate twice).
+    evaluate twice), or ``regular=(origin, duration)`` (long units: epoch
+    micros for time-like endpoints, raw values for integral ones) to take
+    the fast path with NO probe when the grid is known a priori — results
+    are wrong if the declared grid does not match the windows.
     """
     if callable(windows) and not isinstance(windows, DataFrame):
         windows = windows(df, entity_col=entity_col, time_col=time_col)
@@ -227,8 +230,16 @@ def resample_eav(
         wjoin = wjoin.distinct()
 
     grid = None
-    if regular in ("auto", True) and has_start and has_stop:
-        obs_long = _grid_long(F.col(time_col), df.schema[time_col].dataType)
+    obs_long = _grid_long(F.col(time_col), df.schema[time_col].dataType)
+    if isinstance(regular, tuple):
+        if not (has_start and has_stop):
+            raise ValueError("regular=(origin, duration) needs both window endpoints")
+        if obs_long is None:
+            raise ValueError(
+                f"regular=(origin, duration) needs an integral or time-like "
+                f"{time_col!r}, got {df.schema[time_col].dataType.simpleString()}")
+        grid = (int(regular[0]), int(regular[1]))
+    elif regular in ("auto", True) and has_start and has_stop:
         wsch = {f.name: f.dataType for f in wjoin.schema.fields}
         same_scale = (_is_time_like(wsch[_KS]) == _is_time_like(
             df.schema[time_col].dataType))

@@ -165,6 +165,28 @@ def test_resample_eav_regular_grid_fast_path(spark, incl):
     assert_pdf_equal(fast.toPandas(), slow, sort_by=["win_id"])
 
 
+def test_resample_eav_explicit_grid_tuple(spark):
+    """regular=(origin, duration) takes the fast path with no probe job and
+    must equal the probed auto path."""
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "entity": rng.integers(0, 4, 200),
+        "timestamp": rng.integers(0, 800, 200).astype("int64"),
+        "attribute": rng.choice(["hr", "bp"], 200),
+        "value": rng.normal(0, 1, 200).round(2),
+        "obs_id": np.arange(200),
+    })
+    rows = [(e, s, s + 100) for e in range(4) for s in range(0, 800, 100)]
+    win = pd.DataFrame(rows, columns=["entity", "timestamp_start", "timestamp_stop"])
+    sdf, swin = to_sdf(spark, df), to_sdf(spark, win)
+    agg = {"hr": ["mean", "count"]}
+    auto = resample_eav(sdf, swin, agg, tiebreak_col="obs_id").toPandas()
+    explicit = resample_eav(sdf, swin, agg, tiebreak_col="obs_id",
+                            regular=(0, 100)).toPandas()
+    assert_pdf_equal(explicit, auto,
+                     sort_by=["entity", "timestamp_start"])
+
+
 def test_resample_eav_irregular_falls_back(spark):
     """Non-constant durations must not take the grid path."""
     df = _eav_data(5)
