@@ -114,3 +114,38 @@ def write_table(
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         w = w.partitionBy(*cols)
     w.save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by,
+    n_buckets: int,
+    sort_by=None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    path: str | None = None,
+) -> None:
+    """Sink a managed BUCKETED table (``bucketBy`` + optional ``sortBy``).
+
+    Bucketing is the standing answer to repeated large-table joins and
+    aggregations on a stable key: two tables bucketed on the same key with
+    the same bucket count join WITHOUT a shuffle (Catalyst sees the
+    hash-partitioned output layout), and a groupBy on the bucket key skips
+    its exchange.  At 100 TB, pre-bucketing the fact tables on the join key
+    turns every downstream equi-join from a full shuffle into a local
+    zip of buckets — the biggest single plan saving available to a
+    repeatedly-queried dataset.
+
+    Bucketed output requires the table catalog (``saveAsTable``; plain
+    ``save`` cannot record bucket metadata).  ``path`` pins the table to an
+    external location.
+    """
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    w = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *cols)
+    if sort_by:
+        scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*scols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -4,7 +4,8 @@ import os
 
 import pandas as pd
 
-from catabra_pandas_spark.sources import read_table, write_table
+from catabra_pandas_spark.sources import (read_table, write_bucketed_table,
+                                          write_table)
 from .conftest import to_sdf
 
 
@@ -24,6 +25,31 @@ def test_read_table_nanos(spark):
     dt = dict(ev.dtypes)["ts"]
     assert "timestamp" in dt
     assert ev.limit(5).count() == 5
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key with equal bucket counts must
+    sort-merge join with NO exchange on either side — the co-located join
+    layout that bucketing exists to provide."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 1000).withColumn("v", F.col("id") % 7)
+    b = spark.range(0, 1000).withColumn("w", F.col("id") % 5)
+    write_bucketed_table(a, "t_bucket_a", "id", 4, sort_by="id",
+                         path=str(tmp_path / "a"))
+    write_bucketed_table(b, "t_bucket_b", "id", 4, sort_by="id",
+                         path=str(tmp_path / "b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
 
 
 def test_read_table_normalizes_ntz(spark, tmp_path):
