@@ -182,6 +182,47 @@ def test_merge_how_keep_grid(spark, how, keep):
                      sort_by=["idx", "ridx", "group"])
 
 
+def test_merge_property_random_how_incl(spark):
+    """Property sweep (reference tests/test_merge_intervals.py random-sweep
+    strategy): random how x endpoint-inclusion combinations against the
+    brute-force oracle.  Derandomized via seeds so CI is stable; the r3/r4
+    merge bugs lived exactly in under-swept corners of this matrix."""
+    import itertools
+    import random as _random
+
+    rnd = _random.Random(20260813)
+    combos = list(itertools.product(
+        ["inner", "left", "right", "outer"], [0, 1], [0, 1]))
+    rnd.shuffle(combos)
+    for how, i_ls, i_rp in combos[:8]:
+        incl = (bool(i_ls), True, bool(i_rp), False)
+        seed = rnd.randrange(10**6)
+        left, right = _make_sides(seed, n_left=80, n_right=40)
+        out = merge_intervals(
+            to_sdf(spark, left), to_sdf(spark, right), on="group", how=how,
+            left_start="start", left_stop="stop",
+            right_start="rstart", right_stop="rstop",
+            include_left_start=incl[0], include_left_stop=incl[1],
+            include_right_start=incl[2], include_right_stop=incl[3],
+        ).toPandas()
+        m = _slow_pairs(left, right, "group", incl)
+        if how in ("left", "outer"):
+            missing = left[~left.idx.isin(m.idx)].copy()
+            for c in ["rstart", "rstop", "ridx"]:
+                missing[c] = np.nan
+            m = pd.concat([m, missing], ignore_index=True)
+        if how in ("right", "outer"):
+            missing = right[~right.ridx.isin(m.ridx)].copy()
+            for c in ["start", "stop", "idx"]:
+                missing[c] = np.nan
+            m = pd.concat([m, missing], ignore_index=True)
+        if how == "inner":
+            m = m.copy()
+        assert_pdf_equal(out, m[["group", "start", "idx", "stop",
+                                 "rstart", "ridx", "rstop"]],
+                         sort_by=["idx", "ridx", "group"])
+
+
 def test_merge_half_infinite_and_points(spark):
     left, right = _make_sides(4)
     # left as points (start only), right half-infinite [rstart, +inf)
