@@ -1650,6 +1650,110 @@ _Q_MULTIMODAL_AUDIO_SQL = f"""
 """
 
 
+def q_multimodal_resize(spark, sf):
+    """REAL image resize, oracle-checked: the synthesized P5 payloads (see
+    q_multimodal_decode) are nearest-neighbor-resized to 4x2 by
+    pipeline.resize_image (mapInPandas, byte-level), then decoded; the
+    DuckDB oracle replays the index selection ((y*h)//2, (x*w)//4) on the
+    generating formula without seeing any bytes — resize + re-decode must
+    be byte-exact."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+    import numpy as np
+
+    docs = read_table(spark, sf, "documents").select("doc_id") \
+        .filter((F.col("doc_id") >= 8) & (F.col("doc_id") < 100))
+
+    @pandas_udf(T.BinaryType())
+    def make_p5(doc_id):
+        def build(d):
+            d = int(d)
+            w, h = d % 16 + 1, d % 8 + 1
+            i = np.arange(w * h, dtype=np.int64)
+            raster = ((d * 31 + i * 7) % 256).astype(np.uint8)
+            return b"P5\n%d %d\n255\n" % (w, h) + raster.tobytes()
+        return doc_id.map(build)
+
+    d = docs.withColumn("payload", make_p5(F.col("doc_id")))
+    d = P.attach_binary_metadata(d, "payload", modality="image",
+                                 mime="image/x-portable-graymap")
+    r = P.resize_image(d, "payload", out_width=4, out_height=2)
+    r = r.drop("payload").withColumnRenamed("payload_resized", "payload")
+    out = P.decode_binary(r, "payload")
+    return out.select(
+        "doc_id",
+        F.element_at("features", 1).alias("width"),
+        F.element_at("features", 2).alias("height"),
+        F.round(F.element_at("features", 4), 6).alias("mean_gray"),
+        F.round(F.element_at("features", 7), 6).alias("std_gray"))
+
+
+_Q_MULTIMODAL_RESIZE_SQL = """
+    WITH d AS (
+      SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h
+      FROM documents WHERE doc_id >= 8 AND doc_id < 100
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(0, 8)) AS i
+      FROM d
+    ),
+    v AS (
+      -- resized pixel i = (y, x) with y = i // 4, x = i % 4; source index
+      -- = (y*h)//2 * w + (x*w)//4 (nearest-neighbor index selection)
+      SELECT doc_id,
+             (doc_id * 31 + (((i // 4) * h) // 2 * w + ((i % 4) * w) // 4) * 7)
+               % 256 AS val
+      FROM px
+    )
+    SELECT doc_id, 4.0 AS width, 2.0 AS height,
+           round(avg(val), 6) AS mean_gray,
+           round(stddev_pop(val), 6) AS std_gray
+    FROM v GROUP BY doc_id
+"""
+
+
+def q_resample_eav_sliding(spark, sf):
+    """SLIDING regular windows (2-week duration, 1-week stride) via the
+    explicit-grid fast path regular=(0, 2wk, 1wk): candidate windows are
+    enumerated arithmetically, the endpoint predicate runs as a residual
+    filter — no interval theta-join (operators/resampling.py)."""
+    ev = _ev(spark, sf).select(F.col("uid").alias("entity"), "t",
+                               F.col("etype").alias("attribute"),
+                               F.col("val").alias("value"))
+    win = (_ev(spark, sf)
+           .select(F.col("uid").alias("entity"),
+                   (F.floor(F.col("t") / WK_US) * WK_US).alias("base"))
+           .distinct()
+           .select("entity",
+                   F.explode(F.array(F.col("base") - WK_US, F.col("base")))
+                   .alias("t_start"))
+           .distinct()
+           .withColumn("t_stop", F.col("t_start") + 2 * WK_US))
+    out = cps.resample_eav(
+        ev, win, {"click": ["count", "sum"]},
+        entity_col="entity", time_col="t", include_stop=False,
+        assume_unique_windows=True, regular=(0, 2 * WK_US, WK_US))
+    return out.select("entity", "t_start", "t_stop", "click_count",
+                      F.round("click_sum", 6).alias("click_sum"))
+
+
+_Q_RESAMPLE_SLIDING_SQL = f"""
+    WITH e AS ({_EV_SQL}),
+    base AS (SELECT DISTINCT uid AS entity,
+                    (t // 604800000000) * 604800000000 AS b
+             FROM e),
+    w AS (SELECT DISTINCT entity, s AS t_start, s + 2 * 604800000000 AS t_stop
+          FROM (SELECT entity, unnest([b - 604800000000, b]) AS s FROM base)),
+    j AS (SELECT w.entity, w.t_start, w.t_stop, e.val
+          FROM w LEFT JOIN (SELECT * FROM e WHERE etype = 'click') e
+            ON e.uid = w.entity AND e.t >= w.t_start AND e.t < w.t_stop)
+    SELECT entity, t_start, t_stop,
+           count(val) AS click_count,
+           round(sum(val), 6) AS click_sum
+    FROM j GROUP BY entity, t_start, t_stop
+"""
+
+
 def q_resample_eav_custom(spark, sf):
     """Custom Python aggregation via applyInPandas (resampling.py:128-161)."""
     ev = _ev(spark, sf).select(F.col("uid").alias("entity"), "t",
@@ -1718,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_eav_moments": q_resample_eav_moments,
         "resample_eav_ranks": q_resample_eav_ranks,
         "resample_eav_mode": q_resample_eav_mode,
+        "resample_eav_sliding": q_resample_eav_sliding,
         "resample_eav_custom": q_resample_eav_custom,
         "resample_interval": q_resample_interval,
         "factorize": q_factorize,
@@ -1742,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codec-format plumbing (rows-only; no codec in the container)
         "multimodal_audio": q_multimodal_audio,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -1775,6 +1881,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_eav_moments": _Q_RESAMPLE_MOMENTS_SQL,
         "resample_eav_ranks": _Q_RESAMPLE_RANKS_SQL,
         "resample_eav_mode": _Q_RESAMPLE_MODE_SQL,
+        "resample_eav_sliding": _Q_RESAMPLE_SLIDING_SQL,
         "resample_eav_custom": _Q_RESAMPLE_CUSTOM_SQL,
         "resample_interval": _Q_RESAMPLE_INTERVAL_SQL,
         "factorize": _Q_FACTORIZE_SQL,
@@ -1802,4 +1909,5 @@ def oracle_sql() -> dict[str, str]:
         # generating values/formula, never seeing the binary
         "multimodal_audio": _Q_MULTIMODAL_AUDIO_SQL,
         "multimodal_decode": _Q_MULTIMODAL_DECODE_SQL,
+        "multimodal_resize": _Q_MULTIMODAL_RESIZE_SQL,
     }

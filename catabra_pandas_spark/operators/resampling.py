@@ -176,6 +176,10 @@ def resample_eav(
     micros for time-like endpoints, raw values for integral ones) to take
     the fast path with NO probe when the grid is known a priori — results
     are wrong if the declared grid does not match the windows.
+    ``regular=(origin, duration, stride)`` additionally covers SLIDING
+    regular windows (stride < duration): each observation enumerates its
+    ~duration/stride candidate windows arithmetically and the exact
+    endpoint predicate runs as a residual filter after the equi-join.
     """
     if callable(windows) and not isinstance(windows, DataFrame):
         windows = windows(df, entity_col=entity_col, time_col=time_col)
@@ -230,6 +234,7 @@ def resample_eav(
         wjoin = wjoin.distinct()
 
     grid = None
+    stride = None
     obs_long = _grid_long(F.col(time_col), df.schema[time_col].dataType)
     if isinstance(regular, tuple):
         if not (has_start and has_stop):
@@ -239,14 +244,46 @@ def resample_eav(
                 f"regular=(origin, duration) needs an integral or time-like "
                 f"{time_col!r}, got {df.schema[time_col].dataType.simpleString()}")
         grid = (int(regular[0]), int(regular[1]))
+        stride = int(regular[2]) if len(regular) > 2 else int(regular[1])
+        if stride <= 0 or stride > grid[1]:
+            raise ValueError("stride must be in (0, duration]")
     elif regular in ("auto", True) and has_start and has_stop:
         wsch = {f.name: f.dataType for f in wjoin.schema.fields}
         same_scale = (_is_time_like(wsch[_KS]) == _is_time_like(
             df.schema[time_col].dataType))
         if obs_long is not None and same_scale:
             grid = _detect_regular_grid(wjoin)
+            if grid is not None:
+                stride = grid[1]
 
-    if grid is not None:
+    if grid is not None and stride != grid[1]:
+        # sliding windows: enumerate the <= duration/stride + 1 candidate
+        # window indices per observation by floor-division, equi-join on
+        # (entity, index), then apply the EXACT endpoint predicate as a
+        # residual filter (the enumeration over-includes by at most one
+        # window at each end, so no per-flag case analysis is needed)
+        origin, dur = grid
+        IDX = "__w_idx__"
+        wsch2 = {f.name: f.dataType for f in wjoin.schema.fields}
+
+        def fdiv(x, b):
+            return ((x - F.pmod(x, F.lit(b))) / F.lit(b)).cast("long")
+
+        wfast = wjoin.withColumn(
+            IDX, fdiv(_grid_long(F.col(_KS), wsch2[_KS]) - F.lit(origin), stride))
+        x = obs_long - F.lit(origin)
+        idx = F.explode(F.sequence(fdiv(x - F.lit(dur), stride), fdiv(x, stride)))
+        ofast = obs.withColumn(IDX, idx)
+        joined = ofast.join(
+            wfast, on=[ofast[entity_col] == wfast[_KE],
+                       ofast[IDX] == wfast[IDX]],
+            how="inner").drop(ofast[IDX]).drop(wfast[IDX])
+        resid = ((F.col(time_col) >= F.col(_KS)) if include_start
+                 else (F.col(time_col) > F.col(_KS)))
+        resid = resid & ((F.col(time_col) <= F.col(_KP)) if include_stop
+                         else (F.col(time_col) < F.col(_KP)))
+        pairs = joined.filter(resid)
+    elif grid is not None:
         # regular-window fast path: window index by exact long arithmetic,
         # theta join -> equi join on (entity, index).  Boundary handling
         # reproduces the four include_start/include_stop combinations; only

@@ -187,6 +187,34 @@ def test_resample_eav_explicit_grid_tuple(spark):
                      sort_by=["entity", "timestamp_start"])
 
 
+@pytest.mark.parametrize("incl", [(True, False), (True, True)])
+def test_resample_eav_sliding_grid(spark, incl):
+    """regular=(origin, duration, stride) with stride < duration (sliding
+    windows): enumerated candidates + residual filter must equal the
+    generic interval-join path."""
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({
+        "entity": rng.integers(0, 4, 300),
+        "timestamp": rng.integers(-20, 900, 300).astype("int64"),
+        "attribute": rng.choice(["hr", "bp"], 300),
+        "value": rng.normal(0, 1, 300).round(2),
+        "obs_id": np.arange(300),
+    })
+    df.loc[:20, "timestamp"] = rng.choice([0, 50, 100, 400], 21)  # boundaries
+    # sliding: duration 100, stride 50 -> every obs in ~2 windows
+    rows = [(e, s, s + 100) for e in range(4) for s in range(0, 900, 50)]
+    win = pd.DataFrame(rows, columns=["entity", "timestamp_start", "timestamp_stop"])
+    sdf, swin = to_sdf(spark, df), to_sdf(spark, win)
+    agg = {"hr": ["mean", "count"], "bp": ["sum"]}
+    fast = resample_eav(sdf, swin, agg, include_start=incl[0],
+                        include_stop=incl[1], tiebreak_col="obs_id",
+                        regular=(0, 100, 50)).toPandas()
+    slow = resample_eav(sdf, swin, agg, include_start=incl[0],
+                        include_stop=incl[1], tiebreak_col="obs_id",
+                        regular=False).toPandas()
+    assert_pdf_equal(fast, slow, sort_by=["entity", "timestamp_start"])
+
+
 def test_resample_eav_irregular_falls_back(spark):
     """Non-constant durations must not take the grid path."""
     df = _eav_data(5)
