@@ -120,3 +120,42 @@ def ensure_columns(df: DataFrame, cols: Iterable[str], what: str = "column") -> 
 
 def qualify(df: DataFrame, cols: Sequence[str]) -> list[Column]:
     return [df[c] for c in cols]
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skewed keys.
+
+    AQE's skew-join handling splits oversized SORT-MERGE partitions, but it
+    cannot help when one logical key is so hot that a single key's rows
+    exceed an executor (AQE splits partitions, not keys).  Salting does:
+    the LEFT side gets a uniform random salt in [0, salt); the RIGHT side
+    is replicated ``salt`` times (explode of a literal sequence), so each
+    (key, salt) bucket carries ~1/salt of the hot key's rows and the join
+    parallelizes across ``salt`` tasks per key.
+
+    Use when the right side is small-ish per key (dimension-like) but too
+    large or too dynamic to broadcast, and the left carries hot keys.
+    ``how`` supports "inner" and "left" (the salt column is internal and
+    dropped; row multiplicity is unchanged because each left row carries
+    exactly one salt value and matches exactly one replica).
+
+    The salt uses a hash of the whole left row (not ``rand()``), so the
+    result is deterministic under task retries / plan re-evaluation.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = as_list(on)
+    SALT = "__salt__"
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                   F.lit(salt)).cast("int")
+    l_ = left.withColumn(SALT, lsalt)
+    r_ = right.withColumn(
+        SALT, F.explode(F.sequence(F.lit(0).cast("int"), F.lit(salt - 1).cast("int"))))
+    out = l_.join(r_, on=keys + [SALT], how=how)
+    return out.drop(SALT)
