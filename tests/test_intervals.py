@@ -147,6 +147,25 @@ def test_combine_intervals_keyless_chunked(spark, n_min, n_max):
     assert_pdf_equal(keyless, grouped, sort_by=["start", "stop"])
 
 
+def test_group_intervals_keyless_skewed_and_nulls(spark):
+    """Chunk assignment must survive heavy duplicate starts (quantile cuts
+    collapse) and null starts (pinned to the first chunk, like the global
+    ascending-nulls-first order)."""
+    rng = np.random.default_rng(41)
+    pdf = pd.DataFrame({
+        "start": rng.choice([10.0, 10.0, 10.0, 50.0, 90.0], 400),
+        "g": 0,
+    })
+    pdf["stop"] = pdf["start"] + rng.uniform(0, 5, 400).round(1)
+    pdf.loc[:5, "start"] = np.nan
+    sdf = to_sdf(spark, pdf)
+    keyless = group_intervals(sdf, start_col="start", stop_col="stop",
+                              distance=1.0).toPandas()
+    grouped = group_intervals(sdf, group_by="g", start_col="start",
+                              stop_col="stop", distance=1.0).toPandas()
+    assert_pdf_equal(keyless, grouped, sort_by=["start", "stop"])
+
+
 def test_grouped_mode(spark):
     rng = np.random.default_rng(7)
     pdf = pd.DataFrame({
