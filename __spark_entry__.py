@@ -264,6 +264,31 @@ _Q_MERGE_STR_SQL = """
 """
 
 
+def q_merge_asof(spark, sf):
+    """As-of join (operators/asof.py): for every click event, the value of
+    the user's most recent purchase within the preceding 7 days — the
+    dedicated pd.merge_asof-style API for the keep="last" interval pattern
+    (reference merging.py:92-98).  One shuffle, no join: union + window
+    sweep.  DuckDB oracle: native ASOF LEFT JOIN + tolerance post-filter."""
+    ev = _ev(spark, sf)
+    clicks = ev.filter(F.col("etype") == "click").select("eid", "uid", "t")
+    purchases = (ev.filter((F.col("etype") == "purchase") & F.col("val").isNotNull())
+                 .groupBy("uid", "t").agg(F.max("val").alias("pval")))
+    out = cps.merge_asof(clicks, purchases, on="t", by="uid",
+                         direction="backward", tolerance=7 * DAY * 1e6)
+    return out.select("eid", "uid", "t", F.round("pval", 6).alias("pval"))
+
+
+_Q_MERGE_ASOF_SQL = f"""
+    WITH l AS (SELECT eid, uid, t FROM ({_EV_SQL}) WHERE etype = 'click'),
+    r AS (SELECT uid, t, max(val) AS pval FROM ({_EV_SQL})
+          WHERE etype = 'purchase' AND val IS NOT NULL GROUP BY uid, t)
+    SELECT l.eid, l.uid, l.t,
+           CASE WHEN l.t - r.t <= 604800000000::BIGINT THEN round(r.pval, 6) END AS pval
+    FROM l ASOF LEFT JOIN r ON l.uid = r.uid AND l.t >= r.t
+"""
+
+
 def q_bucket_range_join(spark, sf):
     """T3 analogue (BASELINE.md: pure inequality, NO equi-keys): keyless
     interval-overlap join with strategy="bucket" — intervals explode into
@@ -1800,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_keep_both": q_merge_keep_both,
         "merge_indexers": q_merge_indexers,
         "merge_str_intervals": q_merge_str_intervals,
+        "merge_asof": q_merge_asof,
         "bucket_range_join": q_bucket_range_join,
         "find_containing": q_find_containing,
         "group_intervals": q_group_intervals,
@@ -1859,6 +1885,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_keep_both": _Q_MERGE_KEEP_BOTH_SQL,
         "merge_indexers": _Q_MERGE_INDEXERS_SQL,
         "merge_str_intervals": _Q_MERGE_STR_SQL,
+        "merge_asof": _Q_MERGE_ASOF_SQL,
         "bucket_range_join": _Q_BUCKET_RANGE_SQL,
         "find_containing": _Q_FIND_CONTAINING_SQL,
         "group_intervals": _Q_GROUP_INTERVALS_SQL,

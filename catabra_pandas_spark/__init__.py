@@ -17,6 +17,7 @@ large-scale training-data operators (dedup, similarity search, text analysis,
 multimodal plumbing).
 """
 
+from .operators.asof import merge_asof
 from .operators.merging import find_containing_interval, merge_intervals
 from .operators.intervals import combine_intervals, group_intervals
 from .operators.sequences import impute, prev_next_values
@@ -37,6 +38,7 @@ __all__ = [
     "impute",
     "factorize",
     "merge_intervals",
+    "merge_asof",
 ]
 
 __version__ = "0.1.0"
