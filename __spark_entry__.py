@@ -573,6 +573,26 @@ _Q_IMPUTE_FFILL_SQL = f"""
 """
 
 
+def q_stream_dedup(spark, sf):
+    """stream_dedup (streaming/__init__.py) in batch-dispatch mode: one
+    map-side-combinable groupBy with a min_by whole-row pick, canonical row
+    = smallest eid per (uid, etype).  The incremental
+    dropDuplicatesWithinWatermark path is exercised in
+    tests/test_streaming.py."""
+    out = STRM.stream_dedup(_ev(spark, sf), subset=["uid", "etype"],
+                            id_col="eid")
+    return out.select("eid", "uid", "etype", "t",
+                      F.round("val", 6).alias("val"))
+
+
+_Q_STREAM_DEDUP_SQL = f"""
+    SELECT eid, uid, etype, t, round(val, 6) AS val FROM (
+      SELECT *, row_number() OVER (PARTITION BY uid, etype ORDER BY eid) AS rn
+      FROM ({_EV_SQL})
+    ) WHERE rn = 1
+"""
+
+
 def q_stream_ffill(spark, sf):
     """stream_ffill (custom stateful streaming op, streaming/__init__.py) in
     batch-dispatch mode: identical fill semantics to impute ffill without
@@ -1864,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "stream_resample": q_stream_resample,
         "stream_ffill": q_stream_ffill,
+        "stream_dedup": q_stream_dedup,
         # approximate tier: oracle-backed recall certificates / DuckDB twin
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1924,6 +1945,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _Q_SESSIONIZE_SQL,
         "stream_resample": _Q_STREAM_RESAMPLE_SQL,
         "stream_ffill": _Q_STREAM_FFILL_SQL,
+        "stream_dedup": _Q_STREAM_DEDUP_SQL,
         # recall certificates: oracle = the exact ground truth the
         # approximate operator must fully recover (see q_minhash_lsh)
         "minhash_lsh": _ngram_sql(0.8),

@@ -162,6 +162,49 @@ def stream_ffill(
                                     GroupStateTimeout.NoTimeout))
 
 
+def stream_dedup(
+    df: DataFrame,
+    subset: Union[str, Sequence[str]],
+    time_col: str = "timestamp",
+    watermark: Optional[str] = None,
+    id_col: Optional[str] = None,
+) -> DataFrame:
+    """Streaming exact deduplication by key columns ``subset``.
+
+    Streaming DataFrames use native ``dropDuplicatesWithinWatermark``:
+    duplicates whose event time falls within ``watermark`` of the first
+    arrival are dropped, and state per key expires at the watermark horizon
+    — the bounded-state form of ``pipeline.exact_dedup``, which the batch
+    reference-side operator cannot provide (it must see all data at once).
+    ``watermark`` is required in streaming mode; the surviving row is the
+    first PROCESSED (arrival order), the only choice incremental execution
+    can make.
+
+    Batch DataFrames dispatch to one ``groupBy(subset)`` with a ``min_by``
+    whole-row pick — a single map-side-combinable shuffle (cheaper than a
+    window pass: no sort, partial aggregation upstream).  The canonical row
+    is the one with the smallest ``id_col`` (or smallest remaining-column
+    struct if ``id_col`` is None) — deterministic, unlike streaming arrival
+    order, so batch results are reproducible and oracle-checkable.
+    """
+    subset = as_list(subset)
+    if df.isStreaming:
+        if watermark is None:
+            raise ValueError("streaming dedup requires a watermark "
+                             "(state would otherwise grow unboundedly)")
+        return (df.withWatermark(time_col, watermark)
+                .dropDuplicatesWithinWatermark(subset))
+    others = [c for c in df.columns if c not in subset]
+    if not others:
+        return df.select(*subset).distinct()
+    order = F.col(id_col) if id_col else F.struct(*[F.col(c) for c in others])
+    packed = F.min_by(F.struct(*[F.col(c).alias(c) for c in others]), order)
+    red = df.groupBy(*subset).agg(packed.alias("__row__"))
+    red = red.select(*subset,
+                     *[F.col("__row__").getField(c).alias(c) for c in others])
+    return red.select(*df.columns)
+
+
 def stream_resample_eav(
     df: DataFrame,
     agg: Mapping[str, Sequence[str]],

@@ -187,3 +187,63 @@ def test_streaming_plumbing_available_now(spark, tmp_path):
     batch = stream_sessionize(spark.createDataFrame(pdf), "10 minutes",
                               agg={"value": ["mean"]}).toPandas()
     assert_pdf_equal(got, batch, sort_by=["entity", "session_start"])
+
+
+def test_stream_dedup_batch_deterministic(spark):
+    pdf = pd.DataFrame({
+        "k": ["a", "a", "a", "b"],
+        "timestamp": pd.to_datetime(["2026-01-01 00:00", "2026-01-01 00:05",
+                                     "2026-01-01 00:01", "2026-01-01 00:02"]),
+        "id": [3, 1, 2, 9],
+        "v": [30.0, 10.0, 20.0, 90.0],
+    })
+    from catabra_pandas_spark.streaming import stream_dedup
+
+    out = stream_dedup(spark.createDataFrame(pdf), subset="k",
+                       id_col="id").toPandas()
+    assert out.columns.tolist() == ["k", "timestamp", "id", "v"]
+    got = out.sort_values("k")[["k", "id", "v"]].values.tolist()
+    assert got == [["a", 1, 10.0], ["b", 9, 90.0]]
+
+    # without id_col: smallest remaining-column struct (timestamp leads)
+    out2 = stream_dedup(spark.createDataFrame(pdf), subset="k").toPandas()
+    assert sorted(out2["id"].tolist()) == [3, 9]
+
+
+def test_stream_dedup_cross_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark drops a duplicate key arriving in a
+    LATER micro-batch within the watermark window."""
+    import time as _time
+    from catabra_pandas_spark.streaming import stream_dedup
+
+    base = pd.Timestamp("2026-01-01")
+    early = pd.DataFrame({
+        "k": ["a", "b"],
+        "timestamp": [base, base + pd.Timedelta(minutes=1)],
+        "v": [1.0, 2.0],
+    })
+    late = pd.DataFrame({
+        "k": ["a", "c"],   # 'a' is a dup within the watermark -> dropped
+        "timestamp": [base + pd.Timedelta(minutes=2),
+                      base + pd.Timedelta(minutes=3)],
+        "v": [99.0, 3.0],
+    })
+    src_dir = str(tmp_path / "dedup_src")
+    spark.createDataFrame(early).coalesce(1).write.mode("overwrite").parquet(src_dir)
+    _time.sleep(1.2)
+    spark.createDataFrame(late).coalesce(1).write.mode("append").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    out = stream_dedup(stream, subset="k", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_test").toPandas()
+    assert sorted(got["k"].tolist()) == ["a", "b", "c"]
+    assert got.loc[got["k"] == "a", "v"].tolist() == [1.0]  # first arrival won
+
+    # streaming without watermark must refuse
+    with pytest.raises(ValueError):
+        stream_dedup(stream, subset="k")
