@@ -171,9 +171,30 @@ def merge_intervals(
     gen_left_id = left_id is None
     gen_right_id = right_id is None
     has_lid = has_rid = False
+    # inner/left keep reduction consumes LEFT_ID only as its grouping key —
+    # duplicate left rows are interchangeable there (identical rows match
+    # identical rights and pick identical winners), so instead of the
+    # rank-window stamp (shuffle + sort + row_number) pre-aggregate left to
+    # distinct rows with a multiplicity count (map-side-combinable shuffle,
+    # shrinks the join probe side) and re-explode the multiplicity at the
+    # end.  The id is then a narrow 128-bit content hash (no dup rank
+    # needed: rows are distinct post-dedup; a cross-content collision would
+    # merge two left rows' reductions — same 2^-128 bound as the generated
+    # interval ids in find_containing_interval).
+    content_keep = (gen_left_id and need_left_id and not return_indexers
+                    and not anti_path and keep != "all"
+                    and how in ("inner", "left"))
+    MULT = "__left_mult__"
     if not gen_left_id:
         if left_id != LEFT_ID:
             left = left.withColumn(LEFT_ID, F.col(left_id))
+        has_lid = True
+    elif content_keep:
+        left = left.groupBy(left.columns).agg(F.count(F.lit(1)).alias(MULT))
+        cols = [F.col(c) for c in left.columns if c != MULT]
+        left = left.withColumn(LEFT_ID, F.struct(
+            F.xxhash64(F.lit(0), *cols).alias("h1"),
+            F.xxhash64(F.lit(1), *cols).alias("h2")))
         has_lid = True
     elif need_left_id:
         left = _stamp_content_id(left, LEFT_ID)
@@ -358,6 +379,13 @@ def merge_intervals(
                 if r_name(b) != l_name(a):
                     invalid_r = invalid_r.drop(r_name(b))
         matched = matched.unionByName(invalid_r, allowMissingColumns=True)
+
+    # restore the multiplicity of duplicate left rows collapsed by the
+    # content_keep pre-aggregation (narrow explode, no shuffle)
+    if content_keep:
+        matched = matched.withColumn(
+            MULT, F.explode(F.sequence(F.lit(1), F.col(MULT).cast("int"))))
+        matched = matched.drop(MULT)
 
     if return_indexers:
         lcol = F.col(LEFT_ID) if gen_left_id else F.coalesce(F.col(LEFT_ID), F.lit(-1))

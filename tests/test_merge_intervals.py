@@ -418,3 +418,31 @@ def test_find_containing_generated_id(spark):
     # [10,19] interval (a different id)
     assert ids[0] != -1 and ids[1] != -1 and ids[0] != ids[1]
     assert ids[3] != -1
+
+
+def test_keep_first_duplicate_left_multiplicity(spark):
+    """content_keep pre-aggregation: duplicate left rows must each appear in
+    the output (dedup + count + final explode), for matched, unmatched and
+    invalid-interval left rows."""
+    left = pd.DataFrame({
+        "g": [1, 1, 1, 1, 2, 2],
+        "start": [0.0, 0.0, 50.0, 50.0, 5.0, np.nan],
+        "stop": [10.0, 10.0, 60.0, 60.0, 7.0, 8.0],
+    })
+    right = pd.DataFrame({
+        "g": [1, 1],
+        "rstart": [2.0, 5.0],
+        "rstop": [20.0, 30.0],
+        "tag": ["a", "b"],
+    })
+    for how, exp_rows in [("inner", 2), ("left", 6)]:
+        out = merge_intervals(
+            to_sdf(spark, left), to_sdf(spark, right), on="g", how=how,
+            left_start="start", left_stop="stop",
+            right_start="rstart", right_stop="rstop",
+            keep="first", keep_by="tag").toPandas()
+        assert len(out) == exp_rows, (how, out)
+        matched = out[out["tag"].notna()]
+        # both duplicate copies of the matching [0,10] interval appear,
+        # each picking the same first right (tag 'a')
+        assert len(matched) == 2 and set(matched["tag"]) == {"a"}
