@@ -1695,6 +1695,34 @@ _Q_MULTIMODAL_AUDIO_SQL = f"""
 """
 
 
+def q_multimodal_frames(spark, sf):
+    """pipeline.sample_frames: every-Nth-frame index explosion per video
+    row (JVM sequence explode — the fan-out step that distributes per-frame
+    decode across the cluster).  Metadata is constructed with a
+    SQL-replayable n_frames so DuckDB can replay the stride arithmetic."""
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    d = docs.withColumn("media_meta", F.struct(
+        F.lit("video").alias("modality"),
+        F.lit("video/mp4").alias("mime"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        (F.length("text") % 300 + 1).cast("int").alias("n_frames"),
+        F.lit(30).alias("sample_rate")))
+    out = P.sample_frames(d, every_n=25)
+    return out.select(
+        "doc_id",
+        F.col("media_meta.n_frames").cast("long").alias("n_frames"),
+        F.col("frame_index").cast("long").alias("frame_index"))
+
+
+_Q_MULTIMODAL_FRAMES_SQL = """
+    WITH d AS (SELECT doc_id, length(text) % 300 + 1 AS n_frames FROM documents)
+    SELECT doc_id, n_frames::BIGINT AS n_frames,
+           unnest(range(0, n_frames::BIGINT, 25)) AS frame_index
+    FROM d
+"""
+
+
 def q_multimodal_resize(spark, sf):
     """REAL image resize, oracle-checked: the synthesized P5 payloads (see
     q_multimodal_decode) are nearest-neighbor-resized to 4x2 by
@@ -1895,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1959,4 +1988,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio": _Q_MULTIMODAL_AUDIO_SQL,
         "multimodal_decode": _Q_MULTIMODAL_DECODE_SQL,
         "multimodal_resize": _Q_MULTIMODAL_RESIZE_SQL,
+        "multimodal_frames": _Q_MULTIMODAL_FRAMES_SQL,
     }

@@ -20,6 +20,7 @@ import __spark_entry__ as entry  # noqa: E402
 HEADLINE = [
     "merge_overlap",
     "merge_left_keep_first",
+    "merge_asof",
     "bucket_range_join",
     "find_containing",
     "group_intervals",
@@ -34,6 +35,7 @@ HEADLINE = [
     "resample_interval",
     "sessionize",
     "dedup_exact",
+    "stream_dedup",
     "fingerprint",
     "text_stats",
     # raw LSH operators (the driver-checked minhash_lsh/simhash entries are
