@@ -190,11 +190,10 @@ def merge_intervals(
             left = left.withColumn(LEFT_ID, F.col(left_id))
         has_lid = True
     elif content_keep:
-        left = left.groupBy(left.columns).agg(F.count(F.lit(1)).alias(MULT))
-        cols = [F.col(c) for c in left.columns if c != MULT]
-        left = left.withColumn(LEFT_ID, F.struct(
-            F.xxhash64(F.lit(0), *cols).alias("h1"),
-            F.xxhash64(F.lit(1), *cols).alias("h2")))
+        # deferred: the dedup runs on the VALID rows only (below), so the
+        # invalid-left union branch stays a bare scan+filter with no
+        # exchange (invalid rows bypass join and reduction entirely and
+        # keep their original multiplicity)
         has_lid = True
     elif need_left_id:
         left = _stamp_content_id(left, LEFT_ID)
@@ -224,6 +223,12 @@ def merge_intervals(
         rkeys_ok = rkeys_ok & F.col(k).isNotNull()
     lm = left.filter(lvalid & lkeys_ok)
     rm = right.filter(rvalid & rkeys_ok)
+    if content_keep:
+        lm = lm.groupBy(lm.columns).agg(F.count(F.lit(1)).alias(MULT))
+        cols = [F.col(c) for c in lm.columns if c != MULT]
+        lm = lm.withColumn(LEFT_ID, F.struct(
+            F.xxhash64(F.lit(0), *cols).alias("h1"),
+            F.xxhash64(F.lit(1), *cols).alias("h2")))
 
     # --- suffix overlapping columns ------------------------------------
     overlap = (set(left.columns) & set(right.columns)) - {LEFT_ID, RIGHT_ID}
@@ -316,10 +321,13 @@ def merge_intervals(
         part_id = LEFT_ID if how != "right" else RIGHT_ID
         if how != "right":
             own_names = list(l_out_cols)
+            if content_keep:
+                own_names.append(MULT)  # constant per left content group
         else:
             own_names = list(r_out_cols) + ([l_name(a) for a in left_on] if drop_right_keys else [])
         own_set = set(own_names)
-        other_names = [c for c in matched.columns if c not in own_set]
+        other_names = [c for c in matched.columns
+                       if c not in own_set and c != part_id]
         order_cols = as_list(keep_by) if keep_by else [RIGHT_ID if how != "right" else LEFT_ID]
         order_struct = F.struct(*[F.col(c) for c in order_cols])
         others = F.struct(*[F.col(c).alias(c) for c in other_names])
@@ -381,10 +389,12 @@ def merge_intervals(
         matched = matched.unionByName(invalid_r, allowMissingColumns=True)
 
     # restore the multiplicity of duplicate left rows collapsed by the
-    # content_keep pre-aggregation (narrow explode, no shuffle)
+    # content_keep pre-aggregation (narrow explode, no shuffle); invalid
+    # left rows joined in above never went through the dedup -> count 1
     if content_keep:
         matched = matched.withColumn(
-            MULT, F.explode(F.sequence(F.lit(1), F.col(MULT).cast("int"))))
+            MULT, F.explode(F.sequence(
+                F.lit(1), F.coalesce(F.col(MULT).cast("int"), F.lit(1)))))
         matched = matched.drop(MULT)
 
     if return_indexers:
