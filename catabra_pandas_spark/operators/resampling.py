@@ -18,7 +18,9 @@ the range predicate as residual filter; AQE handles skewed entities.  All
 standard aggregations (mean/min/max/median/std/var/sum/prod/skew/mad/sem/
 size/count/nunique/pXX) run in a SINGLE shuffle as conditional JVM-side
 aggregates — one pass regardless of how many (attribute, function) pairs are
-requested.  Rank aggregations (rXX/tXX) and mode/mode_count need one extra
+requested; mad joins that same pass after one window pre-pass that attaches
+the per-(window, attribute) mean.  Rank aggregations (rXX/tXX) and
+mode/mode_count need one extra
 window/groupBy pass each over the already-joined pairs; custom Python
 callables run via Arrow-batched ``applyInPandas`` (the reference's callable
 contract at ``resampling.py:128-161`` IS the applyInPandas contract).
@@ -398,23 +400,23 @@ def resample_eav(
             else:
                 raise ValueError(f"unknown aggregation {fn!r} for attribute {a!r}")
 
+    # --- mad: exact mean-absolute-deviation needs the per-(window, attr)
+    # mean BEFORE the aggregate — computed as one window pass over pairs
+    # (shuffle on (window, attr)), after which the mad becomes an ordinary
+    # conditional aggregate in the SAME single groupBy as everything else.
+    # (The previous two-groupBy + join + pivot formulation cost 4 extra
+    # exchanges; the window partitioning also pre-clusters the rank pass.)
+    if mad_reqs:
+        wma = Window.partitionBy(*key_cols, attribute_col)
+        mean_wa = F.avg(val).over(wma)
+        pairs = pairs.withColumn("__mean_wa__", mean_wa)
+        for a in mad_reqs:
+            dev = F.when(attr == F.lit(a), F.abs(val - F.col("__mean_wa__")))
+            std_exprs.append(F.avg(dev).alias(f"{a}_mad"))
+
     out = win
     if std_exprs:
         out = out.join(pairs.groupBy(*key_cols).agg(*std_exprs), on=key_cols, how="left")
-
-    # --- mad: two-pass mean-absolute-deviation per (window, attr) ------
-    if mad_reqs:
-        sub = pairs.filter(attr.isin(mad_reqs)).select(*key_cols, attribute_col, value_col)
-        means = sub.groupBy(*key_cols, attribute_col).agg(F.avg(value_col).alias("__mean__"))
-        mads = (
-            sub.join(means, on=[*key_cols, attribute_col])
-            .groupBy(*key_cols, attribute_col)
-            .agg(F.avg(F.abs(F.col(value_col) - F.col("__mean__"))).alias("__mad__"))
-        )
-        piv = mads.groupBy(*key_cols).pivot(attribute_col, mad_reqs).agg(F.first("__mad__"))
-        for a in mad_reqs:
-            piv = piv.withColumnRenamed(a, f"{a}_mad")
-        out = out.join(piv, on=key_cols, how="left")
 
     # --- mode / mode_count (reference misc.py:930-933 tie-break) --------
     for a, wanted in mode_reqs.items():
