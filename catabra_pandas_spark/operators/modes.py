@@ -5,11 +5,13 @@ plus its count; ties broken deterministically (most frequent, then smallest
 value — the stable sort at ``misc.py:930-933``); ``dropna`` option; groups
 whose values are all null get mode=null, count=0.
 
-Spark mapping (SURVEY.md §2.1 #8): ``groupBy(keys, value).count()`` then
-``row_number()`` over ``Window.partitionBy(keys).orderBy(count desc, value)``
-filtered to 1.  Two shuffles on the same keys (count + window); map-side
-partial aggregation makes the first cheap even on skewed 100 TB inputs, and
-the second operates on the already-reduced (group, value) distinct set.
+Spark mapping (SURVEY.md §2.1 #8): ``groupBy(keys, value).count()`` then a
+``min_by`` reduction per group whose ordering struct encodes the tie-break
+(null-last / most-frequent / smallest-value).  Two shuffles, BOTH with
+map-side partial aggregation (a window + row_number pass would sort and
+could not combine map-side), and no join: null values stay in the count
+set, so all-null groups fall out of the same reduction instead of being
+reinstated via distinct + left join.
 """
 
 from __future__ import annotations
@@ -43,24 +45,21 @@ def grouped_mode(
     for g in group_by:
         grouped = grouped.filter(F.col(g).isNotNull())
 
-    values = grouped
-    if dropna:
-        values = values.filter(F.col(column).isNotNull())
-
-    counts = values.groupBy(*group_by, column).agg(F.count(F.lit(1)).alias(count_name))
-    w = Window.partitionBy(*group_by).orderBy(F.col(count_name).desc(), F.col(column).asc_nulls_last())
-    best = (
-        counts.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .drop("__rn__")
-        .withColumnRenamed(column, mode_name)
-    )
-
-    if dropna:
-        # reinstate all-null groups with mode=null, count=0
-        all_groups = grouped.select(*group_by).distinct()
-        best = (
-            all_groups.join(best, on=group_by, how="left")
-            .withColumn(count_name, F.coalesce(F.col(count_name), F.lit(0)))
-        )
-    return best
+    # count null values too: they lose every dropna tie-break, so groups
+    # with any non-null value are unaffected, while all-null groups survive
+    # to the reduction and come out as (null, 0) without a reinstatement join
+    counts = grouped.groupBy(*group_by, column).agg(
+        F.count(F.lit(1)).alias("__cnt__"))
+    isnull = F.col(column).isNull().cast("int")
+    negc = -F.col("__cnt__")
+    # min_by order: dropna puts ANY non-null value above null; otherwise
+    # null competes on frequency and loses ties (reference nulls-last sort)
+    order = (F.struct(isnull, negc, F.col(column)) if dropna
+             else F.struct(negc, isnull, F.col(column)))
+    payload = F.struct(F.col(column).alias("m"), F.col("__cnt__").alias("c"))
+    best = counts.groupBy(*group_by).agg(F.min_by(payload, order).alias("__b__"))
+    cnt = (F.when(F.col("__b__.m").isNull(), F.lit(0)).otherwise(F.col("__b__.c"))
+           if dropna else F.col("__b__.c"))
+    return best.select(*group_by,
+                       F.col("__b__.m").alias(mode_name),
+                       cnt.alias(count_name))

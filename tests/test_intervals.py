@@ -187,3 +187,17 @@ def test_grouped_mode(spark):
             rows.append((g, mode, int(top)))
     exp = pd.DataFrame(rows, columns=["g", "mode", "count"])
     assert_pdf_equal(out, exp, sort_by=["g"])
+
+
+def test_grouped_mode_dropna_false(spark):
+    """dropna=False: null competes on frequency, loses ties (nulls-last)."""
+    pdf = pd.DataFrame({
+        "g": [1, 1, 1, 2, 2, 2, 2, 3, 3],
+        "v": ["x", None, None, "y", "y", None, None, None, "z"],
+    })
+    sdf = to_sdf(spark, pdf)
+    out = grouped_mode(sdf, group_by="g", column="v",
+                       dropna=False).toPandas().sort_values("g")
+    # g=1: null wins 2 > 1; g=2: tie 2-2 -> non-null 'y'; g=3: tie 1-1 -> 'z'
+    assert out["mode"].tolist() == [None, "y", "z"]
+    assert out["count"].tolist() == [2, 2, 1]
