@@ -418,17 +418,21 @@ def resample_eav(
     if std_exprs:
         out = out.join(pairs.groupBy(*key_cols).agg(*std_exprs), on=key_cols, how="left")
 
-    # --- mode / mode_count (reference misc.py:930-933 tie-break) --------
+    # --- mode / mode_count (reference misc.py:930-933 tie-break): count
+    # then a min_by reduction ordered (most frequent, smallest value) —
+    # both shuffles partial-aggregate map-side (same pattern as
+    # operators.grouped_mode, which replaced the row_number window there)
     for a, wanted in mode_reqs.items():
         sub = pairs.filter((attr == F.lit(a)) & val.isNotNull())
         counts = sub.groupBy(*key_cols, value_col).agg(F.count(F.lit(1)).alias("__cnt__"))
-        wnd = Window.partitionBy(*key_cols).orderBy(F.col("__cnt__").desc(), F.col(value_col).asc())
-        best = counts.withColumn("__rn__", F.row_number().over(wnd)).filter(F.col("__rn__") == 1)
+        best = counts.groupBy(*key_cols).agg(F.min_by(
+            F.struct(F.col(value_col).alias("m"), F.col("__cnt__").alias("c")),
+            F.struct(-F.col("__cnt__"), F.col(value_col))).alias("__b__"))
         sel = [F.col(c) for c in key_cols]
         if "mode" in wanted:
-            sel.append(F.col(value_col).alias(f"{a}_mode"))
+            sel.append(F.col("__b__.m").alias(f"{a}_mode"))
         if "mode_count" in wanted:
-            sel.append(F.col("__cnt__").alias(f"{a}_mode_count"))
+            sel.append(F.col("__b__.c").alias(f"{a}_mode_count"))
         out = out.join(best.select(*sel), on=key_cols, how="left")
         if "mode_count" in wanted:
             out = out.withColumn(f"{a}_mode_count", F.coalesce(F.col(f"{a}_mode_count"), F.lit(0)))
