@@ -99,3 +99,23 @@ def test_asof_empty_right(spark):
     right = spark.createDataFrame([], "k long, t double, y double")
     out = merge_asof(to_sdf(spark, left), right, on="t", by="k").toPandas()
     assert len(out) == 2 and out["y"].isna().all()
+
+
+def test_asof_timestamp_key_tolerance_seconds(spark):
+    """Timestamp on-keys: tolerance is interpreted in SECONDS."""
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    left = pd.DataFrame({
+        "k": [1, 1],
+        "t": [base + pd.Timedelta(minutes=10), base + pd.Timedelta(hours=3)],
+        "x": [1, 2],
+    })
+    right = pd.DataFrame({
+        "k": [1],
+        "t": [base],
+        "y": [7.0],
+    })
+    out = merge_asof(to_sdf(spark, left), to_sdf(spark, right),
+                     on="t", by="k", tolerance=3600.0).toPandas()
+    got = out.sort_values("x")["y"].tolist()
+    assert got[0] == 7.0          # 10 min <= 1 h
+    assert pd.isna(got[1])        # 3 h beyond tolerance
