@@ -134,6 +134,7 @@ def resample_eav(
     optimize: str = "time",
     assume_unique_windows: bool = False,
     regular: Union[bool, str] = "auto",
+    bucket_width: Optional[float] = None,
 ) -> DataFrame:
     """Resample EAV observations into arbitrary (possibly overlapping,
     possibly half-infinite) windows with per-attribute aggregation lists.
@@ -182,6 +183,16 @@ def resample_eav(
     regular windows (stride < duration): each observation enumerates its
     ~duration/stride candidate windows arithmetically and the exact
     endpoint predicate runs as a residual filter after the equi-join.
+
+    ``bucket_width`` covers the remaining scale hazard — IRREGULAR windows
+    over entities with many windows AND many observations, where the plain
+    entity equi-join degenerates to a per-entity product.  When set (and
+    both endpoints are finite columns), windows explode into time buckets
+    of that width, observations map to their single bucket, and the join
+    runs on (entity, bucket) with the exact endpoint predicate as residual
+    — the same strategy as ``merge_intervals(strategy="bucket")``.  Pick a
+    width near the typical window span; ignored when a regular grid is
+    detected (the grid path is strictly cheaper).
     """
     if callable(windows) and not isinstance(windows, DataFrame):
         windows = windows(df, entity_col=entity_col, time_col=time_col)
@@ -319,6 +330,29 @@ def resample_eav(
             wfast, on=[ofast[entity_col] == wfast[_KE],
                        ofast[IDX] == wfast[IDX]],
             how="inner").drop(ofast[IDX]).drop(wfast[IDX])
+    elif bucket_width is not None:
+        if not (has_start and has_stop):
+            raise ValueError("bucket_width requires both window endpoints")
+        BKT = "__bucket__"
+        wsch2 = {f.name: f.dataType for f in wjoin.schema.fields}
+
+        def bnum(c, dt):
+            return (c.cast("timestamp").cast("double") if _is_time_like(dt)
+                    else c.cast("double"))
+
+        wb = wjoin.withColumn(BKT, F.explode(F.sequence(
+            F.floor(bnum(F.col(_KS), wsch2[_KS]) / F.lit(bucket_width)),
+            F.floor(bnum(F.col(_KP), wsch2[_KP]) / F.lit(bucket_width)))))
+        ob = obs.withColumn(BKT, F.floor(
+            bnum(F.col(time_col), df.schema[time_col].dataType) / F.lit(bucket_width)))
+        resid = ((F.col(time_col) >= F.col(_KS)) if include_start
+                 else (F.col(time_col) > F.col(_KS)))
+        resid = resid & ((F.col(time_col) <= F.col(_KP)) if include_stop
+                         else (F.col(time_col) < F.col(_KP)))
+        pairs = (ob.join(wb, on=[ob[entity_col] == wb[_KE], ob[BKT] == wb[BKT]],
+                         how="inner")
+                 .drop(ob[BKT]).drop(wb[BKT])
+                 .filter(resid))
     else:
         cond = obs[entity_col] == wjoin[_KE]
         if has_start:
@@ -543,6 +577,7 @@ def resample_interval(
     window_start_col: Optional[str] = None,
     window_stop_col: Optional[str] = None,
     assume_unique_windows: bool = False,
+    bucket_width: Optional[float] = None,
 ) -> DataFrame:
     """Resample interval-valued observations into windows with the
     duration-weighted sum  ``W_I = v * |W ∩ I| / |I|``  (reference
@@ -562,6 +597,15 @@ def resample_interval(
 
     Implementation: one entity equi-join with the overlap residual, a
     ``when()`` cascade for the factor, one pivoted sum — two shuffles total.
+
+    ``bucket_width`` (optional, needs both window endpoints): bucketized
+    range join for entities with many windows AND many observation
+    intervals, where the entity equi-join degenerates to a per-entity
+    product.  Both sides explode into time buckets of that width, the join
+    runs on (entity, bucket), and each overlapping pair is emitted exactly
+    once — from the single bucket containing ``max(obs.start, win.start)``
+    (the anchor trick of ``merge_intervals``' bucket strategy, so no dedup
+    shuffle).
     """
     tc = time_col or start_col
     if callable(windows) and not isinstance(windows, DataFrame):
@@ -620,12 +664,53 @@ def resample_interval(
     wjoin = win.select(*key_cols)
     if not assume_unique_windows:
         wjoin = wjoin.distinct()
-    cond = obs[entity_col] == wjoin[_KE]
-    if has_start:
-        cond = cond & (wjoin[_KS] <= obs[stop_col])
-    if has_stop:
-        cond = cond & (obs[start_col] <= wjoin[_KP])
-    pairs = obs.join(wjoin, on=cond, how="inner")
+    if bucket_width is not None:
+        if not (has_start and has_stop):
+            raise ValueError("bucket_width requires both window endpoints")
+        BKT = "__bucket__"
+        wsch2 = {f.name: f.dataType for f in wjoin.schema.fields}
+
+        def bnum(c, dt):
+            return (c.cast("timestamp").cast("double") if _is_time_like(dt)
+                    else c.cast("double"))
+
+        W = F.lit(bucket_width)
+        # infinite observation intervals (a documented reference semantic:
+        # the epsilon rule) cannot bucketize — route them through the plain
+        # entity join; they are rare by nature, so that side stays tiny.
+        # Window endpoints are assumed finite (infinite windows -> leave
+        # bucket_width unset).
+        lo = bnum(F.col(start_col), sch[start_col])
+        hi = bnum(F.col(stop_col), sch[stop_col])
+        finite = (lo > F.lit(float("-inf"))) & (hi < F.lit(float("inf")))
+        obf = obs.filter(finite)
+        obi = obs.filter(~finite)
+        wb = wjoin.withColumn(BKT, F.explode(F.sequence(
+            F.floor(bnum(F.col(_KS), wsch2[_KS]) / W),
+            F.floor(bnum(F.col(_KP), wsch2[_KP]) / W))))
+        obx = obf.withColumn(BKT, F.explode(F.sequence(
+            F.floor(bnum(F.col(start_col), sch[start_col]) / W),
+            F.floor(bnum(F.col(stop_col), sch[stop_col]) / W))))
+        anchor = F.floor(F.greatest(bnum(obx[start_col], sch[start_col]),
+                                    bnum(wb[_KS], wsch2[_KS])) / W)
+        pairs_b = (obx.join(wb, on=[obx[entity_col] == wb[_KE],
+                                    obx[BKT] == wb[BKT],
+                                    obx[BKT] == anchor],
+                            how="inner")
+                   .drop(obx[BKT]).drop(wb[BKT])
+                   .filter((F.col(_KS) <= F.col(stop_col))
+                           & (F.col(start_col) <= F.col(_KP))))
+        cond_i = ((obi[entity_col] == wjoin[_KE])
+                  & (wjoin[_KS] <= obi[stop_col])
+                  & (obi[start_col] <= wjoin[_KP]))
+        pairs = pairs_b.unionByName(obi.join(wjoin, on=cond_i, how="inner"))
+    else:
+        cond = obs[entity_col] == wjoin[_KE]
+        if has_start:
+            cond = cond & (wjoin[_KS] <= obs[stop_col])
+        if has_stop:
+            cond = cond & (obs[start_col] <= wjoin[_KP])
+        pairs = obs.join(wjoin, on=cond, how="inner")
 
     a = num(F.col(start_col))
     b = num(F.col(stop_col))

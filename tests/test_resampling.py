@@ -402,3 +402,34 @@ def test_make_windows(spark):
     # use in resample_eav end-to-end
     out = resample_eav(sdf, mw2, {"hr": "count"}).toPandas()
     assert len(out) == df.entity.nunique()
+
+
+@pytest.mark.parametrize("incl", [(True, False), (True, True), (False, False)])
+def test_resample_eav_bucketized_equals_join(spark, incl):
+    """bucket_width (the irregular-window scale path) must be result-
+    identical to the plain entity join."""
+    inc_s, inc_p = incl
+    df = _eav_data(seed=11)
+    win = _windows(seed=11, overlapping=True, na_frac=0.1)
+    sdf, swin = to_sdf(spark, df), to_sdf(spark, win)
+    agg = {"hr": ["mean", "count"], "bp": ["max", "p25"]}
+    base = resample_eav(sdf, swin, agg, include_start=inc_s,
+                        include_stop=inc_p, regular=False).toPandas()
+    bkt = resample_eav(sdf, swin, agg, include_start=inc_s,
+                       include_stop=inc_p, regular=False,
+                       bucket_width=7.0).toPandas()
+    assert_pdf_equal(bkt, base, sort_by=["win_id"])
+
+
+def test_resample_interval_bucketized_equals_join(spark):
+    """bucket_width path incl. the infinite-interval split must equal the
+    plain join (the test data contains +-inf observation intervals)."""
+    df = _interval_data(seed=5)
+    win = _windows(seed=5, n_entities=10, na_frac=0.1).rename(
+        columns={"timestamp_start": "start_start", "timestamp_stop": "start_stop"})
+    sdf, swin = to_sdf(spark, df), to_sdf(spark, win)
+    base = resample_interval(sdf, swin,
+                             attributes=["drug_a", "drug_b"]).toPandas()
+    bkt = resample_interval(sdf, swin, attributes=["drug_a", "drug_b"],
+                            bucket_width=12.5).toPandas()
+    assert_pdf_equal(bkt, base, sort_by=["win_id"])
