@@ -83,6 +83,10 @@ def merge_asof(
     ensure_columns(left, [on] + by, "left column")
     ensure_columns(right, [on] + by, "right column")
 
+    for reserved in (_IS_L, _R, _T):
+        if reserved in left.columns or reserved in right.columns:
+            raise ValueError(f"column name {reserved!r} is reserved by merge_asof")
+
     rsuf = suffixes[1]
     payload = [c for c in right.columns if c != on and c not in by]
     out_names = {}
