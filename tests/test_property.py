@@ -1,0 +1,83 @@
+"""Property-based differential tests (hypothesis): randomized inputs with
+shrinking, against brute-force pandas oracles — the reference's seeded
+random-matrix strategy (tests/util.py:296-416) upgraded with automatic
+minimal counterexamples.  Example counts are kept small because every
+example runs a Spark job."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import assume, given, settings, strategies as st
+
+from catabra_pandas_spark import merge_asof, merge_intervals
+
+from .conftest import to_sdf
+
+_vals = st.sampled_from([0.0, 1.0, 1.5, 2.5, 4.0, 7.5, 10.0])
+_keys = st.integers(min_value=0, max_value=2)
+
+_left_rows = st.lists(st.tuples(_keys, _vals, _vals), min_size=0, max_size=12)
+_right_rows = st.lists(st.tuples(_keys, _vals, _vals), min_size=0, max_size=8)
+
+
+@settings(max_examples=12, deadline=None)
+@given(left=_left_rows, right=_right_rows,
+       inc=st.tuples(st.booleans(), st.booleans(), st.booleans(), st.booleans()))
+def test_merge_intervals_inner_matches_bruteforce(spark, left, right, inc):
+    ils, ilp, irs, irp = inc
+    lpdf = pd.DataFrame(left, columns=["k", "a", "b"])
+    rpdf = pd.DataFrame(right, columns=["k", "c", "d"])
+    lsdf = spark.createDataFrame([(int(k), float(a), float(b)) for k, a, b in left],
+                                 "k long, a double, b double")
+    rsdf = spark.createDataFrame([(int(k), float(c), float(d)) for k, c, d in right],
+                                 "k long, c double, d double")
+
+    # brute-force oracle: cross join within key, then the overlap predicate
+    # with empty-interval validity (reference merging.py:138-139, 434-455)
+    merged = lpdf.merge(rpdf, on="k") if len(lpdf) and len(rpdf) else \
+        pd.DataFrame(columns=["k", "a", "b", "c", "d"])
+
+    def _valid(s, p, is_, ip):
+        return (s <= p) if (is_ and ip) else (s < p)
+
+    def _ok(r):
+        if not _valid(r.a, r.b, ils, ilp) or not _valid(r.c, r.d, irs, irp):
+            return False
+        left_ok = (r.a <= r.d) if (ils and irp) else (r.a < r.d)
+        right_ok = (r.c <= r.b) if (irs and ilp) else (r.c < r.b)
+        return left_ok and right_ok
+
+    exp = merged[[bool(_ok(r)) for r in merged.itertuples()]] if len(merged) else merged
+
+    out = merge_intervals(
+        lsdf, rsdf, on="k", how="inner",
+        left_start="a", left_stop="b", right_start="c", right_stop="d",
+        include_left_start=ils, include_left_stop=ilp,
+        include_right_start=irs, include_right_stop=irp).toPandas()
+
+    key = ["k", "a", "b", "c", "d"]
+    got = sorted(map(tuple, out[key].values.tolist()))
+    want = sorted(map(tuple, exp[key].values.tolist())) if len(exp) else []
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(left=_left_rows, right=_right_rows,
+       direction=st.sampled_from(["backward", "forward", "nearest"]))
+def test_merge_asof_matches_pandas(spark, left, right, direction):
+    lpdf = pd.DataFrame([(k, a) for k, a, _ in left], columns=["k", "t"])
+    rpdf = (pd.DataFrame([(k, c, d) for k, c, d in right], columns=["k", "t", "y"])
+            .drop_duplicates(["k", "t"]))  # pandas tie-break is positional
+    assume(len(lpdf) and len(rpdf))  # pandas merge_asof rejects empty frames
+
+    exp = pd.merge_asof(lpdf.sort_values("t", kind="stable"),
+                        rpdf.sort_values("t", kind="stable"),
+                        on="t", by="k", direction=direction)
+    out = merge_asof(to_sdf(spark, lpdf), to_sdf(spark, rpdf),
+                     on="t", by="k", direction=direction).toPandas()
+
+    def norm(df):
+        return sorted(map(tuple, df[["k", "t", "y"]].fillna(-999.0).values.tolist()))
+
+    assert norm(out) == norm(exp)
