@@ -27,21 +27,12 @@ from __future__ import annotations
 from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
-from pyspark.sql import types as T
 
-from ..util import as_list, ensure_columns
+from ..util import as_list, ensure_columns, numeric_double as _num
 
 _IS_L = "__asof_is_left__"
 _R = "__asof_right__"
 _T = "__t__"
-
-
-def _num(c: Column, dt) -> Column:
-    """Numeric (double) view of an on-key for tolerance/nearest arithmetic:
-    timestamps/dates become epoch seconds."""
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-        return c.cast("timestamp").cast("double")
-    return c.cast("double")
 
 
 def merge_asof(

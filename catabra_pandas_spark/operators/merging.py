@@ -43,18 +43,12 @@ from __future__ import annotations
 from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
-from pyspark.sql import types as T
 
-from ..util import as_list, ensure_columns, interval_overlap_cond, valid_interval_cond
+from ..util import (as_list, ensure_columns, interval_overlap_cond,
+                    numeric_double as _numeric, valid_interval_cond)
 
 LEFT_ID = "__left_row_id__"
 RIGHT_ID = "__right_row_id__"
-
-
-def _numeric(c: Column, dt) -> Column:
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-        return c.cast("timestamp").cast("double")
-    return c.cast("double")
 
 
 def _stamp_content_id(df: DataFrame, name: str) -> DataFrame:
@@ -185,6 +179,8 @@ def merge_intervals(
                     and not anti_path and keep != "all"
                     and how in ("inner", "left"))
     MULT = "__left_mult__"
+    if content_keep and MULT in left.columns:
+        raise ValueError(f"column name {MULT!r} is reserved by merge_intervals")
     if not gen_left_id:
         if left_id != LEFT_ID:
             left = left.withColumn(LEFT_ID, F.col(left_id))

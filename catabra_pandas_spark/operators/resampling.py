@@ -49,7 +49,7 @@ from typing import Callable, Mapping, Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
-from ..util import as_list, ensure_columns
+from ..util import as_list, ensure_columns, numeric_double
 
 # internal content-key column names: entity / window start / window stop
 _KE, _KS, _KP = "__w_ent__", "__w_start__", "__w_stop__"
@@ -333,26 +333,37 @@ def resample_eav(
     elif bucket_width is not None:
         if not (has_start and has_stop):
             raise ValueError("bucket_width requires both window endpoints")
+        bnum = numeric_double
         BKT = "__bucket__"
         wsch2 = {f.name: f.dataType for f in wjoin.schema.fields}
-
-        def bnum(c, dt):
-            return (c.cast("timestamp").cast("double") if _is_time_like(dt)
-                    else c.cast("double"))
-
-        wb = wjoin.withColumn(BKT, F.explode(F.sequence(
-            F.floor(bnum(F.col(_KS), wsch2[_KS]) / F.lit(bucket_width)),
-            F.floor(bnum(F.col(_KP), wsch2[_KP]) / F.lit(bucket_width)))))
+        # windows with a non-finite endpoint VALUE (inf in a double column)
+        # cannot explode into buckets — route them through the plain entity
+        # join and union the pairs (half-infinite windows are part of the
+        # operator contract; they are rare, so that side stays small)
+        wlo = bnum(F.col(_KS), wsch2[_KS])
+        whi = bnum(F.col(_KP), wsch2[_KP])
+        wfinite = (wlo > F.lit(float("-inf"))) & (whi < F.lit(float("inf")))
+        wfin = wjoin.filter(wfinite)
+        winf = wjoin.filter(~wfinite | wlo.isNull() | whi.isNull())
+        wb = wfin.withColumn(BKT, F.explode(F.sequence(
+            F.floor(wlo / F.lit(bucket_width)),
+            F.floor(whi / F.lit(bucket_width)))))
         ob = obs.withColumn(BKT, F.floor(
             bnum(F.col(time_col), df.schema[time_col].dataType) / F.lit(bucket_width)))
         resid = ((F.col(time_col) >= F.col(_KS)) if include_start
                  else (F.col(time_col) > F.col(_KS)))
         resid = resid & ((F.col(time_col) <= F.col(_KP)) if include_stop
                          else (F.col(time_col) < F.col(_KP)))
-        pairs = (ob.join(wb, on=[ob[entity_col] == wb[_KE], ob[BKT] == wb[BKT]],
-                         how="inner")
-                 .drop(ob[BKT]).drop(wb[BKT])
-                 .filter(resid))
+        pairs_b = (ob.join(wb, on=[ob[entity_col] == wb[_KE], ob[BKT] == wb[BKT]],
+                           how="inner")
+                   .drop(ob[BKT]).drop(wb[BKT])
+                   .filter(resid))
+        cond_i = obs[entity_col] == winf[_KE]
+        cond_i = cond_i & ((obs[time_col] >= winf[_KS]) if include_start
+                           else (obs[time_col] > winf[_KS]))
+        cond_i = cond_i & ((obs[time_col] <= winf[_KP]) if include_stop
+                           else (obs[time_col] < winf[_KP]))
+        pairs = pairs_b.unionByName(obs.join(winf, on=cond_i, how="inner"))
     else:
         cond = obs[entity_col] == wjoin[_KE]
         if has_start:
@@ -667,30 +678,29 @@ def resample_interval(
     if bucket_width is not None:
         if not (has_start and has_stop):
             raise ValueError("bucket_width requires both window endpoints")
+        bnum = numeric_double
         BKT = "__bucket__"
         wsch2 = {f.name: f.dataType for f in wjoin.schema.fields}
-
-        def bnum(c, dt):
-            return (c.cast("timestamp").cast("double") if _is_time_like(dt)
-                    else c.cast("double"))
-
         W = F.lit(bucket_width)
-        # infinite observation intervals (a documented reference semantic:
-        # the epsilon rule) cannot bucketize — route them through the plain
-        # entity join; they are rare by nature, so that side stays tiny.
-        # Window endpoints are assumed finite (infinite windows -> leave
-        # bucket_width unset).
+        # non-finite endpoints cannot explode into buckets, on either side:
+        # infinite observation intervals are a documented reference semantic
+        # (the epsilon rule) and half-infinite windows are part of the
+        # operator contract.  Both route through the plain entity join and
+        # union back in — they are rare by nature, so those sides stay tiny.
         lo = bnum(F.col(start_col), sch[start_col])
         hi = bnum(F.col(stop_col), sch[stop_col])
         finite = (lo > F.lit(float("-inf"))) & (hi < F.lit(float("inf")))
         obf = obs.filter(finite)
         obi = obs.filter(~finite)
-        wb = wjoin.withColumn(BKT, F.explode(F.sequence(
-            F.floor(bnum(F.col(_KS), wsch2[_KS]) / W),
-            F.floor(bnum(F.col(_KP), wsch2[_KP]) / W))))
+        wlo = bnum(F.col(_KS), wsch2[_KS])
+        whi = bnum(F.col(_KP), wsch2[_KP])
+        wfinite = (wlo > F.lit(float("-inf"))) & (whi < F.lit(float("inf")))
+        wfin = wjoin.filter(wfinite)
+        winf = wjoin.filter(~wfinite | wlo.isNull() | whi.isNull())
+        wb = wfin.withColumn(BKT, F.explode(F.sequence(
+            F.floor(wlo / W), F.floor(whi / W))))
         obx = obf.withColumn(BKT, F.explode(F.sequence(
-            F.floor(bnum(F.col(start_col), sch[start_col]) / W),
-            F.floor(bnum(F.col(stop_col), sch[stop_col]) / W))))
+            F.floor(lo / W), F.floor(hi / W))))
         anchor = F.floor(F.greatest(bnum(obx[start_col], sch[start_col]),
                                     bnum(wb[_KS], wsch2[_KS])) / W)
         pairs_b = (obx.join(wb, on=[obx[entity_col] == wb[_KE],
@@ -700,10 +710,17 @@ def resample_interval(
                    .drop(obx[BKT]).drop(wb[BKT])
                    .filter((F.col(_KS) <= F.col(stop_col))
                            & (F.col(start_col) <= F.col(_KP))))
-        cond_i = ((obi[entity_col] == wjoin[_KE])
-                  & (wjoin[_KS] <= obi[stop_col])
-                  & (obi[start_col] <= wjoin[_KP]))
-        pairs = pairs_b.unionByName(obi.join(wjoin, on=cond_i, how="inner"))
+
+        def plain(o, w):
+            cond = ((o[entity_col] == w[_KE])
+                    & (w[_KS] <= o[stop_col]) & (o[start_col] <= w[_KP]))
+            return o.join(w, on=cond, how="inner")
+
+        # obi pairs with every window; obf additionally with the non-finite
+        # windows the bucket join skipped — no pair appears twice
+        pairs = (pairs_b
+                 .unionByName(plain(obi, wjoin))
+                 .unionByName(plain(obf, winf)))
     else:
         cond = obs[entity_col] == wjoin[_KE]
         if has_start:

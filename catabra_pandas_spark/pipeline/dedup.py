@@ -282,30 +282,47 @@ def ngram_jaccard_pairs(
     Σ min(freq, cap)² ≤ cap · Σ freq — linear in corpus size.
     Returns (id_a, id_b, jaccard)."""
     sh = shingle_rows(df, text_col, id_col, k)
-    # per-document shingle-set size as a window count: shingle_rows' output
-    # is already hash-partitioned by id (its lead window), so this adds NO
-    # exchange — where a groupBy + two joins back onto the pair set cost
-    # three extra shuffles; the size rides through the self-join instead
-    sh = sh.withColumn("__n__", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-    if max_doc_freq is not None:
+    if max_doc_freq is None:
+        # per-document shingle-set size as a window count: shingle_rows'
+        # output is already hash-partitioned by id (its lead window), so
+        # this adds NO exchange — where a groupBy + two joins back onto the
+        # pair set cost three extra shuffles; the size rides through the
+        # self-join instead
+        sh = sh.withColumn("__n__",
+                           F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        l, r = sh.alias("l"), sh.alias("r")
+        common = (
+            l.join(r, on=[F.col("l.sh") == F.col("r.sh"),
+                          F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+            .groupBy(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"),
+                 F.first(F.col("l.__n__")).alias("n_a"),
+                 F.first(F.col("r.__n__")).alias("n_b"))
+        )
+    else:
+        # capped branch: the document-frequency window leaves sh
+        # partitioned by SHINGLE — exactly what the self-join needs — and a
+        # post-cap recount by id would break that layout (two extra full
+        # exchanges of the shingle table per join side).  Sizes over the
+        # capped sets (the documented Jaccard semantics) instead come from
+        # a small map-side-combinable groupBy joined onto the
+        # already-reduced pair set.
         wdf = Window.partitionBy("sh")
-        # window (not groupBy+join): leaves sh hash-partitioned by shingle,
-        # exactly the partitioning the self-join below needs.  Jaccard is
-        # computed over the CAPPED sets (documented semantics), so the
-        # per-document size is recounted after the cap
         sh = (sh.withColumn("__df__", F.count(F.lit(1)).over(wdf))
-              .filter(F.col("__df__") <= max_doc_freq).drop("__df__")
-              .withColumn("__n__",
-                          F.count(F.lit(1)).over(Window.partitionBy(id_col))))
-    l, r = sh.alias("l"), sh.alias("r")
-    common = (
-        l.join(r, on=[F.col("l.sh") == F.col("r.sh"),
-                      F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"),
-             F.first(F.col("l.__n__")).alias("n_a"),
-             F.first(F.col("r.__n__")).alias("n_b"))
-    )
+              .filter(F.col("__df__") <= max_doc_freq).drop("__df__"))
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n__"))
+        l, r = sh.alias("l"), sh.alias("r")
+        common = (
+            l.join(r, on=[F.col("l.sh") == F.col("r.sh"),
+                          F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
+            .groupBy(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n__").alias("n_a"))
+        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n__").alias("n_b"))
+        common = common.join(sa, "id_a").join(sb, "id_b")
     jac = F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (common.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)

@@ -184,8 +184,9 @@ def stream_dedup(
     whole-row pick — a single map-side-combinable shuffle (cheaper than a
     window pass: no sort, partial aggregation upstream).  The canonical row
     is the one with the smallest ``id_col`` (or smallest remaining-column
-    struct if ``id_col`` is None) — deterministic, unlike streaming arrival
-    order, so batch results are reproducible and oracle-checkable.
+    struct if ``id_col`` is None; null ids sort last with the payload as
+    final tiebreak) — deterministic, unlike streaming arrival order, so
+    batch results are reproducible and oracle-checkable.
     """
     subset = as_list(subset)
     if df.isStreaming:
@@ -197,8 +198,14 @@ def stream_dedup(
     others = [c for c in df.columns if c not in subset]
     if not others:
         return df.select(*subset).distinct()
-    order = F.col(id_col) if id_col else F.struct(*[F.col(c) for c in others])
-    packed = F.min_by(F.struct(*[F.col(c).alias(c) for c in others]), order)
+    payload = F.struct(*[F.col(c).alias(c) for c in others])
+    # the ordering must never be null — min_by SKIPS rows whose ordering
+    # value is null, which would fabricate an all-null payload for groups
+    # whose every id is null; wrap id in a struct (non-null container) with
+    # a null-last flag and the payload as the deterministic final tiebreak
+    order = (F.struct(F.col(id_col).isNull(), F.col(id_col), payload)
+             if id_col else payload)
+    packed = F.min_by(payload, order)
     red = df.groupBy(*subset).agg(packed.alias("__row__"))
     red = red.select(*subset,
                      *[F.col("__row__").getField(c).alias(c) for c in others])

@@ -20,6 +20,18 @@ from pyspark.sql import Column, DataFrame, functions as F
 ROW_ID = "__row_id__"
 
 
+def numeric_double(c: Column, dt) -> Column:
+    """Double view of an orderable column for range-bucket / tolerance /
+    distance arithmetic: timestamp-like types become epoch seconds, numerics
+    cast directly.  THE single definition of time-to-double coercion — the
+    asof, merging, and resampling operators all share it."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
 def with_row_id(df: DataFrame, name: str = ROW_ID) -> DataFrame:
     """Attach a unique long id per row.
 

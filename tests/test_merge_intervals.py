@@ -446,3 +446,15 @@ def test_keep_first_duplicate_left_multiplicity(spark):
         # both duplicate copies of the matching [0,10] interval appear,
         # each picking the same first right (tag 'a')
         assert len(matched) == 2 and set(matched["tag"]) == {"a"}
+
+
+def test_keep_reserved_mult_name_raises(spark):
+    left = pd.DataFrame({"g": [1], "start": [0.0], "stop": [1.0],
+                         "__left_mult__": [1]})
+    right = pd.DataFrame({"g": [1], "rstart": [0.0], "rstop": [2.0]})
+    with pytest.raises(ValueError, match="reserved"):
+        merge_intervals(to_sdf(spark, left), to_sdf(spark, right), on="g",
+                        how="inner", keep="first",
+                        left_start="start", left_stop="stop",
+                        right_start="rstart", right_stop="rstop",
+                        keep_by="rstart")

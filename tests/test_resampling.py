@@ -433,3 +433,47 @@ def test_resample_interval_bucketized_equals_join(spark):
     bkt = resample_interval(sdf, swin, attributes=["drug_a", "drug_b"],
                             bucket_width=12.5).toPandas()
     assert_pdf_equal(bkt, base, sort_by=["win_id"])
+
+
+def test_resample_eav_bucketized_infinite_windows(spark):
+    """Windows with +-inf endpoint VALUES route through the plain join
+    instead of crashing the bucket explode (regression test)."""
+    df = pd.DataFrame({
+        "entity": [1, 1, 1],
+        "timestamp": [5.0, 15.0, 50.0],
+        "attribute": ["hr", "hr", "hr"],
+        "value": [1.0, 2.0, 4.0],
+    })
+    win = pd.DataFrame({
+        "entity": [1, 1],
+        "timestamp_start": [0.0, 10.0],
+        "timestamp_stop": [np.inf, 20.0],
+    })
+    sdf, swin = to_sdf(spark, df), to_sdf(spark, win)
+    base = resample_eav(sdf, swin, {"hr": ["sum", "count"]},
+                        regular=False).toPandas()
+    bkt = resample_eav(sdf, swin, {"hr": ["sum", "count"]},
+                       regular=False, bucket_width=10.0).toPandas()
+    assert_pdf_equal(bkt, base, sort_by=["timestamp_start"])
+    inf_row = bkt[np.isinf(bkt["timestamp_stop"])]
+    assert inf_row["hr_sum"].tolist() == [7.0]
+
+
+def test_resample_interval_bucketized_infinite_windows(spark):
+    df = pd.DataFrame({
+        "entity": [1, 1],
+        "start": [5.0, 30.0],
+        "stop": [15.0, 40.0],
+        "attribute": ["drug_a", "drug_a"],
+        "value": [10.0, 4.0],
+    })
+    win = pd.DataFrame({
+        "entity": [1, 1],
+        "start_start": [0.0, -np.inf],
+        "start_stop": [20.0, np.inf],
+    })
+    sdf, swin = to_sdf(spark, df), to_sdf(spark, win)
+    base = resample_interval(sdf, swin, attributes=["drug_a"]).toPandas()
+    bkt = resample_interval(sdf, swin, attributes=["drug_a"],
+                            bucket_width=10.0).toPandas()
+    assert_pdf_equal(bkt, base, sort_by=["start_start"])

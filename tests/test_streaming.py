@@ -247,3 +247,18 @@ def test_stream_dedup_cross_batch(spark, tmp_path):
     # streaming without watermark must refuse
     with pytest.raises(ValueError):
         stream_dedup(stream, subset="k")
+
+
+def test_stream_dedup_all_null_ids(spark):
+    """Groups whose every id is null must keep a REAL row, not a fabricated
+    all-null payload (min_by skips null orderings — regression test)."""
+    from catabra_pandas_spark.streaming import stream_dedup
+
+    pdf = pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "id": [None, None, 7.0],
+        "v": [1.0, 2.0, 9.0],
+    })
+    out = stream_dedup(to_sdf(spark, pdf), subset="k",
+                       id_col="id").toPandas().sort_values("k")
+    assert out["v"].tolist() == [1.0, 9.0]  # smallest payload survives
