@@ -135,6 +135,7 @@ def resample_eav(
     assume_unique_windows: bool = False,
     regular: Union[bool, str] = "auto",
     bucket_width: Optional[float] = None,
+    approx_percentiles: Optional[int] = None,
 ) -> DataFrame:
     """Resample EAV observations into arbitrary (possibly overlapping,
     possibly half-infinite) windows with per-attribute aggregation lists.
@@ -183,6 +184,13 @@ def resample_eav(
     regular windows (stride < duration): each observation enumerates its
     ~duration/stride candidate windows arithmetically and the exact
     endpoint predicate runs as a residual filter after the equi-join.
+
+    ``approx_percentiles``: when set, ``median``/``pXX`` use Spark's
+    ``percentile_approx`` sketch with this accuracy parameter (e.g. 10000;
+    relative rank error <= 1/accuracy) instead of the exact percentile.
+    The exact form matches pandas interpolation bit-for-bit but is a
+    TypedImperativeAggregate that buffers every value of a group — at
+    extreme per-window observation counts the sketch bounds memory.
 
     ``bucket_width`` covers the remaining scale hazard — IRREGULAR windows
     over entities with many windows AND many observations, where the plain
@@ -409,9 +417,15 @@ def resample_eav(
             elif fn == "prod":
                 std_exprs.append(F.product(v).alias(name))
             elif fn == "median":
-                std_exprs.append(F.percentile(v, F.lit(0.5)).alias(name))
+                std_exprs.append(
+                    (F.percentile_approx(v, F.lit(0.5), F.lit(approx_percentiles))
+                     if approx_percentiles else
+                     F.percentile(v, F.lit(0.5))).alias(name))
             elif mq:
-                std_exprs.append(F.percentile(v, F.lit(float(mq.group(1)) / 100.0)).alias(name))
+                q = F.lit(float(mq.group(1)) / 100.0)
+                std_exprs.append(
+                    (F.percentile_approx(v, q, F.lit(approx_percentiles))
+                     if approx_percentiles else F.percentile(v, q)).alias(name))
             elif fn == "std":
                 std_exprs.append(F.stddev_samp(v).alias(name))
             elif fn == "var":

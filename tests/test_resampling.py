@@ -477,3 +477,28 @@ def test_resample_interval_bucketized_infinite_windows(spark):
     bkt = resample_interval(sdf, swin, attributes=["drug_a"],
                             bucket_width=10.0).toPandas()
     assert_pdf_equal(bkt, base, sort_by=["start_start"])
+
+
+def test_resample_eav_approx_percentiles(spark):
+    """approx_percentiles bounds per-group memory; at high accuracy the
+    sketch must agree closely with the exact percentile."""
+    df = _eav_data(seed=3, n=800)
+    win = _windows(seed=3, overlapping=False)
+    sdf, swin = to_sdf(spark, df), to_sdf(spark, win)
+    agg = {"hr": ["median", "p25", "min", "max"]}
+    exact = resample_eav(sdf, swin, agg, regular=False).toPandas() \
+        .sort_values("win_id").reset_index(drop=True)
+    approx = resample_eav(sdf, swin, agg, regular=False,
+                          approx_percentiles=10000).toPandas() \
+        .sort_values("win_id").reset_index(drop=True)
+    for c in ("hr_median", "hr_p25"):
+        a, b = exact[c], approx[c]
+        mask = a.notna()
+        assert (b[mask].notna()).all()
+        # percentile_approx returns an OBSERVED value (exact interpolates),
+        # so agreement is bounded by the window's value spread, and the
+        # sketch value must lie inside the window's [min, max]
+        assert (b[mask] >= exact.loc[mask, "hr_min"]).all()
+        assert (b[mask] <= exact.loc[mask, "hr_max"]).all()
+        spread = exact.loc[mask, "hr_max"] - exact.loc[mask, "hr_min"]
+        assert (abs(a[mask] - b[mask]) <= spread + 1e-9).all()
