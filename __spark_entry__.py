@@ -1251,11 +1251,12 @@ def q_ngram_jaccard(spark, sf):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def _ngram_sql(threshold: float, max_doc_freq: int = 50) -> str:
-    """Exact trigram-Jaccard pairs >= threshold, with the hot-shingle cap
-    mirroring ``ngram_jaccard_pairs(max_doc_freq=...)``."""
-    return f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+def _ngram_pairs_ctes(threshold: float, max_doc_freq: int = 50) -> str:
+    """CTE chain ending in ``pairs`` = exact trigram-Jaccard pairs >=
+    threshold, with the hot-shingle cap mirroring
+    ``ngram_jaccard_pairs(max_doc_freq=...)``.  Shared by the pair query
+    oracle and the dedup-clustering recursive-CTE oracle."""
+    return f"""toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     sh0 AS (
       SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i) g
@@ -1271,16 +1272,53 @@ def _ngram_sql(threshold: float, max_doc_freq: int = 50) -> str:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT c.id_a, c.id_b,
-           round(c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
-    FROM common c JOIN sizes sa ON sa.doc_id = c.id_a
-                  JOIN sizes sb ON sb.doc_id = c.id_b
-    WHERE c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common) >= {threshold}
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
+      FROM common c JOIN sizes sa ON sa.doc_id = c.id_a
+                    JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE c.n_common::DOUBLE / (sa.n_sh + sb.n_sh - c.n_common) >= {threshold}
+    )"""
+
+
+def _ngram_sql(threshold: float, max_doc_freq: int = 50) -> str:
+    return f"""
+    WITH {_ngram_pairs_ctes(threshold, max_doc_freq)}
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs
 """
 
 
 _Q_NGRAM_JACCARD_SQL = _ngram_sql(0.12)
+
+
+def q_dedup_clusters(spark, sf):
+    """Near-dup CLUSTERING: exact trigram-Jaccard pairs -> connected
+    components (min-label propagation + pointer jumping) -> canonical
+    doc per cluster.  The transitive-closure step every real dedup
+    pipeline needs after pair generation; oracled by a DuckDB recursive
+    CTE over the identical pair set."""
+    docs = read_table(spark, sf, "documents")
+    pairs = P.ngram_jaccard_pairs(docs, k=3, threshold=0.12, max_doc_freq=50)
+    out = P.near_dup_dedup(docs, pairs, id_col="doc_id", mode="mark")
+    return out.select("doc_id", "cluster_id", "is_duplicate")
+
+
+_Q_DEDUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_ngram_pairs_ctes(0.12)},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id, min(r) != id AS is_duplicate
+    FROM reach GROUP BY id
+"""
 
 
 def q_bpe_tokens(spark, sf):
@@ -1907,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "langid": q_langid,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "sessionize": q_sessionize,
@@ -1969,6 +2008,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": _Q_BPE_TOKENS_SQL,
         "langid": _Q_LANGID_SQL,
         "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
+        "dedup_clusters": _Q_DEDUP_CLUSTERS_SQL,
         "cosine_topk": _Q_COSINE_TOPK_SQL,
         "embedding_neardup_exact": _Q_EMB_NEARDUP_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,

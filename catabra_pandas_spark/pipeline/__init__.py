@@ -10,9 +10,11 @@ stubs.
 """
 
 from .dedup import (
+    connected_components,
     exact_dedup,
     minhash_near_dup_pairs,
     minhash_signatures,
+    near_dup_dedup,
     ngram_jaccard_pairs,
     shingle_rows,
     shingles,
@@ -29,6 +31,7 @@ from .multimodal import (attach_binary_metadata, decode_binary,
 __all__ = [
     "exact_dedup", "shingles", "shingle_rows", "minhash_signatures", "minhash_near_dup_pairs",
     "simhash", "simhash_near_dup_pairs", "ngram_jaccard_pairs",
+    "connected_components", "near_dup_dedup",
     "cosine_topk", "lsh_cosine_topk",
     "ivf_cosine_topk", "embedding_near_dup_pairs",
     "detect_language", "fingerprint", "text_quality", "token_count",

@@ -327,3 +327,108 @@ def ngram_jaccard_pairs(
     return (common.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: Optional[DataFrame] = None,
+    node_col: Optional[str] = None,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components of the undirected near-duplicate graph: the
+    missing last step of every dedup pipeline — pair lists
+    (``minhash_near_dup_pairs`` / ``simhash_near_dup_pairs`` /
+    ``ngram_jaccard_pairs`` / ``embedding_near_dup_pairs``) only say *which
+    pairs* collide; keeping one document per duplicate CLUSTER needs the
+    transitive closure.
+
+    Returns ``(id, cluster_id)`` where ``cluster_id`` is the smallest node
+    id in the component.  ``nodes``/``node_col`` optionally supplies the
+    full node universe (e.g. every ``doc_id``) so isolated documents appear
+    as singleton clusters; otherwise only ids occurring in ``pairs`` are
+    labeled.
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (label(u) ← min over N(u) of label, then label(u) ← label(label(u))).
+    The jump halves label-chain depth each round, so convergence takes
+    O(log d) rounds for diameter d — near-dup graphs are dense clusters with
+    tiny diameters, so 2-4 rounds in practice; ``max_iterations`` bounds the
+    adversarial case.  Per round: one map-side-combinable min-aggregate on
+    the edge list plus two label-table equi-joins — all shuffles are on the
+    node-id key, AQE-coalescible, and the edge list (persisted once) never
+    re-shuffles.  Lineage is truncated every round with ``localCheckpoint``
+    (mandatory for iterative Spark: an un-truncated loop re-executes every
+    prior round per action and overflows the planner).  Driver-side state is
+    one scalar count per round — nothing proportional to data size.
+    """
+    if max_iterations < 1:
+        raise ValueError("max_iterations must be >= 1")
+    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+             .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))))
+    node_ids = (edges.select(F.col("u").alias("id"))
+                .union(edges.select(F.col("v").alias("id"))).distinct())
+    if nodes is not None:
+        nc = node_col or nodes.columns[0]
+        node_ids = node_ids.union(nodes.select(F.col(nc).alias("id"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = node_ids.select("id", F.col("id").alias("cluster_id")) \
+                     .localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr = (edges.join(labels.select(F.col("id").alias("v"),
+                                        F.col("cluster_id").alias("nl")), "v")
+               .groupBy(F.col("u").alias("id"))
+               .agg(F.min("nl").alias("nbr_min")))
+        new = (labels.join(nbr, "id", "left")
+               .select("id", F.least("cluster_id",
+                                     F.coalesce("nbr_min", "cluster_id"))
+                       .alias("cluster_id")))
+        # pointer jump: cluster_id is itself a node id, so chase one hop
+        lookup = new.select(F.col("id").alias("cluster_id"),
+                            F.col("cluster_id").alias("jump"))
+        new = (new.join(lookup, "cluster_id", "left")
+               .select("id", F.least("cluster_id",
+                                     F.coalesce("jump", "cluster_id"))
+                       .alias("cluster_id"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+                   .filter(F.col("cluster_id") != F.col("old")).count())
+        labels, prev = new, labels
+        prev.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dup_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    mode: str = "mark",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: cluster the pair graph with
+    ``connected_components`` (every ``df`` row is a node, so isolated rows
+    are singleton clusters) and keep the smallest-id document per cluster.
+
+    ``mode="mark"`` adds ``cluster_id`` and ``is_duplicate``
+    (true unless the row is its cluster's canonical, i.e. minimum, id);
+    ``mode="drop"`` returns only canonical rows.  The canonical-per-cluster
+    rule is ``id == cluster_id`` — no extra reduction needed, because
+    ``cluster_id`` IS the component minimum.
+    """
+    if mode not in ("mark", "drop"):
+        raise ValueError(f"mode must be mark/drop, got {mode!r}")
+    comp = connected_components(pairs, id_a, id_b, nodes=df.select(id_col),
+                                node_col=id_col, max_iterations=max_iterations)
+    out = (df.join(comp.select(F.col("id").alias(id_col), "cluster_id"),
+                   id_col, "left")
+           .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+           .withColumn("is_duplicate", F.col(id_col) != F.col("cluster_id")))
+    if mode == "drop":
+        out = out.filter(~F.col("is_duplicate")).drop("is_duplicate")
+    return out

@@ -265,3 +265,44 @@ def test_netpbm_rejects_16bit_maxval():
     payload = b"P5\n2 2\n65535\n" + bytes(8)
     with pytest.raises(ValueError, match="maxval"):
         _decode_netpbm(payload, {})
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 6-node chain exercises pointer jumping across a non-trivial
+    diameter; an isolated node supplied via ``nodes`` must come back as a
+    singleton cluster."""
+    import pandas as pd
+
+    from catabra_pandas_spark.pipeline import connected_components
+
+    pairs = spark.createDataFrame(pd.DataFrame({
+        # chain 1-2-3-4-5-6 (given in an unhelpful order), plus island 10-11
+        "id_a": [5, 2, 1, 3, 4, 10],
+        "id_b": [6, 3, 2, 4, 5, 11],
+    }))
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": list(range(1, 7)) + [10, 11, 99]}))
+    out = connected_components(pairs, nodes=nodes, node_col="doc_id") \
+        .toPandas().sort_values("id").reset_index(drop=True)
+    assert out["id"].tolist() == [1, 2, 3, 4, 5, 6, 10, 11, 99]
+    assert out["cluster_id"].tolist() == [1, 1, 1, 1, 1, 1, 10, 10, 99]
+
+
+def test_near_dup_dedup_mark_and_drop(spark, docs):
+    """End-to-end: exact-Jaccard pairs -> clusters -> canonical per
+    cluster; drop keeps exactly one row per cluster and all singletons."""
+    from catabra_pandas_spark.pipeline import near_dup_dedup, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, k=2, threshold=0.3)
+    marked = near_dup_dedup(docs, pairs, id_col="doc_id", mode="mark").toPandas()
+    assert set(marked.columns) >= {"doc_id", "cluster_id", "is_duplicate"}
+    # canonical rule: a row is a duplicate iff it is not its cluster minimum
+    grp = marked.groupby("cluster_id")["doc_id"].min()
+    assert ((marked["doc_id"] != marked["cluster_id"]) == marked["is_duplicate"]).all()
+    assert (marked["cluster_id"].map(grp) == marked["cluster_id"]).all()
+
+    dropped = near_dup_dedup(docs, pairs, id_col="doc_id", mode="drop").toPandas()
+    assert sorted(dropped["doc_id"]) == sorted(marked.loc[~marked["is_duplicate"], "doc_id"])
+    # clusters are transitive: every pair's two docs share a cluster
+    lab = marked.set_index("doc_id")["cluster_id"]
+    for a, b in pairs.select("id_a", "id_b").toPandas().itertuples(index=False):
+        assert lab[a] == lab[b]
