@@ -1341,6 +1341,52 @@ _Q_BPE_TOKENS_SQL = r"""
 """
 
 
+def q_sample_stratified(spark, sf):
+    """Exact-N-per-language deterministic sample (md5-order draw): the
+    selection is a pure function of (seed, doc_id), so DuckDB reproduces
+    it bit-for-bit from the same digest."""
+    docs = read_table(spark, sf, "documents")
+    out = P.stratified_sample(docs, "lang", 20, on="doc_id", seed=7)
+    return out.select("doc_id", "lang")
+
+
+_Q_SAMPLE_STRATIFIED_SQL = """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang, row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5(concat_ws('|', '7', doc_id::VARCHAR))) AS rn
+      FROM documents)
+    WHERE rn <= 20
+"""
+
+
+def q_sample_split(spark, sf):
+    """Leak-proof train/val/test assignment by md5 hash-threshold ranges —
+    zero-shuffle, stable under corpus growth, engine-independent."""
+    docs = read_table(spark, sf, "documents")
+    out = P.assign_splits(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                          on="doc_id", seed=7)
+    return out.select("doc_id", "split")
+
+
+def _split_sql() -> str:
+    from catabra_pandas_spark.pipeline.sampling import _hex_threshold
+
+    t_train, t_val = _hex_threshold(0.8), _hex_threshold(0.9)
+    return f"""
+    SELECT doc_id,
+           CASE WHEN md5(concat_ws('|', '7', doc_id::VARCHAR)) < '{t_train}'
+                THEN 'train'
+                WHEN md5(concat_ws('|', '7', doc_id::VARCHAR)) < '{t_val}'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
+
+_Q_SAMPLE_SPLIT_SQL = _split_sql()
+
+
 def q_cosine_topk(spark, sf):
     """Brute-force cosine top-5 neighbors for the first 10 vectors."""
     emb = read_table(spark, sf, "embeddings")
@@ -1946,6 +1992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "sample_stratified": q_sample_stratified,
+        "sample_split": q_sample_split,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "sessionize": q_sessionize,
@@ -2009,6 +2057,8 @@ def oracle_sql() -> dict[str, str]:
         "langid": _Q_LANGID_SQL,
         "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
         "dedup_clusters": _Q_DEDUP_CLUSTERS_SQL,
+        "sample_stratified": _Q_SAMPLE_STRATIFIED_SQL,
+        "sample_split": _Q_SAMPLE_SPLIT_SQL,
         "cosine_topk": _Q_COSINE_TOPK_SQL,
         "embedding_neardup_exact": _Q_EMB_NEARDUP_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,

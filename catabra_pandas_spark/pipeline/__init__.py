@@ -27,6 +27,7 @@ from .text import (detect_language, fingerprint, text_quality,
                    token_count, token_count_bpe)
 from .multimodal import (attach_binary_metadata, decode_binary,
                          resize_image, sample_frames)
+from .sampling import assign_splits, deterministic_sample, stratified_sample
 
 __all__ = [
     "exact_dedup", "shingles", "shingle_rows", "minhash_signatures", "minhash_near_dup_pairs",
@@ -37,4 +38,5 @@ __all__ = [
     "detect_language", "fingerprint", "text_quality", "token_count",
     "token_count_bpe",
     "attach_binary_metadata", "decode_binary", "resize_image", "sample_frames",
+    "assign_splits", "deterministic_sample", "stratified_sample",
 ]

@@ -1,0 +1,121 @@
+"""Deterministic sampling & split assignment for training-data curation.
+
+The common scale trap in corpus sampling is ``df.sample(fraction)``: its
+output depends on partitioning and re-executes differently per action, so a
+pipeline that samples, then joins the sample back, silently disagrees with
+itself.  Everything here keys randomness off a CONTENT hash (md5 of the row
+key + seed) instead:
+
+* the same row always lands on the same side of every threshold, across
+  retries, re-partitions and reruns;
+* fraction sampling and split assignment are pure map-side filters/projections
+  (zero shuffle — they run inside the scan stage at 100 TB);
+* exact-N stratified sampling costs exactly one hash-shuffle on the strata
+  key (the unavoidable minimum: per-stratum top-N is a grouped selection);
+* md5 (not xxhash64) so an external engine can reproduce the selection
+  bit-for-bit — the hex digest of identical strings is identical everywhere.
+
+The hash-threshold trick: a 32-hex-digit md5 digest is uniform on
+[0, 16^32), so ``digest < hex(fraction * 16^32)`` keeps a ``fraction`` share
+in expectation, deterministically per key.  String comparison on lowercase
+hex IS numeric comparison (fixed width), no bigint conversion needed.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..util import as_list
+
+
+def _key_digest(df: DataFrame, on: Union[str, Sequence[str], None],
+                seed: int) -> Column:
+    """md5 of seed + key columns (default: all columns), as lowercase hex."""
+    cols = as_list(on) if on else df.columns
+    parts = [F.lit(str(seed))] + [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def _hex_threshold(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    # clamp: fraction 1.0 must produce the all-f sentinel (every digest
+    # below it), not wrap to 0 when truncated to 32 digits
+    return format(min(int(fraction * (1 << 128)), (1 << 128) - 1), "032x")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    on: Union[str, Sequence[str], None] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows, keyed by ``on`` (default:
+    whole row).  Pure map-side filter — no shuffle, no state; rows with
+    equal keys are kept or dropped together (useful: key by document id to
+    sample documents, by cluster id to sample whole dedup clusters).
+    """
+    if fraction >= 1.0:
+        return df
+    return df.filter(_key_digest(df, on, seed) < F.lit(_hex_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Union[str, Sequence[str]],
+    n_per_stratum: int,
+    on: Union[str, Sequence[str], None] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by md5 order
+    of the key — a deterministic uniform draw without replacement.
+
+    One hash-shuffle on ``strata`` (the ``row_number`` window); at scale
+    prefer low-cardinality strata (language, source, quality bucket) so AQE
+    can balance the partitions.  Ties in the digest (identical keys) are
+    broken by the digest's own ordering, so the result is a function of the
+    data alone.
+    """
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    strata = as_list(strata)
+    d = _key_digest(df, on, seed)
+    w = Window.partitionBy(*strata).orderBy(d.asc())
+    return (df.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= n_per_stratum).drop("__rn__"))
+
+
+def assign_splits(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    on: Union[str, Sequence[str], None] = None,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column ("train"/"val"/"test"/...) by hash-threshold
+    ranges — the standard leak-proof corpus split: keyed by document (or
+    cluster) id, a row's split never changes when the corpus grows, is
+    recomputed identically on every engine, and costs zero shuffles.
+
+    ``weights`` must sum to 1 (±1e-9); ranges are assigned in the mapping's
+    iteration order.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    d = _key_digest(df, on, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = d < F.lit(_hex_threshold(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

@@ -306,3 +306,35 @@ def test_near_dup_dedup_mark_and_drop(spark, docs):
     lab = marked.set_index("doc_id")["cluster_id"]
     for a, b in pairs.select("id_a", "id_b").toPandas().itertuples(index=False):
         assert lab[a] == lab[b]
+
+
+def test_deterministic_sampling_and_splits(spark, docs):
+    """Content-hash sampling: stable across reruns, disjoint exhaustive
+    splits, exact-N strata, and fraction close to nominal."""
+    from catabra_pandas_spark.pipeline import (
+        assign_splits, deterministic_sample, stratified_sample)
+
+    n = docs.count()
+    s1 = deterministic_sample(docs, 0.3, on="doc_id", seed=1)
+    ids1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in
+                  deterministic_sample(docs, 0.3, on="doc_id", seed=1)
+                  .select("doc_id").collect())
+    assert ids1 == ids2 and 0.15 * n < len(ids1) < 0.45 * n
+    # a 0.6 sample with the same seed is a SUPERSET (thresholds nest)
+    ids6 = {r.doc_id for r in deterministic_sample(docs, 0.6, on="doc_id", seed=1)
+            .select("doc_id").collect()}
+    assert set(ids1) <= ids6
+    assert deterministic_sample(docs, 1.0, on="doc_id").count() == n
+
+    strat = stratified_sample(docs, "lang", 5, on="doc_id", seed=2) \
+        .groupBy("lang").count().collect()
+    full = dict(docs.groupBy("lang").count().collect())
+    for r in strat:
+        assert r["count"] == min(5, full[r.lang])
+
+    sp = assign_splits(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                       on="doc_id", seed=3)
+    agg = dict(sp.groupBy("split").count().collect())
+    assert sum(agg.values()) == n and set(agg) <= {"train", "val", "test"}
+    assert agg["train"] > agg.get("val", 0) and agg["train"] > agg.get("test", 0)
