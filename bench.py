@@ -44,6 +44,8 @@ HEADLINE = [
     "minhash_lsh_raw",
     "simhash_raw",
     "ngram_jaccard",
+    "dedup_clusters",
+    "sample_stratified",
     "cosine_topk",
     "lsh_ann",
     "ivf_ann",

@@ -44,6 +44,7 @@ from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .sweep import sweep_point_in_interval
 from ..util import (as_list, ensure_columns, interval_overlap_cond,
                     numeric_double as _numeric, valid_interval_cond)
 
@@ -115,8 +116,13 @@ def merge_intervals(
       ``left_id``/``right_id`` (recommended; they must be unique) missing
       rows get id -1; generated ids are opaque content-hash structs and
       missing rows are null.
-    * ``strategy``: "direct", "bucket", or "auto" (direct unless
-      ``bucket_width`` is given and no equi-keys are present).
+    * ``strategy``: "direct", "bucket", "sweep", or "auto" (direct unless
+      ``bucket_width`` is given and no equi-keys are present).  "sweep" is
+      the output-sensitive sort-sweep kernel (``operators/sweep.py``) for
+      point-in-interval shapes: one side degenerate (same start/stop
+      column), finite endpoints, ``how="inner"`` — the right choice when
+      key groups are large enough that the direct join's per-group
+      n·m residual dominates (e.g. the reference's T1 benchmark).
     * ``keep_order``/``copy`` of the reference are meaningless on Spark
       (no row order, immutable frames) and intentionally absent.
 
@@ -148,6 +154,25 @@ def merge_intervals(
     has_eq = len(left_on) > 0
     use_bucket = strategy == "bucket" or (
         strategy == "auto" and not has_eq and bucket_width is not None)
+    use_sweep = strategy == "sweep"
+    if use_sweep:
+        # the sort-sweep kernel (operators/sweep.py): output-sensitive
+        # point-in-interval join, requires one degenerate (point) side and
+        # produces the inner match set
+        if how != "inner":
+            raise ValueError('strategy="sweep" currently supports how="inner" only')
+        if left_start == left_stop and left_start is not None:
+            points_side = "left"
+            if not (include_left_start and include_left_stop):
+                raise ValueError("sweep: point-side include flags must be True")
+        elif right_start == right_stop and right_start is not None:
+            points_side = "right"
+            if not (include_right_start and include_right_stop):
+                raise ValueError("sweep: point-side include flags must be True")
+        else:
+            raise ValueError(
+                'strategy="sweep" requires one degenerate side (its start '
+                "column IS its stop column); use direct/bucket otherwise")
     # full outer without equi-keys cannot run as a native BNLJ full join;
     # the bucket strategy is inner-only: both fall back to inner + anti-joins
     anti_path = (use_bucket and how != "inner") or (how == "outer" and not has_eq)
@@ -269,7 +294,27 @@ def merge_intervals(
         cond = e & cond
 
     # --- join ----------------------------------------------------------
-    if use_bucket:
+    if use_sweep:
+        if points_side == "right":
+            ivl_df, pts_df = lm_r, rm_r
+            ivl_keys = [l_name(a) for a in left_on]
+            pts_keys = [r_name(b) for b in right_on]
+            iv_s, iv_t = l_name(left_start), l_name(left_stop)
+            pt_c = r_name(right_start)
+            inc_s, inc_t = include_left_start, include_left_stop
+            iid = LEFT_ID if has_lid else None
+        else:
+            ivl_df, pts_df = rm_r, lm_r
+            ivl_keys = [r_name(b) for b in right_on]
+            pts_keys = [l_name(a) for a in left_on]
+            iv_s, iv_t = r_name(right_start), r_name(right_stop)
+            pt_c = l_name(left_start)
+            inc_s, inc_t = include_right_start, include_right_stop
+            iid = RIGHT_ID if has_rid else None
+        matched = sweep_point_in_interval(
+            ivl_df, pts_df, ivl_keys, pts_keys, iv_s, iv_t, pt_c,
+            include_start=inc_s, include_stop=inc_t, interval_id=iid)
+    elif use_bucket:
         if bucket_width is None:
             raise ValueError("bucket strategy requires bucket_width")
         matched = _bucket_join(
@@ -285,7 +330,7 @@ def merge_intervals(
     # unify the key columns for on= (pandas semantics: one key column whose
     # value survives outer joins from whichever side is present); must run
     # before any union, while the parent-frame column lineage still resolves
-    if drop_right_keys:
+    if drop_right_keys and not use_sweep:
         for a, b in zip(left_on, right_on):
             la = l_name(a)
             matched = (
@@ -293,6 +338,8 @@ def merge_intervals(
                 .drop(lm_r[la]).drop(rm_r[r_name(b)])
                 .withColumnRenamed("__key_tmp__", la)
             )
+    # (sweep already emits a single key column per pair: the point-side
+    # duplicate-named key is dropped inside sweep_point_in_interval)
 
     # anti-join unmatched-row injection — only for the strategies that cannot
     # express how= natively (ids here are content-derived, so both branches

@@ -458,3 +458,52 @@ def test_keep_reserved_mult_name_raises(spark):
                         left_start="start", left_stop="stop",
                         right_start="rstart", right_stop="rstop",
                         keep_by="rstart")
+
+
+def test_merge_sweep_strategy_equivalence(spark):
+    """Sort-sweep kernel vs direct join: identical match sets across
+    inclusion flags, orientations, duplicates and keep reduction."""
+    rng = np.random.RandomState(11)
+    ivl = pd.DataFrame({
+        "group": rng.randint(0, 10, 400),
+        "start": rng.randint(-10, 10, 400).astype(float),
+        "idx": np.arange(400)})
+    ivl["stop"] = ivl["start"] + rng.randint(0, 6, 400)
+    ivl = pd.concat([ivl, ivl.head(20)], ignore_index=True)  # duplicate rows
+    pts = pd.DataFrame({
+        "group": rng.randint(0, 10, 250),
+        "p": rng.randint(-12, 16, 250).astype(float),
+        "ridx": np.arange(250)})
+    li, ri = to_sdf(spark, ivl), to_sdf(spark, pts)
+
+    base = dict(how="inner", left_start="start", left_stop="stop",
+                right_start="p", right_stop="p")
+    for incs in (True, False):
+        for inct in (True, False):
+            kw = dict(base, include_left_start=incs, include_left_stop=inct)
+            d = merge_intervals(li, ri, on="group", **kw).toPandas()
+            s = merge_intervals(li, ri, on="group", strategy="sweep", **kw).toPandas()
+            assert sorted(s.columns) == sorted(d.columns)
+            assert_pdf_equal(s, d, sort_by=["idx", "ridx"])
+
+    # points on the left side
+    kwl = dict(how="inner", left_start="p", left_stop="p",
+               right_start="start", right_stop="stop")
+    d = merge_intervals(ri, li, on="group", **kwl).toPandas()
+    s = merge_intervals(ri, li, on="group", strategy="sweep", **kwl).toPandas()
+    assert_pdf_equal(s, d, sort_by=["idx", "ridx"])
+
+    # composes with the keep reduction
+    kw2 = dict(base, keep="first", keep_by=["p", "ridx"])
+    d = merge_intervals(li, ri, on="group", **kw2).toPandas()
+    s = merge_intervals(li, ri, on="group", strategy="sweep", **kw2).toPandas()
+    assert_pdf_equal(s, d, sort_by=["idx", "ridx"])
+
+    # guard rails: non-degenerate sides / non-inner hows are rejected
+    with pytest.raises(ValueError, match="degenerate"):
+        merge_intervals(li, ri, on="group", how="inner",
+                        left_start="start", left_stop="stop",
+                        right_start="p", right_stop="ridx", strategy="sweep")
+    with pytest.raises(ValueError, match="inner"):
+        merge_intervals(li, ri, on="group", how="left", strategy="sweep",
+                        **{k: v for k, v in base.items() if k != "how"})
