@@ -118,11 +118,13 @@ def merge_intervals(
       missing rows are null.
     * ``strategy``: "direct", "bucket", "sweep", or "auto" (direct unless
       ``bucket_width`` is given and no equi-keys are present).  "sweep" is
-      the output-sensitive sort-sweep kernel (``operators/sweep.py``) for
-      point-in-interval shapes: one side degenerate (same start/stop
-      column), finite endpoints, ``how="inner"`` — the right choice when
-      key groups are large enough that the direct join's per-group
-      n·m residual dominates (e.g. the reference's T1 benchmark).
+      the output-sensitive sort-sweep kernel (``operators/sweep.py``):
+      a single point-in-interval sweep when one side is degenerate (same
+      start/stop column), else a general overlap join decomposed into two
+      disjoint sweeps.  Finite endpoints, ``how="inner"`` only — the
+      right choice when key groups are large enough that the direct
+      join's per-group n·m residual dominates (the few-large-groups
+      regime; see scripts/bench_baseline.py t4).
     * ``keep_order``/``copy`` of the reference are meaningless on Spark
       (no row order, immutable frames) and intentionally absent.
 
@@ -161,18 +163,21 @@ def merge_intervals(
         # produces the inner match set
         if how != "inner":
             raise ValueError('strategy="sweep" currently supports how="inner" only')
-        if left_start == left_stop and left_start is not None:
+        if None in (left_start, left_stop, right_start, right_stop):
+            raise ValueError('strategy="sweep" requires finite endpoints on '
+                             "both sides; use direct for half-infinite intervals")
+        if left_start == left_stop:
             points_side = "left"
             if not (include_left_start and include_left_stop):
                 raise ValueError("sweep: point-side include flags must be True")
-        elif right_start == right_stop and right_start is not None:
+        elif right_start == right_stop:
             points_side = "right"
             if not (include_right_start and include_right_stop):
                 raise ValueError("sweep: point-side include flags must be True")
         else:
-            raise ValueError(
-                'strategy="sweep" requires one degenerate side (its start '
-                "column IS its stop column); use direct/bucket otherwise")
+            # general overlap: decompose into two disjoint point-in-interval
+            # sweeps (see the use_sweep join branch below)
+            points_side = None
     # full outer without equi-keys cannot run as a native BNLJ full join;
     # the bucket strategy is inner-only: both fall back to inner + anti-joins
     anti_path = (use_bucket and how != "inner") or (how == "outer" and not has_eq)
@@ -294,7 +299,37 @@ def merge_intervals(
         cond = e & cond
 
     # --- join ----------------------------------------------------------
-    if use_sweep:
+    if use_sweep and points_side is None:
+        # General overlap via two DISJOINT point-in-interval sweeps —
+        # every overlapping pair is found exactly once by where the later
+        # start falls (reference merging.py:434-455 uses the same
+        # containment decomposition for its sweep kernel):
+        #   A: right.start inside [left.start, left.stop]  (starts tie -> A)
+        #   B: left.start inside (right.start, right.stop]  (strict lower)
+        # A's implied "left.start <= right.stop" conjunct can overmatch
+        # only in the degenerate corner left.start == right.start ==
+        # right.stop under an exclusive endpoint, so the exact overlap
+        # predicate is re-applied as an output-sized residual filter.
+        lk = [l_name(a) for a in left_on]
+        rk = [r_name(b) for b in right_on]
+        a = sweep_point_in_interval(
+            lm_r, rm_r, lk, rk, l_name(left_start), l_name(left_stop),
+            r_name(right_start), include_start=True,
+            include_stop=(include_right_start and include_left_stop),
+            interval_id=LEFT_ID if has_lid else None)
+        b = sweep_point_in_interval(
+            rm_r, lm_r, rk, lk, r_name(right_start), r_name(right_stop),
+            l_name(left_start), include_start=False,
+            include_stop=(include_left_start and include_right_stop),
+            interval_id=RIGHT_ID if has_rid else None)
+        matched = a.unionByName(b)
+        rng_by_name = interval_overlap_cond(
+            F.col(l_name(left_start)), F.col(l_name(left_stop)),
+            F.col(r_name(right_start)), F.col(r_name(right_stop)),
+            include_left_start, include_left_stop,
+            include_right_start, include_right_stop)
+        matched = matched.filter(rng_by_name)
+    elif use_sweep:
         if points_side == "right":
             ivl_df, pts_df = lm_r, rm_r
             ivl_keys = [l_name(a) for a in left_on]

@@ -41,10 +41,12 @@ when one side broadcasts or groups are small; sweep wins when key groups
 are large and selectivity is high (n_g·m_g ≫ output).  At 100 TB the
 crossover favors the sweep exactly where the direct join melts down.
 
-Current scope (callers fall back to direct/bucket otherwise): one side
-degenerate (its start column IS its stop column — a point column), finite
-endpoints, ``how="inner"`` (the strategy produces the inner match set;
-outer variants would compose via the anti-join path exactly like the
+This module implements the point-in-interval kernel; ``merge_intervals``
+composes it directly when one side is degenerate (its start column IS its
+stop column), and decomposes a general interval-overlap join into two
+disjoint point-in-interval sweeps (by where the later start falls) plus an
+output-sized residual filter.  Scope: finite endpoints, ``how="inner"``
+(outer variants would compose via the anti-join path exactly like the
 bucket strategy).
 """
 

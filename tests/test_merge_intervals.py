@@ -499,11 +499,45 @@ def test_merge_sweep_strategy_equivalence(spark):
     s = merge_intervals(li, ri, on="group", strategy="sweep", **kw2).toPandas()
     assert_pdf_equal(s, d, sort_by=["idx", "ridx"])
 
-    # guard rails: non-degenerate sides / non-inner hows are rejected
-    with pytest.raises(ValueError, match="degenerate"):
+    # guard rails: half-infinite endpoints / non-inner hows are rejected
+    with pytest.raises(ValueError, match="finite"):
         merge_intervals(li, ri, on="group", how="inner",
                         left_start="start", left_stop="stop",
-                        right_start="p", right_stop="ridx", strategy="sweep")
+                        right_stop="p", strategy="sweep")
     with pytest.raises(ValueError, match="inner"):
         merge_intervals(li, ri, on="group", how="left", strategy="sweep",
                         **{k: v for k, v in base.items() if k != "how"})
+
+
+def test_merge_sweep_general_overlap(spark):
+    """Two-sweep decomposition of a general interval-overlap join equals
+    the direct join across all 16 inclusion-flag combinations, with
+    integer endpoints so boundary ties actually occur (including the
+    degenerate right intervals that exercise the residual filter)."""
+    rng = np.random.RandomState(5)
+    left = pd.DataFrame({
+        "group": rng.randint(0, 8, 300),
+        "start": rng.randint(-8, 8, 300).astype(float),
+        "idx": np.arange(300)})
+    left["stop"] = left["start"] + rng.randint(0, 5, 300)
+    right = pd.DataFrame({
+        "group": rng.randint(0, 8, 200),
+        "rstart": rng.randint(-9, 9, 200).astype(float),
+        "ridx": np.arange(200)})
+    # mix zero-length (degenerate) and proper right intervals
+    right["rstop"] = right["rstart"] + rng.randint(0, 4, 200)
+    li, ri = to_sdf(spark, left), to_sdf(spark, right)
+    for ils in (True, False):
+        for ilt in (True, False):
+            for irs in (True, False):
+                for irt in (True, False):
+                    kw = dict(how="inner", left_start="start", left_stop="stop",
+                              right_start="rstart", right_stop="rstop",
+                              include_left_start=ils, include_left_stop=ilt,
+                              include_right_start=irs, include_right_stop=irt)
+                    d = merge_intervals(li, ri, on="group", **kw).toPandas()
+                    s = merge_intervals(li, ri, on="group", strategy="sweep",
+                                        **kw).toPandas()
+                    assert sorted(s.columns) == sorted(d.columns), (ils, ilt, irs, irt)
+                    assert len(s) == len(d), (ils, ilt, irs, irt, len(s), len(d))
+                    assert_pdf_equal(s, d, sort_by=["idx", "ridx"])
