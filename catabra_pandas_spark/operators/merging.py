@@ -545,10 +545,15 @@ def find_containing_interval(
     include_start: bool = True,
     include_stop: bool = True,
     interval_id: Optional[str] = None,
+    strategy: str = "direct",
 ) -> DataFrame:
     """For each point, the id of the first/last containing interval, -1 if
     none.  Reference: ``merging.py:511-649`` (delegates to merge_intervals at
     ``merging.py:610-623``, as does this implementation).
+
+    ``strategy`` forwards to ``merge_intervals`` — point-in-interval is
+    exactly the sort-sweep kernel's shape, so ``strategy="sweep"`` is the
+    scale path when interval groups are large (see ``operators/sweep.py``).
 
     "First"/"last" refer to interval ids: pass ``interval_id`` naming an
     existing id column in ``intervals`` for meaningful results (the reference
@@ -617,6 +622,7 @@ def find_containing_interval(
             include_right_start=include_start,
             include_right_stop=include_stop,
             right_id=RIGHT_ID,
+            strategy=strategy,
         )
         agg_exprs = []
         if which in ("first", "both"):

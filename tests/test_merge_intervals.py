@@ -541,3 +541,20 @@ def test_merge_sweep_general_overlap(spark):
                     assert sorted(s.columns) == sorted(d.columns), (ils, ilt, irs, irt)
                     assert len(s) == len(d), (ils, ilt, irs, irt, len(s), len(d))
                     assert_pdf_equal(s, d, sort_by=["idx", "ridx"])
+
+
+def test_find_containing_sweep_strategy(spark):
+    """find_containing_interval(strategy="sweep") equals the direct path."""
+    rng = np.random.RandomState(3)
+    pts = pd.DataFrame({"g": rng.randint(0, 5, 150),
+                        "x": rng.randint(-10, 10, 150).astype(float)})
+    ivl = pd.DataFrame({"g": rng.randint(0, 5, 80),
+                        "start": rng.randint(-10, 8, 80).astype(float),
+                        "iid": np.arange(80)})
+    ivl["stop"] = ivl["start"] + rng.randint(0, 6, 80)
+    p, i = to_sdf(spark, pts), to_sdf(spark, ivl)
+    kw = dict(point_cols="x", which="both", group_by="g", interval_id="iid")
+    d = find_containing_interval(p, i, **kw).toPandas()
+    s = find_containing_interval(p, i, strategy="sweep", **kw).toPandas()
+    assert_pdf_equal(s.sort_values(["g", "x"]).reset_index(drop=True),
+                     d.sort_values(["g", "x"]).reset_index(drop=True))
