@@ -338,3 +338,19 @@ def test_deterministic_sampling_and_splits(spark, docs):
     agg = dict(sp.groupBy("split").count().collect())
     assert sum(agg.values()) == n and set(agg) <= {"train", "val", "test"}
     assert agg["train"] > agg.get("val", 0) and agg["train"] > agg.get("test", 0)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping must converge in O(log d) rounds: a 1024-node path
+    graph (diameter 1023) finishes well inside the 30-iteration default —
+    plain min-propagation would need ~1023 rounds."""
+    import pandas as pd
+
+    from catabra_pandas_spark.pipeline import connected_components
+
+    n = 1024
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "id_a": list(range(n - 1)), "id_b": list(range(1, n))}))
+    out = connected_components(pairs).toPandas()
+    assert len(out) == n
+    assert (out["cluster_id"] == 0).all()

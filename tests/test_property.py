@@ -81,3 +81,28 @@ def test_merge_asof_matches_pandas(spark, left, right, direction):
         return sorted(map(tuple, df[["k", "t", "y"]].fillna(-999.0).values.tolist()))
 
     assert norm(out) == norm(exp)
+
+
+@settings(max_examples=10, deadline=None)
+@given(left=_left_rows, right=_right_rows,
+       inc=st.tuples(st.booleans(), st.booleans(), st.booleans(), st.booleans()))
+def test_merge_sweep_matches_direct(spark, left, right, inc):
+    """strategy="sweep" (two-sweep overlap decomposition) produces exactly
+    the direct join's match set on random small inputs with random
+    inclusion flags — boundary ties are frequent by construction."""
+    ils, ilp, irs, irp = inc
+    lsdf = spark.createDataFrame([(int(k), float(a), float(b)) for k, a, b in left],
+                                 "k long, a double, b double")
+    rsdf = spark.createDataFrame([(int(k), float(c), float(d)) for k, c, d in right],
+                                 "k long, c double, d double")
+    kw = dict(on="k", how="inner", left_start="a", left_stop="b",
+              right_start="c", right_stop="d",
+              include_left_start=ils, include_left_stop=ilp,
+              include_right_start=irs, include_right_stop=irp)
+    d = merge_intervals(lsdf, rsdf, **kw).toPandas()
+    s = merge_intervals(lsdf, rsdf, strategy="sweep", **kw).toPandas()
+    cols = sorted(d.columns)
+    assert sorted(s.columns) == cols
+    a2 = s[cols].sort_values(cols).reset_index(drop=True)
+    b2 = d[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a2, b2)
