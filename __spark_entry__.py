@@ -115,6 +115,17 @@ _Q_MERGE_OVERLAP_SQL = f"""
 """
 
 
+def q_merge_overlap_sweep(spark, sf):
+    """Same join as q_merge_overlap via the output-sensitive sort-sweep
+    strategy (operators/sweep.py: two disjoint point-in-interval sweeps) —
+    same oracle, so the driver gate certifies the sweep kernel too."""
+    out = cps.merge_intervals(
+        _li(spark, sf), _ow(spark, sf), on="okey", how="inner",
+        left_start="s_start", left_stop="s_stop",
+        right_start="w_start", right_stop="w_stop", strategy="sweep")
+    return out.select("okey", "lineno", "s_start", "s_stop", "w_start", "w_stop")
+
+
 def q_merge_open_endpoints(spark, sf):
     """Open/closed endpoint flags -> strict comparisons (merging.py:434-455)."""
     out = cps.merge_intervals(
@@ -1952,6 +1963,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "merge_overlap": q_merge_overlap,
+        "merge_overlap_sweep": q_merge_overlap_sweep,
         "merge_open_endpoints": q_merge_open_endpoints,
         "merge_left_keep_first": q_merge_left_keep_first,
         "merge_keep_both": q_merge_keep_both,
@@ -2017,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "merge_overlap": _Q_MERGE_OVERLAP_SQL,
+        "merge_overlap_sweep": _Q_MERGE_OVERLAP_SQL,
         "merge_open_endpoints": _Q_MERGE_OPEN_SQL,
         "merge_left_keep_first": _Q_MERGE_LEFT_FIRST_SQL,
         "merge_keep_both": _Q_MERGE_KEEP_BOTH_SQL,

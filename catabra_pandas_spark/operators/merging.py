@@ -163,20 +163,27 @@ def merge_intervals(
         # produces the inner match set
         if how != "inner":
             raise ValueError('strategy="sweep" currently supports how="inner" only')
-        if None in (left_start, left_stop, right_start, right_stop):
-            raise ValueError('strategy="sweep" requires finite endpoints on '
-                             "both sides; use direct for half-infinite intervals")
-        if left_start == left_stop:
+        if left_start is None and right_start is None:
+            raise ValueError('strategy="sweep" needs a start column on at '
+                             "least one side (both -inf degenerates to an "
+                             "equi-join; use direct)")
+        if (left_start is None and left_stop is None) or \
+                (right_start is None and right_stop is None):
+            raise ValueError('strategy="sweep" requires at least one finite '
+                             "endpoint per side (a fully unbounded side is "
+                             "an equi-join; use direct)")
+        if left_start == left_stop and left_start is not None:
             points_side = "left"
             if not (include_left_start and include_left_stop):
                 raise ValueError("sweep: point-side include flags must be True")
-        elif right_start == right_stop:
+        elif right_start == right_stop and right_start is not None:
             points_side = "right"
             if not (include_right_start and include_right_stop):
                 raise ValueError("sweep: point-side include flags must be True")
         else:
             # general overlap: decompose into two disjoint point-in-interval
-            # sweeps (see the use_sweep join branch below)
+            # sweeps (see the use_sweep join branch below); a side with a
+            # -inf start contributes no sweep of its own start points
             points_side = None
     # full outer without equi-keys cannot run as a native BNLJ full join;
     # the bucket strategy is inner-only: both fall back to inner + anti-joins
@@ -312,20 +319,35 @@ def merge_intervals(
         # predicate is re-applied as an output-sized residual filter.
         lk = [l_name(a) for a in left_on]
         rk = [r_name(b) for b in right_on]
-        a = sweep_point_in_interval(
-            lm_r, rm_r, lk, rk, l_name(left_start), l_name(left_stop),
-            r_name(right_start), include_start=True,
-            include_stop=(include_right_start and include_left_stop),
-            interval_id=LEFT_ID if has_lid else None)
-        b = sweep_point_in_interval(
-            rm_r, lm_r, rk, lk, r_name(right_start), r_name(right_stop),
-            l_name(left_start), include_start=False,
-            include_stop=(include_left_start and include_right_stop),
-            interval_id=RIGHT_ID if has_rid else None)
-        matched = a.unionByName(b)
+        parts = []
+        if right_start is not None:
+            parts.append(sweep_point_in_interval(
+                lm_r, rm_r, lk, rk, l_name(left_start), l_name(left_stop),
+                r_name(right_start), include_start=True,
+                include_stop=(include_right_start and include_left_stop),
+                interval_id=LEFT_ID if has_lid else None))
+        if left_start is not None and right_start is not None:
+            parts.append(sweep_point_in_interval(
+                rm_r, lm_r, rk, lk, r_name(right_start), r_name(right_stop),
+                l_name(left_start), include_start=False,
+                include_stop=(include_left_start and include_right_stop),
+                interval_id=RIGHT_ID if has_rid else None))
+        elif left_start is not None:
+            # right.start is -inf: EVERY pair falls in the "left starts
+            # inside right" case, and the strict lower bound vanishes
+            parts.append(sweep_point_in_interval(
+                rm_r, lm_r, rk, lk, None, r_name(right_stop),
+                l_name(left_start),
+                include_stop=(include_left_start and include_right_stop),
+                interval_id=RIGHT_ID if has_rid else None))
+        matched = parts[0]
+        for p in parts[1:]:
+            matched = matched.unionByName(p)
         rng_by_name = interval_overlap_cond(
-            F.col(l_name(left_start)), F.col(l_name(left_stop)),
-            F.col(r_name(right_start)), F.col(r_name(right_stop)),
+            F.col(l_name(left_start)) if left_start else None,
+            F.col(l_name(left_stop)) if left_stop else None,
+            F.col(r_name(right_start)) if right_start else None,
+            F.col(r_name(right_stop)) if right_stop else None,
             include_left_start, include_left_stop,
             include_right_start, include_right_stop)
         matched = matched.filter(rng_by_name)

@@ -45,9 +45,11 @@ This module implements the point-in-interval kernel; ``merge_intervals``
 composes it directly when one side is degenerate (its start column IS its
 stop column), and decomposes a general interval-overlap join into two
 disjoint point-in-interval sweeps (by where the later start falls) plus an
-output-sized residual filter.  Scope: finite endpoints, ``how="inner"``
-(outer variants would compose via the anti-join path exactly like the
-bucket strategy).
+output-sized residual filter.  Half-infinite endpoints are supported (a
+``None`` endpoint column pins the range side to the group's first/last
+position — this covers keyless single-inequality joins like polars'
+``join_where`` benchmark).  Scope: ``how="inner"`` (outer variants would
+compose via the anti-join path exactly like the bucket strategy).
 """
 
 from __future__ import annotations
@@ -85,8 +87,9 @@ def sweep_point_in_interval(
     content hash over all interval columns is used — the same 2^-128
     collision bound as the generated ids elsewhere in this package.
     """
-    if iv_start is None or iv_stop is None:
-        raise ValueError("sweep strategy requires finite interval endpoints")
+    if iv_start is None and iv_stop is None:
+        raise ValueError("at least one interval endpoint column is required "
+                         "(both None would be a cross join)")
     for c in (_POS, _H1, _H2):
         if c in intervals.columns or c in points.columns:
             raise ValueError(f"column name {c!r} is reserved by the sweep strategy")
@@ -140,9 +143,13 @@ def sweep_point_in_interval(
             F.col(_H2),
         )
 
-    events = (ev_pts
-              .unionByName(_ivl_events(iv_start, start_tag, 1))
-              .unionByName(_ivl_events(iv_stop, stop_tag, 0)))
+    # a None endpoint is +/- infinity: no event row — the range side is
+    # pinned to position 1 (start) or the group's point count (stop)
+    events = ev_pts
+    if iv_start is not None:
+        events = events.unionByName(_ivl_events(iv_start, start_tag, 1))
+    if iv_stop is not None:
+        events = events.unionByName(_ivl_events(iv_stop, stop_tag, 0))
 
     w = (Window.partitionBy(*kcols).orderBy("__v__", "__tag__")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -151,13 +158,25 @@ def sweep_point_in_interval(
     # --- pair endpoints into position ranges (HashAggregate: primitive
     # grouping keys, primitive max buffers; duplicate interval rows
     # collapse here and re-expand at the payload join below) ------------
+    aggs = []
+    if iv_start is not None:
+        aggs.append(F.max(F.when(F.col("__is_start__") == 1,
+                                 F.col("__cnt__") + 1)).alias("__first__"))
+    if iv_stop is not None:
+        aggs.append(F.max(F.when(F.col("__is_start__") == 0,
+                                 F.col("__cnt__"))).alias("__last__"))
     ranges = (events.filter(F.col(_H1).isNotNull())
-              .groupBy(*kcols, _H1, _H2)
-              .agg(F.max(F.when(F.col("__is_start__") == 1,
-                                F.col("__cnt__") + 1)).alias("__first__"),
-                   F.max(F.when(F.col("__is_start__") == 0,
-                                F.col("__cnt__"))).alias("__last__"))
-              .filter(F.col("__last__") >= F.col("__first__")))
+              .groupBy(*kcols, _H1, _H2).agg(*aggs))
+    if iv_start is None:
+        ranges = ranges.withColumn("__first__", F.lit(1).cast("long"))
+    if iv_stop is None:
+        # half-infinite stop: the range runs to the group's last point
+        totals = pts.groupBy(
+            *[F.col(f"`{k}`").alias(a) for k, a in zip(pts_keys, kcols)]
+        ).agg(F.max(_POS).cast("long").alias("__last__"))
+        ranges = (ranges.join(totals, on=kcols) if kcols
+                  else ranges.crossJoin(totals))
+    ranges = ranges.filter(F.col("__last__") >= F.col("__first__"))
 
     # --- join the interval payload back, explode positions, fetch points
     pairs = (ivl.join(ranges.drop(*kcols), on=[_H1, _H2], how="inner")

@@ -558,3 +558,44 @@ def test_find_containing_sweep_strategy(spark):
     s = find_containing_interval(p, i, strategy="sweep", **kw).toPandas()
     assert_pdf_equal(s.sort_values(["g", "x"]).reset_index(drop=True),
                      d.sort_values(["g", "x"]).reset_index(drop=True))
+
+
+def test_merge_sweep_half_infinite(spark):
+    """Sweep with None endpoints (+/- infinity) equals the direct join:
+    the missing endpoint pins the position range to the group's first or
+    last point, covering keyless single-inequality shapes."""
+    rng = np.random.RandomState(9)
+    ivl = pd.DataFrame({"g": rng.randint(0, 6, 200),
+                        "start": rng.randint(-10, 10, 200).astype(float),
+                        "idx": np.arange(200)})
+    ivl["stop"] = ivl["start"] + rng.randint(0, 6, 200)
+    pts = pd.DataFrame({"g": rng.randint(0, 6, 150),
+                        "p": rng.randint(-12, 16, 150).astype(float),
+                        "ridx": np.arange(150)})
+    rint = pts.assign(rstop=pts.p + 3)
+    li, ri, rr = to_sdf(spark, ivl), to_sdf(spark, pts), to_sdf(spark, rint)
+
+    cases = [
+        ("t3-shape", ri, li, dict(on="g", how="inner", left_start="p",
+                                  left_stop="p", right_stop="stop",
+                                  include_right_stop=False)),
+        ("rstart-inf", li, rr, dict(on="g", how="inner", left_start="start",
+                                    left_stop="stop", right_stop="rstop")),
+        ("lstop-inf", li, rr, dict(on="g", how="inner", left_start="start",
+                                   right_start="p", right_stop="rstop")),
+        ("lstart-inf", li, rr, dict(on="g", how="inner", left_stop="stop",
+                                    right_start="p", right_stop="rstop")),
+        ("keyless-ineq", ri, li, dict(how="inner", left_start="p",
+                                      left_stop="p", right_stop="stop",
+                                      include_right_stop=False)),
+    ]
+    for tag, L, R, kw in cases:
+        d = merge_intervals(L, R, strategy="direct", suffixes=("", "_y"), **kw).toPandas()
+        s = merge_intervals(L, R, strategy="sweep", suffixes=("", "_y"), **kw).toPandas()
+        assert sorted(s.columns) == sorted(d.columns), tag
+        assert len(s) == len(d), (tag, len(s), len(d))
+        assert_pdf_equal(s, d, sort_by=["idx", "ridx"])
+
+    with pytest.raises(ValueError, match="start column"):
+        merge_intervals(li, rr, on="g", how="inner", left_stop="stop",
+                        right_stop="rstop", strategy="sweep")
