@@ -19,6 +19,7 @@ multimodal plumbing).
 
 from .operators.asof import merge_asof
 from .operators.merging import find_containing_interval, merge_intervals
+from .operators.sweep import sweep_point_in_interval
 from .operators.intervals import combine_intervals, group_intervals
 from .operators.sequences import impute, prev_next_values
 from .operators.modes import grouped_mode
@@ -39,6 +40,7 @@ __all__ = [
     "factorize",
     "merge_intervals",
     "merge_asof",
+    "sweep_point_in_interval",
 ]
 
 __version__ = "0.1.0"

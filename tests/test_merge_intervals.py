@@ -499,11 +499,10 @@ def test_merge_sweep_strategy_equivalence(spark):
     s = merge_intervals(li, ri, on="group", strategy="sweep", **kw2).toPandas()
     assert_pdf_equal(s, d, sort_by=["idx", "ridx"])
 
-    # guard rails: half-infinite endpoints / non-inner hows are rejected
-    with pytest.raises(ValueError, match="finite"):
+    # guard rails: doubly-unbounded shapes / non-inner hows are rejected
+    with pytest.raises(ValueError, match="start column"):
         merge_intervals(li, ri, on="group", how="inner",
-                        left_start="start", left_stop="stop",
-                        right_stop="p", strategy="sweep")
+                        left_stop="stop", right_stop="p", strategy="sweep")
     with pytest.raises(ValueError, match="inner"):
         merge_intervals(li, ri, on="group", how="left", strategy="sweep",
                         **{k: v for k, v in base.items() if k != "how"})
