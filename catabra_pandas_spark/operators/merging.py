@@ -121,8 +121,9 @@ def merge_intervals(
       the output-sensitive sort-sweep kernel (``operators/sweep.py``):
       a single point-in-interval sweep when one side is degenerate (same
       start/stop column), else a general overlap join decomposed into two
-      disjoint sweeps.  Finite endpoints, ``how="inner"`` only — the
-      right choice when key groups are large enough that the direct
+      disjoint sweeps; non-inner ``how`` composes via the anti-join path
+      (like bucket), half-infinite endpoints pin ranges to group bounds.
+      The right choice when key groups are large enough that the direct
       join's per-group n·m residual dominates (the few-large-groups
       regime; see scripts/bench_baseline.py t4).
     * ``keep_order``/``copy`` of the reference are meaningless on Spark
@@ -161,8 +162,6 @@ def merge_intervals(
         # the sort-sweep kernel (operators/sweep.py): output-sensitive
         # point-in-interval join, requires one degenerate (point) side and
         # produces the inner match set
-        if how != "inner":
-            raise ValueError('strategy="sweep" currently supports how="inner" only')
         if left_start is None and right_start is None:
             raise ValueError('strategy="sweep" needs a start column on at '
                              "least one side (both -inf degenerates to an "
@@ -186,8 +185,10 @@ def merge_intervals(
             # -inf start contributes no sweep of its own start points
             points_side = None
     # full outer without equi-keys cannot run as a native BNLJ full join;
-    # the bucket strategy is inner-only: both fall back to inner + anti-joins
-    anti_path = (use_bucket and how != "inner") or (how == "outer" and not has_eq)
+    # the bucket/sweep strategies are inner-only: all fall back to
+    # inner + anti-joins
+    anti_path = ((use_bucket or use_sweep) and how != "inner") \
+        or (how == "outer" and not has_eq)
     # the keep reduction partitions by LEFT_ID for every how except "right"
     # (where it partitions by RIGHT_ID and, absent keep_by, ORDERS by LEFT_ID)
     need_left_id = (return_indexers or anti_path
@@ -401,7 +402,7 @@ def merge_intervals(
     # anti-join unmatched-row injection — only for the strategies that cannot
     # express how= natively (ids here are content-derived, so both branches
     # of the plan agree on them)
-    if anti_path or (use_bucket and how != "inner"):
+    if anti_path:
         if how in ("left", "outer"):
             unmatched_l = lm_r.join(matched.select(LEFT_ID), on=LEFT_ID, how="left_anti")
             matched = matched.unionByName(unmatched_l, allowMissingColumns=True)

@@ -48,8 +48,9 @@ disjoint point-in-interval sweeps (by where the later start falls) plus an
 output-sized residual filter.  Half-infinite endpoints are supported (a
 ``None`` endpoint column pins the range side to the group's first/last
 position — this covers keyless single-inequality joins like polars'
-``join_where`` benchmark).  Scope: ``how="inner"`` (outer variants would
-compose via the anti-join path exactly like the bucket strategy).
+``join_where`` benchmark).  The kernel produces the inner match set;
+``merge_intervals`` composes non-inner ``how`` variants via its anti-join
+path, exactly like the bucket strategy.
 """
 
 from __future__ import annotations

@@ -503,9 +503,13 @@ def test_merge_sweep_strategy_equivalence(spark):
     with pytest.raises(ValueError, match="start column"):
         merge_intervals(li, ri, on="group", how="inner",
                         left_stop="stop", right_stop="p", strategy="sweep")
-    with pytest.raises(ValueError, match="inner"):
-        merge_intervals(li, ri, on="group", how="left", strategy="sweep",
-                        **{k: v for k, v in base.items() if k != "how"})
+    # non-inner hows compose via the anti-join path (like bucket)
+    for how in ("left", "right", "outer"):
+        kwh = dict(base, how=how)
+        d = merge_intervals(li, ri, on="group", **kwh).toPandas()
+        s = merge_intervals(li, ri, on="group", strategy="sweep", **kwh).toPandas()
+        assert len(s) == len(d), (how, len(s), len(d))
+        assert_pdf_equal(s, d, sort_by=["idx", "ridx"])
 
 
 def test_merge_sweep_general_overlap(spark):
