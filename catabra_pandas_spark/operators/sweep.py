@@ -87,6 +87,12 @@ def sweep_point_in_interval(
     CONTENT (equal-content rows may share it); when absent, a 128-bit
     content hash over all interval columns is used — the same 2^-128
     collision bound as the generated ids elsewhere in this package.
+
+    Caller contract (``merge_intervals`` enforces both with its validity
+    filters): rows with null key or endpoint values must be filtered out
+    first — the window partitioner groups null keys together, so null-key
+    rows would match each other, unlike an equi-join; and a null
+    ``interval_id`` would merge all null-id intervals into one range.
     """
     if iv_start is None and iv_stop is None:
         raise ValueError("at least one interval endpoint column is required "
