@@ -49,6 +49,7 @@ from typing import Callable, Mapping, Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
+from .sweep import sweep_point_in_interval
 from ..util import as_list, ensure_columns, numeric_double
 
 # internal content-key column names: entity / window start / window stop
@@ -136,6 +137,7 @@ def resample_eav(
     regular: Union[bool, str] = "auto",
     bucket_width: Optional[float] = None,
     approx_percentiles: Optional[int] = None,
+    join_strategy: str = "auto",
 ) -> DataFrame:
     """Resample EAV observations into arbitrary (possibly overlapping,
     possibly half-infinite) windows with per-attribute aggregation lists.
@@ -201,7 +203,21 @@ def resample_eav(
     — the same strategy as ``merge_intervals(strategy="bucket")``.  Pick a
     width near the typical window span; ignored when a regular grid is
     detected (the grid path is strictly cheaper).
+
+    ``join_strategy="sweep"`` routes the irregular observation-window join
+    through the output-sensitive sort-sweep kernel (``operators/sweep.py``;
+    windows are the intervals, observations the points) — the choice when
+    entities have MANY windows and many observations and no bucket width
+    fits (the same regime as ``merge_intervals(strategy="sweep")``).
+    Mutually exclusive with ``bucket_width``; a detected regular grid
+    still wins (strictly cheaper).  Windows with a null endpoint value
+    match no observation by the join contract and are filtered before the
+    sweep; ±inf endpoint VALUES sort correctly and need no special case.
     """
+    if join_strategy not in ("auto", "direct", "sweep"):
+        raise ValueError(f"join_strategy must be auto/direct/sweep, got {join_strategy!r}")
+    if join_strategy == "sweep" and bucket_width is not None:
+        raise ValueError("join_strategy='sweep' and bucket_width are mutually exclusive")
     if callable(windows) and not isinstance(windows, DataFrame):
         windows = windows(df, entity_col=entity_col, time_col=time_col)
     ensure_columns(df, [entity_col, time_col, attribute_col, value_col])
@@ -372,6 +388,19 @@ def resample_eav(
         cond_i = cond_i & ((obs[time_col] <= winf[_KP]) if include_stop
                            else (obs[time_col] < winf[_KP]))
         pairs = pairs_b.unionByName(obs.join(winf, on=cond_i, how="inner"))
+    elif join_strategy == "sweep":
+        # windows are the intervals, observations the points; null-valued
+        # endpoints/keys match nothing under the join contract, so filter
+        # them up front (the sweep's window partitioner would otherwise
+        # group null keys together)
+        ivl = wjoin.filter(F.col(_KE).isNotNull())
+        for c in ([_KS] if has_start else []) + ([_KP] if has_stop else []):
+            ivl = ivl.filter(F.col(c).isNotNull())
+        pts = obs.filter(F.col(entity_col).isNotNull())
+        pairs = sweep_point_in_interval(
+            ivl, pts, [_KE], [entity_col],
+            _KS if has_start else None, _KP if has_stop else None,
+            time_col, include_start=include_start, include_stop=include_stop)
     else:
         cond = obs[entity_col] == wjoin[_KE]
         if has_start:

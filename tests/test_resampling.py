@@ -502,3 +502,42 @@ def test_resample_eav_approx_percentiles(spark):
         assert (b[mask] <= exact.loc[mask, "hr_max"]).all()
         spread = exact.loc[mask, "hr_max"] - exact.loc[mask, "hr_min"]
         assert (abs(a[mask] - b[mask]) <= spread + 1e-9).all()
+
+
+def test_resample_eav_sweep_join_strategy(spark):
+    """join_strategy="sweep" (windows=intervals, observations=points)
+    produces the same resampled aggregates as the default theta join on
+    irregular overlapping windows, including a window with a null
+    endpoint (matches nothing) and include-flag variants."""
+    import numpy as np
+    import pandas as pd
+
+    from catabra_pandas_spark import resample_eav
+
+    rng = np.random.RandomState(17)
+    n = 600
+    obs = pd.DataFrame({
+        "entity": rng.randint(0, 8, n),
+        "timestamp": rng.randint(0, 1000, n).astype(float),
+        "attribute": rng.choice(["hr", "bp"], n),
+        "value": rng.uniform(0, 100, n).round(3),
+    })
+    m = 60
+    win = pd.DataFrame({
+        "entity": rng.randint(0, 8, m),
+        "timestamp_start": rng.randint(0, 900, m).astype(float),
+    })
+    win["timestamp_stop"] = win["timestamp_start"] + rng.randint(10, 300, m)
+    win.loc[0, "timestamp_stop"] = np.nan  # matches nothing on both paths
+    sobs, swin = to_sdf(spark, obs), to_sdf(spark, win)
+
+    agg = {"hr": ["mean", "count", "max"], "bp": ["sum", "min"]}
+    for inc in ((True, False), (True, True), (False, False)):
+        kw = dict(include_start=inc[0], include_stop=inc[1], regular=False)
+        d = resample_eav(sobs, swin, agg, **kw).toPandas()
+        s = resample_eav(sobs, swin, agg, join_strategy="sweep", **kw).toPandas()
+        cols = sorted(d.columns)
+        assert sorted(s.columns) == cols
+        a2 = s[cols].sort_values(cols).reset_index(drop=True)
+        b2 = d[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a2, b2, check_like=True)
