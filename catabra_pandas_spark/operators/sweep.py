@@ -57,11 +57,43 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .intervals import _CHUNK, _chunk_lit_array, _default_chunks, _range_chunks
 
 _POS = "__sweep_pos__"
 _H1 = "__sweep_h1__"
 _H2 = "__sweep_h2__"
+
+
+def _keyless_cumsum(df: DataFrame, v: Column, order: Sequence[Column],
+                    weight: Column, out: str) -> DataFrame:
+    """Global running sum of ``weight`` in ``order`` WITHOUT the keyless
+    single-task window: range-chunk on ``v`` (approx-quantile cuts, chunk
+    order == value order), per-chunk running sums in parallel, then add
+    P-element literal chunk offsets.  Driver-side data is O(P) scalars —
+    the same pattern as the keyless paths of ``group_intervals`` /
+    ``combine_intervals`` (operators/intervals.py).  Ties of ``v`` share a
+    chunk, so order within an equal-value run stays chunk-local and the
+    sweep's tie-permutation safety argument is unaffected.
+    """
+    d, P = _range_chunks(df, v, _default_chunks(df))
+    if P == 1:
+        w = (Window.orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return d.withColumn(out, F.sum(weight).over(w)).drop(_CHUNK)
+    w = (Window.partitionBy(_CHUNK).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    per = {r[_CHUNK]: r["__s__"] for r in
+           d.groupBy(_CHUNK).agg(F.sum(weight).alias("__s__")).collect()}
+    offs, acc = {}, 0
+    for i in range(P):
+        offs[i] = acc
+        acc += per.get(i) or 0
+    arr = _chunk_lit_array(offs, P)
+    return d.withColumn(
+        out, F.sum(weight).over(w) + F.element_at(arr, F.col(_CHUNK) + 1)
+    ).drop(_CHUNK)
 
 
 def sweep_point_in_interval(
@@ -116,11 +148,16 @@ def sweep_point_in_interval(
             _H2: F.xxhash64(F.lit(1), F.col(f"`{interval_id}`"))})
 
     # --- point numbering ----------------------------------------------
-    pts = points.withColumn(
-        _POS,
-        F.row_number().over(
-            Window.partitionBy(*[F.col(f"`{k}`") for k in pts_keys])
-            .orderBy(F.col(f"`{pt_col}`"))))
+    if pts_keys:
+        pts = points.withColumn(
+            _POS,
+            F.row_number().over(
+                Window.partitionBy(*[F.col(f"`{k}`") for k in pts_keys])
+                .orderBy(F.col(f"`{pt_col}`"))))
+    else:
+        # keyless: chunked global rank instead of a single-task window
+        pts = _keyless_cumsum(points, F.col(f"`{pt_col}`"),
+                              [F.col(f"`{pt_col}`")], F.lit(1), _POS)
 
     # --- endpoint/point event stream (NARROW rows — no payload) -------
     # tag order at equal v decides strictness: an INCLUSIVE start sorts
@@ -158,9 +195,14 @@ def sweep_point_in_interval(
     if iv_stop is not None:
         events = events.unionByName(_ivl_events(iv_stop, stop_tag, 0))
 
-    w = (Window.partitionBy(*kcols).orderBy("__v__", "__tag__")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    events = events.withColumn("__cnt__", F.sum("__is_pt__").over(w))
+    if kcols:
+        w = (Window.partitionBy(*kcols).orderBy("__v__", "__tag__")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        events = events.withColumn("__cnt__", F.sum("__is_pt__").over(w))
+    else:
+        events = _keyless_cumsum(events, F.col("__v__"),
+                                 [F.col("__v__"), F.col("__tag__")],
+                                 F.col("__is_pt__"), "__cnt__")
 
     # --- pair endpoints into position ranges (HashAggregate: primitive
     # grouping keys, primitive max buffers; duplicate interval rows
