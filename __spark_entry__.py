@@ -758,6 +758,43 @@ _WEEKLY_SQL = """
 """
 
 
+def q_resample_eav_irregular(spark, sf):
+    """resample_eav over genuinely IRREGULAR windows (one per order, dates
+    vary per key — no grid to detect) with join_strategy="sweep": puts the
+    sort-sweep observation-window join under the driver's oracle gate.
+    Observations are lineitem ship events keyed by order."""
+    li = _li(spark, sf)
+    ev = li.select(F.col("okey").alias("entity"),
+                   F.col("s_start").alias("t"),
+                   F.lit("price").alias("attribute"),
+                   F.col("price").alias("value"))
+    win = _ow(spark, sf).select(F.col("okey").alias("entity"),
+                                F.col("w_start").alias("t_start"),
+                                F.col("w_stop").alias("t_stop"))
+    out = cps.resample_eav(
+        ev, win, {"price": ["count", "mean", "sum", "max"]},
+        entity_col="entity", time_col="t", include_stop=True,
+        regular=False, join_strategy="sweep", assume_unique_windows=True)
+    return out.select(
+        "entity", "t_start", "t_stop", "price_count",
+        F.round("price_mean", 6).alias("price_mean"),
+        F.round("price_sum", 6).alias("price_sum"),
+        F.round("price_max", 6).alias("price_max"))
+
+
+_Q_RESAMPLE_IRREGULAR_SQL = f"""
+    WITH li AS ({_LI_SQL}), w AS ({_OW_SQL})
+    SELECT w.okey AS entity, w.w_start AS t_start, w.w_stop AS t_stop,
+           count(li.price) AS price_count,
+           round(avg(li.price), 6) AS price_mean,
+           round(sum(li.price), 6) AS price_sum,
+           round(max(li.price), 6) AS price_max
+    FROM w LEFT JOIN li
+      ON li.okey = w.okey AND li.s_start >= w.w_start AND li.s_start <= w.w_stop
+    GROUP BY w.okey, w.w_start, w.w_stop
+"""
+
+
 def q_resample_eav_basic(spark, sf):
     """resample_eav standard aggs (SURVEY §2.1 #3) into weekly user windows.
     Windows half-open [start, stop) like typical tumbling windows."""
@@ -1988,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_linear": q_impute_linear,
         "make_windows": q_make_windows,
         "resample_eav_basic": q_resample_eav_basic,
+        "resample_eav_irregular": q_resample_eav_irregular,
         "resample_eav_quantiles": q_resample_eav_quantiles,
         "resample_eav_moments": q_resample_eav_moments,
         "resample_eav_ranks": q_resample_eav_ranks,
@@ -2054,6 +2092,7 @@ def oracle_sql() -> dict[str, str]:
         "impute_linear": _Q_IMPUTE_LINEAR_SQL,
         "make_windows": _Q_MAKE_WINDOWS_SQL,
         "resample_eav_basic": _Q_RESAMPLE_BASIC_SQL,
+        "resample_eav_irregular": _Q_RESAMPLE_IRREGULAR_SQL,
         "resample_eav_quantiles": _Q_RESAMPLE_QUANT_SQL,
         "resample_eav_moments": _Q_RESAMPLE_MOMENTS_SQL,
         "resample_eav_ranks": _Q_RESAMPLE_RANKS_SQL,
