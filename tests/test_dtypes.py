@@ -221,3 +221,36 @@ def test_merge_string_keep_first(spark):
     exp = m.sort_values("rstart", kind="stable").groupby("idx", as_index=False).first()
     exp = exp[m.columns.tolist()]
     assert_pdf_equal(out, exp, sort_by=["idx"])
+
+
+@pytest.mark.parametrize("kind", ["timestamp", "string"])
+def test_merge_sweep_dtype(spark, kind):
+    """The sweep strategy orders events by the endpoint dtype's natural
+    ordering — verify timestamp and string (lexicographic) endpoints
+    against the direct join."""
+    rng = np.random.default_rng(7)
+    n_l, n_r = 200, 120
+    if kind == "timestamp":
+        ls = pd.Series(_ts(1, n_l))
+        left = pd.DataFrame({"group": rng.integers(0, 6, n_l), "start": ls,
+                             "stop": ls + pd.to_timedelta(rng.integers(0, 5 * 24 * 3600, n_l), unit="s"),
+                             "idx": np.arange(n_l)})
+        rs = pd.Series(_ts(2, n_r))
+        right = pd.DataFrame({"group": rng.integers(0, 6, n_r), "rstart": rs,
+                              "rstop": rs + pd.to_timedelta(rng.integers(0, 3 * 24 * 3600, n_r), unit="s"),
+                              "ridx": np.arange(n_r)})
+    else:
+        import string as _s
+        lo = ["".join(rng.choice(list(_s.ascii_lowercase), 3)) for _ in range(n_l)]
+        left = pd.DataFrame({"group": rng.integers(0, 6, n_l), "start": lo,
+                             "stop": [w + "zz" for w in lo], "idx": np.arange(n_l)})
+        ro = ["".join(rng.choice(list(_s.ascii_lowercase), 3)) for _ in range(n_r)]
+        right = pd.DataFrame({"group": rng.integers(0, 6, n_r), "rstart": ro,
+                              "rstop": [w + "m" for w in ro], "ridx": np.arange(n_r)})
+    li, ri = to_sdf(spark, left), to_sdf(spark, right)
+    kw = dict(on="group", how="inner", left_start="start", left_stop="stop",
+              right_start="rstart", right_stop="rstop")
+    d = merge_intervals(li, ri, **kw).toPandas()
+    s = merge_intervals(li, ri, strategy="sweep", **kw).toPandas()
+    assert len(s) == len(d)
+    assert_pdf_equal(s, d, sort_by=["idx", "ridx"])
