@@ -373,8 +373,14 @@ def connected_components(
         nc = node_col or nodes.columns[0]
         node_ids = node_ids.union(nodes.select(F.col(nc).alias("id"))).distinct()
     edges = edges.localCheckpoint(eager=True)
-    labels = node_ids.select("id", F.col("id").alias("cluster_id")) \
-                     .localCheckpoint(eager=True)
+    # seed with the one-hop minimum (min of self and direct neighbors):
+    # shallow clusters — the common near-dup shape — then converge in a
+    # single verification round instead of two propagation rounds
+    labels = (node_ids.select("id", F.col("id").alias("cluster_id"))
+              .union(edges.select(F.col("u").alias("id"),
+                                  F.col("v").alias("cluster_id")))
+              .groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iterations):
         nbr = (edges.join(labels.select(F.col("id").alias("v"),
                                         F.col("cluster_id").alias("nl")), "v")
