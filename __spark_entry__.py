@@ -1598,6 +1598,64 @@ def _lsh_ann_sql(dim=64, planes=8, tables=12, seed=42, n_queries=20, k=5) -> str
 """
 
 
+def q_stream_resample_interval(spark, sf):
+    """Streaming resample_interval (batch dispatch): duration-weighted sums
+    of synthetic event intervals [ts, ts + (event_id%5) hours] over daily
+    tumbling windows; zero-length intervals (event_id%5 == 0) contribute
+    their full value to the day containing the point."""
+    e = read_table(spark, sf, "events")
+    ts = F.col("ts").cast("timestamp")
+    iv = e.select(
+        F.col("user_id").alias("entity"),
+        ts.alias("start"),
+        F.timestamp_micros(
+            F.unix_micros(ts) + (F.col("event_id") % 5)
+            * F.lit(3_600_000_000)).alias("stop"),
+        F.col("event_type").alias("attribute"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"))
+    out = STRM.stream_resample_interval(iv, ["click", "view"], "1 day")
+    return out.select(
+        "entity",
+        F.unix_micros("window_start").alias("ws"),
+        F.unix_micros("window_stop").alias("wp"),
+        F.round("click", 6).alias("click"),
+        F.round("view", 6).alias("view"))
+
+
+_DAY_US = 86_400_000_000
+_Q_STREAM_RESAMPLE_INTERVAL_SQL = f"""
+    WITH iv AS (
+      SELECT user_id AS entity, epoch_us(ts)::BIGINT AS a,
+             epoch_us(ts)::BIGINT + (event_id % 5) * 3600000000 AS b,
+             event_type AS attribute,
+             CASE WHEN event_type != 'error' THEN value END AS v
+      FROM events
+      WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL
+    ),
+    ex AS (
+      SELECT entity, attribute, a, b, v, g.i AS widx
+      FROM iv, LATERAL (SELECT unnest(generate_series(
+        a // {_DAY_US}, b // {_DAY_US})) AS i) g
+    ),
+    c AS (
+      SELECT entity, attribute, widx,
+        CASE WHEN b = a THEN 1.0
+             ELSE greatest(least(b, (widx + 1) * {_DAY_US})
+                           - greatest(a, widx * {_DAY_US}), 0)::DOUBLE / (b - a)
+        END AS factor,
+        coalesce(v, 0) AS v0
+      FROM ex
+    )
+    SELECT entity, widx * {_DAY_US} AS ws, (widx + 1) * {_DAY_US} AS wp,
+           round(sum(CASE WHEN attribute = 'click' THEN v0 * factor ELSE 0 END), 6)
+             AS click,
+           round(sum(CASE WHEN attribute = 'view' THEN v0 * factor ELSE 0 END), 6)
+             AS view
+    FROM c WHERE factor > 0
+    GROUP BY entity, widx
+"""
+
+
 def q_stream_resample(spark, sf):
     """stream_resample_eav (streaming analogue of regular-window
     resample_eav, reference resampling.py:1738-1763) in batch mode: the
@@ -2050,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_resample": q_stream_resample,
         "stream_ffill": q_stream_ffill,
         "stream_dedup": q_stream_dedup,
+        "stream_resample_interval": q_stream_resample_interval,
         # approximate tier: oracle-backed recall certificates / DuckDB twin
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -2117,6 +2176,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_resample": _Q_STREAM_RESAMPLE_SQL,
         "stream_ffill": _Q_STREAM_FFILL_SQL,
         "stream_dedup": _Q_STREAM_DEDUP_SQL,
+        "stream_resample_interval": _Q_STREAM_RESAMPLE_INTERVAL_SQL,
         # recall certificates: oracle = the exact ground truth the
         # approximate operator must fully recover (see q_minhash_lsh)
         "minhash_lsh": _ngram_sql(0.8),

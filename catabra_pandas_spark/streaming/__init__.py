@@ -263,3 +263,89 @@ def stream_resample_eav(
             *[f"{a}_{fn}" for a, fns in agg.items() for fn in as_list(fns)],
         )
     )
+
+
+def stream_resample_interval(
+    df: DataFrame,
+    attributes: Sequence[str],
+    duration: str,
+    entity_col: str = "entity",
+    start_col: str = "start",
+    stop_col: str = "stop",
+    attribute_col: str = "attribute",
+    value_col: str = "value",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Streaming ``resample_interval``: duration-weighted sums
+    ``v * |W ∩ I| / |I|`` of interval-valued observations over a TUMBLING
+    grid of width ``duration`` — the incremental form of the batch
+    operator for regular windows (reference ``resampling.py:453-788``).
+
+    Plan: each interval explodes into the grid windows it overlaps (a
+    map-side ``sequence`` bounded by span/duration — no join), takes a
+    representative event time INSIDE each target window
+    (``greatest(start, window_start)``) so the native ``F.window``
+    aggregation applies, and one conditional-sum groupBy per attribute
+    produces the output.  State is a running sum per (entity, window,
+    attribute) — O(1) per open window, evicted at the watermark.
+
+    Contract differences vs batch ``resample_interval``, inherent to the
+    tumbling-stream formulation: windows are half-open ``[k·d, (k+1)·d)``
+    (the tumbling convention; batch windows are closed), intervals must be
+    FINITE (an unbounded interval can never be emitted under a watermark —
+    rows with null endpoints are dropped), a zero-length interval
+    contributes ``v`` to the single window containing its point, and only
+    (entity, window) pairs with at least one overlapping interval emit a
+    row (the batch operator 0-fills its supplied window table).
+
+    ``start_col``/``stop_col`` must be timestamps; ``duration`` is a
+    Spark interval string ("1 day").  Works on batch DataFrames with the
+    identical plan (the oracle-checkable path); streaming requires
+    ``watermark``, applied to the representative time, so it must cover
+    the maximum interval SPAN plus the allowed lateness (an interval's
+    earliest window can predate its stop by its span).
+    """
+    attributes = as_list(attributes)
+    if not attributes:
+        raise ValueError("attributes must be non-empty")
+    src = df.filter(
+        F.col(start_col).isNotNull() & F.col(stop_col).isNotNull()
+        & (F.col(start_col) <= F.col(stop_col))
+        & F.col(entity_col).isNotNull()
+        & F.col(attribute_col).isin(attributes))
+    a_us = F.unix_micros(F.col(start_col))
+    b_us = F.unix_micros(F.col(stop_col))
+    # duration in microseconds via an interval literal (no driver parsing;
+    # epoch 0 + INTERVAL, session tz pinned UTC)
+    d_us = F.unix_micros(F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+                         + F.expr(f"INTERVAL {duration}"))
+    lo_idx = F.floor(a_us / d_us)
+    hi_idx = F.floor(b_us / d_us)
+    ex = src.withColumn("__w_idx__", F.explode(F.sequence(lo_idx, hi_idx)))
+    wlo = F.col("__w_idx__") * d_us
+    whi = wlo + d_us
+    span = b_us - a_us
+    ovl = F.least(b_us, whi) - F.greatest(a_us, wlo)
+    # zero-length interval: factor 1 in the (single) window holding its
+    # point; half-open windows make that window unique
+    factor = F.when(span == 0, F.lit(1.0)).otherwise(
+        F.greatest(ovl, F.lit(0)).cast("double") / span.cast("double"))
+    contrib = F.coalesce(F.col(value_col).cast("double"), F.lit(0.0)) * factor
+    rep = F.timestamp_micros(F.greatest(a_us, wlo))
+    ex = (ex.withColumn("__contrib__", contrib)
+          .withColumn("__rep__", rep)
+          .filter(factor > 0))
+    if watermark is not None:
+        ex = ex.withWatermark("__rep__", watermark)
+    elif df.isStreaming:
+        raise ValueError("streaming resample_interval requires a watermark")
+    attr = F.col(attribute_col)
+    aggs = [F.sum(F.when(attr == F.lit(a), F.col("__contrib__"))
+                  .otherwise(F.lit(0.0))).alias(a)
+            for a in attributes]
+    return (ex.groupBy(F.col(entity_col), F.window("__rep__", duration))
+            .agg(*aggs)
+            .select(entity_col,
+                    F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_stop"),
+                    *attributes))

@@ -262,3 +262,72 @@ def test_stream_dedup_all_null_ids(spark):
     out = stream_dedup(to_sdf(spark, pdf), subset="k",
                        id_col="id").toPandas().sort_values("k")
     assert out["v"].tolist() == [1.0, 9.0]  # smallest payload survives
+
+
+def test_stream_resample_interval_batch_values(spark):
+    """Batch-dispatch value check against a hand-computed duration-weighted
+    expectation: proper intervals spanning window boundaries, a zero-length
+    interval, a null value (contributes 0 but still creates the group)."""
+    import pandas as pd
+
+    from catabra_pandas_spark.streaming import stream_resample_interval
+
+    H = 3600
+    rows = [
+        # entity, start_s, stop_s, attr, value
+        (1, 0.25 * H, 0.75 * H, "a", 10.0),    # inside hour 0 -> 10
+        (1, 0.5 * H, 1.5 * H, "a", 4.0),       # half in hour 0, half hour 1
+        (1, 1.25 * H, 1.25 * H, "a", 7.0),     # zero-length, hour 1 -> 7
+        (1, 0.1 * H, 0.9 * H, "b", None),      # null value -> 0, group exists
+        (2, 2.5 * H, 4.5 * H, "a", 6.0),       # hours 2,3,4: 0.25,0.5,0.25
+    ]
+    pdf = pd.DataFrame(rows, columns=["entity", "a_s", "b_s", "attribute", "value"])
+    pdf["start"] = pd.to_datetime(pdf.pop("a_s"), unit="s")
+    pdf["stop"] = pd.to_datetime(pdf.pop("b_s"), unit="s")
+    from .conftest import to_sdf
+    sdf = to_sdf(spark, pdf)
+    out = stream_resample_interval(
+        sdf, ["a", "b"], "1 hour").toPandas()
+    out["h"] = out["window_start"].astype("int64") // (H * 10**9)
+    got = {(r.entity, r.h): (round(r.a, 6), round(r.b, 6))
+           for r in out.itertuples()}
+    assert got == {
+        (1, 0): (10.0 + 2.0, 0.0),
+        (1, 1): (2.0 + 7.0, 0.0),
+        (2, 2): (1.5, 0.0),
+        (2, 3): (3.0, 0.0),
+        (2, 4): (1.5, 0.0),
+    }
+
+
+def test_stream_resample_interval_streaming(spark, tmp_path):
+    """Real readStream plumbing: same values arrive over availableNow."""
+    import pandas as pd
+
+    from catabra_pandas_spark.streaming import stream_resample_interval
+
+    src_dir = str(tmp_path / "src")
+    H = 3600
+    pdf = pd.DataFrame({
+        "entity": [1, 1],
+        "start": pd.to_datetime([0.25 * H, 0.5 * H], unit="s"),
+        "stop": pd.to_datetime([0.75 * H, 1.5 * H], unit="s"),
+        "attribute": ["a", "a"],
+        "value": [10.0, 4.0],
+    })
+    spark.createDataFrame(pdf).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = stream_resample_interval(stream, ["a"], "1 hour", watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("sri")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = spark.sql("select * from sri").toPandas()
+    # with availableNow + append, windows at the final watermark may be
+    # withheld; assert whatever emitted matches the batch computation
+    batch = stream_resample_interval(
+        spark.read.parquet(src_dir), ["a"], "1 hour").toPandas()
+    merged = res.merge(batch, on=["entity", "window_start", "window_stop"],
+                       suffixes=("_s", "_b"))
+    assert len(merged) == len(res)
+    assert (merged["a_s"] == merged["a_b"]).all()
