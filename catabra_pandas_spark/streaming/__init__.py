@@ -1,7 +1,7 @@
 """Structured Streaming analogues of the batch operators.
 
-The reference library has no streaming layer (SURVEY.md §2.3) — but two of
-its operators are exactly the workloads Structured Streaming models
+The reference library has no streaming layer (SURVEY.md §2.3) — but several
+of its operators are exactly the workloads Structured Streaming models
 natively, and at 100 TB/day the streaming formulation is how they would
 run in production:
 
