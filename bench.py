@@ -30,9 +30,11 @@ HEADLINE = [
     "prev_next",
     "impute_linear",
     "resample_eav_basic",
+    "resample_eav_irregular",
     "resample_eav_quantiles",
     "resample_eav_ranks",
     "resample_interval",
+    "stream_resample_interval",
     "sessionize",
     "dedup_exact",
     "stream_dedup",
