@@ -342,6 +342,21 @@ def q_find_containing(spark, sf):
         F.count(F.lit(1)).alias("n"))
 
 
+def q_find_containing_sweep(spark, sf):
+    """q_find_containing via the sort-sweep kernel (strategy pass-through):
+    same oracle, so the sweep's point-in-interval reduction is certified
+    end-to-end under the driver gate too."""
+    points = _li(spark, sf).select("okey", "lineno", F.col("s_start").alias("p"))
+    ivls = _ow(spark, sf).select("okey", "w_start", "w_stop",
+                                 F.col("okey").alias("iid"))
+    out = cps.find_containing_interval(
+        points, ivls, point_cols="p", which="both",
+        start_col="w_start", stop_col="w_stop", group_by="okey",
+        interval_id="iid", strategy="sweep")
+    return out.groupBy("okey", "lineno", "p", "p__first", "p__last").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
 _Q_FIND_CONTAINING_SQL = f"""
     WITH pts AS (
       SELECT okey, lineno, s_start AS p, count(*) AS n
@@ -2067,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_asof": q_merge_asof,
         "bucket_range_join": q_bucket_range_join,
         "find_containing": q_find_containing,
+        "find_containing_sweep": q_find_containing_sweep,
         "group_intervals": q_group_intervals,
         "group_intervals_ts": q_group_intervals_ts,
         "group_intervals_keyless": q_group_intervals_keyless,
@@ -2135,6 +2151,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_asof": _Q_MERGE_ASOF_SQL,
         "bucket_range_join": _Q_BUCKET_RANGE_SQL,
         "find_containing": _Q_FIND_CONTAINING_SQL,
+        "find_containing_sweep": _Q_FIND_CONTAINING_SQL,
         "group_intervals": _Q_GROUP_INTERVALS_SQL,
         "group_intervals_ts": _Q_GROUP_INTERVALS_TS_SQL,
         "group_intervals_keyless": _Q_GROUP_KEYLESS_SQL,
