@@ -1113,6 +1113,24 @@ def q_resample_interval(spark, sf):
                       F.round("price", 6).alias("price"))
 
 
+def q_resample_interval_sweep(spark, sf):
+    """q_resample_interval via join_strategy="sweep" (the overlap join
+    delegated to the sort-sweep kernel) — same oracle certifies it."""
+    ivl = _li(spark, sf).select(F.col("okey").alias("entity"),
+                                F.col("s_start").alias("start"),
+                                F.col("s_stop").alias("stop"),
+                                F.lit("price").alias("attribute"),
+                                F.col("price").alias("value"))
+    win = _ow(spark, sf).select(F.col("okey").alias("entity"),
+                                F.col("w_start").alias("start_start"),
+                                F.col("w_stop").alias("start_stop"))
+    out = cps.resample_interval(ivl, win, attributes=["price"],
+                                assume_unique_windows=True,
+                                join_strategy="sweep")
+    return out.select("entity", "start_start", "start_stop",
+                      F.round("price", 6).alias("price"))
+
+
 _Q_RESAMPLE_INTERVAL_SQL = f"""
     WITH i AS ({_LI_SQL}), w AS ({_OW_SQL}),
     j AS (
@@ -2107,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_eav_sliding": q_resample_eav_sliding,
         "resample_eav_custom": q_resample_eav_custom,
         "resample_interval": q_resample_interval,
+        "resample_interval_sweep": q_resample_interval_sweep,
         "factorize": q_factorize,
         "inner_or_cross": q_inner_or_cross,
         "dedup_exact": q_dedup_exact,
@@ -2176,6 +2195,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_eav_sliding": _Q_RESAMPLE_SLIDING_SQL,
         "resample_eav_custom": _Q_RESAMPLE_CUSTOM_SQL,
         "resample_interval": _Q_RESAMPLE_INTERVAL_SQL,
+        "resample_interval_sweep": _Q_RESAMPLE_INTERVAL_SQL,
         "factorize": _Q_FACTORIZE_SQL,
         "inner_or_cross": _Q_INNER_CROSS_SQL,
         "dedup_exact": _Q_DEDUP_EXACT_SQL,

@@ -632,6 +632,7 @@ def resample_interval(
     window_stop_col: Optional[str] = None,
     assume_unique_windows: bool = False,
     bucket_width: Optional[float] = None,
+    join_strategy: str = "auto",
 ) -> DataFrame:
     """Resample interval-valued observations into windows with the
     duration-weighted sum  ``W_I = v * |W ∩ I| / |I|``  (reference
@@ -660,7 +661,16 @@ def resample_interval(
     once — from the single bucket containing ``max(obs.start, win.start)``
     (the anchor trick of ``merge_intervals``' bucket strategy, so no dedup
     shuffle).
+
+    ``join_strategy="sweep"`` instead delegates the pair join to
+    ``merge_intervals(strategy="sweep")`` — the output-sensitive kernel for
+    the same many-windows-times-many-intervals regime when no bucket width
+    fits.  Mutually exclusive with ``bucket_width``.
     """
+    if join_strategy not in ("auto", "direct", "sweep"):
+        raise ValueError(f"join_strategy must be auto/direct/sweep, got {join_strategy!r}")
+    if join_strategy == "sweep" and bucket_width is not None:
+        raise ValueError("join_strategy='sweep' and bucket_width are mutually exclusive")
     tc = time_col or start_col
     if callable(windows) and not isinstance(windows, DataFrame):
         windows = windows(df, entity_col=entity_col, time_col=tc,
@@ -764,6 +774,19 @@ def resample_interval(
         pairs = (pairs_b
                  .unionByName(plain(obi, wjoin))
                  .unionByName(plain(obf, winf)))
+    elif join_strategy == "sweep":
+        # the observation-window overlap IS a merge_intervals inner join
+        # with closed endpoints and distinct key names on both sides —
+        # delegate to the sweep strategy (its validity filters drop the
+        # null-endpoint windows the plain join's null predicate would skip,
+        # and +/-inf endpoint VALUES order correctly through the sweep)
+        from .merging import merge_intervals
+        pairs = merge_intervals(
+            obs, wjoin, left_on=[entity_col], right_on=[_KE], how="inner",
+            left_start=start_col, left_stop=stop_col,
+            right_start=_KS if has_start else None,
+            right_stop=_KP if has_stop else None,
+            strategy="sweep")
     else:
         cond = obs[entity_col] == wjoin[_KE]
         if has_start:

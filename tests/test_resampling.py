@@ -541,3 +541,43 @@ def test_resample_eav_sweep_join_strategy(spark):
         a2 = s[cols].sort_values(cols).reset_index(drop=True)
         b2 = d[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a2, b2, check_like=True)
+
+
+def test_resample_interval_sweep_join_strategy(spark):
+    """resample_interval(join_strategy="sweep") equals the direct join,
+    including zero-length intervals, infinite observation endpoints
+    (epsilon rule), and a null-endpoint window (matches nothing)."""
+    import numpy as np
+    import pandas as pd
+
+    from catabra_pandas_spark import resample_interval
+
+    rng = np.random.RandomState(23)
+    n = 400
+    obs = pd.DataFrame({
+        "entity": rng.randint(0, 6, n),
+        "start": rng.randint(0, 900, n).astype(float),
+        "attribute": rng.choice(["x", "y"], n),
+        "value": rng.uniform(-5, 5, n).round(3),
+    })
+    obs["stop"] = obs["start"] + rng.randint(0, 120, n)
+    obs.loc[:4, "stop"] = obs.loc[:4, "start"]          # zero-length
+    obs.loc[5, ["start", "stop"]] = [-np.inf, 50.0]     # infinite interval
+    obs.loc[6, ["start", "stop"]] = [100.0, np.inf]
+    m = 40
+    win = pd.DataFrame({
+        "entity": rng.randint(0, 6, m),
+        "t_start": rng.randint(0, 800, m).astype(float),
+    })
+    win["t_stop"] = win["t_start"] + rng.randint(20, 250, m)
+    win.loc[0, "t_stop"] = np.nan                        # matches nothing
+    sobs, swin = to_sdf(spark, obs), to_sdf(spark, win)
+    kw = dict(attributes=["x", "y"], time_col="t",
+              window_start_col="t_start", window_stop_col="t_stop")
+    d = resample_interval(sobs, swin, **kw).toPandas()
+    s = resample_interval(sobs, swin, join_strategy="sweep", **kw).toPandas()
+    cols = sorted(d.columns)
+    assert sorted(s.columns) == cols
+    a2 = s[cols].sort_values(cols).reset_index(drop=True)
+    b2 = d[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a2, b2, check_like=True, atol=1e-9)
