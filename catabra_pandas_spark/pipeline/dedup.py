@@ -65,11 +65,11 @@ def shingles(text: Column, k: int = 3) -> Column:
     Documents with fewer than k tokens yield their full token string as the
     single shingle.
 
-    NOTE: array-lambda form — fine for a single evaluation, but Catalyst
-    inlines the token pipeline into each per-element lambda, so do NOT
+    NOTE: array-lambda form that references the token pipeline inside each
+    per-element lambda — Catalyst inlines it per element, so do NOT
     reference this repeatedly in one projection; the scalable row-wise form
-    is ``shingle_rows`` (explode + window lead), which all the near-dup
-    operators below use."""
+    is ``shingle_rows`` (token array bound once as a lambda variable, then
+    exploded), which all the near-dup operators below use."""
     cleaned = F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", " "))
     toks = F.filter(F.split(cleaned, r" +"), lambda t: t != "")
     n = F.size(toks)
@@ -80,23 +80,40 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(n > 0, sh).otherwise(F.array()))
 
 
-def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """Distinct (id, shingle) rows via posexplode + window ``lead`` — the
-    linear, whole-stage-codegen-friendly shingling used by the near-dup
-    operators.  One shuffle on ``id_col`` (the sort for the lead window);
-    every downstream signature/join pass reuses that partitioning."""
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3,
+                 with_size: bool = False) -> DataFrame:
+    """Distinct (id, shingle) rows, MAP-ONLY: the per-document shingle array
+    is built as one codegen expression and exploded — no shuffle at all
+    (an earlier explode-tokens + window-``lead`` formulation paid a full
+    exchange of the token stream by ``id_col`` plus a distinct).
+
+    The token array is bound as a lambda VARIABLE via
+    ``transform(array(toks), t -> ...)`` so it is evaluated once per row;
+    referencing the tokenizer expression directly inside the per-element
+    lambda would make Catalyst inline it per element (quadratic recompute,
+    measured ~60x on minhash).  ``concat_ws`` of a short doc's (< k tokens)
+    partial slice is its full token string — same semantics as
+    ``shingles()``; empty documents yield no rows.
+
+    ``with_size=True`` adds ``__n__`` = |distinct shingle set|, computed
+    map-side from the same array (where a window count over ``id_col``
+    would cost the very exchange this formulation avoids)."""
     cleaned = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "))
     toks = F.filter(F.split(cleaned, r" +"), lambda t: t != "")
-    t = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    wn = Window.partitionBy(id_col)
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
-    # concat_ws skips nulls, so the single shingle of a short doc (< k
-    # tokens) is just its full token string — same as shingles()
-    t = t.withColumns({"sh": F.concat_ws(" ", *parts),
-                       "__n__": F.count(F.lit(1)).over(wn)})
-    keep = (F.col("pos") <= F.col("__n__") - k) | ((F.col("__n__") < k) & (F.col("pos") == 0))
-    return t.filter(keep).select(id_col, "sh").distinct()
+
+    def _mk(t):
+        n = F.size(t)
+        return F.when(n > F.lit(0), F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
+        )).otherwise(F.array().cast("array<string>"))
+
+    sh_arr = F.array_distinct(F.element_at(F.transform(F.array(toks), _mk), 1))
+    if with_size:
+        base = df.select(F.col(id_col), sh_arr.alias("__sh_arr__"))
+        return base.select(id_col, F.explode("__sh_arr__").alias("sh"),
+                           F.size("__sh_arr__").alias("__n__"))
+    return df.select(F.col(id_col), F.explode(sh_arr).alias("sh"))
 
 
 def minhash_signatures(
@@ -281,15 +298,11 @@ def ngram_jaccard_pairs(
     Scale note: with the cap, worst-case join cost is bounded by
     Σ min(freq, cap)² ≤ cap · Σ freq — linear in corpus size.
     Returns (id_a, id_b, jaccard)."""
-    sh = shingle_rows(df, text_col, id_col, k)
     if max_doc_freq is None:
-        # per-document shingle-set size as a window count: shingle_rows'
-        # output is already hash-partitioned by id (its lead window), so
-        # this adds NO exchange — where a groupBy + two joins back onto the
-        # pair set cost three extra shuffles; the size rides through the
-        # self-join instead
-        sh = sh.withColumn("__n__",
-                           F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        # shingle-set size computed map-side inside shingle_rows (its
+        # explode and the size read the same array) — no window, no
+        # groupBy + join-back; the size rides through the self-join
+        sh = shingle_rows(df, text_col, id_col, k, with_size=True)
         l, r = sh.alias("l"), sh.alias("r")
         common = (
             l.join(r, on=[F.col("l.sh") == F.col("r.sh"),
@@ -308,6 +321,7 @@ def ngram_jaccard_pairs(
         # capped sets (the documented Jaccard semantics) instead come from
         # a small map-side-combinable groupBy joined onto the
         # already-reduced pair set.
+        sh = shingle_rows(df, text_col, id_col, k)
         wdf = Window.partitionBy("sh")
         sh = (sh.withColumn("__df__", F.count(F.lit(1)).over(wdf))
               .filter(F.col("__df__") <= max_doc_freq).drop("__df__"))
@@ -367,12 +381,14 @@ def connected_components(
         raise ValueError("max_iterations must be >= 1")
     edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
              .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))))
-    node_ids = (edges.select(F.col("u").alias("id"))
-                .union(edges.select(F.col("v").alias("id"))).distinct())
+    edges = edges.localCheckpoint(eager=True)
+    # node universe: edges are symmetric, so the u side alone covers every
+    # paired id; no pre-distinct — the seed groupBy below dedups for free
+    # (a distinct here would be a redundant extra shuffle of the node set)
+    node_ids = edges.select(F.col("u").alias("id"))
     if nodes is not None:
         nc = node_col or nodes.columns[0]
-        node_ids = node_ids.union(nodes.select(F.col(nc).alias("id"))).distinct()
-    edges = edges.localCheckpoint(eager=True)
+        node_ids = node_ids.union(nodes.select(F.col(nc).alias("id")))
     # seed with the one-hop minimum (min of self and direct neighbors):
     # shallow clusters — the common near-dup shape — then converge in a
     # single verification round instead of two propagation rounds
