@@ -1290,6 +1290,99 @@ _Q_TEXT_STATS_SQL = f"""
 """
 
 
+def q_decontam(spark, sf):
+    """Benchmark decontamination (pipeline.decontaminate): corpus docs
+    sharing any distinct 5-gram with the held-out benchmark split
+    (doc_id % 20 == 0).  Broadcast bench shingle set, map-only corpus
+    shingling, combinable hit count — no corpus-wide shuffle."""
+    docs = read_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    out = P.decontaminate(corpus, bench, n=5, min_hits=1)
+    return out.select("doc_id", "n_hits", "contaminated")
+
+
+_Q_DECONTAM_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    gr AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i) g
+      WHERE len(t) > 0
+    ),
+    bench AS (SELECT DISTINCT sh FROM gr WHERE doc_id % 20 = 0),
+    hits AS (
+      SELECT c.doc_id, count(*) AS n_hits
+      FROM gr c JOIN bench b USING (sh)
+      WHERE c.doc_id % 20 != 0 GROUP BY c.doc_id
+    )
+    SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 20 != 0
+"""
+
+
+def q_repetition(spark, sf):
+    """Gopher-style repetition signals (pipeline.repetition_stats):
+    duplicate-segment fractions + most-frequent-2-gram coverage, all
+    map-only array folds (segments split on the literal ' a ')."""
+    docs = read_table(spark, sf, "documents")
+    out = P.repetition_stats(docs, ngram_n=2, line_sep=" a ")
+    return out.select(
+        "doc_id", "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        "top_ngram",
+        F.round("top_ngram_char_frac", 6).alias("top_ngram_char_frac"))
+
+
+_Q_REPETITION_SQL = f"""
+    WITH segs AS (
+      SELECT doc_id, seg FROM (
+        SELECT doc_id, unnest(string_split(text, ' a ')) AS seg FROM documents
+      ) WHERE trim(seg) != ''
+    ),
+    segc AS (
+      SELECT doc_id, seg, count(*) AS c, length(seg) AS L
+      FROM segs GROUP BY doc_id, seg
+    ),
+    line_stats AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_lines,
+             sum(c - 1)::DOUBLE AS n_dup,
+             sum((c - 1) * L)::DOUBLE AS dup_chars,
+             sum(c * L)::DOUBLE AS tot_chars
+      FROM segc GROUP BY doc_id
+    ),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g2 AS (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i) g
+      WHERE len(t) > 0
+    ),
+    g2c AS (SELECT doc_id, sh, count(*) AS c FROM g2 GROUP BY doc_id, sh),
+    top AS (
+      SELECT doc_id, min(sh) AS top_ngram, max(c) AS freq FROM (
+        SELECT doc_id, sh, c, max(c) OVER (PARTITION BY doc_id) AS mx FROM g2c
+      ) WHERE c = mx GROUP BY doc_id
+    ),
+    norm AS (SELECT doc_id, length(array_to_string(t, ' '))::DOUBLE AS nc FROM toks)
+    SELECT d.doc_id,
+           coalesce(ls.n_lines, 0) AS n_lines,
+           round(CASE WHEN coalesce(ls.n_lines, 0) > 0
+                      THEN ls.n_dup / ls.n_lines ELSE 0.0 END, 6) AS dup_line_frac,
+           round(CASE WHEN coalesce(ls.tot_chars, 0) > 0
+                      THEN ls.dup_chars / ls.tot_chars ELSE 0.0 END, 6) AS dup_line_char_frac,
+           coalesce(t.top_ngram, '') AS top_ngram,
+           round(CASE WHEN coalesce(n.nc, 0) > 0
+                      THEN t.freq * length(t.top_ngram) / n.nc ELSE 0.0 END, 6)
+             AS top_ngram_char_frac
+    FROM documents d
+    LEFT JOIN line_stats ls USING (doc_id)
+    LEFT JOIN top t USING (doc_id)
+    LEFT JOIN norm n USING (doc_id)
+"""
+
+
 def q_langid(spark, sf):
     docs = read_table(spark, sf, "documents")
     return P.detect_language(docs).select("doc_id", "lang_pred")
@@ -2131,6 +2224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "text_stats": q_text_stats,
+        "decontam": q_decontam,
+        "repetition": q_repetition,
         "bpe_tokens": q_bpe_tokens,
         "langid": q_langid,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2201,6 +2296,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "fingerprint": _Q_FINGERPRINT_SQL,
         "text_stats": _Q_TEXT_STATS_SQL,
+        "decontam": _Q_DECONTAM_SQL,
+        "repetition": _Q_REPETITION_SQL,
         "bpe_tokens": _Q_BPE_TOKENS_SQL,
         "langid": _Q_LANGID_SQL,
         "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,

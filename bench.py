@@ -40,6 +40,8 @@ HEADLINE = [
     "stream_dedup",
     "fingerprint",
     "text_stats",
+    "decontam",
+    "repetition",
     # raw LSH operators (the driver-checked minhash_lsh/simhash entries are
     # recall certificates that also compute the exact ground truth; the raw
     # variants time the approximate operators themselves)

@@ -11,6 +11,7 @@ stubs.
 
 from .dedup import (
     connected_components,
+    decontaminate,
     exact_dedup,
     minhash_near_dup_pairs,
     minhash_signatures,
@@ -23,8 +24,8 @@ from .dedup import (
 )
 from .similarity import (cosine_topk, embedding_near_dup_pairs,
                          ivf_cosine_topk, lsh_cosine_topk)
-from .text import (detect_language, fingerprint, text_quality,
-                   token_count, token_count_bpe)
+from .text import (detect_language, fingerprint, repetition_stats,
+                   text_quality, token_count, token_count_bpe)
 from .multimodal import (attach_binary_metadata, decode_binary,
                          resize_image, sample_frames)
 from .sampling import assign_splits, deterministic_sample, stratified_sample
@@ -32,11 +33,11 @@ from .sampling import assign_splits, deterministic_sample, stratified_sample
 __all__ = [
     "exact_dedup", "shingles", "shingle_rows", "minhash_signatures", "minhash_near_dup_pairs",
     "simhash", "simhash_near_dup_pairs", "ngram_jaccard_pairs",
-    "connected_components", "near_dup_dedup",
+    "connected_components", "near_dup_dedup", "decontaminate",
     "cosine_topk", "lsh_cosine_topk",
     "ivf_cosine_topk", "embedding_near_dup_pairs",
     "detect_language", "fingerprint", "text_quality", "token_count",
-    "token_count_bpe",
+    "token_count_bpe", "repetition_stats",
     "attach_binary_metadata", "decode_binary", "resize_image", "sample_frames",
     "assign_splits", "deterministic_sample", "stratified_sample",
 ]

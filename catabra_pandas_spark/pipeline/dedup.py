@@ -81,7 +81,7 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 
 def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3,
-                 with_size: bool = False) -> DataFrame:
+                 with_size: bool = False, distinct: bool = True) -> DataFrame:
     """Distinct (id, shingle) rows, MAP-ONLY: the per-document shingle array
     is built as one codegen expression and exploded — no shuffle at all
     (an earlier explode-tokens + window-``lead`` formulation paid a full
@@ -97,7 +97,9 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3,
 
     ``with_size=True`` adds ``__n__`` = |distinct shingle set|, computed
     map-side from the same array (where a window count over ``id_col``
-    would cost the very exchange this formulation avoids)."""
+    would cost the very exchange this formulation avoids).
+    ``distinct=False`` keeps every occurrence (one row per shingle
+    POSITION) — for frequency-based consumers like ``repetition_stats``."""
     cleaned = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "))
     toks = F.filter(F.split(cleaned, r" +"), lambda t: t != "")
 
@@ -108,7 +110,9 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3,
             lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
         )).otherwise(F.array().cast("array<string>"))
 
-    sh_arr = F.array_distinct(F.element_at(F.transform(F.array(toks), _mk), 1))
+    sh_arr = F.element_at(F.transform(F.array(toks), _mk), 1)
+    if distinct:
+        sh_arr = F.array_distinct(sh_arr)
     if with_size:
         base = df.select(F.col(id_col), sh_arr.alias("__sh_arr__"))
         return base.select(id_col, F.explode("__sh_arr__").alias("sh"),
@@ -453,4 +457,56 @@ def near_dup_dedup(
            .withColumn("is_duplicate", F.col(id_col) != F.col("cluster_id")))
     if mode == "drop":
         out = out.filter(~F.col("is_duplicate")).drop("is_duplicate")
+    return out
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: Optional[str] = None,
+    bench_id_col: Optional[str] = None,
+    n: int = 8,
+    min_hits: int = 1,
+    mode: str = "mark",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents that share at least
+    ``min_hits`` distinct word ``n``-grams with ANY benchmark/eval document
+    — the standard guard against evaluation contamination in training-data
+    pipelines (13-gram overlap in GPT-3's cleaning, 10-gram in The Pile's).
+
+    Plan shape (the scale path): both sides shingle MAP-ONLY
+    (``shingle_rows``); the benchmark's shingle set is deduplicated across
+    its documents (one small aggregation — eval sets are tiny next to the
+    corpus) and broadcast, so the corpus side joins without ANY shuffle of
+    its shingle stream; the per-document hit count is then a
+    map-side-combinable groupBy on ``id_col``.  Total cost: one broadcast +
+    two combinable aggregations, never a corpus-wide repartition by
+    shingle.  Set ``broadcast_benchmark=False`` for a benchmark too large
+    to broadcast (falls back to a shuffled equi-join on the shingle).
+
+    ``mode="mark"`` returns ``corpus`` plus ``n_hits`` (distinct shared
+    n-grams) and ``contaminated``; ``mode="drop"`` returns only clean rows.
+    """
+    if mode not in ("mark", "drop"):
+        raise ValueError(f"mode must be mark/drop, got {mode!r}")
+    if min_hits < 1:
+        raise ValueError("min_hits must be >= 1")
+    bt = bench_text_col or text_col
+    bi = bench_id_col or id_col
+    bench_sh = (shingle_rows(benchmark, bt, bi, n)
+                .select("sh").distinct())
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    corp_sh = shingle_rows(corpus, text_col, id_col, n)
+    hits = (corp_sh.join(bench_sh, "sh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))  # corp_sh rows are distinct per doc
+    out = (corpus.join(hits, id_col, "left")
+           .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+           .withColumn("contaminated", F.col("n_hits") >= min_hits))
+    if mode == "drop":
+        out = out.filter(~F.col("contaminated")).drop("contaminated", "n_hits")
     return out

@@ -120,3 +120,100 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     toks = _tokens(F.col(text_col))
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
     return df.withColumn(out_col, F.md5(canon))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram_n: int = 2,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1), the standard
+    filter for machine-generated / boilerplate text in training corpora.
+
+    Adds (all computed per document):
+
+    * ``n_lines`` — non-empty segments after splitting on ``line_sep``;
+    * ``dup_line_frac`` — fraction of segments that are repeats of an
+      earlier-identical segment (0.0 when every segment is unique);
+    * ``dup_line_char_frac`` — fraction of segment characters contained in
+      those repeated instances;
+    * ``top_ngram`` — the most frequent word ``ngram_n``-gram (ties break to
+      the lexicographically smallest; empty string for docs with no tokens);
+    * ``top_ngram_char_frac`` — characters covered by all occurrences of
+      ``top_ngram`` divided by the normalized-text character count.
+
+    Entirely map-only: repeats are counted by sorting the per-document
+    segment/shingle ARRAY and folding over adjacent runs with
+    ``aggregate`` (struct accumulator) — no explode, no shuffle, linear in
+    document length and whole-stage-codegen'd.  A groupBy-per-(doc, gram)
+    formulation costs two corpus-wide exchanges for the same numbers.
+    """
+    text = F.col(text_col)
+
+    def _dup_stats(arr):
+        # arr sorted -> element i>0 is a repeat iff equal to element i-1
+        srt = F.array_sort(arr)
+        n = F.size(srt)
+        prev = F.slice(srt, 1, F.greatest(n - 1, F.lit(0)))
+        rest = F.slice(srt, 2, F.greatest(n - 1, F.lit(0)))
+        dup_flags = F.zip_with(rest, prev, lambda a, b: F.struct(
+            (a == b).cast("int").alias("d"),
+            (F.when(a == b, F.length(a)).otherwise(F.lit(0))).alias("c")))
+        dups = F.aggregate(dup_flags,
+                           F.struct(F.lit(0).alias("d"), F.lit(0).alias("c")),
+                           lambda acc, x: F.struct(
+                               (acc["d"] + x["d"]).alias("d"),
+                               (acc["c"] + x["c"]).alias("c")))
+        return n, dups
+
+    lines = F.filter(F.split(text, F.lit(line_sep).cast("string"), -1),
+                     lambda s: F.trim(s) != "")
+    n_lines, line_dups = _dup_stats(lines)
+    line_chars = F.aggregate(lines, F.lit(0),
+                             lambda acc, x: acc + F.length(x))
+
+    # word n-grams WITH multiplicity (the token array bound once as a
+    # lambda variable — see shingle_rows)
+    toks = _tokens(text)
+
+    def _mk(t):
+        n = F.size(t)
+        return F.when(n > F.lit(0), F.transform(
+            F.sequence(F.lit(0), F.greatest(n - ngram_n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, ngram_n)),
+        )).otherwise(F.array().cast("array<string>"))
+
+    grams = F.element_at(F.transform(F.array(toks), _mk), 1)
+    # run-length fold over the sorted gram array: track current run and the
+    # best (longest, first-seen = lexicographically smallest) run
+    best = F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best"), F.lit("").alias("bestg")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)) > acc["best"],
+                   F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)))
+             .otherwise(acc["best"]).alias("best"),
+            F.when(F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)) > acc["best"], x)
+             .otherwise(acc["bestg"]).alias("bestg"),
+        ),
+    )
+    norm_chars = F.length(F.concat_ws(" ", toks))
+
+    return df.withColumns({
+        "n_lines": n_lines.cast("long"),
+        "dup_line_frac": F.when(n_lines > 0,
+                                line_dups["d"].cast("double") / n_lines.cast("double"))
+                          .otherwise(F.lit(0.0)),
+        "dup_line_char_frac": F.when(line_chars > 0,
+                                     line_dups["c"].cast("double") / line_chars.cast("double"))
+                               .otherwise(F.lit(0.0)),
+        "top_ngram": best["bestg"],
+        "top_ngram_char_frac": F.when(
+            norm_chars > 0,
+            (best["best"] * F.length(best["bestg"])).cast("double") / norm_chars.cast("double"))
+            .otherwise(F.lit(0.0)),
+    })

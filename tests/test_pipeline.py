@@ -354,3 +354,52 @@ def test_connected_components_long_chain_converges(spark):
     out = connected_components(pairs).toPandas()
     assert len(out) == n
     assert (out["cluster_id"] == 0).all()
+
+
+def test_decontaminate(spark):
+    from catabra_pandas_spark.pipeline import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),   # contains bench 3-grams
+         (2, "one two three four five"),               # clean
+         (3, "beta gamma delta something else here"),  # one shared 3-gram
+         (4, "")],                                     # empty doc -> clean
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"),], ["doc_id", "text"])
+    out = decontaminate(corpus, bench, n=3, min_hits=1).orderBy("doc_id")
+    rows = {r.doc_id: (r.n_hits, r.contaminated) for r in out.collect()}
+    # bench 3-grams: {alpha beta gamma, beta gamma delta}
+    assert rows[1] == (2, True)
+    assert rows[2] == (0, False)
+    assert rows[3] == (1, True)
+    assert rows[4] == (0, False)
+    # drop mode removes exactly the contaminated ids
+    dropped = decontaminate(corpus, bench, n=3, min_hits=1, mode="drop")
+    assert sorted(r.doc_id for r in dropped.collect()) == [2, 4]
+    # min_hits=2 keeps the single-hit doc
+    out2 = decontaminate(corpus, bench, n=3, min_hits=2)
+    assert {r.doc_id: r.contaminated for r in out2.collect()}[3] is False
+
+
+def test_repetition_stats(spark):
+    from catabra_pandas_spark.pipeline import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "aa bb\naa bb\ncc dd"),     # 3 lines, 'aa bb' repeated once
+         (2, "x y x y x y"),             # top 2-gram 'x y' x3 (and 'y x' x2)
+         (3, "")],                       # degenerate
+        ["doc_id", "text"])
+    out = repetition_stats(df, ngram_n=2).orderBy("doc_id").collect()
+    r1, r2, r3 = out
+    assert r1.n_lines == 3
+    assert r1.dup_line_frac == pytest.approx(1 / 3)
+    # repeated instance chars = len('aa bb') = 5 of 15 total segment chars
+    assert r1.dup_line_char_frac == pytest.approx(5 / 15)
+    assert r2.top_ngram == "x y"
+    # 'x y' occurs 3x (len 3), normalized text len 11
+    assert r2.top_ngram_char_frac == pytest.approx(9 / 11)
+    assert r3.n_lines == 0
+    assert r3.dup_line_frac == 0.0
+    assert r3.top_ngram == ""
+    assert r3.top_ngram_char_frac == 0.0
