@@ -1290,6 +1290,66 @@ _Q_TEXT_STATS_SQL = f"""
 """
 
 
+def q_scrub_pii(spark, sf):
+    """PII scrub (pipeline.scrub_pii): deterministic synthetic PII spans
+    are appended to each document (the corpus itself is synthetic and
+    PII-free), then redacted; the oracle replays injection + the same
+    regex cascade and compares counts and the md5 of the scrubbed text."""
+    docs = read_table(spark, sf, "documents")
+    aug = docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                        F.lit("@example.com")))
+         .when(F.col("doc_id") % 3 == 1, F.lit(" call +43 660 123-4567"))
+         .otherwise(F.concat(F.lit(" host 10.0."),
+                             (F.col("doc_id") % 256).cast("string"), F.lit(".7"))),
+        F.when(F.col("doc_id") % 10 == 0, F.lit(" ssn 123-45-6789"))
+         .otherwise(F.lit(""))))
+    out = P.scrub_pii(aug)
+    return out.select("doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone",
+                      F.md5("text_scrubbed").alias("scrub_md5"))
+
+
+_PII_RE = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+}
+
+_Q_SCRUB_PII_SQL = f"""
+    WITH aug AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com'
+                WHEN doc_id % 3 = 1 THEN ' call +43 660 123-4567'
+                ELSE ' host 10.0.' || (doc_id % 256) || '.7' END
+        || CASE WHEN doc_id % 10 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS t
+      FROM documents
+    ), s AS (
+      SELECT doc_id, t,
+             len(regexp_extract_all(t, '{_PII_RE["email"]}')) AS n_email,
+             regexp_replace(t, '{_PII_RE["email"]}', '<EMAIL>', 'g') AS t1
+      FROM aug
+    ), s2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1, '{_PII_RE["ssn"]}')) AS n_ssn,
+             regexp_replace(t1, '{_PII_RE["ssn"]}', '<SSN>', 'g') AS t2
+      FROM s
+    ), s3 AS (
+      SELECT doc_id, n_email, n_ssn,
+             len(regexp_extract_all(t2, '{_PII_RE["ipv4"]}')) AS n_ipv4,
+             regexp_replace(t2, '{_PII_RE["ipv4"]}', '<IPV4>', 'g') AS t3
+      FROM s2
+    )
+    SELECT doc_id, n_email::INT AS n_email, n_ssn::INT AS n_ssn,
+           n_ipv4::INT AS n_ipv4,
+           len(regexp_extract_all(t3, '{_PII_RE["phone"]}'))::INT AS n_phone,
+           md5(regexp_replace(t3, '{_PII_RE["phone"]}', '<PHONE>', 'g')) AS scrub_md5
+    FROM s3
+"""
+
+
 def q_decontam(spark, sf):
     """Benchmark decontamination (pipeline.decontaminate): corpus docs
     sharing any distinct 5-gram with the held-out benchmark split
@@ -2224,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "text_stats": q_text_stats,
+        "scrub_pii": q_scrub_pii,
         "decontam": q_decontam,
         "repetition": q_repetition,
         "bpe_tokens": q_bpe_tokens,
@@ -2296,6 +2357,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "fingerprint": _Q_FINGERPRINT_SQL,
         "text_stats": _Q_TEXT_STATS_SQL,
+        "scrub_pii": _Q_SCRUB_PII_SQL,
         "decontam": _Q_DECONTAM_SQL,
         "repetition": _Q_REPETITION_SQL,
         "bpe_tokens": _Q_BPE_TOKENS_SQL,

@@ -41,6 +41,7 @@ HEADLINE = [
     "fingerprint",
     "text_stats",
     "decontam",
+    "scrub_pii",
     "repetition",
     # raw LSH operators (the driver-checked minhash_lsh/simhash entries are
     # recall certificates that also compute the exact ground truth; the raw

@@ -25,7 +25,7 @@ from .dedup import (
 from .similarity import (cosine_topk, embedding_near_dup_pairs,
                          ivf_cosine_topk, lsh_cosine_topk)
 from .text import (detect_language, fingerprint, repetition_stats,
-                   text_quality, token_count, token_count_bpe)
+                   scrub_pii, text_quality, token_count, token_count_bpe)
 from .multimodal import (attach_binary_metadata, decode_binary,
                          resize_image, sample_frames)
 from .sampling import assign_splits, deterministic_sample, stratified_sample
@@ -37,7 +37,7 @@ __all__ = [
     "cosine_topk", "lsh_cosine_topk",
     "ivf_cosine_topk", "embedding_near_dup_pairs",
     "detect_language", "fingerprint", "text_quality", "token_count",
-    "token_count_bpe", "repetition_stats",
+    "token_count_bpe", "repetition_stats", "scrub_pii",
     "attach_binary_metadata", "decode_binary", "resize_image", "sample_frames",
     "assign_splits", "deterministic_sample", "stratified_sample",
 ]

@@ -217,3 +217,47 @@ def repetition_stats(
             (best["best"] * F.length(best["bestg"])).cast("double") / norm_chars.cast("double"))
             .otherwise(F.lit(0.0)),
     })
+
+
+# PII patterns: deliberately simple, deterministic, and SQL-replayable
+# (RE2-free syntax, no lookarounds) so DuckDB oracles can replay them.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_scrubbed",
+    kinds: tuple = ("email", "ssn", "ipv4", "phone"),
+    count_cols: bool = True,
+) -> DataFrame:
+    """Redact personally identifiable information: replace every match of
+    the selected ``PII_PATTERNS`` with ``<KIND>`` placeholders and
+    (optionally) count matches per kind — the standard pre-training scrub
+    pass.  Pure ``regexp_replace`` / ``regexp_count`` column expressions:
+    narrow, zero-shuffle, whole-stage-codegen, linear over 100 TB.
+
+    Patterns are heuristics (as in real pipelines); swap in stricter ones
+    via ``PII_PATTERNS`` if needed.  Kinds apply IN ORDER and each kind is
+    counted on the text as already scrubbed by the previous kinds, so a
+    span matching two patterns (an SSN also looks like a phone number) is
+    redacted and counted exactly once, by the earliest listed kind —
+    which is why the default order runs specific patterns before the
+    greedy phone pattern.
+    """
+    out = F.col(text_col)
+    counts = {}
+    for kind in kinds:
+        if kind not in PII_PATTERNS:
+            raise ValueError(f"unknown PII kind {kind!r}")
+        counts[f"n_{kind}"] = F.regexp_count(out, F.lit(PII_PATTERNS[kind]))
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    res = df.withColumn(out_col, out)
+    if count_cols:
+        res = res.withColumns(counts)
+    return res

@@ -403,3 +403,21 @@ def test_repetition_stats(spark):
     assert r3.dup_line_frac == 0.0
     assert r3.top_ngram == ""
     assert r3.top_ngram_char_frac == 0.0
+
+
+def test_scrub_pii(spark):
+    from catabra_pandas_spark.pipeline import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@test.org or call +43 660 123-4567 now"),
+         (2, "server 192.168.0.1 ssn 123-45-6789"),
+         (3, "nothing sensitive here")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert "<EMAIL>" in out[1].text_scrubbed and "@" not in out[1].text_scrubbed
+    assert "<PHONE>" in out[1].text_scrubbed
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert "<IPV4>" in out[2].text_scrubbed and "<SSN>" in out[2].text_scrubbed
+    assert out[2].n_ipv4 == 1 and out[2].n_ssn == 1
+    assert out[3].text_scrubbed == "nothing sensitive here"
+    assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == out[3].n_ssn == 0
