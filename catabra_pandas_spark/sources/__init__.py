@@ -110,6 +110,8 @@ def write_table(
     """
     w = (df.write.format(fmt).mode(mode)
          .option("maxRecordsPerFile", max_records_per_file))
+    if fmt == "csv":
+        w = w.option("header", True)
     if partition_by:
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         w = w.partitionBy(*cols)
@@ -149,3 +151,40 @@ def write_bucketed_table(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema=None,
+    **options,
+):
+    """Read a table in any supported format (parquet / csv / json / orc),
+    with scale-sane defaults per format.
+
+    * ``fmt=None`` infers from the file extension.
+    * CSV: ``header`` defaults on; pass ``schema`` in production — the
+      default ``inferSchema`` pass reads the whole input TWICE at 100 TB.
+    * JSON: expects JSON Lines (the only splittable JSON layout; a single
+      giant array is one unsplittable task); ``multiLine`` only on request.
+    * Timestamps are normalized exactly like ``read_table``
+      (TIMESTAMP_NTZ -> TIMESTAMP, session tz UTC).
+    """
+    configure(spark)
+    if fmt is None:
+        ext = path.rsplit(".", 1)[-1].lower()
+        fmt = {"parquet": "parquet", "csv": "csv", "json": "json",
+               "jsonl": "json", "orc": "orc"}.get(ext)
+        if fmt is None:
+            raise ValueError(
+                f"cannot infer format from {path!r}; pass fmt=...")
+    reader = spark.read
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.options(**options).format(fmt).load(path)
+    return _normalize_timestamps(df)

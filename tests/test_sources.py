@@ -73,3 +73,22 @@ def test_read_table_normalizes_ntz(spark, tmp_path):
     got = (df.select(F.unix_micros(F.col("ts")).alias("us"))
              .toPandas().us.sort_values().tolist())
     assert got == [1704067200000000, 1704198896000000]
+
+
+def test_read_any_csv_json_roundtrip(spark, tmp_path):
+    """write_table in csv/json + read_any reproduce the parquet source
+    (documents, minus the free-text column that needs csv quoting care)."""
+    src = read_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "lang", "source", "n_chars")
+    want = sorted(map(tuple, src.collect()))
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / fmt)
+        write_table(src, path, fmt=fmt)
+        from catabra_pandas_spark.sources import read_any
+        back = read_any(spark, path, fmt=fmt, schema=src.schema)
+        assert sorted(map(tuple, back.collect())) == want
+    # extension inference
+    from catabra_pandas_spark.sources import read_any
+    single = str(tmp_path / "one.csv")
+    src.limit(5).coalesce(1).write.mode("overwrite").option("header", True).csv(single)
+    assert read_any(spark, single, schema=src.schema).count() == 5
