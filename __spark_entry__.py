@@ -1290,6 +1290,48 @@ _Q_TEXT_STATS_SQL = f"""
 """
 
 
+def q_topk(spark, sf):
+    """grouped_topk: top-3 events per user by value (desc), deterministic
+    tie-break on event id, with the Arrow map-side prefilter engaged."""
+    ev = _ev(spark, sf).filter(F.col("val").isNotNull())
+    out = cps.grouped_topk(ev, group_by="uid", order_by=["val", "eid"],
+                           k=3, descending=True, rank_col="rk",
+                           prefilter=True)
+    return out.select("uid", "eid", F.round("val", 6).alias("val"), "rk")
+
+
+_Q_TOPK_SQL = f"""
+    SELECT uid, eid, round(val, 6) AS val, rk FROM (
+      SELECT uid, eid, val,
+             row_number() OVER (PARTITION BY uid ORDER BY val DESC, eid DESC) AS rk
+      FROM ({_EV_SQL}) WHERE val IS NOT NULL
+    ) WHERE rk <= 3
+"""
+
+
+def q_rollup(spark, sf):
+    """Hierarchical rollup aggregation (native Spark rollup; the reference
+    has no grouping-sets analogue — SURVEY §2.3 aggregations)."""
+    ev = _ev(spark, sf)
+    out = (_ev(spark, sf)
+           .rollup("etype", "uid")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("val"), 4).alias("sum_val")))
+    return out.select(
+        F.coalesce(F.col("etype"), F.lit("<all>")).alias("etype"),
+        F.coalesce(F.col("uid").cast("string"), F.lit("<all>")).alias("uid"),
+        "n", "sum_val")
+
+
+_Q_ROLLUP_SQL = f"""
+    SELECT coalesce(etype, '<all>') AS etype,
+           coalesce(uid::VARCHAR, '<all>') AS uid,
+           count(*) AS n, round(sum(val), 4) AS sum_val
+    FROM ({_EV_SQL})
+    GROUP BY ROLLUP (etype, uid)
+"""
+
+
 def q_scrub_pii(spark, sf):
     """PII scrub (pipeline.scrub_pii): deterministic synthetic PII spans
     are appended to each document (the corpus itself is synthetic and
@@ -2284,6 +2326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "text_stats": q_text_stats,
+        "topk": q_topk,
+        "rollup": q_rollup,
         "scrub_pii": q_scrub_pii,
         "decontam": q_decontam,
         "repetition": q_repetition,
@@ -2357,6 +2401,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "fingerprint": _Q_FINGERPRINT_SQL,
         "text_stats": _Q_TEXT_STATS_SQL,
+        "topk": _Q_TOPK_SQL,
+        "rollup": _Q_ROLLUP_SQL,
         "scrub_pii": _Q_SCRUB_PII_SQL,
         "decontam": _Q_DECONTAM_SQL,
         "repetition": _Q_REPETITION_SQL,

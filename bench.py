@@ -42,6 +42,7 @@ HEADLINE = [
     "text_stats",
     "decontam",
     "scrub_pii",
+    "topk",
     "repetition",
     # raw LSH operators (the driver-checked minhash_lsh/simhash entries are
     # recall certificates that also compute the exact ground truth; the raw

@@ -23,7 +23,7 @@ from .operators.sweep import sweep_point_in_interval
 from .operators.intervals import combine_intervals, group_intervals
 from .operators.sequences import impute, prev_next_values
 from .operators.modes import grouped_mode
-from .operators.misc import factorize, inner_or_cross_join
+from .operators.misc import factorize, grouped_topk, inner_or_cross_join
 from .operators.resampling import make_windows, resample_eav, resample_interval
 
 __all__ = [
@@ -38,6 +38,7 @@ __all__ = [
     "find_containing_interval",
     "impute",
     "factorize",
+    "grouped_topk",
     "merge_intervals",
     "merge_asof",
     "sweep_point_in_interval",

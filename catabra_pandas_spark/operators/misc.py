@@ -102,3 +102,62 @@ def inner_or_cross_join(left: DataFrame, right: DataFrame, on: Optional[str] = N
     if on is not None and on in left.columns and on in right.columns:
         return left.join(right, on=on, how="inner")
     return left.crossJoin(right)
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_by: Union[str, Sequence[str]],
+    order_by: Union[str, Sequence[str]],
+    k: int = 1,
+    descending: bool = False,
+    rank_col: Optional[str] = None,
+    prefilter: bool = False,
+) -> DataFrame:
+    """Top-``k`` rows per group under ``order_by`` — the generic limit/top-k
+    the reference lacks (SURVEY §2.3 sorts/limits; its only analogue is
+    ``keep="first"/"last"`` inside merge_intervals, reference
+    ``merging.py:728-748``).
+
+    Base plan: ``row_number`` over a per-group sort — one exchange + one
+    per-group sort, ties broken arbitrarily beyond ``order_by`` (pass a
+    tie-breaking column for reproducible output).
+
+    ``prefilter=True`` prepends a MAP-SIDE Arrow-batched pre-reduction
+    (``mapInPandas``): each executor batch keeps only its local top-k per
+    group before the exchange.  Sound because a row beaten by >= k rows of
+    its own group within one batch cannot be in the global top-k.  At
+    100 TB with small ``k`` this shrinks the shuffle from ALL rows to at
+    most ``k x batches`` per group — the bounded-buffer top-k accumulator
+    Spark's built-in aggregates cannot express (``collect_list`` buffers
+    whole groups).  Leave it off when k is large relative to group sizes
+    (the prefilter then filters nothing and costs one Arrow round-trip).
+    """
+    gcols = as_list(group_by)
+    ocols = as_list(order_by)
+    ensure_columns(df, gcols + ocols)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    out = df
+    if prefilter:
+        import pandas as pd  # noqa: F401 (Arrow batch path)
+
+        asc = not descending
+        kk, gb, ob = k, list(gcols), list(ocols)
+
+        def _batch_topk(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf
+                    continue
+                yield (pdf.sort_values(ob, ascending=asc, kind="stable")
+                          .groupby(gb, sort=False, dropna=False)
+                          .head(kk))
+
+        out = out.mapInPandas(_batch_topk, schema=out.schema)
+
+    oexprs = [F.col(c).desc() if descending else F.col(c).asc() for c in ocols]
+    w = Window.partitionBy(*gcols).orderBy(*oexprs)
+    res = out.withColumn("__rk__", F.row_number().over(w)).filter(F.col("__rk__") <= k)
+    return res.withColumnRenamed("__rk__", rank_col) if rank_col \
+        else res.drop("__rk__")

@@ -68,3 +68,30 @@ def test_salted_join_matches_plain_join(spark):
         plain = plain.sort_values(["k", "v"]).reset_index(drop=True)
         salted = salted[plain.columns].sort_values(["k", "v"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(salted, plain, check_dtype=False)
+
+
+def test_grouped_topk(spark):
+    import pandas as pd
+    from catabra_pandas_spark import grouped_topk
+    from .conftest import to_sdf
+
+    pdf = pd.DataFrame({
+        "g": [1, 1, 1, 1, 2, 2, 3],
+        "v": [5.0, 3.0, 9.0, 9.0, 1.0, 2.0, 7.0],
+        "t": [1, 2, 3, 4, 5, 6, 7],
+    })
+    df = to_sdf(spark, pdf)
+    # k=2 descending with tie-break on t: g=1 -> (9.0,t4),(9.0,t3); g=2 -> (2,6),(1,5)
+    out = grouped_topk(df, "g", ["v", "t"], k=2, descending=True, rank_col="rk")
+    got = sorted((r.g, r.rk, r.v, r.t) for r in out.collect())
+    assert got == [(1, 1, 9.0, 4), (1, 2, 9.0, 3),
+                   (2, 1, 2.0, 6), (2, 2, 1.0, 5), (3, 1, 7.0, 7)]
+    # prefilter path must agree exactly with the plain window path
+    big = df.union(df).union(df)  # duplicate rows exercise batch pre-cuts
+    a = sorted(map(tuple, grouped_topk(big, "g", ["v", "t"], k=3).collect()))
+    b = sorted(map(tuple, grouped_topk(big, "g", ["v", "t"], k=3,
+                                       prefilter=True).collect()))
+    assert a == b
+    # ascending k=1 is the per-group minimum
+    mn = grouped_topk(df, "g", "v", k=1).select("g", "v").collect()
+    assert sorted((r.g, r.v) for r in mn) == [(1, 3.0), (2, 1.0), (3, 7.0)]
