@@ -235,10 +235,13 @@ def simhash(
             F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
              .otherwise(F.lit(0).cast("long")))
     packed = agg.select(F.col(id_col), sim.alias("simhash"))
-    # keep one row per input id (tokenless docs -> 0), like the array form
-    return (df.select(id_col).distinct()
-            .join(packed, on=id_col, how="left")
-            .withColumn("simhash", F.coalesce(F.col("simhash"), F.lit(0).cast("long"))))
+    # keep one row per input id (tokenless docs -> 0), like the array form.
+    # Tokenless docs are re-injected by UNION of the (tiny) empty-token
+    # subset — not a distinct + join-back over the FULL corpus, which cost
+    # an extra corpus-wide exchange for rows that almost never exist.
+    empty = (df.filter(F.size(toks) == 0).select(id_col).distinct()
+             .withColumn("simhash", F.lit(0).cast("long")))
+    return packed.unionByName(empty)
 
 
 def simhash_near_dup_pairs(
