@@ -185,38 +185,52 @@ def repetition_stats(
         )).otherwise(F.array().cast("array<string>"))
 
     grams = F.element_at(F.transform(F.array(toks), _mk), 1)
+
     # run-length fold over the sorted gram array: track current run and the
-    # best (longest, first-seen = lexicographically smallest) run
+    # best (longest, first-seen = lexicographically smallest) run.  The new
+    # run length is bound ONCE per element through a single-element
+    # transform — HOF lambdas are interpreted (no codegen CSE), so
+    # inlining the `when` into each of the three consumers re-evaluated it
+    # three times per element (measured ~3x on the sf0.1 bench).
+    def _merge(acc, x):
+        r = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.element_at(F.transform(F.array(r), lambda rr: F.struct(
+            x.alias("prev"), rr.alias("run"),
+            F.when(rr > acc["best"], rr).otherwise(acc["best"]).alias("best"),
+            F.when(rr > acc["best"], x).otherwise(acc["bestg"]).alias("bestg"),
+        )), 1)
+
     best = F.aggregate(
         F.array_sort(grams),
         F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
                  F.lit(0).alias("best"), F.lit("").alias("bestg")),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.when(F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)) > acc["best"],
-                   F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)))
-             .otherwise(acc["best"]).alias("best"),
-            F.when(F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)) > acc["best"], x)
-             .otherwise(acc["bestg"]).alias("bestg"),
-        ),
+        _merge,
     )
     norm_chars = F.length(F.concat_ws(" ", toks))
 
-    return df.withColumns({
-        "n_lines": n_lines.cast("long"),
-        "dup_line_frac": F.when(n_lines > 0,
-                                line_dups["d"].cast("double") / n_lines.cast("double"))
-                          .otherwise(F.lit(0.0)),
-        "dup_line_char_frac": F.when(line_chars > 0,
-                                     line_dups["c"].cast("double") / line_chars.cast("double"))
-                               .otherwise(F.lit(0.0)),
-        "top_ngram": best["bestg"],
-        "top_ngram_char_frac": F.when(
-            norm_chars > 0,
-            (best["best"] * F.length(best["bestg"])).cast("double") / norm_chars.cast("double"))
-            .otherwise(F.lit(0.0)),
+    # materialize each fold ONCE in an intermediate projection: the folds
+    # are CodegenFallback expressions with no subexpression elimination, so
+    # referencing `best` from two output columns would otherwise run the
+    # whole sort+fold per reference (CollapseProject keeps the split
+    # because duplicating non-cheap expressions is against its policy)
+    staged = df.withColumns({
+        "__nl__": n_lines, "__ld__": line_dups, "__lc__": line_chars,
+        "__best__": best, "__nc__": norm_chars,
     })
+    nl, ld = F.col("__nl__"), F.col("__ld__")
+    lc, bs, nc = F.col("__lc__"), F.col("__best__"), F.col("__nc__")
+    return staged.withColumns({
+        "n_lines": nl.cast("long"),
+        "dup_line_frac": F.when(nl > 0, ld["d"].cast("double") / nl.cast("double"))
+                          .otherwise(F.lit(0.0)),
+        "dup_line_char_frac": F.when(lc > 0, ld["c"].cast("double") / lc.cast("double"))
+                               .otherwise(F.lit(0.0)),
+        "top_ngram": bs["bestg"],
+        "top_ngram_char_frac": F.when(
+            nc > 0,
+            (bs["best"] * F.length(bs["bestg"])).cast("double") / nc.cast("double"))
+            .otherwise(F.lit(0.0)),
+    }).drop("__nl__", "__ld__", "__lc__", "__best__", "__nc__")
 
 
 # PII patterns: deliberately simple, deterministic, and SQL-replayable
