@@ -144,7 +144,9 @@ def minhash_signatures(
     coefs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
              for _ in range(num_hashes)]
     rows = shingle_rows(df, text_col, id_col, k)
-    h = (F.abs(F.xxhash64("sh")) % F.lit(_MERSENNE)).alias("h")
+    # pmod, not abs(...)%: abs(Long.MIN_VALUE) stays negative (and errors
+    # under ANSI), which would leak a negative value into the permutations
+    h = F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE)).alias("h")
     aggs = [F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
             for i, (a, b) in enumerate(coefs)]
     agg = rows.select(id_col, h).groupBy(id_col).agg(*aggs)

@@ -66,7 +66,11 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     digit_ratio, quality_score (all double; deterministic, SQL-replayable).
     """
     text = F.col(text_col)
-    toks = _tokens(text)
+    # stage the token array once: _tokens ends in a filter() HOF
+    # (CodegenFallback, exempt from subexpression elimination), so letting
+    # every ratio column inline it would re-tokenize the text per column
+    df = df.withColumn("__toks__", _tokens(text))
+    toks = F.col("__toks__")
     n_chars = F.length(text).cast("double")
     n_tokens = F.size(toks).cast("double")
     n_stop = F.size(F.filter(toks, lambda t: t.isin(_EN_STOPWORDS))).cast("double")
@@ -91,7 +95,7 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         "punct_ratio": punct_ratio,
         "digit_ratio": digit_ratio,
         "quality_score": score,
-    })
+    }).drop("__toks__")
 
 
 def detect_language(df: DataFrame, text_col: str = "text",
