@@ -75,15 +75,23 @@ def cosine_topk(
     reduced before any exchange."""
     if dim is None:
         dim = _infer_dim(queries, query_vec)
+    # norms are per-VECTOR quantities: compute them once per side before
+    # the join — inlining cosine() after the join would recompute both
+    # norms for every (query, corpus) PAIR, tripling the flops of the
+    # |Q| x |C| scoring loop
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(query_vec).cast("array<double>").alias("__qv__"))
+    q = q.withColumn("__qn__", _norm(F.col("__qv__"), dim))
     if broadcast_queries:
         q = F.broadcast(q)
     c = corpus.select(F.col(corpus_id).alias("neighbor_id"),
                       F.col(corpus_vec).cast("array<double>").alias("__cv__"))
+    c = c.withColumn("__cn__", _norm(F.col("__cv__"), dim))
     scored = (
         c.join(q, on=F.col("query_id") != F.col("neighbor_id"), how="inner")
-        .withColumn("cosine_sim", cosine(F.col("__qv__"), F.col("__cv__"), dim))
+        .withColumn("cosine_sim",
+                    _dot(F.col("__qv__"), F.col("__cv__"), dim)
+                    / (F.col("__qn__") * F.col("__cn__")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
                                                F.col("neighbor_id").asc())
@@ -170,26 +178,29 @@ def lsh_cosine_topk(
     pass through the dedup/top-k exchange.  Set
     ``broadcast_queries=False`` for a large query set to get the
     shuffle-on-(table, signature) bucket join instead."""
-    def with_sigs(df, id_alias, vec_alias, idc, vecc):
+    def with_sigs(df, id_alias, vec_alias, idc, vecc, norm_alias):
         out = df.select(F.col(idc).alias(id_alias),
                         F.col(vecc).cast("array<double>").alias(vec_alias))
+        # per-vector norm precomputed here: re-scoring after the bucket
+        # join would otherwise recompute both norms per candidate PAIR
+        out = out.withColumn(norm_alias, _norm(F.col(vec_alias), dim))
         # signatures are map-only (pandas-UDF matmul): keep the vector on the
         # same row instead of joining them back — still zero shuffles here
-        return _rh_signatures(out.select(id_alias, vec_alias), id_alias,
-                              vec_alias, planes, tables, seed,
-                              keep_cols=[vec_alias])
+        return _rh_signatures(out.select(id_alias, vec_alias, norm_alias),
+                              id_alias, vec_alias, planes, tables, seed,
+                              keep_cols=[vec_alias, norm_alias])
 
-    q = with_sigs(queries, "query_id", "__qv__", query_id, query_vec)
+    q = with_sigs(queries, "query_id", "__qv__", query_id, query_vec, "__qn__")
     if probe_bits:
         if probe_bits != 1:
             raise ValueError("probe_bits must be 0 or 1")
         q = q.select(
-            "query_id", "__qv__", "table_idx",
+            "query_id", "__qv__", "__qn__", "table_idx",
             F.explode(F.array(
                 F.col("sig"),
                 *[F.col("sig").bitwiseXOR(F.lit(1 << b)) for b in range(planes)],
             )).alias("sig"))
-    c = with_sigs(corpus, "neighbor_id", "__cv__", corpus_id, corpus_vec)
+    c = with_sigs(corpus, "neighbor_id", "__cv__", corpus_id, corpus_vec, "__cn__")
     qj = F.broadcast(q) if broadcast_queries else q
     joined = c.join(
         qj, on=[q["table_idx"] == c["table_idx"], q["sig"] == c["sig"],
@@ -198,7 +209,9 @@ def lsh_cosine_topk(
     # that are already co-located, and dropping the vectors here means the
     # dedup exchange carries only (query, neighbor, sim) triples
     scored = (
-        joined.withColumn("cosine_sim", cosine(F.col("__qv__"), F.col("__cv__"), dim))
+        joined.withColumn("cosine_sim",
+                          _dot(F.col("__qv__"), F.col("__cv__"), dim)
+                          / (F.col("__qn__") * F.col("__cn__")))
         .select("query_id", "neighbor_id", "cosine_sim")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -270,10 +283,12 @@ def ivf_cosine_topk(
 
     c = (corpus.select(F.col(corpus_id).alias("neighbor_id"),
                        F.col(corpus_vec).cast("array<double>").alias("__cv__"))
+         .withColumn("__cn__", _norm(F.col("__cv__"), dim))
          .withColumn("cell", F.element_at(make_probe_udf(1)(F.col("__cv__")), 1)))
     q = (queries.select(F.col(query_id).alias("query_id"),
                         F.col(query_vec).cast("array<double>").alias("__qv__"))
-         .select("query_id", "__qv__",
+         .withColumn("__qn__", _norm(F.col("__qv__"), dim))
+         .select("query_id", "__qv__", "__qn__",
                  F.explode(make_probe_udf(n_probe)(F.col("__qv__"))).alias("cell")))
     joined = c.join(F.broadcast(q),
                     on=[q["cell"] == c["cell"],
@@ -281,7 +296,9 @@ def ivf_cosine_topk(
     # a corpus vector lives in exactly one cell and the probed cells are
     # distinct, so pairs are already unique — no dedup exchange needed
     scored = (joined
-              .withColumn("cosine_sim", cosine(F.col("__qv__"), F.col("__cv__"), dim))
+              .withColumn("cosine_sim",
+                          _dot(F.col("__qv__"), F.col("__cv__"), dim)
+                          / (F.col("__qn__") * F.col("__cn__")))
               .select("query_id", "neighbor_id", "cosine_sim"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
                                                F.col("neighbor_id").asc())
@@ -307,8 +324,9 @@ def embedding_near_dup_pairs(
     -> ~99% recall."""
     base = df.select(F.col(id_col).alias("__id__"),
                      F.col(vec_col).cast("array<double>").alias("__v__"))
+    base = base.withColumn("__n__", _norm(F.col("__v__"), dim))
     b = _rh_signatures(base, "__id__", "__v__", planes, tables, seed,
-                       keep_cols=["__v__"]).withColumnRenamed("table_idx", "t")
+                       keep_cols=["__v__", "__n__"]).withColumnRenamed("table_idx", "t")
     l, r = b.alias("l"), b.alias("r").hint("shuffle_hash")
     # score INSIDE the bucket join, then threshold, then dedup — the
     # (rare) surviving pairs are tiny triples, so the dedup exchange never
@@ -317,7 +335,8 @@ def embedding_near_dup_pairs(
         l.join(r, on=[F.col("l.t") == F.col("r.t"), F.col("l.sig") == F.col("r.sig"),
                       F.col("l.__id__") < F.col("r.__id__")])
         .withColumn("cosine_sim",
-                    cosine(F.col("l.__v__"), F.col("r.__v__"), dim))
+                    _dot(F.col("l.__v__"), F.col("r.__v__"), dim)
+                    / (F.col("l.__n__") * F.col("r.__n__")))
         .filter(F.col("cosine_sim") >= threshold)
         .select(F.col("l.__id__").alias("id_a"), F.col("r.__id__").alias("id_b"),
                 "cosine_sim")
