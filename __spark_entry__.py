@@ -1743,6 +1743,31 @@ def q_minhash_lsh(spark, sf):
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def q_cross_dedup(spark, sf):
+    """Cross-corpus MinHash recall certificate: exact trigram-Jaccard pairs
+    >= 0.8 that STRADDLE the corpus/benchmark split (doc_id % 20) and that
+    minhash_cross_dup_pairs (64 hashes, 16 bands, broadcast bench side)
+    recovers with estimate >= 0.3; green iff it recovers all of them."""
+    docs = read_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    cand = P.minhash_cross_dup_pairs(corpus, bench, k=2, num_hashes=64,
+                                     bands=16, threshold=0.3)
+    cand_n = cand.select(F.least("corpus_id", "other_id").alias("id_a"),
+                         F.greatest("corpus_id", "other_id").alias("id_b"))
+    exact = (P.ngram_jaccard_pairs(docs, k=3, threshold=0.8, max_doc_freq=50)
+             .filter((F.col("id_a") % 20 == 0) != (F.col("id_b") % 20 == 0)))
+    return (exact.join(cand_n, ["id_a", "id_b"], "left_semi")
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+_Q_CROSS_DEDUP_SQL = f"""
+    WITH {_ngram_pairs_ctes(0.8)}
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs
+    WHERE (id_a % 20 = 0) != (id_b % 20 = 0)
+"""
+
+
 def q_simhash_raw(spark, sf):
     docs = read_table(spark, sf, "documents")
     return P.simhash_near_dup_pairs(docs, max_hamming=8)
@@ -2335,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "cross_dedup": q_cross_dedup,
         "sample_stratified": q_sample_stratified,
         "sample_split": q_sample_split,
         "cosine_topk": q_cosine_topk,
@@ -2410,6 +2436,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": _Q_LANGID_SQL,
         "ngram_jaccard": _Q_NGRAM_JACCARD_SQL,
         "dedup_clusters": _Q_DEDUP_CLUSTERS_SQL,
+        "cross_dedup": _Q_CROSS_DEDUP_SQL,
         "sample_stratified": _Q_SAMPLE_STRATIFIED_SQL,
         "sample_split": _Q_SAMPLE_SPLIT_SQL,
         "cosine_topk": _Q_COSINE_TOPK_SQL,

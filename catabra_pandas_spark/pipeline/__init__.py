@@ -13,6 +13,7 @@ from .dedup import (
     connected_components,
     decontaminate,
     exact_dedup,
+    minhash_cross_dup_pairs,
     minhash_near_dup_pairs,
     minhash_signatures,
     near_dup_dedup,
@@ -33,6 +34,7 @@ from .sampling import assign_splits, deterministic_sample, stratified_sample
 __all__ = [
     "exact_dedup", "shingles", "shingle_rows", "minhash_signatures", "minhash_near_dup_pairs",
     "simhash", "simhash_near_dup_pairs", "ngram_jaccard_pairs",
+    "minhash_cross_dup_pairs",
     "connected_components", "near_dup_dedup", "decontaminate",
     "cosine_topk", "lsh_cosine_topk",
     "ivf_cosine_topk", "embedding_near_dup_pairs",

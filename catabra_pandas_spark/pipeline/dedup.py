@@ -515,3 +515,66 @@ def decontaminate(
     if mode == "drop":
         out = out.filter(~F.col("contaminated")).drop("contaminated", "n_hits")
     return out
+
+
+def minhash_cross_dup_pairs(
+    corpus: DataFrame,
+    other: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    other_text_col: str | None = None,
+    other_id_col: str | None = None,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    broadcast_other: bool = True,
+) -> DataFrame:
+    """CROSS-corpus near-duplicate pairs by MinHash LSH: corpus documents
+    whose estimated Jaccard against some ``other``-corpus document (an eval
+    set, an earlier training mix, a licensed subset) reaches ``threshold``
+    — the fuzzy complement to ``decontaminate``'s exact n-gram overlap.
+
+    Same banding scheme and seed as ``minhash_near_dup_pairs``, so the two
+    corpora bucket identically.  ``other`` is usually small: its banded
+    signatures and its signature table are BROADCAST
+    (``broadcast_other``), making candidate generation and re-scoring a
+    single corpus scan with no corpus shuffle beyond the signature
+    aggregation.  Returns (corpus_id, other_id, est_jaccard).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    ot = other_text_col or text_col
+    oi = other_id_col or id_col
+
+    def banded(sig, idc):
+        return sig.select(
+            F.col(idc),
+            F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.hash(F.slice("signature", bi * r + 1, r)),
+            )).alias("band_idx", "band_hash"),
+        )
+
+    sig_c = minhash_signatures(corpus, text_col, id_col, k, num_hashes, seed)
+    sig_o_full = minhash_signatures(other, ot, oi, k, num_hashes, seed) \
+        .withColumnRenamed(oi, "other_id")
+    bc = banded(sig_c, id_col).withColumnRenamed(id_col, "corpus_id")
+    bo = banded(sig_o_full, "other_id")
+    sig_o = sig_o_full.select("other_id", F.col("signature").alias("sig_o"))
+    if broadcast_other:
+        bo, sig_o = F.broadcast(bo), F.broadcast(sig_o)
+    cand = (bc.join(bo, ["band_idx", "band_hash"])
+            .select("corpus_id", "other_id")
+            .dropDuplicates(["corpus_id", "other_id"]))
+    sc = sig_c.select(F.col(id_col).alias("corpus_id"),
+                      F.col("signature").alias("sig_c"))
+    cand = cand.join(sc, "corpus_id").join(sig_o, "other_id")
+    agree = F.size(F.filter(F.zip_with("sig_c", "sig_o", lambda x, y: x == y),
+                            lambda m: m))
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (cand.withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("corpus_id", "other_id", "est_jaccard"))

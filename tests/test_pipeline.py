@@ -421,3 +421,21 @@ def test_scrub_pii(spark):
     assert out[2].n_ipv4 == 1 and out[2].n_ssn == 1
     assert out[3].text_scrubbed == "nothing sensitive here"
     assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == out[3].n_ssn == 0
+
+
+def test_minhash_cross_dup_pairs(spark, docs):
+    from catabra_pandas_spark.pipeline import minhash_cross_dup_pairs
+
+    base = docs.limit(5).collect()
+    other_rows = [(90000 + r.doc_id, r.text, r.lang, "ev", len(r.text))
+                  for r in base]  # exact copies -> certain cross near-dups
+    other = spark.createDataFrame(other_rows, schema=docs.schema)
+    out = minhash_cross_dup_pairs(docs, other, k=3, threshold=0.9)
+    got = {(r.corpus_id, r.other_id) for r in out.collect()}
+    # every planted copy is recovered against its source
+    for r in base:
+        assert (r.doc_id, 90000 + r.doc_id) in got
+    # estimates are within [0, 1] and high for exact copies
+    assert all(0.9 <= r.est_jaccard <= 1.0 for r in out.collect()
+               if (r.corpus_id, r.other_id) in
+               {(r2.doc_id, 90000 + r2.doc_id) for r2 in base})
