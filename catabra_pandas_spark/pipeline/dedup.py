@@ -163,6 +163,7 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash LSH: band the signature, bucket-join
     on (band_index, band_hash), estimate Jaccard as signature agreement,
@@ -171,11 +172,20 @@ def minhash_near_dup_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated across
     bands.  Shuffle cost: one explode+groupBy on band buckets (candidate
     pairs only), never all-pairs.
+
+    The signature table is consumed FOUR times (both band-join sides, both
+    re-scoring joins) and Spark's exchange reuse does not fire across the
+    differing consumers, so by default it is materialized once with an
+    eager ``localCheckpoint`` (~0.5 KB/doc — far smaller than re-running
+    the shingle aggregation 4x).  ``cache_signatures=False`` keeps the
+    operator fully lazy.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes, seed)
+    if cache_signatures:
+        sig = sig.localCheckpoint(eager=True)
     # candidate generation over bare (id, band, hash) rows: the band
     # self-join exchange carries 3 scalars per row, never the signature
     # array (which would be duplicated `bands` times through the shuffle);
@@ -252,13 +262,20 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming on 64-bit
     SimHash.  Pigeonhole candidate generation: split the hash into
     ``blocks`` 16-bit blocks; any pair within distance ``blocks-1`` shares
     at least one exact block → equi-join per block, then exact popcount
-    verification.  Returns (id_a, id_b, hamming)."""
+    verification.  Returns (id_a, id_b, hamming).
+
+    Both self-join sides re-evaluate the signature aggregation (no
+    exchange reuse fires), so the (id, simhash) table — 16 bytes/doc — is
+    materialized once by default; ``cache_signatures=False`` stays lazy."""
     sh = simhash(df, text_col, id_col)
+    if cache_signatures:
+        sh = sh.localCheckpoint(eager=True)
     width = 64 // blocks
     blocked = sh.select(
         id_col, "simhash",
@@ -530,6 +547,7 @@ def minhash_cross_dup_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     broadcast_other: bool = True,
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """CROSS-corpus near-duplicate pairs by MinHash LSH: corpus documents
     whose estimated Jaccard against some ``other``-corpus document (an eval
@@ -559,6 +577,10 @@ def minhash_cross_dup_pairs(
         )
 
     sig_c = minhash_signatures(corpus, text_col, id_col, k, num_hashes, seed)
+    if cache_signatures:
+        # the corpus signature table feeds both the band join and the
+        # re-scoring join; materialize it once (~0.5 KB/doc)
+        sig_c = sig_c.localCheckpoint(eager=True)
     sig_o_full = minhash_signatures(other, ot, oi, k, num_hashes, seed) \
         .withColumnRenamed(oi, "other_id")
     bc = banded(sig_c, id_col).withColumnRenamed(id_col, "corpus_id")

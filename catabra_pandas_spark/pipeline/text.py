@@ -150,8 +150,10 @@ def repetition_stats(
     Entirely map-only: repeats are counted by sorting the per-document
     segment/shingle ARRAY and folding over adjacent runs with
     ``aggregate`` (struct accumulator) — no explode, no shuffle, linear in
-    document length and whole-stage-codegen'd.  A groupBy-per-(doc, gram)
-    formulation costs two corpus-wide exchanges for the same numbers.
+    document length.  The folds are interpreted (HOFs are CodegenFallback),
+    so they are staged to evaluate exactly once per row; a
+    groupBy-per-(doc, gram) formulation would codegen but costs two
+    corpus-wide exchanges for the same numbers.
     """
     text = F.col(text_col)
 
