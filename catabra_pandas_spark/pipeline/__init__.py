@@ -24,7 +24,7 @@ from .dedup import (
     simhash_near_dup_pairs,
 )
 from .similarity import (cosine_topk, embedding_near_dup_pairs,
-                         ivf_cosine_topk, lsh_cosine_topk)
+                         ivf_cosine_topk, kmeans_codebook, lsh_cosine_topk)
 from .text import (detect_language, fingerprint, repetition_stats,
                    scrub_pii, text_quality, token_count, token_count_bpe)
 from .multimodal import (attach_binary_metadata, decode_binary,
@@ -37,7 +37,7 @@ __all__ = [
     "minhash_cross_dup_pairs",
     "connected_components", "near_dup_dedup", "decontaminate",
     "cosine_topk", "lsh_cosine_topk",
-    "ivf_cosine_topk", "embedding_near_dup_pairs",
+    "ivf_cosine_topk", "embedding_near_dup_pairs", "kmeans_codebook",
     "detect_language", "fingerprint", "text_quality", "token_count",
     "token_count_bpe", "repetition_stats", "scrub_pii",
     "attach_binary_metadata", "decode_binary", "resize_image", "sample_frames",

@@ -343,3 +343,61 @@ def embedding_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return cand
+
+
+def kmeans_codebook(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    dim: int | None = None,
+    normalize: bool = True,
+) -> list:
+    """Deterministic spherical k-means codebook for ``ivf_cosine_topk``:
+    Lloyd iterations with cosine assignment, seeded by the ``n_centroids``
+    smallest-id corpus vectors (same reproducible init as IVF's default).
+
+    Plan per iteration: cell assignment is one Arrow-batched matmul over a
+    corpus scan (map-only — the centroid matrix is closure-captured), the
+    centroid update is one map-side-combinable ``groupBy(cell).avg`` —
+    the textbook scalable k-means loop, O(n_centroids·dim) driver state
+    and never a corpus-sized collect.  Iterations re-scan the source
+    (centroids change each round, so there is nothing to checkpoint but
+    the tiny codebook itself).  Empty cells keep their previous centroid.
+
+    Returns ``[(cell_id, centroid_vector), ...]`` — pass as ``centroids=``
+    to ``ivf_cosine_topk``.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    if dim is None:
+        dim = _infer_dim(corpus, corpus_vec)
+    base = corpus.select(F.col(corpus_id).alias("__id__"),
+                         F.col(corpus_vec).cast("array<double>").alias("__v__"))
+    init = base.orderBy("__id__").limit(n_centroids).collect()
+    C = np.asarray([r["__v__"] for r in init], dtype=np.float64)
+
+    avg_cols = [F.avg(F.element_at("__v__", d + 1)).alias(f"c{d}")
+                for d in range(dim)]
+    for _ in range(max(0, n_iter)):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+        @pandas_udf(T.LongType())
+        def assign_udf(vecs):
+            import pandas as pd
+            m = np.asarray(vecs.tolist(), dtype=np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            sims = mn @ Cn.T
+            return pd.Series(np.argmax(sims, axis=1).astype(np.int64))
+
+        upd = (base.withColumn("cell", assign_udf(F.col("__v__")))
+               .groupBy("cell").agg(*avg_cols)
+               .collect())  # <= n_centroids rows
+        for r in upd:
+            C[int(r["cell"])] = [r[f"c{d}"] for d in range(dim)]
+    if normalize:
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    return [(i, C[i].tolist()) for i in range(len(C))]

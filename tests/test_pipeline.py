@@ -439,3 +439,26 @@ def test_minhash_cross_dup_pairs(spark, docs):
     assert all(0.9 <= r.est_jaccard <= 1.0 for r in out.collect()
                if (r.corpus_id, r.other_id) in
                {(r2.doc_id, 90000 + r2.doc_id) for r2 in base})
+
+
+def test_kmeans_codebook_feeds_ivf(spark, emb):
+    from catabra_pandas_spark.pipeline import ivf_cosine_topk, kmeans_codebook, cosine_topk
+
+    book = kmeans_codebook(emb, n_centroids=8, n_iter=3)
+    assert len(book) == 8
+    import numpy as np
+    for cid, vec in book:
+        assert len(vec) == 64
+        assert abs(np.linalg.norm(vec) - 1.0) < 1e-9  # normalized
+    # deterministic: same inputs -> identical codebook
+    book2 = kmeans_codebook(emb, n_centroids=8, n_iter=3)
+    assert book == book2
+    # the codebook plugs into IVF and improves/keeps recall vs ids-codebook
+    q = emb.filter("vec_id < 5")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(q, emb, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in ivf_cosine_topk(q, emb, k=5, n_centroids=8, n_probe=4,
+                                    centroids=book).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.8

@@ -331,3 +331,36 @@ def test_stream_resample_interval_streaming(spark, tmp_path):
                        suffixes=("_s", "_b"))
     assert len(merged) == len(res)
     assert (merged["a_s"] == merged["a_b"]).all()
+
+
+def test_map_only_text_ops_run_under_streaming(spark, tmp_path):
+    """Map-only pipeline operators (scrub_pii, text_quality, repetition
+    folds) are streaming-safe by construction: the same expressions run
+    under readStream with no extra state.  Exercise one end-to-end
+    availableNow micro-batch run and compare to the batch result."""
+    import pandas as pd
+    from catabra_pandas_spark.pipeline import scrub_pii, text_quality
+
+    src = str(tmp_path / "src")
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["mail a@b.co now", "server 10.0.0.1 up", "plain text here"],
+    })
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema("doc_id long, text string").parquet(src))
+    out = scrub_pii(text_quality(stream))
+    sink = str(tmp_path / "sink")
+    q = (out.writeStream.format("parquet")
+         .option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink).orderBy("doc_id").toPandas()
+    want = (scrub_pii(text_quality(spark.read.parquet(src)))
+            .orderBy("doc_id").toPandas())
+    assert sorted(got.columns) == sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)],
+        want.sort_values("doc_id").reset_index(drop=True)[sorted(want.columns)])
