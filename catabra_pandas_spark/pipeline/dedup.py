@@ -5,8 +5,8 @@ Scale design (the whole point at 100 TB):
 * candidate generation is ALWAYS a bucketed equi-join — LSH band buckets,
   simhash blocks, or shared shingles — never an O(n²) cross join;
 * signatures are computed with JVM-side array expressions
-  (``split``/``transform``/``xxhash64``/``array_min``), no Python in the
-  hot path;
+  (``split``/``transform``/``xxhash64``) or Arrow-batched numpy (never
+  row-at-a-time Python);
 * every function returns a DataFrame pipeline that shuffles on the bucket
   key once, so AQE can coalesce/split skewed buckets.
 """
@@ -17,7 +17,7 @@ from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..util import as_list
+from ..util import as_list, ensure_min_partitions
 
 # Mersenne prime 2^31-1 for the minhash permutation family: keeps
 # h*a + b < 2^62 so ANSI-mode int64 arithmetic cannot overflow
@@ -80,6 +80,32 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(n > 0, sh).otherwise(F.array()))
 
 
+def _tokens(text_col: str) -> Column:
+    """Normalized word tokens of ``text_col`` as an array<string> (lowercase,
+    non-alphanumerics collapsed to spaces, empties dropped)."""
+    cleaned = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "))
+    return F.filter(F.split(cleaned, r" +"), lambda t: t != "")
+
+
+def _shingle_array(text_col: str, k: int, distinct: bool = True) -> Column:
+    """Per-row word-k-shingle array as ONE codegen expression.
+
+    The token array is bound as a lambda VARIABLE via
+    ``transform(array(toks), t -> ...)`` so it is evaluated once per row;
+    referencing the tokenizer expression directly inside the per-element
+    lambda would make Catalyst inline it per element (quadratic recompute,
+    measured ~60x on minhash)."""
+    def _mk(t):
+        n = F.size(t)
+        return F.when(n > F.lit(0), F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
+        )).otherwise(F.array().cast("array<string>"))
+
+    sh_arr = F.element_at(F.transform(F.array(_tokens(text_col)), _mk), 1)
+    return F.array_distinct(sh_arr) if distinct else sh_arr
+
+
 def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3,
                  with_size: bool = False, distinct: bool = True) -> DataFrame:
     """Distinct (id, shingle) rows, MAP-ONLY: the per-document shingle array
@@ -100,19 +126,7 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3,
     would cost the very exchange this formulation avoids).
     ``distinct=False`` keeps every occurrence (one row per shingle
     POSITION) — for frequency-based consumers like ``repetition_stats``."""
-    cleaned = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "))
-    toks = F.filter(F.split(cleaned, r" +"), lambda t: t != "")
-
-    def _mk(t):
-        n = F.size(t)
-        return F.when(n > F.lit(0), F.transform(
-            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
-        )).otherwise(F.array().cast("array<string>"))
-
-    sh_arr = F.element_at(F.transform(F.array(toks), _mk), 1)
-    if distinct:
-        sh_arr = F.array_distinct(sh_arr)
+    sh_arr = _shingle_array(text_col, k, distinct=distinct)
     if with_size:
         base = df.select(F.col(id_col), sh_arr.alias("__sh_arr__"))
         return base.select(id_col, F.explode("__sh_arr__").alias("sh"),
@@ -127,25 +141,73 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 64,
     seed: int = 42,
+    strategy: str = "agg",
 ) -> DataFrame:
-    """MinHash signature per document: shingle rows → xxhash64 → n
-    universal-hash permutations ``min((a*h + b) mod p)`` as n min-aggregates
-    in ONE groupBy over the exploded shingles.  Documents with no shingles
-    (empty text) are omitted.  Output: ``id_col``, ``signature``
-    (array<long> length ``num_hashes``).
+    """MinHash signature per document: distinct shingles → xxhash64 → n
+    universal-hash permutations ``min((a*h + b) mod p)``.  Documents with no
+    shingles (empty text) are omitted.  Output: ``id_col``, ``signature``
+    (array<long> length ``num_hashes``).  Both strategies produce
+    bit-identical signatures.
 
-    Deliberately explode-based: the nested-array-lambda formulation makes
-    Catalyst inline the tokenizer into every per-element lambda (quadratic
-    recompute, measured ~60x slower); explode + hash-aggregate is linear
-    and partial-aggregates map-side."""
+    ``strategy="agg"`` (default) explodes shingles and takes the n minima
+    as one groupBy — the explode is map-only (shingles of a doc stay in
+    their partition), so partial aggregation already reduces each doc to
+    one 64-long buffer before the exchange: the shuffle carries signatures
+    (~0.5 KB/doc), never shingles.  Measured fastest at sf0.1 (1.5 s vs
+    2.1 s): codegen hashing after explode beats the interpreted per-element
+    HOF hashing the arrow path pays.
+
+    ``strategy="arrow"`` is MAP-ONLY — zero shuffles: the per-document
+    shingle-hash array is one codegen expression (``_shingle_array`` +
+    ``transform(.., xxhash64)``), and the n permutation minima are one
+    Arrow-batched numpy broadcast + ``minimum.reduceat`` per batch.  Pick
+    it when even a signature-sized exchange is unwanted (e.g. the output
+    feeds a map-side-only consumer, or shuffle capacity is the cluster
+    bottleneck)."""
+    if strategy not in ("arrow", "agg"):
+        raise ValueError(f"strategy must be arrow/agg, got {strategy!r}")
     import random
 
     rnd = random.Random(seed)
     coefs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
              for _ in range(num_hashes)]
+
+    if strategy == "arrow":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        A = np.asarray([a for a, _ in coefs], dtype=np.int64)
+        B = np.asarray([b for _, b in coefs], dtype=np.int64)
+
+        @pandas_udf(T.ArrayType(T.LongType()))
+        def sig_udf(harrs):
+            lens = np.fromiter((len(x) for x in harrs), dtype=np.int64,
+                               count=len(harrs))
+            out = np.empty(len(harrs), dtype=object)
+            nz = np.flatnonzero(lens)
+            if len(nz):
+                flat = np.concatenate(
+                    [np.asarray(harrs.iat[i], dtype=np.int64) for i in nz])
+                # h < p and a < p = 2^31-1, so h*a + b < 2^62: int64-safe
+                perm = (flat[:, None] * A + B) % _MERSENNE
+                starts = np.zeros(len(nz), dtype=np.int64)
+                np.cumsum(lens[nz[:-1]], out=starts[1:])
+                mins = np.minimum.reduceat(perm, starts, axis=0)
+                for j, i in enumerate(nz):
+                    out[i] = mins[j]
+            return pd.Series(out)
+
+        # pmod, not abs(...)%: abs(Long.MIN_VALUE) stays negative (and
+        # errors under ANSI)
+        hs = F.transform(_shingle_array(text_col, k),
+                         lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+        base = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
+        return (base.select(F.col(id_col), sig_udf(hs).alias("signature"))
+                .filter(F.col("signature").isNotNull()))
+
     rows = shingle_rows(df, text_col, id_col, k)
-    # pmod, not abs(...)%: abs(Long.MIN_VALUE) stays negative (and errors
-    # under ANSI), which would leak a negative value into the permutations
     h = F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE)).alias("h")
     aggs = [F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
             for i, (a, b) in enumerate(coefs)]
@@ -223,16 +285,60 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    strategy: str = "arrow",
 ) -> DataFrame:
     """64-bit SimHash per document from word-token hashes: bit_i = sign of
     Σ_tokens (±1 depending on bit i of xxhash64(token)).  Output:
     ``id_col``, ``simhash`` (long); tokenless documents get simhash 0.
+    Both strategies produce bit-identical hashes (for unique ``id_col``
+    values; the agg path merges duplicate ids, the arrow path keeps one
+    output row per input row).
 
-    Explode-based like ``minhash_signatures``: per-token rows, then one
-    groupBy with 64 conditional-sum aggregates (map-side partial), then the
-    bits packed from the 64 scalar columns."""
-    cleaned = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " "))
-    toks = F.filter(F.split(cleaned, r" +"), lambda t: t != "")
+    ``strategy="arrow"`` (default) is MAP-ONLY — zero shuffles: token
+    hashes as one codegen array expression, then one Arrow-batched numpy
+    ``unpackbits`` + ``add.reduceat`` per batch.  ``strategy="agg"`` is the
+    explode + 64-conditional-sum groupBy (map-side partial, but still a
+    corpus-wide exchange plus 64 agg buffers per group); measured 4x
+    slower at sf0.1 (2.3 s vs 0.5 s)."""
+    if strategy not in ("arrow", "agg"):
+        raise ValueError(f"strategy must be arrow/agg, got {strategy!r}")
+    if strategy == "arrow":
+        if bits != 64:
+            raise ValueError("strategy='arrow' supports bits=64 only")
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        shifts = np.arange(64, dtype=np.uint64)
+
+        @pandas_udf(T.LongType())
+        def pack_udf(harrs):
+            n = len(harrs)
+            lens = np.fromiter((len(x) for x in harrs), dtype=np.int64, count=n)
+            packed = np.zeros(n, dtype=np.int64)
+            nz = np.flatnonzero(lens)
+            if len(nz):
+                flat = np.concatenate(
+                    [np.asarray(harrs.iat[i], dtype=np.int64) for i in nz])
+                # bit j of each hash, little-endian: x86 int64 bytes are
+                # little-endian, so unpackbits(bitorder='little') yields
+                # column j == (h >> j) & 1
+                u8 = flat.view(np.uint8).reshape(-1, 8)
+                bcols = np.unpackbits(u8, axis=1, bitorder="little")
+                starts = np.zeros(len(nz), dtype=np.int64)
+                np.cumsum(lens[nz[:-1]], out=starts[1:])
+                ones = np.add.reduceat(bcols.astype(np.int64), starts, axis=0)
+                # sign of Σ±1 = 2*ones - n_tokens > 0
+                sign = (2 * ones > lens[nz, None]).astype(np.uint64)
+                packed[nz] = (sign << shifts).sum(axis=1).view(np.int64)
+            return pd.Series(packed)
+
+        hs = F.transform(_tokens(text_col), lambda t: F.xxhash64(t))
+        base = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
+        return base.select(F.col(id_col), pack_udf(hs).alias("simhash"))
+
+    toks = _tokens(text_col)
     rows = df.select(F.col(id_col), F.explode(toks).alias("tok")) \
              .select(id_col, F.xxhash64("tok").alias("h"))
     aggs = [

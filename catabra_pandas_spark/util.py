@@ -171,3 +171,31 @@ def salted_join(
         SALT, F.explode(F.sequence(F.lit(0).cast("int"), F.lit(salt - 1).cast("int"))))
     out = l_.join(r_, on=keys + [SALT], how=how)
     return out.drop(SALT)
+
+
+def ensure_min_partitions(df: DataFrame, factor: float = 1.0) -> DataFrame:
+    """Round-robin repartition iff the plan has fewer partitions than
+    ``factor * defaultParallelism`` — the guard that lets map-only operators
+    (Arrow-batched signature/decode UDFs, regex feature extractors) use the
+    whole cluster when the source cannot split.
+
+    At production scale this is a NO-OP: a large table scan yields far more
+    file splits than cores, so the branch never fires and the operator stays
+    genuinely shuffle-free.  It exists for the opposite regime — a source
+    that physically cannot split (one parquet row group, a gzip'd text
+    file, a small dimension feeding an expensive UDF), where "map-only"
+    collapses to ONE task and 31 of 32 cores idle.  One cheap round-robin
+    exchange of the (already column-pruned) input is then strictly better.
+
+    Call it AFTER selecting down to the columns the operator needs, so the
+    exchange never carries dropped columns.
+    """
+    sc = df.sparkSession.sparkContext
+    target = max(1, int(sc.defaultParallelism * factor))
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - plan not convertible, stay lazy
+        return df
+    if n < target:
+        return df.repartition(target)
+    return df

@@ -81,6 +81,22 @@ def test_simhash_near_dups(spark, docs):
     assert (out.hamming <= 3).all()
 
 
+def test_signature_strategies_identical(spark, docs):
+    """arrow (map-only Arrow-batched numpy) and agg (explode + groupBy)
+    must produce bit-identical signatures — they are physical strategies
+    for one logical operator."""
+    from catabra_pandas_spark.pipeline.dedup import minhash_signatures, simhash
+
+    ma = {r.doc_id: r.signature
+          for r in minhash_signatures(docs, strategy="arrow").collect()}
+    mb = {r.doc_id: r.signature
+          for r in minhash_signatures(docs, strategy="agg").collect()}
+    assert ma == mb and len(ma) > 0
+    sa = {r.doc_id: r.simhash for r in simhash(docs, strategy="arrow").collect()}
+    sb = {r.doc_id: r.simhash for r in simhash(docs, strategy="agg").collect()}
+    assert sa == sb and len(sa) > 0
+
+
 def test_cosine_topk_exact(spark, emb):
     queries = emb.filter(F.col("vec_id") < 5)
     out = cosine_topk(queries, emb, k=5).toPandas()
