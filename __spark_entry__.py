@@ -1666,7 +1666,7 @@ _Q_SAMPLE_SPLIT_SQL = _split_sql()
 def q_cosine_topk(spark, sf):
     """Brute-force cosine top-5 neighbors for the first 10 vectors."""
     emb = read_table(spark, sf, "embeddings")
-    out = P.cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    out = P.cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, dim=64)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
@@ -1694,7 +1694,7 @@ def q_embedding_neardup_exact(spark, sf):
     cut: the synthetic embeddings top out near cosine 0.5, so 0.3 keeps
     the check non-vacuous with ~1k matching pairs.)"""
     emb = read_table(spark, sf, "embeddings").filter(F.col("vec_id") < 1000)
-    out = P.cosine_topk(emb, emb, k=1000, broadcast_queries=True)
+    out = P.cosine_topk(emb, emb, k=1000, broadcast_queries=True, dim=64)
     return (out.filter((F.col("cosine_sim") >= 0.3)
                        & (F.col("query_id") < F.col("neighbor_id")))
             .select(F.col("query_id").alias("id_a"),
@@ -1953,7 +1953,7 @@ def q_ivf_ann(spark, sf):
     replays cell assignment, probing, and top-k from the same codebook."""
     emb = read_table(spark, sf, "embeddings")
     out = P.ivf_cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=5,
-                            n_centroids=16, n_probe=4)
+                            n_centroids=16, n_probe=4, dim=64)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 

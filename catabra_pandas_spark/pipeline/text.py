@@ -4,13 +4,16 @@ language identification, fingerprinting.
 Everything here is a pure JVM-side column expression (regexp / split /
 array functions) — no UDFs — so it whole-stage-codegens and scales linearly
 over a 100 TB documents table with zero shuffles (narrow transformations
-only).  All definitions are deliberately SQL-expressible so DuckDB oracles
-can replay them exactly.
+only; each operator front-loads ``ensure_min_partitions``, a no-op at scale,
+so an unsplittable small source still uses every core).  All definitions are
+deliberately SQL-expressible so DuckDB oracles can replay them exactly.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+from ..util import ensure_min_partitions
 
 # languages x marker words for the n-gram/stopword language heuristic;
 # chosen to be frequent, short, and mutually exclusive
@@ -35,6 +38,7 @@ def token_count(df: DataFrame, text_col: str = "text",
                 out_col: str = "n_tokens") -> DataFrame:
     """Whitespace + punctuation-boundary token count (the BPE-ish regex
     tokenizer baseline for data-pipeline budgeting)."""
+    df = ensure_min_partitions(df)
     return df.withColumn(out_col, F.size(_tokens(F.col(text_col))).cast("long"))
 
 
@@ -49,6 +53,7 @@ def token_count_bpe(df: DataFrame, text_col: str = "text",
 
     Pure JVM column expressions (regexp_extract_all + array aggregate) —
     narrow, zero-shuffle, SQL-replayable."""
+    df = ensure_min_partitions(df)
     low = F.lower(F.col(text_col))
     words = F.regexp_extract_all(low, F.lit(r"[a-z]+"), 0)
     sub = F.aggregate(
@@ -65,6 +70,7 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     Adds: n_chars_q, n_tokens, avg_token_len, stopword_ratio, punct_ratio,
     digit_ratio, quality_score (all double; deterministic, SQL-replayable).
     """
+    df = ensure_min_partitions(df)
     text = F.col(text_col)
     # stage the token array once: _tokens ends in a filter() HOF
     # (CodegenFallback, exempt from subexpression elimination), so letting
@@ -103,6 +109,7 @@ def detect_language(df: DataFrame, text_col: str = "text",
     """Marker-word language heuristic: count hits of per-language stopword
     markers (word-boundary regex), pick the argmax, 'und' (undetermined) if
     no hits.  Deterministic tie-break by language code order en<de<fr<es."""
+    df = ensure_min_partitions(df)
     text = F.lower(F.col(text_col))
     scores = []
     for lang, words in LANG_MARKERS.items():
@@ -121,6 +128,7 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     """Key-collision fingerprint: md5 of the sorted distinct token set of the
     normalized text (the classic OpenRefine "fingerprint" method) — equal
     fingerprints <=> same bag of words, robust to reordering/punctuation."""
+    df = ensure_min_partitions(df)
     toks = _tokens(F.col(text_col))
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
     return df.withColumn(out_col, F.md5(canon))
@@ -155,6 +163,7 @@ def repetition_stats(
     groupBy-per-(doc, gram) formulation would codegen but costs two
     corpus-wide exchanges for the same numbers.
     """
+    df = ensure_min_partitions(df)
     text = F.col(text_col)
 
     def _dup_stats(arr):
@@ -270,6 +279,7 @@ def scrub_pii(
     which is why the default order runs specific patterns before the
     greedy phone pattern.
     """
+    df = ensure_min_partitions(df)
     out = F.col(text_col)
     counts = {}
     for kind in kinds:
