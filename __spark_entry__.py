@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 import catabra_pandas_spark as cps
 import catabra_pandas_spark.pipeline as P
+import catabra_pandas_spark.pipeline.sketches as SK
 import catabra_pandas_spark.streaming as STRM
 from catabra_pandas_spark.sources import read_table
 
@@ -2308,6 +2309,97 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_merge_overlap(spark, "/root/testdata/sf0.001")
 
 
+# --------------------------------------------------------------------------
+# sketch tier: certificates + bloom pruning (pipeline/sketches.py)
+# --------------------------------------------------------------------------
+
+def q_hll_distinct(spark, sf):
+    """HyperLogLog++ distinct-count certificate: exact per-language doc
+    count plus a bool that the HLL estimate (rsd=0.05) landed within 6
+    relative standard deviations — deterministic output, sketch quality
+    surfaced.  Scale story: the HLL exchange carries O(groups) fixed-size
+    sketches where exact countDistinct shuffles every distinct value."""
+    docs = read_table(spark, sf, "documents")
+    return SK.distinct_certificate(docs, "lang", "doc_id", rsd=0.05)
+
+
+_Q_HLL_DISTINCT_SQL = """
+    SELECT lang, count(DISTINCT doc_id) AS exact_nd, TRUE AS within_bound
+    FROM documents GROUP BY lang
+"""
+
+
+def q_heavy_hitters(spark, sf):
+    """EXACT frequent tokens (share >= 1%) via the sketch-pruned two-pass
+    plan: per-partition candidates (pigeonhole guarantee: no global heavy
+    hitter can hide), then an exact recount of the candidate set only —
+    the exchange never carries the long-tail vocabulary."""
+    docs = read_table(spark, sf, "documents")
+    toks = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok")) \
+               .filter(F.col("tok") != "")
+    return SK.heavy_hitters(toks, "tok", min_share=0.01)
+
+
+_Q_HEAVY_HITTERS_SQL = """
+    WITH toks AS (
+      SELECT t.tok FROM documents,
+             unnest(string_split(lower(text), ' ')) AS t(tok)
+      WHERE t.tok != ''
+    ),
+    total AS (SELECT count(*) AS n FROM toks)
+    SELECT tok, count(*) AS cnt
+    FROM toks, total
+    GROUP BY tok, total.n
+    HAVING count(*) >= ceil(0.01 * total.n)
+"""
+
+
+def q_quantile_sketch(spark, sf):
+    """Greenwald-Khanna quantile-sketch certificate: exact per-flag price
+    quartiles plus a bool that percentile_approx(accuracy=1000) respects
+    its rank-error contract (estimate within the exact q+-eps value
+    envelope).  The sketch is the 100 TB path (fixed size, combinable);
+    the exact side keeps the output deterministic."""
+    li = read_table(spark, sf, "lineitem")
+    out = SK.quantile_certificate(li, "l_returnflag", "l_extendedprice",
+                                  [0.25, 0.5, 0.75], accuracy=1000)
+    return out.select("l_returnflag",
+                      F.round("q_25", 6).alias("q_25"),
+                      F.round("q_50", 6).alias("q_50"),
+                      F.round("q_75", 6).alias("q_75"),
+                      "within_bound")
+
+
+_Q_QUANTILE_SKETCH_SQL = """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS q_25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS q_50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS q_75,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_bloom_prejoin(spark, sf):
+    """Bloom-filter join pruning: a 2^20-bit filter over the (selective)
+    order subset's keys is embedded as one array literal in the lineitem
+    scan predicate, so non-matching rows die IN THE SCAN before the join
+    exchange; the real semi-join then makes the result exact (Bloom has
+    no false negatives).  Output = plain semi-join, bit-for-bit."""
+    li = read_table(spark, sf, "lineitem")
+    orders = read_table(spark, sf, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    out = SK.bloom_prejoin(li.select("l_orderkey", "l_linenumber", "l_quantity"),
+                           orders, "l_orderkey", "o_orderkey")
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+_Q_BLOOM_PREJOIN_SQL = """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "merge_overlap": q_merge_overlap,
@@ -2381,6 +2473,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        # sketch tier: certificates + bloom pruning
+        "hll_distinct": q_hll_distinct,
+        "heavy_hitters": q_heavy_hitters,
+        "quantile_sketch": q_quantile_sketch,
+        "bloom_prejoin": q_bloom_prejoin,
     }
 
 
@@ -2460,4 +2557,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _Q_MULTIMODAL_DECODE_SQL,
         "multimodal_resize": _Q_MULTIMODAL_RESIZE_SQL,
         "multimodal_frames": _Q_MULTIMODAL_FRAMES_SQL,
+        # sketch tier: exact outputs with sketch-quality booleans, so the
+        # oracle replays the exact side and TRUE-literals the certificate
+        "hll_distinct": _Q_HLL_DISTINCT_SQL,
+        "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
+        "quantile_sketch": _Q_QUANTILE_SKETCH_SQL,
+        "bloom_prejoin": _Q_BLOOM_PREJOIN_SQL,
     }

@@ -30,6 +30,9 @@ from .text import (detect_language, fingerprint, repetition_stats,
 from .multimodal import (attach_binary_metadata, decode_binary,
                          resize_image, sample_frames)
 from .sampling import assign_splits, deterministic_sample, stratified_sample
+from .sketches import (approx_distinct, bloom_filter_words, bloom_prejoin,
+                       distinct_certificate, heavy_hitters,
+                       quantile_certificate, quantile_sketch)
 
 __all__ = [
     "exact_dedup", "shingles", "shingle_rows", "minhash_signatures", "minhash_near_dup_pairs",

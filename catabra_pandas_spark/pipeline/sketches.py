@@ -1,0 +1,307 @@
+"""Sketch-based summaries for 100 TB-scale pipelines: approximate distinct
+counts, frequent items (heavy hitters), quantile sketches, and Bloom-filter
+join pruning.
+
+Design rule shared by every operator here: the SKETCH bounds memory/
+communication, but whenever the final answer can be made EXACT with one
+cheap extra pass (recounting a small candidate set, verifying a bound), we
+take that pass — the result is then deterministic and oracle-checkable
+while the sketch still does the scale-critical work of shrinking the
+problem.
+
+* ``approx_distinct`` — per-group HyperLogLog++ (`approx_count_distinct`,
+  a map-side-combinable JVM aggregate; the sketch is O(1) per group where
+  exact `countDistinct` shuffles every distinct value).
+* ``heavy_hitters`` — two-pass frequent items: per-partition candidate
+  generation (exact partition counts or capacity-bounded Misra-Gries) with
+  the pigeonhole guarantee that no global heavy hitter is missed, then an
+  exact recount of the (small) candidate set.  Output is exact.
+* ``quantile_sketch`` — per-group `percentile_approx` (GK sketch) with the
+  rank-error contract surfaced.
+* ``bloom_prejoin`` — build a Bloom filter over the build side's keys with
+  plain DataFrame aggregation (hash positions -> `bit_or` of 64-bit
+  words), embed it as ONE array literal in the probe side's scan filter,
+  and only then run the real join: the probe table is pruned BEFORE the
+  join shuffle, which is the whole point at 100 TB (Spark's own runtime
+  bloom filters do this automatically only for favorable shapes; this
+  operator makes it explicit and tunable).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..util import as_list, ensure_min_partitions
+
+# Mersenne prime 2^31-1: keeps double-hashing arithmetic in int64 (see
+# pipeline/dedup.py) and is coprime with any bit count < 2^31
+_P = (1 << 31) - 1
+
+
+# --------------------------------------------------------------------------
+# distinct counting
+# --------------------------------------------------------------------------
+
+def approx_distinct(
+    df: DataFrame,
+    group_by: Union[str, Sequence[str], None],
+    col: str,
+    rsd: float = 0.05,
+    out_col: str = "approx_nd",
+) -> DataFrame:
+    """Per-group approximate distinct count (HyperLogLog++).
+
+    The sketch is a fixed-size register array per group, merged map-side —
+    the exchange carries O(groups) sketches, not O(distinct values) rows,
+    which is the difference between feasible and not at 100 TB
+    cardinalities.  ``rsd`` is the target relative standard deviation.
+    """
+    gb = as_list(group_by)
+    agg = F.approx_count_distinct(col, rsd=rsd).alias(out_col)
+    return df.groupBy(*gb).agg(agg) if gb else df.agg(agg)
+
+
+def distinct_certificate(
+    df: DataFrame,
+    group_by: Union[str, Sequence[str], None],
+    col: str,
+    rsd: float = 0.05,
+    tolerance_sds: float = 6.0,
+) -> DataFrame:
+    """Exact distinct count per group plus a bool certifying the HLL
+    estimate landed within ``tolerance_sds`` relative standard deviations.
+
+    The exact side makes the output deterministic (SQL-replayable); the
+    bool carries the sketch-quality signal.  Returns
+    (group_by..., exact_nd, within_bound)."""
+    gb = as_list(group_by)
+    aggs = [F.countDistinct(col).alias("exact_nd"),
+            F.approx_count_distinct(col, rsd=rsd).alias("__approx__")]
+    out = df.groupBy(*gb).agg(*aggs) if gb else df.agg(*aggs)
+    err = F.abs(F.col("__approx__") - F.col("exact_nd")).cast("double")
+    bound = F.greatest(F.col("exact_nd").cast("double") * tolerance_sds * rsd,
+                       F.lit(1.0))
+    return out.withColumn("within_bound", err <= bound).drop("__approx__")
+
+
+# --------------------------------------------------------------------------
+# frequent items
+# --------------------------------------------------------------------------
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_share: float = 0.001,
+    capacity: Optional[int] = None,
+) -> DataFrame:
+    """EXACT frequent items: every value of ``col`` whose global frequency
+    is >= ``min_share`` of the row count, as (value, cnt) — via a
+    sketch-pruned two-pass plan that never aggregates the full value
+    domain.
+
+    Pass 1 (candidates): per input partition, count values and emit those
+    with LOCAL share >= min_share.  Pigeonhole: if freq(x) >= s*N globally
+    then freq_p(x) >= s*N_p in at least one partition, so no true heavy
+    hitter is missed; false candidates are eliminated by pass 2.  With
+    ``capacity=None`` partition counts are exact (memory = per-partition
+    distinct values — fine for word-like domains); a ``capacity`` bounds
+    memory with Misra-Gries decrements (undercount <= n_p/capacity, so
+    candidates are kept at local share >= min_share - 1/capacity; requires
+    capacity > 1/min_share).
+
+    Pass 2 (exact): semi-join the rows against the broadcast candidate set
+    and count exactly; keep cnt >= ceil(min_share * N).  The aggregation
+    runs over candidate rows only — the exchange never carries the long
+    tail, which is what makes exact frequent-items affordable at scale.
+    """
+    if not (0.0 < min_share <= 1.0):
+        raise ValueError("min_share must be in (0, 1]")
+    if capacity is not None and capacity <= 1.0 / min_share:
+        raise ValueError("capacity must exceed 1/min_share for the "
+                         "no-false-negative guarantee")
+    import pandas as pd
+
+    vals = ensure_min_partitions(df.select(F.col(col).alias("val")))
+    out_schema = "val " + dict(vals.dtypes)["val"]
+
+    def candidates(batches):
+        counts: dict = {}
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            for v, c in pdf["val"].value_counts(dropna=True).items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if capacity is not None and len(counts) > capacity:
+                # Misra-Gries decrement: drop the smallest counters so at
+                # most `capacity` survive; every surviving count is an
+                # undercount by at most the cut value (sum of cuts <= n/cap)
+                cut = sorted(counts.values())[len(counts) - capacity]
+                counts = {v: c - cut for v, c in counts.items() if c > cut}
+        if n == 0:
+            return
+        thresh = (min_share - (1.0 / capacity if capacity else 0.0)) * n
+        keep = [v for v, c in counts.items() if c >= thresh]
+        yield pd.DataFrame({"val": keep})
+
+    cand = vals.mapInPandas(candidates, out_schema).distinct()
+    total = vals.agg(F.count(F.lit(1)).alias("__n__"))
+    counted = (vals.join(F.broadcast(cand), "val", "left_semi")
+               .groupBy("val").agg(F.count(F.lit(1)).alias("cnt")))
+    return (counted.crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") >= F.ceil(F.lit(min_share) * F.col("__n__")))
+            .select(F.col("val").alias(col), "cnt"))
+
+
+# --------------------------------------------------------------------------
+# quantiles
+# --------------------------------------------------------------------------
+
+def quantile_sketch(
+    df: DataFrame,
+    group_by: Union[str, Sequence[str], None],
+    col: str,
+    probs: Sequence[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group approximate quantiles (Greenwald-Khanna sketch via
+    ``percentile_approx``): rank error <= 1/accuracy, fixed sketch size per
+    group, map-side-combinable — where the exact ``percentile`` is a
+    TypedImperativeAggregate that buffers every value of the group.
+    Returns (group_by..., q_0..q_k arrays as `quantiles`)."""
+    gb = as_list(group_by)
+    agg = F.percentile_approx(
+        col, F.array(*[F.lit(float(p)) for p in probs]),
+        F.lit(int(accuracy))).alias("quantiles")
+    return df.groupBy(*gb).agg(agg) if gb else df.agg(agg)
+
+
+def quantile_certificate(
+    df: DataFrame,
+    group_by: Union[str, Sequence[str], None],
+    col: str,
+    probs: Sequence[float],
+    accuracy: int = 10000,
+    rank_slack: float = 0.005,
+) -> DataFrame:
+    """Exact per-group quantiles plus a bool certifying the GK sketch's
+    rank-error contract: each approximate quantile must lie within the
+    exact [q - eps, q + eps] value envelope, eps = 1/accuracy +
+    ``rank_slack``.  The slack absorbs the discretization gap between the
+    sketch (which returns an actual element of the group) and the exact
+    ``percentile`` (which interpolates between ranks): an element one rank
+    outside the tight envelope is within contract but below the
+    interpolated boundary.  Returns (group_by..., exact quantile columns
+    q_XX..., within_bound)."""
+    gb = as_list(group_by)
+    eps = 1.0 / accuracy + rank_slack
+    exact_cols = [
+        F.expr(f"percentile({col}, {float(p)})").alias(f"q_{int(p * 100):02d}")
+        for p in probs
+    ]
+    lo_cols = [F.expr(f"percentile({col}, {max(0.0, float(p) - eps)})")
+               .alias(f"__lo{i}__") for i, p in enumerate(probs)]
+    hi_cols = [F.expr(f"percentile({col}, {min(1.0, float(p) + eps)})")
+               .alias(f"__hi{i}__") for i, p in enumerate(probs)]
+    approx = F.percentile_approx(
+        col, F.array(*[F.lit(float(p)) for p in probs]),
+        F.lit(int(accuracy))).alias("__approx__")
+    aggs = exact_cols + lo_cols + hi_cols + [approx]
+    out = df.groupBy(*gb).agg(*aggs) if gb else df.agg(*aggs)
+    ok = F.lit(True)
+    for i in range(len(probs)):
+        a = F.element_at("__approx__", i + 1)
+        ok = ok & (a >= F.col(f"__lo{i}__")) & (a <= F.col(f"__hi{i}__"))
+    drops = [f"__lo{i}__" for i in range(len(probs))] + \
+            [f"__hi{i}__" for i in range(len(probs))] + ["__approx__"]
+    return out.withColumn("within_bound", ok).drop(*drops)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join pruning
+# --------------------------------------------------------------------------
+
+def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> list:
+    """Kirsch-Mitzenmacher double hashing: position_i = (h1 + i*h2) mod m.
+    h2 is forced odd so it is coprime with any power-of-two m."""
+    h1 = F.pmod(F.xxhash64(key), F.lit(_P))
+    h2 = F.pmod(F.xxhash64(F.lit(1), key), F.lit(_P)).bitwiseOR(F.lit(1))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits))
+            for i in range(num_hashes)]
+
+
+def bloom_filter_words(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter over ``df[key_col]`` as a DataFrame of 64-bit
+    words: (word_idx, word) with word = OR of the set bits.
+
+    Pure DataFrame aggregation — explode each key's ``num_hashes``
+    positions, one map-side-combinable ``bit_or`` groupBy on
+    ``num_bits/64`` word groups.  The exchange carries at most
+    one row per (partition, word), i.e. it is bounded by the filter size
+    times the partition count, never by the key count."""
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    pos = F.explode(F.array(*_bloom_positions(F.col(key_col), num_bits,
+                                              num_hashes))).alias("pos")
+    return (df.select(pos)
+            .select((F.col("pos") / 64).cast("long").alias("word_idx"),
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("long"),
+                        F.pmod(F.col("pos"), F.lit(64)).cast("int"))
+                    .alias("bit"))
+            .groupBy("word_idx").agg(F.bit_or("bit").alias("word")))
+
+
+def bloom_prejoin(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: Optional[str] = None,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    how: str = "left_semi",
+) -> DataFrame:
+    """Join ``probe`` to ``build`` on key equality with an explicit
+    Bloom-filter pre-prune of the probe side.
+
+    The filter words are collected (bounded: ``num_bits/64`` longs — a
+    function of the CHOSEN filter size, never of the data) and embedded as
+    one array literal in a codegen predicate on the probe scan:
+    ``element_at(words, pos div 64 + 1) & (1 << pos%64) != 0`` for each of
+    the ``num_hashes`` positions.  Probe rows failing any bit test are
+    dropped IN THE SCAN STAGE — before the join exchange — which is the
+    entire value at scale: a 1% match rate means 99% of the probe table
+    never enters the shuffle.  Bloom filters have no false negatives, so
+    the subsequent real join makes the result exact.
+
+    Size num_bits ~ 10-15 bits per expected distinct build key for ~1%
+    false positives; beyond ~2^27 bits the plan literal gets unwieldy —
+    at that point fall back to a plain join and let AQE handle it (or use
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled``, which covers the
+    automatic cases).
+    """
+    bk = build_key or probe_key
+    rows = bloom_filter_words(build, bk, num_bits, num_hashes).collect()
+    words = [0] * (num_bits // 64)
+    for r in rows:
+        words[int(r["word_idx"])] = int(r["word"])
+    arr = F.lit(words)
+
+    cond = F.lit(True)
+    for p in _bloom_positions(F.col(probe_key), num_bits, num_hashes):
+        word = F.element_at(arr, (p / 64).cast("long").cast("int") + F.lit(1))
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"),
+                              F.pmod(p, F.lit(64)).cast("int"))
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    pruned = probe.filter(cond)
+    if how == "left_semi":
+        return pruned.join(build.select(F.col(bk).alias(probe_key)).distinct(),
+                           probe_key, "left_semi")
+    return pruned.join(build, pruned[probe_key] == build[bk], how)

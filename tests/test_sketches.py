@@ -1,0 +1,109 @@
+"""Sketch tier: distinct-count certificates, exact heavy hitters via
+sketch-pruned two-pass, quantile-sketch certificates, Bloom join pruning.
+
+Every operator's contract is checked against a brute-force pandas
+computation on deterministic generated data (seeded), mirroring the
+reference's generator-vs-pandas strategy (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from catabra_pandas_spark.pipeline.sketches import (
+    approx_distinct, bloom_filter_words, bloom_prejoin, distinct_certificate,
+    heavy_hitters, quantile_certificate, quantile_sketch)
+from tests.conftest import to_sdf
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    rng = np.random.RandomState(7)
+    # zipf-ish: a few hot values, long tail
+    vals = np.concatenate([
+        np.repeat(["hot_a", "hot_b", "hot_c"], [3000, 2000, 1200]),
+        rng.randint(0, 20000, 20000).astype(str),
+    ])
+    rng.shuffle(vals)
+    pdf = pd.DataFrame({"g": [v[0] for v in vals], "val": vals})
+    return to_sdf(spark, pdf), pdf
+
+
+def test_distinct_certificate_exact_and_bounded(spark, skewed):
+    sdf, pdf = skewed
+    out = distinct_certificate(sdf, "g", "val").toPandas()
+    exact = pdf.groupby("g")["val"].nunique()
+    for r in out.itertuples():
+        assert r.exact_nd == exact[r.g]
+        assert r.within_bound
+
+
+def test_approx_distinct_close(spark, skewed):
+    sdf, pdf = skewed
+    out = approx_distinct(sdf, None, "val").toPandas()
+    exact = pdf["val"].nunique()
+    assert abs(int(out.approx_nd[0]) - exact) <= 0.3 * exact
+
+
+@pytest.mark.parametrize("capacity", [None, 500])
+def test_heavy_hitters_exact(spark, skewed, capacity):
+    sdf, pdf = skewed
+    s = 0.03
+    out = heavy_hitters(sdf.select("val"), "val", min_share=s,
+                        capacity=capacity).toPandas()
+    counts = pdf["val"].value_counts()
+    expected = counts[counts >= np.ceil(s * len(pdf))]
+    assert sorted(out.val) == sorted(expected.index)
+    got = dict(zip(out.val, out.cnt))
+    for v, c in expected.items():
+        assert got[v] == c
+
+
+def test_heavy_hitters_capacity_validation(spark, skewed):
+    sdf, _ = skewed
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(sdf, "val", min_share=0.01, capacity=50)
+
+
+def test_quantile_certificate(spark):
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({"g": rng.randint(0, 3, 5000),
+                        "x": rng.lognormal(0, 1, 5000)})
+    sdf = to_sdf(spark, pdf)
+    probs = [0.1, 0.5, 0.9]
+    out = quantile_certificate(sdf, "g", "x", probs, accuracy=1000).toPandas()
+    for r in out.itertuples():
+        grp = pdf[pdf.g == r.g]["x"]
+        assert r.within_bound
+        np.testing.assert_allclose(r.q_10, grp.quantile(0.1), rtol=1e-9)
+        np.testing.assert_allclose(r.q_50, grp.quantile(0.5), rtol=1e-9)
+        np.testing.assert_allclose(r.q_90, grp.quantile(0.9), rtol=1e-9)
+    qs = quantile_sketch(sdf, "g", "x", probs).toPandas()
+    assert all(len(a) == 3 for a in qs.quantiles)
+
+
+def test_bloom_prejoin_exact_and_pruning(spark):
+    rng = np.random.RandomState(23)
+    probe = pd.DataFrame({"k": rng.randint(0, 100000, 50000), "x": 1.0})
+    build = pd.DataFrame({"bk": np.arange(0, 100000, 137)})
+    sp, sb = to_sdf(spark, probe), to_sdf(spark, build)
+    out = bloom_prejoin(sp, sb, "k", "bk").toPandas()
+    expected = probe[probe.k.isin(set(build.bk))]
+    assert len(out) == len(expected)
+    assert sorted(out.k) == sorted(expected.k)
+    # the filter itself must prune hard: number of SET bits bounds the
+    # false-positive rate; with 2^20 bits for 730 keys it is ~0
+    words = bloom_filter_words(sb, "bk").toPandas()
+    set_bits = sum(bin(int(w) & (2**64 - 1)).count("1") for w in words.word)
+    assert set_bits <= 5 * len(build)
+
+
+def test_bloom_prejoin_inner(spark):
+    probe = pd.DataFrame({"k": [1, 2, 3, 4, 5, 6], "x": list("abcdef")})
+    build = pd.DataFrame({"bk": [2, 4, 99], "y": [20, 40, 990]})
+    out = bloom_prejoin(to_sdf(spark, probe), to_sdf(spark, build),
+                        "k", "bk", how="inner").toPandas()
+    assert sorted(zip(out.k, out.y)) == [(2, 20), (4, 40)]
