@@ -2400,6 +2400,103 @@ _Q_BLOOM_PREJOIN_SQL = """
 """
 
 
+# --------------------------------------------------------------------------
+# packing tier (pipeline/packing.py; reference partition_series analogue)
+# --------------------------------------------------------------------------
+
+def q_pack_sequences(spark, sf):
+    """Concat-and-split sequence packing (LLM trainer default): documents
+    laid end-to-end per language in doc_id order, tape cut every 256
+    tokens.  Pure window cumulative sum — one shuffle on (lang, doc_id)."""
+    docs = read_table(spark, sf, "documents")
+    tc = P.token_count(docs).select("doc_id", "lang", "n_tokens")
+    out = P.pack_sequences(tc, "n_tokens", 256, "doc_id", group_by="lang")
+    return out.select("doc_id", "lang", "n_tokens", "bin_id", "bin_offset")
+
+
+_Q_PACK_SEQUENCES_SQL = f"""
+    WITH tc AS (SELECT doc_id, lang, len({_TOKS})::BIGINT AS n_tokens
+                FROM documents),
+    st AS (
+      SELECT doc_id, lang, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM tc)
+    SELECT doc_id, lang, n_tokens,
+           (s // 256)::BIGINT AS bin_id, (s % 256)::BIGINT AS bin_offset
+    FROM st
+"""
+
+
+def q_pack_bins(spark, sf):
+    """Whole-item greedy bin packing (reference partition_series
+    misc.py:644-696, shuffle=False), next-fit mode so the DuckDB oracle
+    can replay the sequential sweep as a linear recursive CTE; groups
+    (languages) pack independently in parallel via applyInPandas."""
+    docs = read_table(spark, sf, "documents")
+    tc = P.token_count(docs).select("doc_id", "lang", "n_tokens")
+    out = P.pack_bins(tc, "n_tokens", 256, "doc_id", group_by="lang",
+                      mode="next_fit")
+    return out.select("doc_id", "lang", "n_tokens", "bin_id")
+
+
+_Q_PACK_BINS_SQL = f"""
+    WITH RECURSIVE tc AS (
+      SELECT doc_id, lang, len({_TOKS})::BIGINT AS n FROM documents),
+    ord AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                      AS rn FROM tc),
+    rec AS (
+      SELECT lang, rn, doc_id, n, 0::BIGINT AS bin_id, n::BIGINT AS load
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.lang, o.rn, o.doc_id, o.n,
+             CASE WHEN o.n < 256 AND r.load + o.n <= 256
+                  THEN r.bin_id ELSE r.bin_id + 1 END,
+             CASE WHEN o.n < 256 AND r.load + o.n <= 256
+                  THEN r.load + o.n ELSE o.n END
+      FROM rec r JOIN ord o ON o.lang = r.lang AND o.rn = r.rn + 1
+    )
+    SELECT doc_id, lang, n AS n_tokens, bin_id FROM rec
+"""
+
+
+def q_chunk_documents(spark, sf):
+    """Token-window document chunking (64-token chunks, 16 overlap) —
+    map-only slice-explode, zero shuffles; the RAG/embedding-pipeline
+    pre-tokenizer."""
+    docs = read_table(spark, sf, "documents")
+    out = P.chunk_documents(docs, max_tokens=64, overlap=16)
+    return out.select("doc_id", "chunk_idx", "n_chunk_tokens",
+                      F.md5("chunk_text").alias("chunk_md5"))
+
+
+_Q_CHUNK_DOCUMENTS_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x != '') AS t
+      FROM documents),
+    nch AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) <= 0 THEN 0
+                  ELSE 1 + ceil(greatest(len(t) - 64, 0) / 48.0)::INT END
+               AS n_chunks
+      FROM toks),
+    idx AS (
+      SELECT doc_id, t, i.i AS chunk_idx
+      FROM nch, unnest(CASE WHEN n_chunks > 0
+                            THEN range(0, n_chunks) ELSE [] END) AS i(i)),
+    ch AS (
+      SELECT doc_id, chunk_idx,
+             t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS chunk
+      FROM idx)
+    SELECT doc_id, chunk_idx, len(chunk)::BIGINT AS n_chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM ch
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "merge_overlap": q_merge_overlap,
@@ -2478,6 +2575,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "quantile_sketch": q_quantile_sketch,
         "bloom_prejoin": q_bloom_prejoin,
+        # packing tier (partition_series analogue + LLM packing/chunking)
+        "pack_sequences": q_pack_sequences,
+        "pack_bins": q_pack_bins,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -2563,4 +2664,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
         "quantile_sketch": _Q_QUANTILE_SKETCH_SQL,
         "bloom_prejoin": _Q_BLOOM_PREJOIN_SQL,
+        "pack_sequences": _Q_PACK_SEQUENCES_SQL,
+        "pack_bins": _Q_PACK_BINS_SQL,
+        "chunk_documents": _Q_CHUNK_DOCUMENTS_SQL,
     }

@@ -9,8 +9,12 @@ the physical strategy. See SURVEY.md for the blueprint.
 
 Public API mirrors ``catabra_pandas/__init__.py:20-37`` of the reference,
 minus the pandas-positional helpers (``get_loc``, ``iloc_loc``,
-``iloc_loc_assign``, ``partition_series``) which have no meaning on immutable
-distributed DataFrames (documented N/A-by-design in SURVEY.md §2.1 #13-15).
+``iloc_loc_assign``) which have no meaning on immutable distributed
+DataFrames (documented N/A-by-design in SURVEY.md §2.1 #14-15).
+``partition_series`` (#13) survives as ``pipeline.packing.pack_bins``
+(first_fit mode = the reference algorithm with ``shuffle=False``, packed
+per group in parallel) plus the LLM-training shapes built on it
+(``pack_sequences``, ``chunk_documents``).
 
 Beyond reference parity, ``catabra_pandas_spark.pipeline`` adds the
 large-scale training-data operators (dedup, similarity search, text analysis,
