@@ -2497,6 +2497,42 @@ _Q_CHUNK_DOCUMENTS_SQL = r"""
 """
 
 
+# --------------------------------------------------------------------------
+# layout tier (sources/layout.py)
+# --------------------------------------------------------------------------
+
+def q_zorder(spark, sf):
+    """Morton (Z-order) codes over (l_partkey, l_suppkey) — the clustering
+    key behind multi-column min-max pruning (sources/layout.py,
+    zorder_layout): integer rescale to a 16-bit grid from one min/max
+    aggregate, then pure codegen bit interleaving.  Deterministic, so the
+    DuckDB twin replays scale + interleave bit-for-bit."""
+    from catabra_pandas_spark.sources.layout import zorder_scale, zorder_value
+    li = read_table(spark, sf, "lineitem")
+    row = li.agg(F.min("l_partkey"), F.max("l_partkey"),
+                 F.min("l_suppkey"), F.max("l_suppkey")).collect()[0]
+    sp = zorder_scale(F.col("l_partkey"), row[0], row[1], bits=16)
+    ss = zorder_scale(F.col("l_suppkey"), row[2], row[3], bits=16)
+    return li.select("l_orderkey", "l_linenumber",
+                     zorder_value([sp, ss], bits=16).alias("zval"))
+
+
+_Q_ZORDER_SQL = """
+    WITH b AS (SELECT min(l_partkey) pmin, max(l_partkey) pmax,
+                      min(l_suppkey) smin, max(l_suppkey) smax
+               FROM lineitem),
+    sc AS (SELECT l_orderkey, l_linenumber,
+                  CAST(floor((l_partkey - pmin) * 65536.0 / (pmax - pmin + 1))
+                       AS BIGINT) AS sp,
+                  CAST(floor((l_suppkey - smin) * 65536.0 / (smax - smin + 1))
+                       AS BIGINT) AS ss
+           FROM lineitem, b)
+    SELECT l_orderkey, l_linenumber,
+           ((((sp >> 0) & 1) << 0) | (((ss >> 0) & 1) << 1) | (((sp >> 1) & 1) << 2) | (((ss >> 1) & 1) << 3) | (((sp >> 2) & 1) << 4) | (((ss >> 2) & 1) << 5) | (((sp >> 3) & 1) << 6) | (((ss >> 3) & 1) << 7) | (((sp >> 4) & 1) << 8) | (((ss >> 4) & 1) << 9) | (((sp >> 5) & 1) << 10) | (((ss >> 5) & 1) << 11) | (((sp >> 6) & 1) << 12) | (((ss >> 6) & 1) << 13) | (((sp >> 7) & 1) << 14) | (((ss >> 7) & 1) << 15) | (((sp >> 8) & 1) << 16) | (((ss >> 8) & 1) << 17) | (((sp >> 9) & 1) << 18) | (((ss >> 9) & 1) << 19) | (((sp >> 10) & 1) << 20) | (((ss >> 10) & 1) << 21) | (((sp >> 11) & 1) << 22) | (((ss >> 11) & 1) << 23) | (((sp >> 12) & 1) << 24) | (((ss >> 12) & 1) << 25) | (((sp >> 13) & 1) << 26) | (((ss >> 13) & 1) << 27) | (((sp >> 14) & 1) << 28) | (((ss >> 14) & 1) << 29) | (((sp >> 15) & 1) << 30) | (((ss >> 15) & 1) << 31))::BIGINT AS zval
+    FROM sc
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "merge_overlap": q_merge_overlap,
@@ -2579,6 +2615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pack_bins": q_pack_bins,
         "chunk_documents": q_chunk_documents,
+        # layout tier
+        "zorder": q_zorder,
     }
 
 
@@ -2667,4 +2705,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _Q_PACK_SEQUENCES_SQL,
         "pack_bins": _Q_PACK_BINS_SQL,
         "chunk_documents": _Q_CHUNK_DOCUMENTS_SQL,
+        "zorder": _Q_ZORDER_SQL,
     }
