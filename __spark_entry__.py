@@ -2533,6 +2533,32 @@ _Q_ZORDER_SQL = """
 """
 
 
+def q_mix_corpora(spark, sf):
+    """Training-data mixture composition: per-language corpora drawn at
+    target weights (en .5 / de .2 / fr .15 / es .1 / zh .05 of 200 docs)
+    by the deterministic md5-order rule — one window over the tagged
+    union, a single shuffle on the source tag regardless of corpus
+    count."""
+    docs = read_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    corpora = {lang: docs.filter(F.col("lang") == lang)
+               for lang in ("en", "de", "fr", "es", "zh")}
+    weights = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+    out = P.mix_corpora(corpora, weights, n_total=200, on="doc_id", seed=7)
+    return out.select("doc_id", "source")
+
+
+_Q_MIX_CORPORA_SQL = """
+    SELECT doc_id, lang AS source FROM (
+      SELECT doc_id, lang, row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5(concat_ws('|', '7', doc_id::VARCHAR, lang))) AS rn
+      FROM documents)
+    WHERE rn <= CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 40
+                          WHEN 'fr' THEN 30 WHEN 'es' THEN 20
+                          WHEN 'zh' THEN 10 END
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "merge_overlap": q_merge_overlap,
@@ -2588,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_dedup": q_cross_dedup,
         "sample_stratified": q_sample_stratified,
         "sample_split": q_sample_split,
+        "mix_corpora": q_mix_corpora,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "sessionize": q_sessionize,
@@ -2675,6 +2702,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_dedup": _Q_CROSS_DEDUP_SQL,
         "sample_stratified": _Q_SAMPLE_STRATIFIED_SQL,
         "sample_split": _Q_SAMPLE_SPLIT_SQL,
+        "mix_corpora": _Q_MIX_CORPORA_SQL,
         "cosine_topk": _Q_COSINE_TOPK_SQL,
         "embedding_neardup_exact": _Q_EMB_NEARDUP_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,

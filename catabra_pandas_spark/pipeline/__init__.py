@@ -29,7 +29,8 @@ from .text import (detect_language, fingerprint, repetition_stats,
                    scrub_pii, text_quality, token_count, token_count_bpe)
 from .multimodal import (attach_binary_metadata, decode_binary,
                          resize_image, sample_frames)
-from .sampling import assign_splits, deterministic_sample, stratified_sample
+from .sampling import (assign_splits, deterministic_sample, mix_corpora,
+                       stratified_sample)
 from .packing import chunk_documents, pack_bins, pack_sequences
 from .sketches import (approx_distinct, bloom_filter_words, bloom_prejoin,
                        distinct_certificate, heavy_hitters,

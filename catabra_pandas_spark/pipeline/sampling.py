@@ -119,3 +119,52 @@ def assign_splits(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def mix_corpora(
+    corpora: Mapping[str, DataFrame],
+    weights: Mapping[str, float],
+    n_total: int,
+    on: Union[str, Sequence[str], None] = None,
+    seed: int = 42,
+    source_col: str = "source",
+) -> DataFrame:
+    """Compose a training mixture: draw ``round(weight_c * n_total)`` rows
+    from each corpus (less if the corpus is smaller), tagged with
+    ``source_col`` — the data-mixture step of every LLM pre-training run,
+    made deterministic and engine-replayable.
+
+    The draw per corpus is the ``stratified_sample`` rule: md5(seed | key)
+    order, keep the first n_c — a uniform sample without replacement that
+    is a pure function of (data, seed), so the identical mixture can be
+    recomputed by any engine and is stable under corpus re-partitioning.
+
+    Plan shape: the corpora are unioned with their source tag FIRST, so the
+    per-corpus top-n runs as ONE window over the union, partitioned by the
+    tag — a single hash-shuffle on ``source_col`` regardless of corpus
+    count (n separate limit jobs would scan n times and give n exchanges).
+    Schemas must be union-compatible (missing columns are forbidden —
+    align them upstream).
+    """
+    if n_total < 1:
+        raise ValueError("n_total must be >= 1")
+    if set(corpora) != set(weights):
+        raise ValueError("corpora and weights must have identical keys")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    tagged = None
+    quotas = {}
+    for name, df in corpora.items():
+        quotas[name] = int(round(weights[name] / total * n_total))
+        t = df.withColumn(source_col, F.lit(name))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    d = _key_digest(tagged, as_list(on) + [source_col] if on else None, seed)
+    w = Window.partitionBy(source_col).orderBy(d.asc())
+    quota = None
+    for name, q in quotas.items():
+        lit = F.lit(q)
+        quota = F.when(F.col(source_col) == name, lit) if quota is None \
+            else quota.when(F.col(source_col) == name, lit)
+    return (tagged.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= quota).drop("__rn__"))

@@ -186,6 +186,29 @@ def test_text_ops(spark, docs):
             == fp2.sort_values("doc_id").fingerprint.values).all()
 
 
+def test_mix_corpora(spark, docs):
+    from catabra_pandas_spark.pipeline.sampling import mix_corpora
+
+    corpora = {lang: docs.filter(F.col("lang") == lang)
+               for lang in ("en", "de", "fr")}
+    weights = {"en": 0.6, "de": 0.3, "fr": 0.1}
+    out = mix_corpora(corpora, weights, n_total=100, on="doc_id",
+                      seed=3).toPandas()
+    counts = out.source.value_counts()
+    assert counts["en"] == 60 and counts["de"] == 30 and counts["fr"] == 10
+    # deterministic: a re-run draws the identical ids
+    out2 = mix_corpora(corpora, weights, n_total=100, on="doc_id",
+                       seed=3).toPandas()
+    assert sorted(zip(out.source, out.doc_id)) == sorted(zip(out2.source, out2.doc_id))
+    # different seed -> different draw (overwhelmingly)
+    out3 = mix_corpora(corpora, weights, n_total=100, on="doc_id",
+                       seed=4).toPandas()
+    assert sorted(out.doc_id) != sorted(out3.doc_id)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mix_corpora(corpora, {"en": 1.0}, 10)
+
+
 def test_multimodal_plumbing(spark, docs):
     d = docs.withColumn("payload", F.encode(F.col("text"), "utf-8"))
     d = attach_binary_metadata(d, "payload", modality="image", mime="image/png")
