@@ -55,6 +55,15 @@ HEADLINE = [
     "cosine_topk",
     "lsh_ann",
     "ivf_ann",
+    # sketch / packing / layout tiers
+    "hll_distinct",
+    "heavy_hitters",
+    "quantile_sketch",
+    "bloom_prejoin",
+    "pack_sequences",
+    "chunk_documents",
+    "mix_corpora",
+    "zorder",
 ]
 
 

@@ -199,13 +199,36 @@ def minhash_signatures(
                     out[i] = mins[j]
             return pd.Series(out)
 
+        # Two Spark 4.1 landmines shape this plan:
+        # 1. empty docs are dropped on the RAW TEXT (tokens are empty iff
+        #    the cleaned text is empty) — a predicate referencing the UDF
+        #    input/output gets inlined around the PythonUDF by pushdown/
+        #    collapse, and interpreted Filter/Projection nodes cannot
+        #    evaluate one (INTERNAL_ERROR "Cannot evaluate expression");
+        # 2. the UDF input avoids the nested-lambda binding trick
+        #    (element_at(transform(array(toks), ...), 1)): feeding that
+        #    expression to a Python UDF after any mid-session conf.set
+        #    hits the same INTERNAL_ERROR.  Instead the token array is
+        #    staged as a real COLUMN — referenced multiple times in the
+        #    shingle lambda, so CollapseProject cannot re-inline the
+        #    tokenizer (the plan keeps exactly one regexp_replace) — and
+        #    the shingle/hash transforms are single-level lambdas over it.
+        cleaned = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                          r"[^a-z0-9 ]", " "))
+        base = ensure_min_partitions(
+            df.select(F.col(id_col), F.col(text_col)).filter(cleaned != ""))
+        base = base.withColumn("__toks__", _tokens(text_col))
+        toks = F.col("__toks__")
+        n = F.size(toks)
+        sh = F.when(n > F.lit(0), F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )).otherwise(F.array().cast("array<string>"))
         # pmod, not abs(...)%: abs(Long.MIN_VALUE) stays negative (and
         # errors under ANSI)
-        hs = F.transform(_shingle_array(text_col, k),
+        hs = F.transform(F.array_distinct(sh),
                          lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-        base = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
-        return (base.select(F.col(id_col), sig_udf(hs).alias("signature"))
-                .filter(F.col("signature").isNotNull()))
+        return base.select(F.col(id_col), sig_udf(hs).alias("signature"))
 
     rows = shingle_rows(df, text_col, id_col, k)
     h = F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE)).alias("h")

@@ -67,22 +67,24 @@ def test_zorder_layout_prunes_row_groups(spark, tmp_path):
                 total += 1
                 if st.min <= hi and st.max >= lo:
                     hit += 1
-        assert total >= 8, "need enough row groups for the test to mean anything"
+        assert total >= 12, "need enough row groups for the test to mean anything"
         return hit / total
 
     plain = f"{tmp_path}/plain"
     zed = f"{tmp_path}/zed"
-    (sdf.repartitionByRange(8, "a").sortWithinPartitions("a")
+    (sdf.repartitionByRange(16, "a").sortWithinPartitions("a")
         .write.mode("overwrite").parquet(plain))
-    zorder_layout(sdf, ["a", "b"], bits=14, num_partitions=8) \
+    zorder_layout(sdf, ["a", "b"], bits=14, num_partitions=16) \
         .write.mode("overwrite").parquet(zed)
 
     lo, hi = 1000, 1800  # ~5% box on each dimension
     # natural layout prunes a (sorted) but scans everything for b
     assert overlap_fraction(plain, "b", lo, hi) == 1.0
-    # z-order prunes BOTH dimensions substantially
-    assert overlap_fraction(zed, "a", lo, hi) <= 0.5
-    assert overlap_fraction(zed, "b", lo, hi) <= 0.5
+    # z-order prunes BOTH dimensions substantially (range-partition
+    # boundaries come from sampling, so assert a robust margin, not the
+    # ideal ~2/16)
+    assert overlap_fraction(zed, "a", lo, hi) <= 0.6
+    assert overlap_fraction(zed, "b", lo, hi) <= 0.6
 
 
 def test_zorder_validation(spark):
