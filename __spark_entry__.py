@@ -1333,6 +1333,29 @@ _Q_ROLLUP_SQL = f"""
 """
 
 
+def q_cube(spark, sf):
+    """Multi-dimensional CUBE aggregation over lineitem flags (native
+    Spark cube — all 4 grouping sets in one pass with partial
+    aggregation; complements q_rollup's hierarchy)."""
+    li = read_table(spark, sf, "lineitem")
+    out = (li.cube("l_returnflag", "l_linestatus")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty")))
+    return out.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("l_returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("l_linestatus"),
+        "n", "sum_qty")
+
+
+_Q_CUBE_SQL = """
+    SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+           coalesce(l_linestatus, '<all>') AS l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_scrub_pii(spark, sf):
     """PII scrub (pipeline.scrub_pii): deterministic synthetic PII spans
     are appended to each document (the corpus itself is synthetic and
@@ -2604,6 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "topk": q_topk,
         "rollup": q_rollup,
+        "cube": q_cube,
         "scrub_pii": q_scrub_pii,
         "decontam": q_decontam,
         "repetition": q_repetition,
@@ -2692,6 +2716,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _Q_TEXT_STATS_SQL,
         "topk": _Q_TOPK_SQL,
         "rollup": _Q_ROLLUP_SQL,
+        "cube": _Q_CUBE_SQL,
         "scrub_pii": _Q_SCRUB_PII_SQL,
         "decontam": _Q_DECONTAM_SQL,
         "repetition": _Q_REPETITION_SQL,
