@@ -504,3 +504,38 @@ def test_kmeans_codebook_feeds_ivf(spark, emb):
                                     centroids=book).collect()}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.8
+
+
+def test_arrow_minhash_survives_midsession_conf_set():
+    """Regression (Spark 4.1 landmine): a pandas UDF whose input contains
+    the nested-lambda shingle-binding expression crashes with
+    INTERNAL_ERROR "Cannot evaluate expression" when any spark.conf.set
+    happens after the session's first action.  The arrow minhash path must
+    stay collectible under that hostile ordering (pipeline/dedup.py
+    stages the token array as a real column to avoid the shape).  Run in
+    a subprocess: the trigger needs a session whose FIRST action precedes
+    the conf mutation, which the shared test session cannot guarantee."""
+    import subprocess
+    import sys
+
+    code = """
+import sys; sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from catabra_pandas_spark.pipeline.dedup import minhash_signatures
+spark = (SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+spark.range(100).count()                                   # first action
+spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # mutation
+docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+rows = minhash_signatures(docs, strategy="arrow").collect()
+assert len(rows) == 500, len(rows)
+print("SUBPROC_OK")
+"""
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=240)
+    assert "SUBPROC_OK" in res.stdout, res.stderr[-2000:]
