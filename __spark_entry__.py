@@ -1291,6 +1291,69 @@ _Q_TEXT_STATS_SQL = f"""
 """
 
 
+def q_quality_gate(spark, sf):
+    """Corpus quality gate (pipeline.apply_filters): per-rule violation
+    bitmask + reason list over text_quality / detect_language features —
+    the C4/Gopher-style filter pass with auditable yield-loss
+    attribution, all narrow column expressions."""
+    docs = read_table(spark, sf, "documents")
+    feats = P.detect_language(P.text_quality(docs))
+    rules = {
+        "too_short": F.col("n_tokens") < 10,
+        "low_stopword": F.col("stopword_ratio") < 0.05,
+        "too_many_digits": F.col("digit_ratio") > 0.2,
+        "lang_undetermined": F.col("lang_pred") == "und",
+    }
+    out = P.apply_filters(feats, rules)
+    return out.select(
+        "doc_id", "filter_flags",
+        F.concat_ws(",", "filter_reasons").alias("reasons"), "kept")
+
+
+def _quality_gate_sql():
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             length(text)::DOUBLE AS n_chars,
+             len({_TOKS})::DOUBLE AS n_tokens,
+             len(list_filter({_TOKS}, x -> list_contains({_EN_STOP_SQL}, x)))::DOUBLE AS n_stop,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS n_digit
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             n_tokens,
+             CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stop_ratio,
+             CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END AS digit_ratio,
+             {_lang_cnt_sql(["the","and","of","to","is","that"])} AS c_en,
+             {_lang_cnt_sql(["der","die","und","ist","nicht","das"])} AS c_de,
+             {_lang_cnt_sql(["le","la","et","les","des","une"])} AS c_fr,
+             {_lang_cnt_sql(["el","los","las","es","una","que"])} AS c_es
+      FROM t
+    ), feats2 AS (
+      SELECT *, CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+                     WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                     WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                     WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                     ELSE 'es' END AS lang_pred
+      FROM feats
+    ), flags AS (
+      SELECT doc_id,
+             (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END
+              + CASE WHEN stop_ratio < 0.05 THEN 2 ELSE 0 END
+              + CASE WHEN digit_ratio > 0.2 THEN 4 ELSE 0 END
+              + CASE WHEN lang_pred = 'und' THEN 8 ELSE 0 END)::BIGINT AS filter_flags,
+             coalesce(array_to_string(list_filter([
+               CASE WHEN n_tokens < 10 THEN 'too_short' END,
+               CASE WHEN stop_ratio < 0.05 THEN 'low_stopword' END,
+               CASE WHEN digit_ratio > 0.2 THEN 'too_many_digits' END,
+               CASE WHEN lang_pred = 'und' THEN 'lang_undetermined' END
+             ], x -> x IS NOT NULL), ','), '') AS reasons
+      FROM feats2
+    )
+    SELECT doc_id, filter_flags, reasons, filter_flags = 0 AS kept FROM flags
+"""
+
+
 def q_topk(spark, sf):
     """grouped_topk: top-3 events per user by value (desc), deterministic
     tie-break on event id, with the Arrow map-side prefilter engaged."""
@@ -2625,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "text_stats": q_text_stats,
+        "quality_gate": q_quality_gate,
         "topk": q_topk,
         "rollup": q_rollup,
         "cube": q_cube,
@@ -2714,6 +2778,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
         "fingerprint": _Q_FINGERPRINT_SQL,
         "text_stats": _Q_TEXT_STATS_SQL,
+        "quality_gate": _quality_gate_sql(),
         "topk": _Q_TOPK_SQL,
         "rollup": _Q_ROLLUP_SQL,
         "cube": _Q_CUBE_SQL,

@@ -25,7 +25,7 @@ from .dedup import (
 )
 from .similarity import (cosine_topk, embedding_near_dup_pairs,
                          ivf_cosine_topk, kmeans_codebook, lsh_cosine_topk)
-from .text import (detect_language, fingerprint, repetition_stats,
+from .text import (apply_filters, detect_language, fingerprint, repetition_stats,
                    scrub_pii, text_quality, token_count, token_count_bpe)
 from .multimodal import (attach_binary_metadata, decode_binary,
                          resize_image, sample_frames)

@@ -186,6 +186,25 @@ def test_text_ops(spark, docs):
             == fp2.sort_values("doc_id").fingerprint.values).all()
 
 
+def test_apply_filters(spark, docs):
+    from catabra_pandas_spark.pipeline.text import apply_filters, text_quality
+
+    feats = text_quality(docs)
+    rules = {"short": F.col("n_tokens") < 20,
+             "digity": F.col("digit_ratio") > 0.1}
+    out = apply_filters(feats, rules).toPandas()
+    for r in out.itertuples():
+        exp_flags = (1 if r.n_tokens < 20 else 0) | (2 if r.digit_ratio > 0.1 else 0)
+        assert r.filter_flags == exp_flags
+        assert r.kept == (exp_flags == 0)
+        exp_reasons = [n for n, b in
+                       [("short", r.n_tokens < 20), ("digity", r.digit_ratio > 0.1)] if b]
+        assert list(r.filter_reasons) == exp_reasons
+    dropped = apply_filters(feats, rules, mode="drop")
+    assert dropped.count() == int((out.filter_flags == 0).sum())
+    assert "filter_flags" not in dropped.columns
+
+
 def test_mix_corpora(spark, docs):
     from catabra_pandas_spark.pipeline.sampling import mix_corpora
 
