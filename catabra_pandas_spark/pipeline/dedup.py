@@ -558,20 +558,27 @@ def connected_components(
                .groupBy(F.col("u").alias("id"))
                .agg(F.min("nl").alias("nbr_min")))
         new = (labels.join(nbr, "id", "left")
-               .select("id", F.least("cluster_id",
-                                     F.coalesce("nbr_min", "cluster_id"))
+               .select("id", F.col("cluster_id").alias("__old__"),
+                       F.least("cluster_id",
+                               F.coalesce("nbr_min", "cluster_id"))
                        .alias("cluster_id")))
-        # pointer jump: cluster_id is itself a node id, so chase one hop
+        # pointer jump: cluster_id is itself a node id, so chase one hop.
+        # The changed flag rides along (old label is already on the row),
+        # so convergence costs one tiny scan of the checkpointed result
+        # instead of an extra labels join per round.
         lookup = new.select(F.col("id").alias("cluster_id"),
                             F.col("cluster_id").alias("jump"))
         new = (new.join(lookup, "cluster_id", "left")
-               .select("id", F.least("cluster_id",
-                                     F.coalesce("jump", "cluster_id"))
-                       .alias("cluster_id"))
+               .select("id",
+                       F.least("cluster_id", F.coalesce("jump", "cluster_id"))
+                       .alias("cluster_id"),
+                       F.col("__old__"))
+               .withColumn("__changed__",
+                           F.col("cluster_id") != F.col("__old__"))
+               .drop("__old__")
                .localCheckpoint(eager=True))
-        changed = (new.join(labels.withColumnRenamed("cluster_id", "old"), "id")
-                   .filter(F.col("cluster_id") != F.col("old")).count())
-        labels, prev = new, labels
+        changed = new.filter(F.col("__changed__")).limit(1).count()
+        labels, prev = new.drop("__changed__"), labels
         prev.unpersist()
         if changed == 0:
             break
