@@ -1,0 +1,162 @@
+"""Scale self-consistency smoke: the reference certifies itself at 10M
+observations / 20k entities / 49 attributes by running two execution
+strategies against each other (``/root/reference/tests/test_resample_eav.py:249-308``
+— no ground truth at that size, only strategy agreement).  This script is
+the Spark analogue, sized to the same order of magnitude:
+
+* ``resample_eav`` at 10M EAV rows x 20k entities x 49 attributes with
+  random overlapping windows — ``join_strategy="direct"`` vs ``"sweep"``
+  must agree cell-for-cell;
+* ``resample_interval`` at 5M interval observations — ``"direct"`` vs
+  ``"sweep"`` likewise;
+* keyless ``group_intervals`` at 5M intervals — the distributed two-pass
+  chunked merge vs the single-task constant-group window (the naive
+  formulation) must produce identical clusterings.
+
+Data is synthesized EXECUTOR-SIDE from ``spark.range`` + hash arithmetic
+(deterministic, no driver materialization, no testdata dependency), so
+the script also demonstrates the generation pattern for arbitrary-SF
+stress runs.  Exit code 0 iff every comparison matches.
+
+Usage: python scripts/scale_smoke.py [n_obs] (default 10_000_000)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_eav(spark, n, n_entities=20_000, n_attrs=49, span=1_000_000.0):
+    from pyspark.sql import functions as F
+    r = spark.range(n, numPartitions=64)
+    h = lambda k: F.pmod(F.xxhash64(F.col("id"), F.lit(k)), F.lit(10**9))
+    return r.select(
+        F.pmod(h(1), F.lit(n_entities)).alias("entity"),
+        (h(2).cast("double") / 1e9 * span).alias("timestamp"),
+        F.concat(F.lit("attr_"), (F.pmod(h(3), F.lit(n_attrs)) + 1).cast("string")).alias("attribute"),
+        (h(4).cast("double") / 1e6).alias("value"),
+    )
+
+
+def compare(name, a, b, keys):
+    """Cell-exact comparison via two anti-joins on rounded frames (no
+    driver-side collect of the bulk data)."""
+    from pyspark.sql import functions as F
+    ra = a.select([F.round(c[0], 6).alias(c[0]) if c[1] == "double" else F.col(c[0])
+                   for c in a.dtypes])
+    rb = b.select([F.round(c[0], 6).alias(c[0]) if c[1] == "double" else F.col(c[0])
+                   for c in b.dtypes])
+    d1 = ra.exceptAll(rb).count()
+    d2 = rb.exceptAll(ra).count()
+    n = a.count()
+    ok = d1 == 0 and d2 == 0 and n > 0
+    print(f"[{'ok' if ok else 'FAIL'}] {name}: rows={n} onlyA={d1} onlyB={d2}")
+    return ok
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    from pyspark.sql import SparkSession, functions as F
+    import catabra_pandas_spark as cps
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("scale-smoke")
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ok = True
+
+    # --- resample_eav: direct vs sweep at n obs ------------------------
+    df = synth_eav(spark, n).localCheckpoint(eager=True)
+    span = 1_000_000.0
+    duration = span * 0.1
+    anchors = (df.filter(F.col("attribute") == "attr_3")
+               .select("entity", F.col("timestamp").alias("stop"))
+               .limit(25_000))
+    windows = (anchors.union(anchors.select("entity", (F.col("stop") - 0.5 * duration).alias("stop")))
+               .select("entity", (F.col("stop") - duration).alias("start"), "stop")
+               .localCheckpoint(eager=True))
+    agg = {"attr_1": ["sum", "max"], "attr_2": "min",
+           "attr_3": ["r-1", "t-1"], "attr_47": "size", "attr_48": "median"}
+    kw = dict(entity_col="entity", time_col="timestamp",
+              attribute_col="attribute", value_col="value",
+              window_start_col="start", window_stop_col="stop",
+              include_start=False, include_stop=False, regular=False)
+    t0 = time.perf_counter()
+    out_direct = cps.resample_eav(df, windows, agg, join_strategy="direct", **kw)
+    out_direct = out_direct.localCheckpoint(eager=True)
+    t_direct = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out_sweep = cps.resample_eav(df, windows, agg, join_strategy="sweep", **kw)
+    out_sweep = out_sweep.localCheckpoint(eager=True)
+    t_sweep = time.perf_counter() - t0
+    print(f"resample_eav {n:,} obs: direct={t_direct:.1f}s sweep={t_sweep:.1f}s")
+    ok &= compare("resample_eav direct==sweep", out_direct, out_sweep,
+                  ["entity", "start", "stop"])
+
+    # --- resample_interval: direct vs sweep at n/2 intervals -----------
+    m = n // 2
+    iv = (synth_eav(spark, m, n_attrs=9)
+          .select("entity", F.col("timestamp").alias("start"),
+                  (F.col("timestamp") + 500.0).alias("stop"),
+                  "attribute", "value")
+          .localCheckpoint(eager=True))
+    wins = windows.limit(20_000).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    ri_direct = cps.resample_interval(
+        iv, wins, attributes=[f"attr_{i}" for i in range(1, 10)],
+        entity_col="entity", start_col="start", stop_col="stop",
+        attribute_col="attribute", value_col="value",
+        window_start_col="start", window_stop_col="stop",
+        join_strategy="direct").localCheckpoint(eager=True)
+    t_direct = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ri_sweep = cps.resample_interval(
+        iv, wins, attributes=[f"attr_{i}" for i in range(1, 10)],
+        entity_col="entity", start_col="start", stop_col="stop",
+        attribute_col="attribute", value_col="value",
+        window_start_col="start", window_stop_col="stop",
+        join_strategy="sweep").localCheckpoint(eager=True)
+    t_sweep = time.perf_counter() - t0
+    print(f"resample_interval {m:,} ivs: direct={t_direct:.1f}s sweep={t_sweep:.1f}s")
+    ok &= compare("resample_interval direct==sweep", ri_direct, ri_sweep,
+                  ["entity", "start", "stop"])
+
+    # --- keyless group_intervals: chunked merge vs single-task ---------
+    gi = (synth_eav(spark, m, n_attrs=1)
+          .select(F.col("timestamp").alias("start"),
+                  (F.col("timestamp") + 3.0).alias("stop"))
+          .localCheckpoint(eager=True))
+    t0 = time.perf_counter()
+    chunked = cps.group_intervals(gi, start_col="start", stop_col="stop",
+                                  distance=1.0).localCheckpoint(eager=True)
+    t_chunked = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    single = (cps.group_intervals(gi.withColumn("g", F.lit(0)), group_by="g",
+                                  start_col="start", stop_col="stop",
+                                  distance=1.0)
+              .drop("g").localCheckpoint(eager=True))
+    t_single = time.perf_counter() - t0
+    print(f"group_intervals keyless {m:,} ivs: chunked={t_chunked:.1f}s "
+          f"single-task={t_single:.1f}s")
+    ok &= compare("group_intervals chunked==single", chunked, single,
+                  ["start", "stop"])
+
+    print("SCALE_SMOKE", "PASS" if ok else "FAIL")
+    spark.stop()
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
