@@ -170,6 +170,15 @@ def read_any(
       default ``inferSchema`` pass reads the whole input TWICE at 100 TB.
     * JSON: expects JSON Lines (the only splittable JSON layout; a single
       giant array is one unsplittable task); ``multiLine`` only on request.
+    * ``text``: one row per line (``value`` string) — the raw-corpus
+      ingestion path; pass ``wholetext=True`` for one row per FILE
+      (unsplittable by definition: each file is one task).  Plain text is
+      splittable, ``.gz`` is not — prefer many modest files or a
+      splittable codec for large corpora.
+    * ``binary``: Spark's ``binaryFile`` source — (path, modificationTime,
+      length, content) per file, the ingestion path for image/audio/video
+      payloads feeding ``pipeline.multimodal`` (each file is one task;
+      keep files at object granularity, not giant archives).
     * Timestamps are normalized exactly like ``read_table``
       (TIMESTAMP_NTZ -> TIMESTAMP, session tz UTC).
     """
@@ -177,10 +186,13 @@ def read_any(
     if fmt is None:
         ext = path.rsplit(".", 1)[-1].lower()
         fmt = {"parquet": "parquet", "csv": "csv", "json": "json",
-               "jsonl": "json", "orc": "orc"}.get(ext)
+               "jsonl": "json", "orc": "orc", "txt": "text",
+               "text": "text"}.get(ext)
         if fmt is None:
             raise ValueError(
                 f"cannot infer format from {path!r}; pass fmt=...")
+    if fmt == "binary":
+        fmt = "binaryFile"
     reader = spark.read
     if fmt == "csv":
         options.setdefault("header", "true")

@@ -92,3 +92,29 @@ def test_read_any_csv_json_roundtrip(spark, tmp_path):
     single = str(tmp_path / "one.csv")
     src.limit(5).coalesce(1).write.mode("overwrite").option("header", True).csv(single)
     assert read_any(spark, single, schema=src.schema).count() == 5
+
+
+def test_read_any_text_and_binary(spark, tmp_path):
+    from catabra_pandas_spark.sources import read_any
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "a.txt").write_text("line one\nline two\n")
+    (corpus / "b.txt").write_text("dritte zeile\n")
+    txt = read_any(spark, str(corpus), fmt="text")
+    assert sorted(r.value for r in txt.collect()) == [
+        "dritte zeile", "line one", "line two"]
+    # wholetext: one row per file
+    whole = read_any(spark, str(corpus), fmt="text", wholetext=True)
+    assert whole.count() == 2
+    # extension inference on a single file
+    assert read_any(spark, str(corpus / "a.txt")).count() == 2
+
+    blobs = tmp_path / "blobs"
+    blobs.mkdir()
+    (blobs / "x.bin").write_bytes(b"\x00\x01\x02")
+    (blobs / "y.bin").write_bytes(b"payload")
+    bin_df = read_any(spark, str(blobs), fmt="binary")
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in bin_df.collect()}
+    assert rows == {"x.bin": b"\x00\x01\x02", "y.bin": b"payload"}
+    assert {"path", "length", "content"} <= set(bin_df.columns)
