@@ -1,0 +1,136 @@
+"""End-to-end training-data curation pipeline over the driver's synthetic
+corpus — every stage is an operator from this repo, chained the way a real
+100 TB curation run chains them, with a printed yield funnel:
+
+  read -> quality gate (apply_filters)         reject low-quality docs
+       -> PII scrub (scrub_pii)                redact, keep counts
+       -> exact dedup (exact_dedup)            drop byte-identical dups
+       -> near-dup clustering                  MinHash-LSH pairs ->
+          (minhash_near_dup_pairs +            connected components ->
+           near_dup_dedup)                     keep one doc per cluster
+       -> benchmark decontamination            drop docs overlapping the
+          (decontaminate)                      held-out eval slice
+       -> mixture composition (mix_corpora)    per-language target weights
+       -> sequence packing (pack_sequences)    256-token training bins
+       -> z-ordered parquet (zorder_layout +   multi-column min-max
+          write_table)                         pruning for consumers
+
+Every stage is lazy until the funnel counts force it; the final write is
+one job.  Deterministic end to end (md5/xxhash keyed), so reruns produce
+byte-identical output.
+
+Usage: python scripts/curation_demo.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else None
+
+    from pyspark.sql import SparkSession, functions as F
+    import catabra_pandas_spark.pipeline as P
+    from catabra_pandas_spark.sources import read_table, write_table, zorder_layout
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("curation-demo")
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+
+    docs = read_table(spark, sf, "documents")
+    funnel = [("input", docs.count())]
+
+    # 1. quality gate — reject with per-rule attribution
+    feats = P.detect_language(P.text_quality(docs))
+    gated = P.apply_filters(feats, {
+        "too_short": F.col("n_tokens") < 5,
+        "low_quality": F.col("quality_score") < 0.5,
+        "lang_undetermined": F.col("lang_pred") == "und",
+    })
+    loss = (gated.select(F.explode("filter_reasons").alias("rule"))
+            .groupBy("rule").count().collect())
+    kept = gated.filter("kept").drop("filter_flags", "filter_reasons", "kept")
+    funnel.append(("quality_gate", kept.count()))
+
+    # 2. PII scrub (in place; counts kept for audit)
+    scrubbed = (P.scrub_pii(kept)
+                .withColumn("text", F.col("text_scrubbed"))
+                .drop("text_scrubbed"))
+
+    # 3. exact dedup on the scrubbed text
+    exact = P.exact_dedup(scrubbed, columns=["text"], id_col="doc_id",
+                          mode="drop").drop("dup_key", "dup_count")
+    funnel.append(("exact_dedup", exact.count()))
+
+    # 4. near-dup clustering: LSH pairs -> connected components -> 1/cluster
+    pairs = P.minhash_near_dup_pairs(exact, k=2, num_hashes=64, bands=16,
+                                     threshold=0.5)
+    neardup = P.near_dup_dedup(exact, pairs, id_col="doc_id", mode="drop") \
+        .drop("cluster_id")
+    funnel.append(("near_dup_dedup", neardup.count()))
+
+    # 5. decontamination against the held-out slice (doc_id % 20 == 0)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = neardup.filter(F.col("doc_id") % 20 != 0)
+    clean = P.decontaminate(corpus, bench, n=8, min_hits=1, mode="drop")
+    funnel.append(("decontaminated", clean.count()))
+
+    # 6. mixture at target language weights
+    langs = [r[0] for r in clean.select("lang").distinct().collect()]
+    w = {lang: 1.0 for lang in langs}
+    w[langs[0]] = 2.0  # overweight one source to make the mixture visible
+    total = min(clean.count(), 300)
+    mixed = P.mix_corpora({l: clean.filter(F.col("lang") == l) for l in langs},
+                          w, n_total=total, on="doc_id", seed=7)
+    funnel.append(("mixture", mixed.count()))
+
+    # 7. sequence packing into 256-token bins per source
+    packed = P.pack_sequences(P.token_count(mixed), "n_tokens", 256,
+                              "doc_id", group_by="source")
+    n_bins = packed.agg(F.countDistinct("source", "bin_id")).collect()[0][0]
+
+    # 8. z-ordered write for downstream min-max pruning
+    tmp = None
+    if out_dir is None:
+        tmp = tempfile.TemporaryDirectory()
+        out_dir = tmp.name + "/curated"
+    final = packed.select("doc_id", "source", "lang", "text", "n_tokens",
+                          "bin_id", "bin_offset",
+                          F.col("doc_id").alias("zk1"),
+                          F.col("n_tokens").alias("zk2"))
+    write_table(zorder_layout(final, ["zk1", "zk2"], bits=12,
+                              num_partitions=4).drop("zk1", "zk2"), out_dir)
+    written = spark.read.parquet(out_dir).count()
+
+    print("\n=== yield funnel ===")
+    prev = None
+    for stage, cnt in funnel:
+        drop = f"  (-{prev - cnt})" if prev is not None else ""
+        print(f"  {stage:>16}: {cnt}{drop}")
+        prev = cnt
+    print("  rejection reasons:", {r["rule"]: r["count"] for r in loss})
+    print(f"  packed bins: {n_bins}; rows written: {written}")
+    print(f"  wall: {time.perf_counter() - t0:.1f}s")
+    assert written == funnel[-1][1], "written rows must equal mixture rows"
+    print("CURATION_DEMO PASS")
+    if tmp:
+        tmp.cleanup()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
