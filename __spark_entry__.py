@@ -1354,6 +1354,31 @@ def _quality_gate_sql():
 """
 
 
+def q_json_props(spark, sf):
+    """Semi-structured column handling: parse the events' JSON ``props``
+    with a declared schema (from_json — no schema inference pass) and
+    aggregate the extracted field per event type.  Covers the JSON
+    function surface the reference lacks (SURVEY §2.3 scalar functions)."""
+    ev = read_table(spark, sf, "events")
+    k = F.from_json("props", "struct<k:int>")["k"]
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k"),
+                 F.round(F.avg("k"), 6).alias("avg_k"))
+            .withColumnRenamed("event_type", "etype"))
+
+
+_Q_JSON_PROPS_SQL = """
+    SELECT event_type AS etype, count(*) AS n,
+           sum((props->>'k')::INT)::BIGINT AS sum_k,
+           max((props->>'k')::INT)::INT AS max_k,
+           round(avg((props->>'k')::INT), 6) AS avg_k
+    FROM events GROUP BY event_type
+"""
+
+
 def q_topk(spark, sf):
     """grouped_topk: top-3 events per user by value (desc), deterministic
     tie-break on event id, with the Arrow map-side prefilter engaged."""
@@ -2689,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "text_stats": q_text_stats,
         "quality_gate": q_quality_gate,
+        "json_props": q_json_props,
         "topk": q_topk,
         "rollup": q_rollup,
         "cube": q_cube,
@@ -2779,6 +2805,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _Q_FINGERPRINT_SQL,
         "text_stats": _Q_TEXT_STATS_SQL,
         "quality_gate": _quality_gate_sql(),
+        "json_props": _Q_JSON_PROPS_SQL,
         "topk": _Q_TOPK_SQL,
         "rollup": _Q_ROLLUP_SQL,
         "cube": _Q_CUBE_SQL,
