@@ -36,6 +36,32 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # full column counts per source table, for the pruning audit
+    from catabra_pandas_spark.sources import TABLES, read_table
+    full_width = {t: len(read_table(spark, sf_dir, t).columns) for t in TABLES}
+
+    def pruning(plan: str) -> str:
+        """Column-pruning audit: per FileScan, output-attribute count vs
+        the full table width (a scan reading all columns for a narrow
+        query is a pushdown failure).  Returns e.g. '2/6,3/11' per scan.
+        Parsed line-wise — each physical node is one explain line, so the
+        scan's own attribute list and location cannot be confused with a
+        neighboring scan's."""
+        out = []
+        for line in plan.splitlines():
+            if "FileScan parquet" not in line:
+                continue
+            mcols = re.search(r"FileScan parquet [^\[]*\[([^\]]*)\]", line)
+            mloc = re.search(r"InMemoryFileIndex[^\[]*\[([^\]]*)\]", line)
+            if not (mcols and mloc):
+                continue
+            table = (mloc.group(1).rstrip("/").rsplit("/", 1)[-1]
+                     .replace(".parquet", ""))
+            cols = mcols.group(1).strip()
+            ncols = 0 if not cols else cols.count(",") + 1
+            out.append(f"{ncols}/{full_width.get(table, '?')}")
+        return ",".join(out) or "-"
+
     rows = []
     for name, fn in entry.queries().items():
         df = fn(spark, sf_dir)
@@ -49,6 +75,7 @@ def main():
             "smj": len(re.findall(r"SortMergeJoin", plan)),
             "shj": len(re.findall(r"ShuffledHashJoin", plan)),
             "python": len(re.findall(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas|PythonMapInArrow", plan)),
+            "pruned": pruning(plan),
         })
 
     lines = [
@@ -61,13 +88,17 @@ def main():
         "hard-coded).  `python` counts Arrow-batched pandas-UDF operators",
         "(the only Python on executors; no row-at-a-time UDFs exist).",
         "",
-        "| query | exchanges | broadcast HJ | BNLJ | sort-merge | shuffled HJ | arrow-python |",
-        "|---|---|---|---|---|---|---|",
+        "`scan cols` audits column pruning: ReadSchema width / full table",
+        "width per parquet scan — a narrow query scanning every column is a",
+        "pushdown failure.",
+        "",
+        "| query | exchanges | broadcast HJ | BNLJ | sort-merge | shuffled HJ | arrow-python | scan cols |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['query']} | {r['exchanges']} | {r['bhj']} | {r['bnlj']} "
-            f"| {r['smj']} | {r['shj']} | {r['python']} |")
+            f"| {r['smj']} | {r['shj']} | {r['python']} | {r['pruned']} |")
     lines.append("")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
