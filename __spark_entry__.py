@@ -2102,6 +2102,46 @@ _Q_IVF_ANN_SQL = """
 """
 
 
+def q_funnel(spark, sf):
+    """Event-funnel analysis (operators/events.py): per user, greedy
+    earliest-completion matching of view -> click -> purchase within 7
+    days; one shuffle on the user + an O(k)-state array fold.  The DuckDB
+    twin replays the greedy semantics as a min-after-min join chain."""
+    ev = read_table(spark, sf, "events")
+    out = cps.funnel(ev, ["view", "click", "purchase"],
+                     entity_col="user_id", time_col="ts",
+                     type_col="event_type", within=7 * 86400)
+    return out.select(
+        F.col("user_id").alias("entity"), "n_stages", "converted",
+        F.unix_micros(F.col("t_first").cast("timestamp")).alias("t_first"),
+        F.unix_micros(F.col("t_convert").cast("timestamp")).alias("t_convert"))
+
+
+_Q_FUNNEL_SQL = """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+           GROUP BY e.user_id)
+    SELECT s1.user_id AS entity,
+           CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS n_stages,
+           coalesce(epoch_us(t3) - epoch_us(s1.t1) <= 7 * 86400 * 1000000::BIGINT,
+                    FALSE) AS converted,
+           epoch_us(s1.t1)::BIGINT AS t_first,
+           CASE WHEN coalesce(epoch_us(t3) - epoch_us(s1.t1)
+                              <= 7 * 86400 * 1000000::BIGINT, FALSE)
+                THEN epoch_us(t3)::BIGINT END AS t_convert
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 def q_sessionize(spark, sf):
     """Streaming-native sessionization (F.session_window, batch mode here;
     the same expression runs incrementally under readStream + watermark —
@@ -2732,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "sessionize": q_sessionize,
+        "funnel": q_funnel,
         "stream_resample": q_stream_resample,
         "stream_ffill": q_stream_ffill,
         "stream_dedup": q_stream_dedup,
@@ -2823,6 +2864,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _Q_COSINE_TOPK_SQL,
         "embedding_neardup_exact": _Q_EMB_NEARDUP_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
+        "funnel": _Q_FUNNEL_SQL,
         "stream_resample": _Q_STREAM_RESAMPLE_SQL,
         "stream_ffill": _Q_STREAM_FFILL_SQL,
         "stream_dedup": _Q_STREAM_DEDUP_SQL,

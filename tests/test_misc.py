@@ -95,3 +95,55 @@ def test_grouped_topk(spark):
     # ascending k=1 is the per-group minimum
     mn = grouped_topk(df, "g", "v", k=1).select("g", "v").collect()
     assert sorted((r.g, r.v) for r in mn) == [(1, 3.0), (2, 1.0), (3, 7.0)]
+
+
+def test_funnel_greedy_semantics(spark):
+    import pandas as pd
+    from catabra_pandas_spark.operators.events import funnel
+
+    pdf = pd.DataFrame({
+        "entity": [1, 1, 1, 2, 2, 3, 3, 3, 4, 5, 5, 5, 5],
+        "timestamp": [1.0, 2.0, 3.0, 1.0, 5.0, 3.0, 2.0, 1.0, 9.0,
+                      1.0, 1.0, 2.0, 2.0],
+        "event_type": ["view", "click", "buy", "view", "click",
+                       "buy", "click", "view", "click",
+                       "view", "click", "click", "buy"],
+    })
+    sdf = spark.createDataFrame(pdf)
+    out = {r.entity: (r.n_stages, r.converted, r.t_first, r.t_convert)
+           for r in funnel(sdf, ["view", "click", "buy"]).collect()}
+    # 1: view@1 -> click@2 -> buy@3, converted
+    assert out[1] == (3, True, 1.0, 3.0)
+    # 2: no buy
+    assert out[2] == (2, False, 1.0, None)
+    # 3: input order scrambled; sorted it is the full funnel
+    assert out[3] == (3, True, 1.0, 3.0)
+    # 4: never entered the funnel (no first step) -> absent
+    assert 4 not in out
+    # 5: click@1 is simultaneous with view@1 -> NOT after (strict);
+    #    click@2 matches, buy@2 is NOT after click@2 -> 2 stages
+    assert out[5] == (2, False, 1.0, None)
+    # within: spans of 2.0 pass at 2.0, fail at 1.5
+    w = {r.entity: r.converted
+         for r in funnel(sdf, ["view", "click", "buy"], within=2.0).collect()}
+    assert w[1] and w[3]
+    w = {r.entity: r.converted
+         for r in funnel(sdf, ["view", "click", "buy"], within=1.5).collect()}
+    assert not w[1] and not w[3]
+
+
+def test_funnel_timestamp_column(spark):
+    import pandas as pd
+    from catabra_pandas_spark.operators.events import funnel
+
+    pdf = pd.DataFrame({
+        "entity": [1, 1],
+        "timestamp": pd.to_datetime(["2024-01-01 00:00:00",
+                                     "2024-01-01 00:10:00"]),
+        "event_type": ["view", "click"],
+    })
+    from tests.conftest import to_sdf
+    out = funnel(to_sdf(spark, pdf), ["view", "click"],
+                 within=700).collect()  # 600s gap <= 700s
+    assert out[0].converted
+    assert str(out[0].t_convert).startswith("2024-01-01 00:10")
