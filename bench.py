@@ -64,6 +64,10 @@ HEADLINE = [
     "chunk_documents",
     "mix_corpora",
     "zorder",
+    "quality_gate",
+    "funnel",
+    "json_props",
+    "cube",
 ]
 
 
