@@ -2142,6 +2142,28 @@ _Q_FUNNEL_SQL = """
 """
 
 
+def q_retention(spark, sf):
+    """Cohort retention matrix (operators/events.py): users cohorted by
+    first-activity week, per-cell distinct-active counts — two combinable
+    aggregates + one join, the minimal shuffle set."""
+    ev = read_table(spark, sf, "events")
+    out = cps.retention(ev, entity_col="user_id", time_col="ts", period="week")
+    return out.select(F.col("cohort").cast("string").alias("cohort"),
+                      "period_offset", "n_active")
+
+
+_Q_RETENTION_SQL = """
+    WITH ev AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events),
+    cohort AS (SELECT user_id, min(p) AS c FROM ev GROUP BY user_id)
+    SELECT c::DATE::VARCHAR AS cohort,
+           ((epoch(p) - epoch(c)) / (7 * 86400))::BIGINT AS period_offset,
+           count(*) AS n_active
+    FROM ev JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
 def q_sessionize(spark, sf):
     """Streaming-native sessionization (F.session_window, batch mode here;
     the same expression runs incrementally under readStream + watermark —
@@ -2773,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "sessionize": q_sessionize,
         "funnel": q_funnel,
+        "retention": q_retention,
         "stream_resample": q_stream_resample,
         "stream_ffill": q_stream_ffill,
         "stream_dedup": q_stream_dedup,
@@ -2865,6 +2888,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_exact": _Q_EMB_NEARDUP_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
         "funnel": _Q_FUNNEL_SQL,
+        "retention": _Q_RETENTION_SQL,
         "stream_resample": _Q_STREAM_RESAMPLE_SQL,
         "stream_ffill": _Q_STREAM_FFILL_SQL,
         "stream_dedup": _Q_STREAM_DEDUP_SQL,

@@ -22,7 +22,7 @@ multimodal plumbing).
 """
 
 from .operators.asof import merge_asof
-from .operators.events import funnel
+from .operators.events import funnel, retention
 from .operators.merging import find_containing_interval, merge_intervals
 from .operators.sweep import sweep_point_in_interval
 from .operators.intervals import combine_intervals, group_intervals

@@ -100,3 +100,46 @@ def funnel(
         converted.alias("converted"),
         back(F.col("__t0__")).alias("t_first"),
         back(F.when(converted, F.col("__tc__"))).alias("t_convert"))
+
+
+def retention(
+    df: DataFrame,
+    entity_col: str = "entity",
+    time_col: str = "timestamp",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: entities are cohorted by the period of
+    their FIRST event; for every (cohort, offset) cell, how many of the
+    cohort's entities were active ``offset`` periods later.
+
+    Returns (cohort, period_offset, n_active) with cohort as the period's
+    start date and offset 0 = the cohort period itself (so each cohort's
+    offset-0 count is its size).  ``period`` is any ``date_trunc`` unit
+    (week/month/day/...); offsets count whole periods via the same
+    truncation, so calendar-length months are handled exactly.
+
+    Plan: one aggregate for the per-entity cohort (map-side combinable
+    min), one broadcast-or-shuffle join back on the entity, one final
+    aggregate on the (cohort, offset) pair — the minimal shuffle set for
+    a distinct-entity retention count."""
+    ensure_columns(df, [entity_col, time_col])
+    per = F.date_trunc(period, F.col(time_col).cast("timestamp"))
+    ev = df.select(F.col(entity_col).alias("__e__"), per.alias("__p__")).distinct()
+    cohort = ev.groupBy("__e__").agg(F.min("__p__").alias("__c__"))
+    # offset in whole periods: count period STARTS in (cohort, p] — exact
+    # for calendar units where fixed arithmetic is wrong (months)
+    unit = {"day": 86400, "week": 7 * 86400}.get(period)
+    if unit is not None:
+        off = ((F.unix_timestamp("__p__") - F.unix_timestamp("__c__"))
+               / unit).cast("long")
+    else:
+        months = (F.year("__p__") - F.year("__c__")) * 12 + \
+                 (F.month("__p__") - F.month("__c__"))
+        off = {"month": months, "quarter": (months / 3).cast("long"),
+               "year": (months / 12).cast("long")}.get(period)
+        if off is None:
+            raise ValueError(f"unsupported period {period!r}")
+    return (ev.join(cohort, "__e__")
+            .groupBy(F.to_date("__c__").alias("cohort"),
+                     off.alias("period_offset"))
+            .agg(F.count(F.lit(1)).alias("n_active")))

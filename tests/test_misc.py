@@ -147,3 +147,30 @@ def test_funnel_timestamp_column(spark):
                  within=700).collect()  # 600s gap <= 700s
     assert out[0].converted
     assert str(out[0].t_convert).startswith("2024-01-01 00:10")
+
+
+def test_retention_cohorts(spark):
+    import pandas as pd
+    from catabra_pandas_spark.operators.events import retention
+
+    pdf = pd.DataFrame({
+        "entity": [1, 1, 1, 2, 2, 3],
+        "timestamp": pd.to_datetime([
+            "2024-01-01", "2024-01-08", "2024-01-22",   # cohort w0; w1; w3
+            "2024-01-08", "2024-01-15",                 # cohort w1; w2
+            "2024-01-01"]),                             # cohort w0 only
+    })
+    from tests.conftest import to_sdf
+    out = retention(to_sdf(spark, pdf), period="week").toPandas()
+    cells = {(str(r.cohort), r.period_offset): r.n_active
+             for r in out.itertuples()}
+    assert cells == {
+        ("2024-01-01", 0): 2,   # entities 1 and 3
+        ("2024-01-01", 1): 1,   # entity 1 active in w1
+        ("2024-01-01", 3): 1,   # entity 1 active in w3
+        ("2024-01-08", 0): 1,   # entity 2's cohort
+        ("2024-01-08", 1): 1,   # entity 2 active the following week
+    }
+    # monthly cohorts go through calendar (not fixed-width) arithmetic
+    out_m = retention(to_sdf(spark, pdf), period="month").toPandas()
+    assert set(out_m.period_offset) == {0}
