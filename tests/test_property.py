@@ -106,3 +106,46 @@ def test_merge_sweep_matches_direct(spark, left, right, inc):
     a2 = s[cols].sort_values(cols).reset_index(drop=True)
     b2 = d[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a2, b2)
+
+
+_etypes = st.sampled_from(["a", "b", "c", "x"])
+_times = st.sampled_from([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+_events = st.lists(st.tuples(st.integers(min_value=0, max_value=3),
+                             _times, _etypes),
+                   min_size=0, max_size=16)
+
+
+def _funnel_brute(rows, steps):
+    """Greedy earliest-completion matcher, straight from the spec."""
+    out = {}
+    by_ent = {}
+    for e, t, ty in rows:
+        by_ent.setdefault(e, []).append((t, ty))
+    for e, evs in by_ent.items():
+        stage, last_t, t0 = 0, float("-inf"), None
+        for t, ty in sorted(evs):
+            if stage < len(steps) and ty == steps[stage] and \
+                    (stage == 0 or t > last_t):
+                if stage == 0:
+                    t0 = t
+                stage, last_t = stage + 1, t
+        if stage >= 1:
+            out[e] = (stage, stage == len(steps), t0,
+                      last_t if stage == len(steps) else None)
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=_events)
+def test_funnel_matches_bruteforce(spark, rows):
+    from catabra_pandas_spark.operators.events import funnel
+
+    steps = ["a", "b", "c"]
+    pdf = pd.DataFrame(rows, columns=["entity", "timestamp", "event_type"])
+    assume(len(pdf) == 0 or not pdf.duplicated(["entity", "timestamp"]).any())
+    expect = _funnel_brute(rows, steps)
+    if len(pdf) == 0:
+        return
+    got = {r.entity: (r.n_stages, r.converted, r.t_first, r.t_convert)
+           for r in funnel(to_sdf(spark, pdf), steps).collect()}
+    assert got == expect
