@@ -7,12 +7,14 @@ step k strictly after the matched time of step k-1 (earliest-completion
 semantics, so the result is deterministic and SQL-replayable as a chain of
 min-after-min aggregations).
 
-Plan shape: ONE hash shuffle on the entity (the groupBy); per entity the
-events are collected into a sorted struct array and the funnel is a single
-fold over it.  The fold is a higher-order ``aggregate`` (interpreted, like
-the repetition-stats folds) — per-entity event counts are the small
-dimension here, and the alternative (k self-joins for k steps) costs k
-shuffles of the event log.  State per entity is O(k), never O(events).
+Plan shape: k chained conditional ``min`` aggregations (k = number of
+steps, small and static).  Round i filters the event log to step i's type,
+joins the per-entity threshold from round i-1, and takes the earliest
+qualifying time — every aggregation is map-side combinable, every shuffle
+carries only per-entity scalars, and per-task state is O(1) regardless of
+how many events a hot entity has.  (The previous design collected each
+entity's events into one array before folding — O(events) task memory for
+a hot entity, which is exactly the thing that OOMs at 100x scale.)
 """
 
 from __future__ import annotations
@@ -55,41 +57,35 @@ def funnel(
     t = (F.col(time_col).cast("timestamp").cast("double") if is_ts
          else F.col(time_col).cast("double"))
 
-    # events of relevant types only — the filter prunes the shuffle
-    relevant = df.filter(F.col(type_col).isin(list(steps)))
-    agg = (relevant.select(F.col(entity_col),
-                           F.struct(t.alias("t"),
-                                    F.col(type_col).alias("e")).alias("ev"))
-           .groupBy(entity_col)
-           .agg(F.sort_array(F.collect_list("ev")).alias("evs")))
+    # events of relevant types only — the filter prunes every round's scan
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(entity_col), F.col(type_col).alias("__e__"), t.alias("__t__"))
 
     k = len(steps)
-    step_arr = F.array(*[F.lit(s) for s in steps])
-    # fold state: (stage matched so far, time of last matched stage, t0)
-    init = F.struct(F.lit(0).alias("stage"),
-                    F.lit(float("-inf")).alias("last_t"),
-                    F.lit(None).cast("double").alias("t0"))
+    # stage 1: plain min over step-0 events — defines the entity universe
+    m = (ev.filter(F.col("__e__") == steps[0])
+         .groupBy(entity_col).agg(F.min("__t__").alias("__m1__")))
+    # stages 2..k: earliest step-i event strictly after stage i-1's time.
+    # Each round joins only per-entity scalars; a null threshold (stage
+    # i-1 unmatched) produces no qualifying rows, so matches stay monotone.
+    for i, s in enumerate(steps[1:], start=2):
+        prev = f"__m{i - 1}__"
+        nxt = (ev.filter(F.col("__e__") == s)
+               .join(m.select(entity_col, prev), entity_col)
+               .filter(F.col("__t__") > F.col(prev))
+               .groupBy(entity_col).agg(F.min("__t__").alias(f"__m{i}__")))
+        m = m.join(nxt, entity_col, "left")
 
-    def _merge(acc, ev):
-        advance = (acc["stage"] < k) & \
-            (ev["e"] == F.element_at(step_arr, acc["stage"] + 1)) & \
-            ((acc["stage"] == 0) | (ev["t"] > acc["last_t"]))
-        return F.struct(
-            F.when(advance, acc["stage"] + 1).otherwise(acc["stage"]).alias("stage"),
-            F.when(advance, ev["t"]).otherwise(acc["last_t"]).alias("last_t"),
-            F.when(advance & (acc["stage"] == 0), ev["t"])
-             .otherwise(acc["t0"]).alias("t0"),
-        )
+    n_stages = F.lit(1)
+    for i in range(2, k + 1):
+        n_stages = n_stages + F.col(f"__m{i}__").isNotNull().cast("int")
+    tc = F.col(f"__m{k}__") if k > 1 else F.col("__m1__")
 
-    res = F.aggregate("evs", init, _merge)
-    out = (agg.withColumn("__r__", res)
-           .filter(F.col("__r__")["stage"] >= 1)
-           .select(
-               entity_col,
-               F.col("__r__")["stage"].alias("n_stages"),
-               F.col("__r__")["t0"].alias("__t0__"),
-               F.when(F.col("__r__")["stage"] == k,
-                      F.col("__r__")["last_t"]).alias("__tc__")))
+    out = m.select(
+        entity_col,
+        n_stages.alias("n_stages"),
+        F.col("__m1__").alias("__t0__"),
+        tc.alias("__tc__"))
     converted = F.col("__tc__").isNotNull()
     if within is not None:
         converted = converted & \
@@ -115,8 +111,10 @@ def retention(
     Returns (cohort, period_offset, n_active) with cohort as the period's
     start date and offset 0 = the cohort period itself (so each cohort's
     offset-0 count is its size).  ``period`` is any ``date_trunc`` unit
-    (week/month/day/...); offsets count whole periods via the same
-    truncation, so calendar-length months are handled exactly.
+    (week/month/day/...); offsets count whole periods via calendar
+    arithmetic (``datediff`` / month deltas), so both variable-length
+    months AND DST-stretched days/weeks are handled exactly in any
+    session timezone.
 
     Plan: one aggregate for the per-entity cohort (map-side combinable
     min), one broadcast-or-shuffle join back on the entity, one final
@@ -126,16 +124,21 @@ def retention(
     per = F.date_trunc(period, F.col(time_col).cast("timestamp"))
     ev = df.select(F.col(entity_col).alias("__e__"), per.alias("__p__")).distinct()
     cohort = ev.groupBy("__e__").agg(F.min("__p__").alias("__c__"))
-    # offset in whole periods: count period STARTS in (cohort, p] — exact
-    # for calendar units where fixed arithmetic is wrong (months)
-    unit = {"day": 86400, "week": 7 * 86400}.get(period)
-    if unit is not None:
-        off = ((F.unix_timestamp("__p__") - F.unix_timestamp("__c__"))
-               / unit).cast("long")
+    # offset in whole periods via CALENDAR deltas: both __p__ and __c__
+    # are period starts, so datediff is an exact multiple of the period
+    # length in days — immune to DST-stretched 23/25h days, unlike a
+    # unix-seconds quotient (which truncates a 601200s spring-fwd week
+    # down a cell in non-fixed-offset timezones).
+    days = F.datediff(F.to_date("__p__"), F.to_date("__c__"))
+    if period == "day":
+        off = days.cast("long")
+    elif period == "week":
+        off = (days / 7).cast("long")
     else:
         months = (F.year("__p__") - F.year("__c__")) * 12 + \
                  (F.month("__p__") - F.month("__c__"))
-        off = {"month": months, "quarter": (months / 3).cast("long"),
+        off = {"month": months.cast("long"),
+               "quarter": (months / 3).cast("long"),
                "year": (months / 12).cast("long")}.get(period)
         if off is None:
             raise ValueError(f"unsupported period {period!r}")

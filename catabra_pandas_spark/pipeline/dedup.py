@@ -357,7 +357,12 @@ def simhash(
                 packed[nz] = (sign << shifts).sum(axis=1).view(np.int64)
             return pd.Series(packed)
 
-        hs = F.transform(_tokens(text_col), lambda t: F.xxhash64(t))
+        # NULL text tokenizes to a NULL array (delivered to Arrow as None);
+        # coalesce to empty so NULL documents hit the documented
+        # "tokenless -> simhash 0" contract instead of a len(None) crash
+        hs = F.coalesce(
+            F.transform(_tokens(text_col), lambda t: F.xxhash64(t)),
+            F.array().cast("array<bigint>"))
         base = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
         return base.select(F.col(id_col), pack_udf(hs).alias("simhash"))
 
@@ -380,7 +385,10 @@ def simhash(
     # Tokenless docs are re-injected by UNION of the (tiny) empty-token
     # subset — not a distinct + join-back over the FULL corpus, which cost
     # an extra corpus-wide exchange for rows that almost never exist.
-    empty = (df.filter(F.size(toks) == 0).select(id_col).distinct()
+    # coalesce: size(NULL array) is NULL, and NULL-text docs must also land
+    # in the simhash-0 re-inject (matching the arrow strategy bit-for-bit)
+    empty = (df.filter(F.coalesce(F.size(toks), F.lit(0)) <= 0)
+             .select(id_col).distinct()
              .withColumn("simhash", F.lit(0).cast("long")))
     return packed.unionByName(empty)
 

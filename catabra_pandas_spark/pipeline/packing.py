@@ -97,7 +97,12 @@ def pack_bins(
     back by the order key).  Without ``group_by`` the single sequential
     task matches the reference's own single-threaded loop; at scale,
     pack per shard/group.  Bin ids are dense 0..g-1 per group, in order of
-    first opening."""
+    first opening.
+
+    REQUIRES (group_by, order_by) to uniquely identify rows — the greedy
+    scan order is otherwise ambiguous AND the assignment join-back would
+    fan out.  Enforced per group inside the packing task (no extra job);
+    duplicates raise ValueError."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     if mode not in ("first_fit", "next_fit"):
@@ -115,6 +120,12 @@ def pack_bins(
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(ob, kind="stable").reset_index(drop=True)
+        if pdf.duplicated(subset=ob).any():
+            raise ValueError(
+                "pack_bins requires (group_by, order_by) to uniquely "
+                f"identify rows; duplicate order keys {ob} found within a "
+                "group — the scan order would be ambiguous and the "
+                "assignment join-back would duplicate rows")
         bins: list = []          # load per open bin
         out = []
         cur = -1                 # next_fit: index of the single open bin

@@ -54,6 +54,45 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
     return int(row["n"]) if row is not None else None
 
 
+def _topk_per_query(scored: DataFrame, k: int, dedup: bool = False) -> DataFrame:
+    """Shared top-k tail for the ANN operators: MAP-SIDE Arrow-batched
+    pre-reduction (local top-k per query per batch, same tie-break as the
+    global window) followed by the ``row_number`` window.  A scored pair
+    beaten by >= k distinct pairs of its own query WITHIN one batch cannot
+    be in the global top-k, so the exchange carries at most k x batches
+    rows per query instead of the full |Q| x |C| scored set — the same
+    bounded-buffer accumulator as ``grouped_topk(prefilter=True)``
+    (operators/misc.py).  ``dedup=True`` additionally deduplicates
+    (query, neighbor) pairs per batch (required for soundness when the
+    candidate join can emit a pair several times, e.g. multi-table LSH:
+    duplicate pairs must not crowd distinct neighbors out of the local k)
+    and globally after the exchange."""
+    import pandas as pd  # noqa: F401 (Arrow batch path)
+
+    cols = ["query_id", "neighbor_id", "cosine_sim"]
+    slim = scored.select(*cols)
+
+    def _batch_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            if dedup:
+                pdf = pdf.drop_duplicates(subset=["query_id", "neighbor_id"])
+            yield (pdf.sort_values(["cosine_sim", "neighbor_id"],
+                                   ascending=[False, True], kind="stable")
+                      .groupby("query_id", sort=False, dropna=False).head(k))
+
+    pre = slim.mapInPandas(_batch_topk, schema=slim.schema)
+    if dedup:
+        pre = pre.dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (pre.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine_sim", "rank"))
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -70,9 +109,10 @@ def cosine_topk(
 
     Returns (query_id, neighbor_id, cosine_sim, rank) with deterministic
     tie-break (sim desc, neighbor id asc).  The query side is broadcast, so
-    the corpus is scanned once with no shuffle; the top-k window partitions
-    by query — |queries| x |corpus| rows exist only inside executors and are
-    reduced before any exchange."""
+    the corpus is scanned once with no shuffle; a map-side Arrow top-k
+    pre-reduction (``_topk_per_query``) cuts each batch to its local top-k
+    per query BEFORE the exchange, so the top-k shuffle carries at most
+    k x batches rows per query — never the full |Q| x |C| scored set."""
     if dim is None:
         dim = _infer_dim(queries, query_vec)
     # norms are per-VECTOR quantities: compute them once per side before
@@ -93,11 +133,7 @@ def cosine_topk(
                     _dot(F.col("__qv__"), F.col("__cv__"), dim)
                     / (F.col("__qn__") * F.col("__cn__")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
-                                               F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cosine_sim", "rank"))
+    return _topk_per_query(scored, k)
 
 
 def _rh_signatures(base: DataFrame, id_alias: str, vec_col: str,
@@ -213,13 +249,10 @@ def lsh_cosine_topk(
                           _dot(F.col("__qv__"), F.col("__cv__"), dim)
                           / (F.col("__qn__") * F.col("__cn__")))
         .select("query_id", "neighbor_id", "cosine_sim")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
-                                               F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cosine_sim", "rank"))
+    # dedup=True: multi-table collisions emit a pair once per colliding
+    # table — deduped per batch (soundness of the local k) and globally
+    return _topk_per_query(scored, k, dedup=True)
 
 
 def ivf_cosine_topk(
@@ -300,11 +333,7 @@ def ivf_cosine_topk(
                           _dot(F.col("__qv__"), F.col("__cv__"), dim)
                           / (F.col("__qn__") * F.col("__cn__")))
               .select("query_id", "neighbor_id", "cosine_sim"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
-                                               F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cosine_sim", "rank"))
+    return _topk_per_query(scored, k)
 
 
 def embedding_near_dup_pairs(

@@ -290,6 +290,15 @@ def bloom_prejoin(
     ``spark.sql.optimizer.runtime.bloomFilter.enabled``, which covers the
     automatic cases).
     """
+    # pre-pruning the probe side is only semantics-preserving for join
+    # types whose result never contains a probe row with NO build match;
+    # for left/full outer (and left_anti, which is nearly fully inverted)
+    # the prune would silently drop rows that belong in the result.
+    if how not in ("inner", "left_semi", "cross", "semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_prejoin supports how in (inner, left_semi, cross); got "
+            f"{how!r} — pre-pruning the probe side would drop result rows "
+            f"for outer/anti joins. Use a plain join for those.")
     bk = build_key or probe_key
     rows = bloom_filter_words(build, bk, num_bits, num_hashes).collect()
     words = [0] * (num_bits // 64)

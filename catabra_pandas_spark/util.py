@@ -32,18 +32,6 @@ def numeric_double(c: Column, dt) -> Column:
     return c.cast("double")
 
 
-def with_row_id(df: DataFrame, name: str = ROW_ID) -> DataFrame:
-    """Attach a unique long id per row.
-
-    ``monotonically_increasing_id`` is partition-local monotonic which is all
-    we need for identity; it does NOT reflect any global order (Spark rows are
-    unordered).  Scale note: purely narrow transformation — no shuffle.
-    """
-    if name in df.columns:
-        return df
-    return df.withColumn(name, F.monotonically_increasing_id())
-
-
 def as_list(x) -> list:
     if x is None:
         return []

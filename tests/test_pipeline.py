@@ -97,6 +97,22 @@ def test_signature_strategies_identical(spark, docs):
     assert sa == sb and len(sa) > 0
 
 
+def test_simhash_null_and_empty_text(spark):
+    """NULL / empty / whitespace-only text must yield simhash 0 on BOTH
+    strategies (arrow used to crash with len(None) on a NULL token array;
+    agg used to silently drop such rows)."""
+    from catabra_pandas_spark.pipeline.dedup import simhash
+
+    d = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real words here")],
+        "doc_id int, text string")
+    sa = {r.doc_id: r.simhash for r in simhash(d, strategy="arrow").collect()}
+    sb = {r.doc_id: r.simhash for r in simhash(d, strategy="agg").collect()}
+    assert sa == sb
+    assert sa[1] == 0 and sa[2] == 0 and sa[3] == 0 and sa[4] != 0
+    assert set(sa) == {1, 2, 3, 4}
+
+
 def test_cosine_topk_exact(spark, emb):
     queries = emb.filter(F.col("vec_id") < 5)
     out = cosine_topk(queries, emb, k=5).toPandas()
