@@ -36,12 +36,40 @@ def _default_chunks(df: DataFrame) -> int:
     return max(8, min(128, 2 * par))
 
 
+def _quantile_cuts(df: DataFrame, num: Column, n_chunks: int) -> list:
+    """Approximate quantile cut points of ``num`` (deduplicated, sorted) —
+    one aggregate job.  An empty list means chunking is pointless (empty
+    input or a single distinct value)."""
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    cuts = (df.select(num.cast("double").alias("__q__"))
+            .approxQuantile("__q__", probs, 1.0 / (4 * n_chunks)))
+    return sorted(set(cuts))
+
+
+def _chunk_from_cuts(num: Column, cuts: list) -> Column:
+    """Chunk id (0..len(cuts)) of ``num`` under the given literal cut
+    points: chunk order == value order, equal values share a chunk, null
+    ``num`` lands in chunk 0 (where ascending null-first ordering puts it
+    anyway).
+
+    Implemented as a chain of plain comparisons (whole-stage codegen, P <=
+    128 terms) rather than a higher-order ``filter(array, lambda)``: HOFs
+    are interpreted per row, and a lambda in this position trips the same
+    Catalyst union-constraint defect the sweep's keyless path works around
+    (NoSuchElementException while rewriting constraints through a Union)."""
+    v = num.cast("double")
+    out: Column = F.lit(0)
+    for c in cuts:
+        out = out + F.when(v >= float(c), 1).otherwise(0)
+    return out.cast("int")
+
+
 def _range_chunks(df: DataFrame, num: Column, n_chunks: int):
     """Attach a range-chunk id (0..P-1) from approximate quantile cuts of
     ``num`` so chunk order == value order (equal values share a chunk; rows
-    with null ``num`` land in chunk 0, where ascending null-first ordering
-    puts them anyway).  Returns ``(df_with_chunk, P)``; ``P == 1`` means
-    chunking is pointless (empty input or a single distinct value).
+    with null ``num`` land in chunk 0).  Returns ``(df_with_chunk, P)``;
+    ``P == 1`` means chunking is pointless (empty input or a single
+    distinct value).
 
     This is the scaffolding that turns a keyless global window into P
     parallel per-chunk windows: the quantile probe is one aggregate job and
@@ -49,16 +77,10 @@ def _range_chunks(df: DataFrame, num: Column, n_chunks: int):
     arrays computed from per-chunk summaries (the only driver-side data is
     O(P) scalars — never rows).
     """
-    probs = [i / n_chunks for i in range(1, n_chunks)]
-    cuts = (df.select(num.cast("double").alias("__q__"))
-            .approxQuantile("__q__", probs, 1.0 / (4 * n_chunks)))
-    cuts = sorted(set(cuts))
+    cuts = _quantile_cuts(df, num, n_chunks)
     if not cuts:
         return df.withColumn(_CHUNK, F.lit(0)), 1
-    arr = F.array(*[F.lit(float(c)) for c in cuts])
-    chunk = F.coalesce(
-        F.size(F.filter(arr, lambda c: c <= num.cast("double"))), F.lit(0))
-    return df.withColumn(_CHUNK, chunk.cast("int")), len(cuts) + 1
+    return df.withColumn(_CHUNK, _chunk_from_cuts(num, cuts)), len(cuts) + 1
 
 
 def _chunk_lit_array(values, n: int) -> Column:

@@ -59,41 +59,42 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .intervals import _CHUNK, _chunk_lit_array, _default_chunks, _range_chunks
+from .intervals import (_CHUNK, _chunk_from_cuts, _chunk_lit_array,
+                        _default_chunks, _quantile_cuts)
 
 _POS = "__sweep_pos__"
 _H1 = "__sweep_h1__"
 _H2 = "__sweep_h2__"
 
 
-def _keyless_cumsum(df: DataFrame, v: Column, order: Sequence[Column],
-                    weight: Column, out: str) -> DataFrame:
-    """Global running sum of ``weight`` in ``order`` WITHOUT the keyless
-    single-task window: range-chunk on ``v`` (approx-quantile cuts, chunk
-    order == value order), per-chunk running sums in parallel, then add
-    P-element literal chunk offsets.  Driver-side data is O(P) scalars —
-    the same pattern as the keyless paths of ``group_intervals`` /
-    ``combine_intervals`` (operators/intervals.py).  Ties of ``v`` share a
+def _keyless_chunk_plan(points: DataFrame, v: Column):
+    """Shared chunking plan for the keyless sweep: approx-quantile cuts of
+    the point values plus cumulative per-chunk POINT counts as a literal
+    offset array.  Exactly TWO small driver jobs on the narrow points frame
+    (one quantile probe, one per-chunk count) — the event stream reuses the
+    same cuts and offsets, since its running weight counts only points, so
+    NO job ever runs against the union plan.  (Besides halving the probe
+    jobs, that dodges a Catalyst defect: computing constraints of the
+    point/endpoint Union — which any action on it triggers — dies with
+    ``NoSuchElementException: key not found`` on the aliased-out source
+    columns in Spark 4.1.)
+
+    Returns ``(cuts, offsets_array_col, P)``; ``P == 1`` means a single
+    global chunk (use plain single-task windows).  Ties of ``v`` share a
     chunk, so order within an equal-value run stays chunk-local and the
-    sweep's tie-permutation safety argument is unaffected.
-    """
-    d, P = _range_chunks(df, v, _default_chunks(df))
-    if P == 1:
-        w = (Window.orderBy(*order)
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        return d.withColumn(out, F.sum(weight).over(w)).drop(_CHUNK)
-    w = (Window.partitionBy(_CHUNK).orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    per = {r[_CHUNK]: r["__s__"] for r in
-           d.groupBy(_CHUNK).agg(F.sum(weight).alias("__s__")).collect()}
+    sweep's tie-permutation safety argument is unaffected."""
+    cuts = _quantile_cuts(points, v, _default_chunks(points))
+    if not cuts:
+        return cuts, None, 1
+    P = len(cuts) + 1
+    per = {r[_CHUNK]: r["__n__"] for r in
+           points.groupBy(_chunk_from_cuts(v, cuts).alias(_CHUNK))
+                 .agg(F.count(F.lit(1)).alias("__n__")).collect()}
     offs, acc = {}, 0
     for i in range(P):
         offs[i] = acc
         acc += per.get(i) or 0
-    arr = _chunk_lit_array(offs, P)
-    return d.withColumn(
-        out, F.sum(weight).over(w) + F.element_at(arr, F.col(_CHUNK) + 1)
-    ).drop(_CHUNK)
+    return cuts, _chunk_lit_array(offs, P), P
 
 
 def sweep_point_in_interval(
@@ -155,9 +156,9 @@ def sweep_point_in_interval(
                 Window.partitionBy(*[F.col(f"`{k}`") for k in pts_keys])
                 .orderBy(F.col(f"`{pt_col}`"))))
     else:
-        # keyless: chunked global rank instead of a single-task window
-        pts = _keyless_cumsum(points, F.col(f"`{pt_col}`"),
-                              [F.col(f"`{pt_col}`")], F.lit(1), _POS)
+        # keyless: numbered below, together with the event stream — both
+        # reuse ONE shared chunk plan (see _keyless_chunk_plan)
+        pts = None
 
     # --- endpoint/point event stream (NARROW rows — no payload) -------
     # tag order at equal v decides strictness: an INCLUSIVE start sorts
@@ -166,7 +167,12 @@ def sweep_point_in_interval(
     start_tag = 0 if include_start else 2
     stop_tag = 2 if include_stop else 0
     kcols = [f"__k{i}__" for i in range(len(ivl_keys))]
-    ev_pts = pts.select(
+    # built from RAW points, not the numbered ``pts``: the event stream
+    # only needs the value column, and dragging the numbering window's
+    # lineage into the union both bloats the plan and trips a Catalyst
+    # union-constraint-rewrite bug (NoSuchElementException) on the keyless
+    # chunked-cumsum lineage
+    ev_pts = points.select(
         *[F.col(f"`{k}`").alias(a) for k, a in zip(pts_keys, kcols)],
         F.col(f"`{pt_col}`").alias("__v__"),
         F.lit(1).alias("__tag__"),
@@ -200,9 +206,34 @@ def sweep_point_in_interval(
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         events = events.withColumn("__cnt__", F.sum("__is_pt__").over(w))
     else:
-        events = _keyless_cumsum(events, F.col("__v__"),
-                                 [F.col("__v__"), F.col("__tag__")],
-                                 F.col("__is_pt__"), "__cnt__")
+        # keyless: chunked global ranks instead of single-task windows.
+        # Point numbering and the event running count share one chunk plan
+        # (same cuts, same cumulative-point-count offsets — the event
+        # stream's running weight counts only points), so the keyless path
+        # costs exactly two small driver jobs total and never runs a job
+        # against the union plan.
+        vv = F.col(f"`{pt_col}`")
+        cuts, offs_arr, P = _keyless_chunk_plan(points, vv)
+        roll = (Window.unboundedPreceding, Window.currentRow)
+        if P == 1:
+            pts = points.withColumn(
+                _POS, F.row_number().over(Window.orderBy(vv)))
+            events = events.withColumn(
+                "__cnt__",
+                F.sum("__is_pt__").over(
+                    Window.orderBy("__v__", "__tag__").rowsBetween(*roll)))
+        else:
+            off = F.element_at(offs_arr, F.col(_CHUNK) + 1).cast("long")
+            wp = Window.partitionBy(_CHUNK).orderBy(vv).rowsBetween(*roll)
+            pts = (points.withColumn(_CHUNK, _chunk_from_cuts(vv, cuts))
+                   .withColumn(_POS, F.sum(F.lit(1)).over(wp) + off)
+                   .drop(_CHUNK))
+            we = (Window.partitionBy(_CHUNK).orderBy("__v__", "__tag__")
+                  .rowsBetween(*roll))
+            events = (events
+                      .withColumn(_CHUNK, _chunk_from_cuts(F.col("__v__"), cuts))
+                      .withColumn("__cnt__", F.sum("__is_pt__").over(we) + off)
+                      .drop(_CHUNK))
 
     # --- pair endpoints into position ranges (HashAggregate: primitive
     # grouping keys, primitive max buffers; duplicate interval rows
