@@ -2733,57 +2733,15 @@ _Q_MIX_CORPORA_SQL = """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver verifies the FIRST 50 entries in dict
+    # order each round.  Slots 1-32 hold the pipeline/streaming/ANN/sketch/
+    # packing/multimodal tier that had never received a driver row through
+    # r5; slots 33-50 hold queries whose code paths changed most recently
+    # (r5 sweep refactor, r6 work items).  The long-stable families
+    # (impute_*, resample_eav_*, combine_*, most merge_*) — green every
+    # round r1-r5 — are rotated to the tail.
     return {
-        "merge_overlap": q_merge_overlap,
-        "merge_overlap_sweep": q_merge_overlap_sweep,
-        "merge_open_endpoints": q_merge_open_endpoints,
-        "merge_left_keep_first": q_merge_left_keep_first,
-        "merge_keep_both": q_merge_keep_both,
-        "merge_indexers": q_merge_indexers,
-        "merge_str_intervals": q_merge_str_intervals,
-        "merge_asof": q_merge_asof,
-        "bucket_range_join": q_bucket_range_join,
-        "find_containing": q_find_containing,
-        "find_containing_sweep": q_find_containing_sweep,
-        "group_intervals": q_group_intervals,
-        "group_intervals_ts": q_group_intervals_ts,
-        "group_intervals_keyless": q_group_intervals_keyless,
-        "combine_union": q_combine_union,
-        "combine_k3": q_combine_k3,
-        "combine_gaps": q_combine_gaps,
-        "combine_attrs": q_combine_attrs,
-        "grouped_mode": q_grouped_mode,
-        "prev_next": q_prev_next,
-        "impute_ffill": q_impute_ffill,
-        "impute_bfill": q_impute_bfill,
-        "impute_afill": q_impute_afill,
-        "impute_lfill": q_impute_lfill,
-        "impute_linear": q_impute_linear,
-        "make_windows": q_make_windows,
-        "resample_eav_basic": q_resample_eav_basic,
-        "resample_eav_irregular": q_resample_eav_irregular,
-        "resample_eav_quantiles": q_resample_eav_quantiles,
-        "resample_eav_moments": q_resample_eav_moments,
-        "resample_eav_ranks": q_resample_eav_ranks,
-        "resample_eav_mode": q_resample_eav_mode,
-        "resample_eav_sliding": q_resample_eav_sliding,
-        "resample_eav_custom": q_resample_eav_custom,
-        "resample_interval": q_resample_interval,
-        "resample_interval_sweep": q_resample_interval_sweep,
-        "factorize": q_factorize,
-        "inner_or_cross": q_inner_or_cross,
-        "dedup_exact": q_dedup_exact,
-        "fingerprint": q_fingerprint,
-        "text_stats": q_text_stats,
-        "quality_gate": q_quality_gate,
-        "json_props": q_json_props,
-        "topk": q_topk,
-        "rollup": q_rollup,
-        "cube": q_cube,
-        "scrub_pii": q_scrub_pii,
-        "decontam": q_decontam,
-        "repetition": q_repetition,
-        "bpe_tokens": q_bpe_tokens,
+        # -- never-driver-verified tier (VERDICT r5 item 1) --
         "langid": q_langid,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -2822,6 +2780,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         # layout tier
         "zorder": q_zorder,
+        # -- recently-changed / this-round work items --
+        "merge_str_intervals": q_merge_str_intervals,
+        "resample_eav_custom": q_resample_eav_custom,
+        "json_props": q_json_props,
+        "merge_overlap_sweep": q_merge_overlap_sweep,
+        "find_containing_sweep": q_find_containing_sweep,
+        "group_intervals_keyless": q_group_intervals_keyless,
+        "resample_interval_sweep": q_resample_interval_sweep,
+        "merge_asof": q_merge_asof,
+        "bucket_range_join": q_bucket_range_join,
+        "dedup_exact": q_dedup_exact,
+        "decontam": q_decontam,
+        "text_stats": q_text_stats,
+        "quality_gate": q_quality_gate,
+        "fingerprint": q_fingerprint,
+        "bpe_tokens": q_bpe_tokens,
+        "scrub_pii": q_scrub_pii,
+        "repetition": q_repetition,
+        "topk": q_topk,
+        # -- long-stable tail (green r1-r5; rotated out of the window) --
+        "merge_overlap": q_merge_overlap,
+        "merge_open_endpoints": q_merge_open_endpoints,
+        "merge_left_keep_first": q_merge_left_keep_first,
+        "merge_keep_both": q_merge_keep_both,
+        "merge_indexers": q_merge_indexers,
+        "find_containing": q_find_containing,
+        "group_intervals": q_group_intervals,
+        "group_intervals_ts": q_group_intervals_ts,
+        "combine_union": q_combine_union,
+        "combine_k3": q_combine_k3,
+        "combine_gaps": q_combine_gaps,
+        "combine_attrs": q_combine_attrs,
+        "grouped_mode": q_grouped_mode,
+        "prev_next": q_prev_next,
+        "impute_ffill": q_impute_ffill,
+        "impute_bfill": q_impute_bfill,
+        "impute_afill": q_impute_afill,
+        "impute_lfill": q_impute_lfill,
+        "impute_linear": q_impute_linear,
+        "make_windows": q_make_windows,
+        "resample_eav_basic": q_resample_eav_basic,
+        "resample_eav_irregular": q_resample_eav_irregular,
+        "resample_eav_quantiles": q_resample_eav_quantiles,
+        "resample_eav_moments": q_resample_eav_moments,
+        "resample_eav_ranks": q_resample_eav_ranks,
+        "resample_eav_mode": q_resample_eav_mode,
+        "resample_eav_sliding": q_resample_eav_sliding,
+        "resample_interval": q_resample_interval,
+        "factorize": q_factorize,
+        "inner_or_cross": q_inner_or_cross,
+        "rollup": q_rollup,
+        "cube": q_cube,
     }
 
 

@@ -70,7 +70,15 @@ def _topk_per_query(scored: DataFrame, k: int, dedup: bool = False) -> DataFrame
     import pandas as pd  # noqa: F401 (Arrow batch path)
 
     cols = ["query_id", "neighbor_id", "cosine_sim"]
-    slim = scored.select(*cols)
+    # Drop non-finite similarities up front: Spark's desc window ranks NaN
+    # FIRST while the pandas pre-reduction sorts NaN last (and Arrow turns
+    # NaN into NULL on return), so a NaN row would be ranked differently
+    # locally vs globally — or silently pruned map-side.  A NaN/NULL
+    # similarity (NaN-bearing embedding, zero-norm vector) carries no
+    # ordering information, so excluding it is the only consistent policy.
+    slim = (scored.select(*cols)
+            .filter(F.col("cosine_sim").isNotNull()
+                    & ~F.isnan("cosine_sim")))
 
     def _batch_topk(batches):
         for pdf in batches:

@@ -294,11 +294,17 @@ def bloom_prejoin(
     # types whose result never contains a probe row with NO build match;
     # for left/full outer (and left_anti, which is nearly fully inverted)
     # the prune would silently drop rows that belong in the result.
-    if how not in ("inner", "left_semi", "cross", "semi", "leftsemi"):
+    # 'semi'/'leftsemi' normalize to left_semi; 'cross' degenerates to
+    # inner because the key equality condition is always applied.
+    aliases = {"semi": "left_semi", "leftsemi": "left_semi", "cross": "inner"}
+    how = aliases.get(how, how)
+    if how not in ("inner", "left_semi"):
         raise ValueError(
-            f"bloom_prejoin supports how in (inner, left_semi, cross); got "
-            f"{how!r} — pre-pruning the probe side would drop result rows "
-            f"for outer/anti joins. Use a plain join for those.")
+            f"bloom_prejoin supports how in (inner, left_semi — aliases "
+            f"semi/leftsemi — and cross, which degenerates to inner since "
+            f"the key condition is always applied); got {how!r} — "
+            f"pre-pruning the probe side would drop result rows for "
+            f"outer/anti joins. Use a plain join for those.")
     bk = build_key or probe_key
     rows = bloom_filter_words(build, bk, num_bits, num_hashes).collect()
     words = [0] * (num_bits // 64)
