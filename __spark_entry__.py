@@ -2472,6 +2472,44 @@ _Q_RESAMPLE_CUSTOM_SQL = f"""
 """
 
 
+def q_resample_eav_custom_multi(spark, sf):
+    """Multi-output custom aggregation: ONE callable returning a dict of
+    named outputs -> N columns from one applyInPandas (reference
+    resampling.py:128-161 allows callables to emit arbitrary named
+    columns; covariance/regression-style aggs need this)."""
+    ev = _ev(spark, sf).select(F.col("uid").alias("entity"), "t",
+                               F.col("etype").alias("attribute"),
+                               F.col("val").alias("value"))
+    win = _weekly_windows(spark, sf)
+
+    def span_stats(s):
+        s = s.dropna()
+        if not len(s):
+            return {"lo": None, "hi": None, "spread": None}
+        return {"lo": float(s.min()), "hi": float(s.max()),
+                "spread": float(s.max() - s.min())}
+
+    out = cps.resample_eav(ev, win, {"view": [span_stats]},
+                           entity_col="entity", time_col="t", include_stop=False,
+                           assume_unique_windows=True, regular=(0, WK_US))
+    return out.select("entity", "t_start", "t_stop",
+                      F.round("view_lo", 6).alias("view_lo"),
+                      F.round("view_hi", 6).alias("view_hi"),
+                      F.round("view_spread", 6).alias("view_spread"))
+
+
+_Q_RESAMPLE_CUSTOM_MULTI_SQL = f"""
+    WITH e AS ({_EV_SQL}), w AS ({_WEEKLY_SQL})
+    SELECT w.entity, w.t_start, w.t_stop,
+           round(min(e.val), 6) AS view_lo,
+           round(max(e.val), 6) AS view_hi,
+           round(max(e.val) - min(e.val), 6) AS view_spread
+    FROM w LEFT JOIN (SELECT * FROM e WHERE etype = 'view') e
+      ON e.uid = w.entity AND e.t >= w.t_start AND e.t < w.t_stop
+    GROUP BY w.entity, w.t_start, w.t_stop
+"""
+
+
 # --------------------------------------------------------------------------
 # driver API
 # --------------------------------------------------------------------------
@@ -2783,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- recently-changed / this-round work items --
         "merge_str_intervals": q_merge_str_intervals,
         "resample_eav_custom": q_resample_eav_custom,
+        "resample_eav_custom_multi": q_resample_eav_custom_multi,
         "json_props": q_json_props,
         "merge_overlap_sweep": q_merge_overlap_sweep,
         "find_containing_sweep": q_find_containing_sweep,
@@ -2871,6 +2910,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_eav_mode": _Q_RESAMPLE_MODE_SQL,
         "resample_eav_sliding": _Q_RESAMPLE_SLIDING_SQL,
         "resample_eav_custom": _Q_RESAMPLE_CUSTOM_SQL,
+        "resample_eav_custom_multi": _Q_RESAMPLE_CUSTOM_MULTI_SQL,
         "resample_interval": _Q_RESAMPLE_INTERVAL_SQL,
         "resample_interval_sweep": _Q_RESAMPLE_INTERVAL_SQL,
         "factorize": _Q_FACTORIZE_SQL,

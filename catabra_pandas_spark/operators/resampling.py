@@ -552,6 +552,15 @@ def resample_eav(
                        on=key_cols, how="left")
 
     # --- custom callables via applyInPandas -----------------------------
+    # Contract (reference ``catabra_pandas/resampling.py:128-161``): a
+    # callable receives the window's values and may emit EITHER a single
+    # scalar (one output column ``{attr}_{fn.__name__}``) OR several named
+    # outputs as a dict / pd.Series keyed by output name (columns
+    # ``{attr}_{key}``, e.g. a covariance agg returning
+    # ``{"slope": ..., "intercept": ...}``).  Output shape is discovered
+    # once by probing on the driver (or pinned via ``custom_agg_schemas``,
+    # keyed by final column name); each callable costs ONE applyInPandas
+    # over a (keys, value) projection emitting all its columns at once.
     if custom_reqs:
         import pandas as pd  # noqa
 
@@ -559,21 +568,32 @@ def resample_eav(
             f"{f.name} {f.dataType.simpleString()}" for f in wjoin.schema.fields)
 
         for a, fn, name in custom_reqs:
-            ret_type = (custom_agg_schemas or {}).get(name)
-            if ret_type is None:
-                ret_type = _probe_custom_agg(fn)
-            sub = pairs.filter(attr == F.lit(a)).select(*key_cols, value_col)
-            schema = f"{key_ddl}, {name} {ret_type}"
+            outs = _probe_custom_agg(fn)          # {suffix|None: ddl}
 
-            def make_apply(_fn, _name, _keys):
+            def _out_name(suf):
+                # None suffix = legacy scalar contract
+                if suf is None:
+                    return name
+                return a + "_" + (re.sub(r"\W+", "_", suf).strip("_") or "out")
+
+            out_cols = [(_out_name(suf), suf) for suf in outs]
+            types = [(custom_agg_schemas or {}).get(col, ddl)
+                     for (col, _), ddl in zip(out_cols, outs.values())]
+            sub = pairs.filter(attr == F.lit(a)).select(*key_cols, value_col)
+            schema = key_ddl + "".join(
+                f", {col} {t}" for (col, _), t in zip(out_cols, types))
+
+            def make_apply(_fn, _keys, _outs):
                 def apply_fn(key, pdf):
                     data = {k: [v] for k, v in zip(_keys, key)}
-                    data[_name] = [_fn(pdf[value_col])]
+                    r = _fn(pdf[value_col])
+                    for col, suf in _outs:
+                        data[col] = [r if suf is None else r[suf]]
                     return pd.DataFrame(data)
                 return apply_fn
 
             red = sub.groupBy(*key_cols).applyInPandas(
-                make_apply(fn, name, key_cols), schema=schema)
+                make_apply(fn, key_cols, out_cols), schema=schema)
             out = out.join(red, on=key_cols, how="left")
 
     # size/count are 0 (not null) for windows without observations
@@ -587,23 +607,12 @@ def resample_eav(
     return out.drop(*key_cols)
 
 
-def _probe_custom_agg(fn) -> str:
-    """Infer a custom aggregation's output DDL type by probing the callable
-    with a 3-row dummy Series on the driver — reference ergonomics
-    (``catabra_pandas/resampling.py:256-272`` probes with a dummy frame).
-    Runs USER CODE at plan time on the driver; callers who must avoid that
-    pass ``custom_agg_schemas`` instead (which always wins).  Falls back to
-    ``double`` if the probe raises or returns something unmappable.
-    """
+def _scalar_ddl(r) -> str:
     import datetime
 
     import numpy as np
     import pandas as pd
 
-    try:
-        r = fn(pd.Series([1.0, 2.0, 3.0]))
-    except Exception:
-        return "double"
     if isinstance(r, (bool, np.bool_)):
         return "boolean"
     if isinstance(r, (int, np.integer)):
@@ -615,6 +624,33 @@ def _probe_custom_agg(fn) -> str:
     if isinstance(r, (pd.Timestamp, datetime.datetime, np.datetime64)):
         return "timestamp"
     return "double"
+
+
+def _probe_custom_agg(fn) -> "dict[Optional[str], str]":
+    """Discover a custom aggregation's output shape by probing the callable
+    with a 3-row dummy Series on the driver — reference ergonomics
+    (``catabra_pandas/resampling.py:256-272`` probes with a dummy frame and
+    reads the result's columns).  Returns ``{suffix: ddl_type}``: the
+    single key ``None`` for the scalar contract, or one entry per named
+    output when the callable returns a dict / pd.Series of outputs
+    (reference ``resampling.py:128-161`` — multi-column custom aggs).
+    Runs USER CODE at plan time on the driver; callers who must avoid that
+    pass ``custom_agg_schemas`` instead (which always wins on types).
+    Falls back to a scalar ``double`` if the probe raises.
+    """
+    import pandas as pd
+
+    try:
+        r = fn(pd.Series([1.0, 2.0, 3.0]))
+    except Exception:
+        return {None: "double"}
+    if isinstance(r, Mapping):
+        return {str(k): _scalar_ddl(v) for k, v in r.items()}
+    if isinstance(r, pd.Series):
+        # a Series return was never a valid scalar, so it unambiguously
+        # means named outputs (index = output names)
+        return {str(k): _scalar_ddl(v) for k, v in r.items()}
+    return {None: _scalar_ddl(r)}
 
 
 def resample_interval(

@@ -117,9 +117,17 @@ def main():
     results, expected = {}, {"t1": 1_487_230, "t2": 11_616_148, "t3": 6_381_653}
 
     def run(name, df):
-        t0 = time.perf_counter()
+        # %timeit protocol like the reference notebook: one untimed warm
+        # execution at FULL scale (the toy warm-up above loads classes but
+        # does not trigger C2 JIT of the hot join loops — measured 8x on
+        # t3), then the median of 3 timed end-to-end executions.
         df.write.format("noop").mode("overwrite").save()
-        wall = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        wall = round(sorted(times)[1], 3)
         rows = df.count()
         results[name] = {"sec": wall, "rows": rows, "rows_ok": rows == expected[name]}
 
