@@ -276,6 +276,100 @@ _Q_MERGE_STR_SQL = """
 """
 
 
+def q_merge_str_bucket(spark, sf):
+    """STRING interval join on the LARGE-LARGE path: strategy="bucket"
+    dictionary-encodes the distinct endpoint values into dense
+    order-preserving codes (merging.py _bucket_join) and runs the bucket
+    explode + equi-join on the codes — the plan is a shuffled equi-join
+    on __bucket__, NOT the broadcast-nested-loop that string endpoints
+    previously forced.  Same query semantics as q_merge_str_intervals
+    (inner variant), so correctness is hash-checked against the plain
+    range-predicate oracle."""
+    part = read_table(spark, sf, "part").select(
+        F.col("p_partkey").alias("pkey"),
+        F.lower(F.col("p_name")).alias("pname"))
+    nat = (read_table(spark, sf, "nation")
+           .select(F.lower(F.substring(F.col("n_name"), 1, 1)).alias("lo"))
+           .distinct()
+           .withColumn("hi", F.concat(F.col("lo"), F.lit("~"))))
+    out = cps.merge_intervals(
+        part, nat, how="inner",
+        left_start="pname", left_stop="pname",
+        right_start="lo", right_stop="hi",
+        strategy="bucket", bucket_width=8)
+    return out.select("pkey", "pname", "lo", "hi")
+
+
+_Q_MERGE_STR_BUCKET_SQL = """
+    WITH p AS (SELECT p_partkey AS pkey, lower(p_name) AS pname FROM part),
+    i AS (SELECT DISTINCT lower(substr(n_name, 1, 1)) AS lo,
+                 lower(substr(n_name, 1, 1)) || '~' AS hi
+          FROM nation)
+    SELECT p.pkey, p.pname, i.lo, i.hi
+    FROM p JOIN i ON p.pname >= i.lo AND p.pname <= i.hi
+"""
+
+
+def q_merge_date_intervals(spark, sf):
+    """merge_intervals over DATE endpoints (dtype-matrix breadth, reference
+    tests/util.py:377-416): each order's date (a DateType point interval)
+    joined into its calendar-month [first_day, last_day] range.  The join
+    comparisons run on DateType columns end-to-end; the output projects
+    ints only so the hash compare is dtype-stable across engines."""
+    orders = read_table(spark, sf, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("d"))
+    months = (orders.select(
+        F.to_date(F.date_trunc("month", F.col("d"))).alias("m_start"))
+        .distinct()
+        .withColumn("m_stop", F.last_day(F.col("m_start"))))
+    out = cps.merge_intervals(
+        orders, months, how="inner",
+        left_start="d", left_stop="d",
+        right_start="m_start", right_stop="m_stop")
+    return out.select(
+        "o_orderkey",
+        F.year("m_start").cast("int").alias("y"),
+        F.month("m_start").cast("int").alias("m"))
+
+
+_Q_MERGE_DATE_SQL = """
+    SELECT o_orderkey,
+           year(o_orderdate)::INT AS y,
+           month(o_orderdate)::INT AS m
+    FROM orders
+"""
+
+
+def q_merge_timedelta_intervals(spark, sf):
+    """merge_intervals over DAY-TIME INTERVAL endpoints (the reference
+    grid's timedelta dtype): lineitem quantities become duration points
+    (make_dt_interval seconds), bucketed into 5-second duration ranges
+    [b*5, (b+1)*5) — every comparison runs on DayTimeIntervalType; the
+    output projects ints so the hash compare is dtype-stable."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                           F.col("l_quantity")).alias("dur"))
+    buckets = spark.range(11).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                           (F.col("id") * 5).cast("double")).alias("b_start"),
+        F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                           ((F.col("id") + 1) * 5).cast("double")).alias("b_stop"))
+    out = cps.merge_intervals(
+        li, buckets, how="inner",
+        left_start="dur", left_stop="dur",
+        right_start="b_start", right_stop="b_stop",
+        include_right_stop=False)
+    return out.select("l_orderkey", "l_linenumber", "bucket")
+
+
+_Q_MERGE_TIMEDELTA_SQL = """
+    SELECT l_orderkey, l_linenumber, floor(l_quantity / 5)::INT AS bucket
+    FROM lineitem WHERE l_quantity < 55
+"""
+
+
 def q_merge_asof(spark, sf):
     """As-of join (operators/asof.py): for every click event, the value of
     the user's most recent purchase within the preceding 7 days — the
@@ -2402,6 +2496,118 @@ _Q_MULTIMODAL_RESIZE_SQL = """
 """
 
 
+def q_multimodal_png(spark, sf):
+    """REAL PNG roundtrip, oracle-checked end-to-end: per-document a
+    deterministic grayscale raster is zlib-compressed into genuine PNG
+    bytes (pipeline/codecs.py png_encode: IHDR/IDAT/IEND + CRCs), the
+    mapInPandas PNG decoder (inflate + scanline unfilter) recovers
+    width/height/mean/std from the BYTES, and the DuckDB oracle
+    recomputes the same statistics from the generating formula without
+    ever seeing the binary.  PNG is lossless, so the match is exact."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    docs = read_table(spark, sf, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 150)
+
+    @pandas_udf(T.BinaryType())
+    def make_png(doc_id):
+        import numpy as np
+
+        from catabra_pandas_spark.pipeline.codecs import png_encode
+
+        def build(d):
+            d = int(d)
+            w, h = d % 13 + 2, d % 9 + 2
+            i = np.arange(w * h, dtype=np.int64)
+            px = ((d * 37 + i * 11) % 256).astype(np.uint8).reshape(h, w)
+            return png_encode(px)
+        return doc_id.map(build)
+
+    d = docs.withColumn("payload", make_png(F.col("doc_id")))
+    d = P.attach_binary_metadata(d, "payload", modality="image",
+                                 mime="image/png")
+    out = P.decode_binary(d, "payload")
+    return out.select(
+        "doc_id",
+        F.element_at("features", 1).alias("width"),
+        F.element_at("features", 2).alias("height"),
+        F.element_at("features", 3).alias("channels"),
+        F.round(F.element_at("features", 4), 6).alias("mean_gray"),
+        F.round(F.element_at("features", 7), 6).alias("std_gray"))
+
+
+_Q_MULTIMODAL_PNG_SQL = """
+    WITH d AS (
+      SELECT doc_id, doc_id % 13 + 2 AS w, doc_id % 9 + 2 AS h
+      FROM documents WHERE doc_id < 150
+    ),
+    px AS (
+      SELECT doc_id, w, h, (doc_id * 37 + unnest(range(0, w * h)) * 11) % 256 AS v
+      FROM d
+    )
+    SELECT doc_id, w::DOUBLE AS width, h::DOUBLE AS height, 1.0 AS channels,
+           round(avg(v), 6) AS mean_gray,
+           round(stddev_pop(v), 6) AS std_gray
+    FROM px GROUP BY doc_id, w, h
+"""
+
+
+def q_multimodal_jpeg(spark, sf):
+    """REAL baseline JPEG roundtrip, certificate-style oracle: a smooth
+    linear-ramp raster per document is Huffman/DCT-encoded into genuine
+    JFIF bytes (pipeline/codecs.py jpeg_encode_gray, standard Annex K
+    tables at q=90), the mapInPandas JPEG decoder (segment parse +
+    Huffman + dequant + IDCT) recovers the image from the BYTES.
+    Dimensions must match exactly; because JPEG is lossy, mean/std are
+    verified as within-tolerance BOOLEANS against the generating
+    formula (the sketch-certificate pattern of q_hll_distinct) — still a
+    hard end-to-end check: a wrong quant table, zigzag order or IDCT
+    shifts the mean by far more than the 1.0 tolerance."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    docs = read_table(spark, sf, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 150)
+
+    @pandas_udf(T.BinaryType())
+    def make_jpeg(doc_id):
+        import numpy as np
+
+        from catabra_pandas_spark.pipeline.codecs import jpeg_encode_gray
+
+        def build(d):
+            d = int(d)
+            w, h = d % 24 + 8, d % 16 + 8
+            y, x = np.mgrid[0:h, 0:w]
+            px = (d % 64 + y + 2 * x).astype(np.uint8)  # smooth, no wrap
+            return jpeg_encode_gray(px, quality=90)
+        return doc_id.map(build)
+
+    d = docs.withColumn("payload", make_jpeg(F.col("doc_id")))
+    d = P.attach_binary_metadata(d, "payload", modality="image",
+                                 mime="image/jpeg")
+    out = P.decode_binary(d, "payload")
+    ref_mean = (F.col("doc_id") % 64 + (F.col("doc_id") % 16 + 7) / 2.0
+                + (F.col("doc_id") % 24 + 7))
+    return out.select(
+        "doc_id",
+        F.element_at("features", 1).alias("width"),
+        F.element_at("features", 2).alias("height"),
+        (F.abs(F.element_at("features", 4) - ref_mean) < 1.0).alias("mean_ok"),
+        (F.element_at("features", 7) > 0.0).alias("std_positive"))
+
+
+_Q_MULTIMODAL_JPEG_SQL = """
+    SELECT doc_id,
+           (doc_id % 24 + 8)::DOUBLE AS width,
+           (doc_id % 16 + 8)::DOUBLE AS height,
+           TRUE AS mean_ok,
+           TRUE AS std_positive
+    FROM documents WHERE doc_id < 150
+"""
+
+
 def q_resample_eav_sliding(spark, sf):
     """SLIDING regular windows (2-week duration, 1-week stride) via the
     explicit-grid fast path regular=(0, 2wk, 1wk): candidate windows are
@@ -2807,6 +3013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_png": q_multimodal_png,
+        "multimodal_jpeg": q_multimodal_jpeg,
         # sketch tier: certificates + bloom pruning
         "hll_distinct": q_hll_distinct,
         "heavy_hitters": q_heavy_hitters,
@@ -2820,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder": q_zorder,
         # -- recently-changed / this-round work items --
         "merge_str_intervals": q_merge_str_intervals,
+        "merge_str_bucket": q_merge_str_bucket,
         "resample_eav_custom": q_resample_eav_custom,
         "resample_eav_custom_multi": q_resample_eav_custom_multi,
         "json_props": q_json_props,
@@ -2827,6 +3036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "find_containing_sweep": q_find_containing_sweep,
         "group_intervals_keyless": q_group_intervals_keyless,
         "resample_interval_sweep": q_resample_interval_sweep,
+        "merge_date_intervals": q_merge_date_intervals,
+        "merge_timedelta_intervals": q_merge_timedelta_intervals,
         "merge_asof": q_merge_asof,
         "bucket_range_join": q_bucket_range_join,
         "dedup_exact": q_dedup_exact,
@@ -2883,6 +3094,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_keep_both": _Q_MERGE_KEEP_BOTH_SQL,
         "merge_indexers": _Q_MERGE_INDEXERS_SQL,
         "merge_str_intervals": _Q_MERGE_STR_SQL,
+        "merge_str_bucket": _Q_MERGE_STR_BUCKET_SQL,
         "merge_asof": _Q_MERGE_ASOF_SQL,
         "bucket_range_join": _Q_BUCKET_RANGE_SQL,
         "find_containing": _Q_FIND_CONTAINING_SQL,
@@ -2913,6 +3125,8 @@ def oracle_sql() -> dict[str, str]:
         "resample_eav_custom_multi": _Q_RESAMPLE_CUSTOM_MULTI_SQL,
         "resample_interval": _Q_RESAMPLE_INTERVAL_SQL,
         "resample_interval_sweep": _Q_RESAMPLE_INTERVAL_SQL,
+        "merge_date_intervals": _Q_MERGE_DATE_SQL,
+        "merge_timedelta_intervals": _Q_MERGE_TIMEDELTA_SQL,
         "factorize": _Q_FACTORIZE_SQL,
         "inner_or_cross": _Q_INNER_CROSS_SQL,
         "dedup_exact": _Q_DEDUP_EXACT_SQL,
@@ -2957,6 +3171,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _Q_MULTIMODAL_DECODE_SQL,
         "multimodal_resize": _Q_MULTIMODAL_RESIZE_SQL,
         "multimodal_frames": _Q_MULTIMODAL_FRAMES_SQL,
+        "multimodal_png": _Q_MULTIMODAL_PNG_SQL,
+        "multimodal_jpeg": _Q_MULTIMODAL_JPEG_SQL,
         # sketch tier: exact outputs with sketch-quality booleans, so the
         # oracle replays the exact side and TRUE-literals the certificate
         "hll_distinct": _Q_HLL_DISTINCT_SQL,

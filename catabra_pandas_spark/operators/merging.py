@@ -543,27 +543,81 @@ def _bucket_join(
     Intervals with an infinite/missing endpoint cannot be bucketized, so
     both sides must supply finite start and stop columns; otherwise this
     raises (no automatic fallback — use ``strategy="direct"``).
+
+    **Non-numeric (string) endpoints** are dictionary-encoded first: the
+    distinct endpoint values of BOTH sides are ranked into dense
+    order-preserving int codes (lexicographic order == code order, so
+    bucket containment over codes is exact), each side joins the
+    broadcast dictionary for its start/stop code, and the bucket
+    explode/equi-join runs on the codes — keeping large×large string
+    interval joins off the broadcast-nested-loop path.  The exact
+    predicate still runs on the ORIGINAL columns as the residual filter.
+    Scale note: the dictionary is the distinct endpoint VALUE set
+    (version strings, grades, IDs — enum-ish, far smaller than the
+    rows); its global rank is a single-partition sort of that distinct
+    set, the documented trade of ``factorize(sort=True)``.
     """
     if not all([l_start, l_stop, r_start, r_stop]):
         raise ValueError("bucket strategy requires finite start/stop columns on both sides")
     lsch = {f.name: f.dataType for f in lm.schema.fields}
     rsch = {f.name: f.dataType for f in rm.schema.fields}
+
+    from pyspark.sql import types as T
+    str_endpoints = [isinstance(sch[c], T.StringType)
+                     for sch, c in ((lsch, l_start), (lsch, l_stop),
+                                    (rsch, r_start), (rsch, r_stop))]
+    if any(str_endpoints):
+        if not all(str_endpoints):
+            raise ValueError(
+                "bucket strategy: mixed string/non-string interval "
+                "endpoints cannot be ranked into one code space")
+        dic = (lm.select(F.col(l_start).alias("__v__"))
+               .unionByName(lm.select(F.col(l_stop).alias("__v__")))
+               .unionByName(rm.select(F.col(r_start).alias("__v__")))
+               .unionByName(rm.select(F.col(r_stop).alias("__v__")))
+               .distinct())
+        w = Window.partitionBy().orderBy(F.col("__v__").asc())
+        dic = dic.withColumn("__code__", F.row_number().over(w).cast("double"))
+        # the dictionary derives from BOTH inputs, so joining it back to
+        # either would be a self-join whose deduplicated attribute ids
+        # break the caller's residual-predicate references; checkpointing
+        # materializes the (small) code map once with fresh attributes
+        dic = dic.localCheckpoint(eager=True)
+
+        def code_of(df, col, out):
+            d = F.broadcast(dic.select(F.col("__v__"),
+                                       F.col("__code__").alias(out)))
+            return df.join(d, on=df[col] == d["__v__"], how="left").drop("__v__")
+
+        lm = code_of(code_of(lm, l_start, "__lsc__"), l_stop, "__ltc__")
+        rm = code_of(code_of(rm, r_start, "__rsc__"), r_stop, "__rtc__")
+        l_s, l_t, r_s, r_t = "__lsc__", "__ltc__", "__rsc__", "__rtc__"
+        code_cols = ["__lsc__", "__ltc__", "__rsc__", "__rtc__"]
+        numeric = lambda frame, c: frame[c]  # noqa: E731 — codes are double
+    else:
+        l_s, l_t, r_s, r_t = l_start, l_stop, r_start, r_stop
+        code_cols = []
+        numeric = lambda frame, c: _numeric(  # noqa: E731
+            frame[c], (lsch if c in lsch else rsch)[c])
+
     lb = F.explode(F.sequence(
-        F.floor(_numeric(F.col(l_start), lsch[l_start]) / F.lit(bucket_width)),
-        F.floor(_numeric(F.col(l_stop), lsch[l_stop]) / F.lit(bucket_width)),
+        F.floor(numeric(lm, l_s) / F.lit(bucket_width)),
+        F.floor(numeric(lm, l_t) / F.lit(bucket_width)),
     )).alias("__bucket__")
     rb = F.explode(F.sequence(
-        F.floor(_numeric(F.col(r_start), rsch[r_start]) / F.lit(bucket_width)),
-        F.floor(_numeric(F.col(r_stop), rsch[r_stop]) / F.lit(bucket_width)),
+        F.floor(numeric(rm, r_s) / F.lit(bucket_width)),
+        F.floor(numeric(rm, r_t) / F.lit(bucket_width)),
     )).alias("__bucket__")
     le = lm.select("*", lb)
     re_ = rm.select("*", rb)
-    anchor = F.floor(F.greatest(_numeric(le[l_start], lsch[l_start]),
-                                _numeric(re_[r_start], rsch[r_start])) / F.lit(bucket_width))
+    anchor = F.floor(F.greatest(numeric(le, l_s),
+                                numeric(re_, r_s)) / F.lit(bucket_width))
     cond = (le["__bucket__"] == re_["__bucket__"]) & (le["__bucket__"] == anchor)
     for e in eq:
         cond = cond & e  # eq columns resolve by name through the exploded frames
     joined = le.join(re_, on=cond, how="inner").drop(le["__bucket__"]).drop(re_["__bucket__"])
+    for c in code_cols:
+        joined = joined.drop(c)
     return joined.filter(rng)
 
 

@@ -1,0 +1,548 @@
+"""Pure-python/numpy image codecs for the multimodal pipeline.
+
+No image library ships in this container, so these are REAL byte-level
+codec implementations built only on the stdlib (``zlib``) and numpy:
+
+* **PNG** — exact lossless decode of 8-bit greyscale / RGB / RGBA /
+  palette images (all five scanline filters, interlace 0), plus a
+  minimal encoder used by the test fixtures.  Decode(encode(x)) == x
+  byte-for-byte.
+* **JPEG** — baseline sequential DCT decode (SOF0): DQT/DHT/SOS segment
+  parsing, Huffman-coded MCUs with byte-stuffing and restart markers,
+  dequantize + zigzag + 8x8 IDCT (orthonormal DCT-III as a numpy matmul),
+  4:4:4 and 4:2:0 chroma, YCbCr -> RGB.  Plus a minimal baseline encoder
+  (standard Annex K tables) for roundtrip fixtures; decode(encode(x))
+  matches x within quantization error.
+
+These feed ``multimodal._DECODERS`` so jpeg/png payloads decode for real
+behind the same ``mapInPandas`` plumbing as pcm16/netpbm (reference
+treats media as opaque blobs + metadata; the decode step is the
+container-local stand-in for PIL/ffmpeg at production scale).
+
+Scale note: decoding is embarrassingly parallel (one payload per row, no
+shuffle); the per-row cost is pure Python/numpy, so at 100 TB you swap
+these for libjpeg-turbo bindings — the Spark plan does not change.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # colortype -> samples/pixel
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit PNG to a (h, w, channels) uint8 array.
+
+    Supports colortypes 0 (grey), 2 (RGB), 3 (palette), 4 (grey+alpha),
+    6 (RGBA), bit depth 8, no interlace — the overwhelmingly common
+    subset.  Exact: every scanline filter (None/Sub/Up/Average/Paeth) is
+    inverted per the spec.
+    """
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    bitdepth = colortype = interlace = None
+    idat = []
+    palette = None
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bitdepth, colortype, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bitdepth != 8:
+        raise ValueError(f"PNG bit depth {bitdepth} not supported (8 only)")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    ch = _CHANNELS.get(colortype)
+    if ch is None:
+        raise ValueError(f"PNG colortype {colortype} not supported")
+
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = lines[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        cur = lines[y, 1:].copy()
+        f = int(filters[y])
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:      # Sub: add left (per-channel lag) — sequential
+            acc = cur
+            for i in range(ch, stride):
+                acc[i] = (int(acc[i]) + int(acc[i - ch])) & 0xFF
+            out[y] = acc
+        elif f == 2:      # Up: fully vectorized
+            out[y] = cur + prev  # uint8 wraps mod 256
+        elif f == 3:      # Average
+            acc = cur
+            for i in range(stride):
+                left = int(acc[i - ch]) if i >= ch else 0
+                acc[i] = (int(acc[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+            out[y] = acc
+        elif f == 4:      # Paeth
+            acc = cur
+            for i in range(stride):
+                a = int(acc[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                acc[i] = (int(acc[i]) + pred) & 0xFF
+            out[y] = acc
+        else:
+            raise ValueError(f"PNG filter {f} invalid")
+    px = out.reshape(height, width, ch)
+    if colortype == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = palette[px[:, :, 0]]
+    return px
+
+
+def png_encode(px: np.ndarray) -> bytes:
+    """Encode a (h, w) or (h, w, {1,3,4}) uint8 array as a PNG (filter 0,
+    one IDAT).  Minimal but spec-conformant; used by the test fixtures so
+    decode can be verified byte-exactly."""
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    colortype = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, SOF0)
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+# orthonormal 8-point DCT-II basis: C[k, n] = s(k) cos((2n+1) k pi / 16)
+_DCT = np.array([[(np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+                  * np.cos((2 * n + 1) * k * np.pi / 16)
+                  for n in range(8)] for k in range(8)])
+
+# standard quantization tables (JPEG Annex K)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99])
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99])
+
+# standard Huffman tables (Annex K): (bits[1..16], values)
+_HT_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+_HT_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _build_huff_decode(bits, values):
+    """(bits, values) -> {(length, code): value} lookup."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _build_huff_encode(bits, values):
+    """(bits, values) -> {value: (code, length)}."""
+    return {v: (c, ln) for (ln, c), v in _build_huff_decode(bits, values).items()}
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with FF00
+    byte-unstuffing; restart markers are handled by the caller (they sit
+    on byte boundaries after ``align``)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                # EOI or other marker: baseline decoders pad with 1-bits
+                self.bitbuf = (self.bitbuf << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self):
+        self.nbits = 0
+        self.bitbuf = 0
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _huff_decode_one(br: _BitReader, table) -> int:
+    code, length = 0, 0
+    while True:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+        if length > 16:
+            raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG F.2.2.1 sign extension of a t-bit magnitude."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG (SOF0) to (h, w) uint8 for
+    1-component images or (h, w, 3) RGB for 3-component YCbCr.
+
+    Supports 4:4:4 and 4:2:0 sampling, restart intervals, multiple
+    DQT/DHT segments.  Progressive (SOF2) and arithmetic coding raise."""
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt = {}
+    huff_dc, huff_ac = {}, {}
+    comps = None  # list of (id, h_samp, v_samp, qt_id)
+    width = height = None
+    restart_interval = 0
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        data = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:      # DQT
+            p = 0
+            while p < len(data):
+                pq, tq = data[p] >> 4, data[p] & 0xF
+                p += 1
+                if pq:
+                    tab = np.frombuffer(data[p:p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                else:
+                    tab = np.frombuffer(data[p:p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                qt[tq] = tab
+        elif marker == 0xC0:    # SOF0 baseline
+            _prec, height, width, nc = struct.unpack(">BHHB", data[:6])
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = data[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"JPEG SOF{marker - 0xC0} not supported "
+                             "(baseline sequential only)")
+        elif marker == 0xC4:    # DHT
+            p = 0
+            while p < len(data):
+                tc, th = data[p] >> 4, data[p] & 0xF
+                bits = list(data[p + 1:p + 17])
+                n = sum(bits)
+                values = list(data[p + 17:p + 17 + n])
+                (huff_ac if tc else huff_dc)[th] = _build_huff_decode(bits, values)
+                p += 17 + n
+        elif marker == 0xDD:    # DRI
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:    # SOS
+            ns = data[0]
+            scan = []
+            for i in range(ns):
+                cs, tables = data[1 + 2 * i], data[2 + 2 * i]
+                scan.append((cs, tables >> 4, tables & 0xF))
+            pos += seglen
+            break
+        pos += seglen
+    if comps is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+
+    planes = []
+    for cid, hs, vs, tq in comps:
+        planes.append(np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64))
+
+    scan_by_comp = {cs: (td, ta) for cs, td, ta in scan}
+    br = _BitReader(payload, pos)
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    idct = _DCT.T  # orthonormal inverse = transpose
+
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # skip to the restart marker at the next byte boundary
+                br.align()
+                p = br.pos
+                while p + 1 < len(payload) and not (
+                        payload[p] == 0xFF and 0xD0 <= payload[p + 1] <= 0xD7):
+                    p += 1
+                br.pos = p + 2
+                pred = {cid: 0 for cid, _, _, _ in comps}
+            try:
+                for ci, (cid, hs, vs, tq) in enumerate(comps):
+                    td, ta = scan_by_comp[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            zz = np.zeros(64, dtype=np.int32)
+                            t = _huff_decode_one(br, huff_dc[td])
+                            diff = _extend(br.read_bits(t), t) if t else 0
+                            pred[cid] += diff
+                            zz[0] = pred[cid]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode_one(br, huff_ac[ta])
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("JPEG AC overflow")
+                                zz[k] = _extend(br.read_bits(s), s)
+                                k += 1
+                            block = np.zeros(64, dtype=np.float64)
+                            block[_ZIGZAG] = zz * qt[tq]
+                            px = idct @ block.reshape(8, 8) @ _DCT
+                            y0 = (my * vs + by) * 8
+                            x0 = (mx * hs + bx) * 8
+                            planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+            except _RestartMarker:
+                raise ValueError("unexpected JPEG restart marker mid-MCU")
+            mcu_count += 1
+
+    out_planes = []
+    for (cid, hs, vs, tq), plane in zip(comps, planes):
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                              hmax // hs, axis=1)
+        out_planes.append(plane[:height, :width])
+    if len(out_planes) == 1:
+        y = np.clip(out_planes[0] + 128.0, 0, 255)
+        return np.round(y).astype(np.uint8)
+    y, cb, cr = (p + 128.0 for p in out_planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.round(np.clip(rgb, 0, 255)).astype(np.uint8)
+
+
+# --- minimal baseline encoder (fixtures) -----------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nacc += 1
+            if self.nacc == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nacc = 0
+
+    def flush(self):
+        if self.nacc:
+            self.acc = (self.acc << (8 - self.nacc)) | ((1 << (8 - self.nacc)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nacc = 0
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value -> (category bits t, t-bit magnitude code)."""
+    t = int(v != 0 and int(abs(v)).bit_length())
+    code = v if v >= 0 else v + (1 << t) - 1
+    return t, code
+
+
+def jpeg_encode_gray(px: np.ndarray, quality: int = 85) -> bytes:
+    """Encode a (h, w) uint8 greyscale array as a baseline JPEG (one
+    component, 4:4:4, standard Annex K tables scaled by ``quality`` via
+    the libjpeg convention).  Fixture-grade: correctness over speed."""
+    px = np.asarray(px, dtype=np.float64)
+    h, w = px.shape
+    q = max(1, min(100, quality))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    qtab = np.clip((_QT_LUMA * scale + 50) // 100, 1, 255).astype(np.int32)
+
+    dc_enc = _build_huff_encode(*_HT_DC_LUMA)
+    ac_enc = _build_huff_encode(*_HT_AC_LUMA)
+
+    bw = _BitWriter()
+    pred = 0
+    bh, bwid = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(px, ((0, bh - h), (0, bwid - w)), mode="edge") - 128.0
+    qmat = qtab.reshape(8, 8)  # _QT_LUMA is listed in natural order
+    for y0 in range(0, bh, 8):
+        for x0 in range(0, bwid, 8):
+            block = padded[y0:y0 + 8, x0:x0 + 8]
+            coef = _DCT @ block @ _DCT.T
+            qz = np.round(coef / qmat).astype(np.int32)
+            zz = qz.reshape(64)[_ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            t, code = _magnitude(diff)
+            c, ln = dc_enc[t]
+            bw.write(c, ln)
+            if t:
+                bw.write(code, t)
+            # AC: run-length of zeros
+            nz = np.nonzero(zz[1:])[0]
+            k = 0
+            for idx in nz:
+                run = int(idx) - k
+                while run > 15:
+                    c, ln = ac_enc[0xF0]  # ZRL
+                    bw.write(c, ln)
+                    run -= 16
+                t, code = _magnitude(int(zz[idx + 1]))
+                c, ln = ac_enc[(run << 4) | t]
+                bw.write(c, ln)
+                bw.write(code, t)
+                k = int(idx) + 1
+            if k < 63:
+                c, ln = ac_enc[0x00]  # EOB
+                bw.write(c, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    zz_qtab = qtab[_ZIGZAG]  # DQT stores the table in zigzag order
+    dqt = seg(0xDB, b"\x00" + bytes(int(v) for v in zz_qtab))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = (seg(0xC4, b"\x00" + bytes(_HT_DC_LUMA[0]) + bytes(_HT_DC_LUMA[1]))
+           + seg(0xC4, b"\x10" + bytes(_HT_AC_LUMA[0]) + bytes(_HT_AC_LUMA[1])))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xFF\xD8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xFF\xD9")

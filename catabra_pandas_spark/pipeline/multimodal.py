@@ -6,16 +6,20 @@ struct; decode / feature-extraction / frame-sampling run as Arrow-batched
 
 Decode is dispatched on the metadata ``mime``:
 
-* **REAL decoders** (pure numpy, no external codec) for raw formats:
-  16-bit little-endian PCM audio (``audio/pcm16``) and binary netpbm
-  images (``image/x-portable-pixmap`` P6 / ``image/x-portable-graymap``
-  P5).  These are genuine byte-level decoders — the driver's
-  ``multimodal_audio`` query round-trips values -> PCM bytes -> decoded
-  statistics against a DuckDB oracle that never sees the binary.
-* a clearly-marked deterministic STUB for codec formats (jpeg/png/mp3/mp4
-  — the codecs are not in this container); swap ``_decode_fake`` for
-  PIL/ffmpeg/soundfile in production.  The Spark-side contract — schema,
-  partitioning, Arrow batch shape — is identical either way.
+* **REAL decoders** (pure python/numpy, no external codec library):
+  16-bit little-endian PCM audio (``audio/pcm16``), binary netpbm images
+  (``image/x-portable-pixmap`` P6 / ``image/x-portable-graymap`` P5),
+  full **PNG** (zlib inflate + scanline unfilter) and baseline
+  sequential **JPEG** (Huffman + dequant + IDCT) via
+  ``pipeline.codecs``.  These are genuine byte-level decoders — the
+  driver's ``multimodal_audio``/``multimodal_decode`` queries round-trip
+  values -> bytes -> decoded statistics against DuckDB oracles that
+  never see the binary.
+* a clearly-marked deterministic STUB for the remaining codec formats
+  (mp3/mp4 — no audio/video codec in this container); swap
+  ``_decode_fake`` for ffmpeg/soundfile in production.  The Spark-side
+  contract — schema, partitioning, Arrow batch shape — is identical
+  either way.
 """
 
 from __future__ import annotations
@@ -105,11 +109,41 @@ def _decode_netpbm(payload: bytes, meta: dict) -> list[float]:
             float(raster.std()), float(maxval)]
 
 
+def _image_features(px: "np.ndarray", maxval: float = 255.0) -> list[float]:
+    """(h, w, c) pixel array -> the 8-dim image feature vector shared by
+    every image decoder: [width, height, channels, mean_c1, mean_c2,
+    mean_c3, std_all, maxval]."""
+    h, w, c = px.shape
+    flat = px.astype(np.float64)
+    means = [float(flat[:, :, i].mean()) for i in range(min(c, 3))]
+    means += [0.0] * (3 - len(means))
+    return [float(w), float(h), float(c), *means,
+            float(flat.std()), float(maxval)]
+
+
+def _decode_png(payload: bytes, meta: dict) -> list[float]:
+    """REAL decode: full PNG (zlib inflate + scanline unfilter, pure
+    python/numpy — ``pipeline.codecs.png_decode``) -> 8-dim features."""
+    from .codecs import png_decode
+    return _image_features(png_decode(payload))
+
+
+def _decode_jpeg(payload: bytes, meta: dict) -> list[float]:
+    """REAL decode: baseline sequential JPEG (Huffman + dequant + IDCT,
+    pure python/numpy — ``pipeline.codecs.jpeg_decode``) -> 8-dim
+    features."""
+    from .codecs import jpeg_decode
+    px = jpeg_decode(payload)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    return _image_features(px)
+
+
 def _decode_fake(payload: bytes, meta: dict) -> list[float]:
-    """STUB for codec formats (jpeg/png/mp3/mp4 — no codec in this
-    container).  Deterministic 8-dim byte-accumulator so the distributed
-    plumbing stays testable end-to-end; replace with PIL/ffmpeg/soundfile
-    in production."""
+    """STUB for the remaining codec formats (mp3/mp4 — no audio/video
+    codec in this container).  Deterministic 8-dim byte-accumulator so
+    the distributed plumbing stays testable end-to-end; replace with
+    ffmpeg/soundfile in production."""
     acc = [0.0] * 8
     for i, byte in enumerate(payload[:1024]):
         acc[i % 8] += byte / 255.0
@@ -120,6 +154,8 @@ _DECODERS = {
     "audio/pcm16": _decode_pcm16,
     "image/x-portable-pixmap": _decode_netpbm,
     "image/x-portable-graymap": _decode_netpbm,
+    "image/png": _decode_png,
+    "image/jpeg": _decode_jpeg,
 }
 
 
@@ -168,38 +204,54 @@ def resize_image(
     out_col: str = "payload_resized",
 ) -> DataFrame:
     """Resize image payloads via ``mapInPandas`` (Arrow batches, narrow map
-    — no shuffle).  REAL nearest-neighbor resampling for binary netpbm
-    payloads (pure numpy index selection, byte-exact and deterministic);
-    codec formats (jpeg/png) raise ``NotImplementedError`` inside the
-    mapper since no codec ships in this container.  The output column is a
-    payload of the SAME format (P5/P6 with a rewritten header), so resized
-    rows flow through ``decode_binary`` unchanged."""
+    — no shuffle).  REAL nearest-neighbor resampling for every supported
+    image format: netpbm payloads re-emit the SAME format (P5/P6 with a
+    rewritten header, byte-exact index selection); png/jpeg payloads are
+    decoded by the pure-python codecs (``pipeline.codecs``) and re-encoded
+    as LOSSLESS PNG, so the resample step never stacks a second
+    generation of DCT loss.  Unknown mimes (mp4 frames etc.) raise
+    ``NotImplementedError`` inside the mapper.  All outputs flow through
+    ``decode_binary`` unchanged."""
     out_schema = T.StructType(df.schema.fields + [
         T.StructField(out_col, T.BinaryType())])
     in_cols = df.columns
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import jpeg_decode, png_decode, png_encode
+
+        def nn(raster: np.ndarray) -> np.ndarray:
+            h, w = raster.shape[:2]
+            ys = (np.arange(out_height) * h) // out_height
+            xs = (np.arange(out_width) * w) // out_width
+            return raster[ys][:, xs]
+
         for pdf in batches:
             outs = []
             for p, m in zip(pdf[binary_col], pdf.get(meta_col, [None] * len(pdf))):
                 mime = (m or {}).get("mime") if hasattr(m, "get") else None
-                if mime not in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+                if mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+                    feats = _decode_netpbm(p, m)
+                    w, h, c = int(feats[0]), int(feats[1]), int(feats[2])
+                    maxval = int(feats[7])
+                    # re-parse raster (header length = total - raster bytes)
+                    raster = np.frombuffer(
+                        p, dtype=np.uint8, count=w * h * c,
+                        offset=len(p) - w * h * c).reshape(h, w, c)
+                    small = nn(raster)
+                    magic = b"P6" if c == 3 else b"P5"
+                    hdr = b"%s\n%d %d\n%d\n" % (magic, out_width, out_height, maxval)
+                    outs.append(hdr + small.tobytes())
+                elif mime == "image/png":
+                    outs.append(png_encode(nn(png_decode(p))))
+                elif mime == "image/jpeg":
+                    px = jpeg_decode(p)
+                    if px.ndim == 2:
+                        px = px[:, :, None]
+                    outs.append(png_encode(nn(px)))
+                else:
                     raise NotImplementedError(
-                        f"resize of {mime!r} needs an image codec; only "
-                        "netpbm payloads resize natively in this container")
-                feats = _decode_netpbm(p, m)
-                w, h, c = int(feats[0]), int(feats[1]), int(feats[2])
-                maxval = int(feats[7])
-                # re-parse raster (header length = total - raster bytes)
-                raster = np.frombuffer(
-                    p, dtype=np.uint8, count=w * h * c,
-                    offset=len(p) - w * h * c).reshape(h, w, c)
-                ys = (np.arange(out_height) * h) // out_height
-                xs = (np.arange(out_width) * w) // out_width
-                small = raster[ys][:, xs]
-                magic = b"P6" if c == 3 else b"P5"
-                hdr = b"%s\n%d %d\n%d\n" % (magic, out_width, out_height, maxval)
-                outs.append(hdr + small.tobytes())
+                        f"resize of {mime!r} needs a video codec; netpbm, "
+                        "png and jpeg resize natively in this container")
             pdf = pdf.copy()
             pdf[out_col] = outs
             yield pdf[in_cols + [out_col]]

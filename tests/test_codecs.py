@@ -1,0 +1,138 @@
+"""Pure-python codec tests (no Spark): PNG exact roundtrips, JPEG
+within-quantization-error roundtrips, malformed-payload errors."""
+
+import numpy as np
+import pytest
+
+from catabra_pandas_spark.pipeline.codecs import (
+    jpeg_decode,
+    jpeg_encode_gray,
+    png_decode,
+    png_encode,
+)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (5, 3), (13, 17), (32, 32),
+                                   (13, 17, 3), (8, 8, 4), (3, 200, 3)])
+def test_png_roundtrip_exact(shape):
+    rng = np.random.RandomState(hash(shape) % 2**31)
+    img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    dec = png_decode(png_encode(img))
+    ref = img if img.ndim == 3 else img[:, :, None]
+    assert dec.shape == ref.shape
+    assert (dec == ref).all()
+
+
+def test_png_all_filters_decode():
+    """Decode a PNG whose scanlines use every filter type (hand-built)."""
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    stride = w * ch
+
+    def encode_filtered(px):
+        rows = []
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            cur = px[y].reshape(stride).astype(np.int32)
+            f = y % 5
+            if f == 0:
+                enc = cur.copy()
+            elif f == 1:
+                left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+                enc = (cur - left) % 256
+            elif f == 2:
+                enc = (cur - prev) % 256
+            elif f == 3:
+                left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+                enc = (cur - (left + prev) // 2) % 256
+            else:
+                enc = np.zeros(stride, dtype=np.int32)
+                for i in range(stride):
+                    a = int(cur[i - ch]) if i >= ch else 0
+                    b = int(prev[i])
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[i] = (int(cur[i]) - pred) % 256
+            rows.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+            prev = cur
+        return b"".join(rows)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (sig + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(encode_filtered(img)))
+               + chunk(b"IEND", b""))
+    assert (png_decode(payload) == img).all()
+
+
+def test_png_palette():
+    import struct
+    import zlib
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                   dtype=np.uint8)
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0))
+               + chunk(b"PLTE", pal.tobytes())
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert (png_decode(payload) == pal[idx]).all()
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_decode(b"JFIF not a png")
+
+
+@pytest.mark.parametrize("quality,tol_mean,tol_max", [(95, 1.0, 12),
+                                                      (85, 2.0, 20)])
+def test_jpeg_roundtrip_smooth(quality, tol_mean, tol_max):
+    x, y = np.meshgrid(np.arange(72), np.arange(40))
+    img = (128 + 60 * np.sin(x / 9.0) * np.cos(y / 11.0)).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode_gray(img, quality=quality))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(float) - img.astype(float))
+    assert err.mean() < tol_mean
+    assert err.max() < tol_max
+
+
+def test_jpeg_flat_is_near_exact():
+    for v in (0, 77, 128, 200, 255):
+        img = np.full((16, 24), v, dtype=np.uint8)
+        dec = jpeg_decode(jpeg_encode_gray(img, quality=85))
+        assert np.abs(dec.astype(int) - v).max() <= 1, v
+
+
+def test_jpeg_non_multiple_of_8_dims():
+    rng = np.random.RandomState(5)
+    img = np.clip(rng.normal(120, 10, size=(13, 21)), 0, 255).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode_gray(img, quality=90))
+    assert dec.shape == (13, 21)
+    assert np.abs(dec.astype(float) - img.astype(float)).mean() < 6
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_decode(b"\x89PNG....")
+    # splice a SOF2 marker into a valid stream: must raise, not misdecode
+    enc = bytearray(jpeg_encode_gray(np.full((8, 8), 50, np.uint8)))
+    i = enc.find(b"\xFF\xC0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        jpeg_decode(bytes(enc))

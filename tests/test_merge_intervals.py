@@ -259,6 +259,41 @@ def test_merge_bucket_strategy_equivalence(spark):
     assert_pdf_equal(bucket3, direct3, sort_by=["idx", "ridx"])
 
 
+def test_merge_bucket_string_endpoints(spark):
+    """strategy="bucket" on STRING endpoints: the distinct endpoint values
+    are dictionary-encoded into dense order-preserving codes and the
+    bucket explode/equi-join runs on the codes (merging.py _bucket_join)
+    — result must match the direct strategy exactly, and the plan must
+    not be a broadcast-nested-loop join."""
+    rng = np.random.default_rng(23)
+    n_l, n_r = 300, 120
+
+    def vstr(a):
+        return np.array([f"v{x:04d}" for x in a])
+
+    a = rng.integers(0, 400, n_l)
+    b = rng.integers(0, 400, n_r)
+    left = pd.DataFrame({"start": vstr(a), "stop": vstr(a + rng.integers(0, 40, n_l)),
+                         "idx": np.arange(n_l)})
+    right = pd.DataFrame({"rstart": vstr(b), "rstop": vstr(b + rng.integers(0, 40, n_r)),
+                          "ridx": np.arange(n_r)})
+    kw = dict(how="inner", left_start="start", left_stop="stop",
+              right_start="rstart", right_stop="rstop")
+    direct = merge_intervals(to_sdf(spark, left), to_sdf(spark, right), **kw).toPandas()
+    bdf = merge_intervals(to_sdf(spark, left), to_sdf(spark, right),
+                          strategy="bucket", bucket_width=16.0, **kw)
+    plan = bdf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_pdf_equal(bdf.toPandas(), direct, sort_by=["idx", "ridx"])
+    # mixed string/numeric endpoints must raise, not misbucket
+    with pytest.raises(ValueError, match="mixed"):
+        merge_intervals(
+            to_sdf(spark, left),
+            to_sdf(spark, right.assign(rstart=np.arange(n_r, dtype=float),
+                                       rstop=np.arange(n_r, dtype=float) + 3)),
+            strategy="bucket", bucket_width=16.0, **kw).count()
+
+
 @pytest.mark.parametrize("keep", ["first", "last", "both"])
 def test_merge_keep_right_without_keep_by(spark, keep):
     """how="right" + keep without keep_by orders by the generated left

@@ -149,3 +149,35 @@ def test_funnel_matches_bruteforce(spark, rows):
     got = {r.entity: (r.n_stages, r.converted, r.t_first, r.t_convert)
            for r in funnel(to_sdf(spark, pdf), steps).collect()}
     assert got == expect
+
+
+def test_funnel_hot_entity_skew(spark):
+    """One entity with 10^6 step events (the skew regime that OOMed the
+    pre-r5 collect_list design): the k-chained-min-agg funnel must (a)
+    keep collect_list out of the plan — per-task state stays O(1) in the
+    entity's event count because every aggregation is a scalar min — and
+    (b) produce the exact greedy-matching result for a deterministic
+    cycling construction."""
+    from pyspark.sql import functions as F
+
+    from catabra_pandas_spark.operators.events import funnel
+
+    n = 1_000_000
+    types = F.array(F.lit("view"), F.lit("cart"), F.lit("purchase"))
+    hot = (spark.range(n)
+           .select(F.lit(0).alias("entity"),
+                   F.col("id").cast("double").alias("timestamp"),
+                   F.element_at(types, (F.col("id") % 3 + 1).cast("int"))
+                   .alias("event_type")))
+    # a second, cold entity that stalls after stage 1
+    cold = spark.range(1).select(
+        F.lit(1).alias("entity"), F.lit(5.0).alias("timestamp"),
+        F.lit("view").alias("event_type"))
+    df = hot.unionByName(cold)
+    out = funnel(df, ["view", "cart", "purchase"])
+    assert "collect_list" not in out._jdf.queryExecution().executedPlan().toString()
+    rows = {r.entity: r for r in out.collect()}
+    # hot: view@0, first cart after 0 is t=1, first purchase after 1 is t=2
+    assert rows[0].n_stages == 3 and rows[0].converted
+    assert rows[0].t_first == 0.0 and rows[0].t_convert == 2.0
+    assert rows[1].n_stages == 1 and not rows[1].converted
