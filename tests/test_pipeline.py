@@ -245,10 +245,12 @@ def test_mix_corpora(spark, docs):
 
 
 def test_multimodal_plumbing(spark, docs):
+    # video/mp4 is a STUB format (image/png now decodes for real and
+    # rejects non-PNG payloads — see test_codecs.py for the real path)
     d = docs.withColumn("payload", F.encode(F.col("text"), "utf-8"))
-    d = attach_binary_metadata(d, "payload", modality="image", mime="image/png")
+    d = attach_binary_metadata(d, "payload", modality="video", mime="video/mp4")
     row = d.select("media_meta").first()
-    assert row.media_meta.modality == "image" and row.media_meta.width >= 1
+    assert row.media_meta.modality == "video" and row.media_meta.width >= 1
 
     feats = decode_binary(d, "payload").toPandas()
     assert feats.features.map(len).eq(8).all()
