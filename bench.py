@@ -68,6 +68,13 @@ HEADLINE = [
     "funnel",
     "json_props",
     "cube",
+    # r6 additions (not in the r1-r5 totals: compare per-query, not total)
+    "merge_str_bucket",
+    "merge_date_intervals",
+    "merge_timedelta_intervals",
+    "resample_eav_custom_multi",
+    "multimodal_png",
+    "multimodal_jpeg",
 ]
 
 

@@ -153,6 +153,44 @@ def main():
     ok &= compare("group_intervals chunked==single", chunked, single,
                   ["start", "stop"])
 
+    # --- ANN kernels at n/10 vectors -----------------------------------
+    # Cross-implementation consistency: (a) the broadcast-probe LSH (numpy
+    # scoring, single corpus scan) against the shuffled bucket-equi-join
+    # LSH (JVM expression scoring) — same candidate definition, so outputs
+    # must be identical; (b) IVF probing EVERY cell degenerates to
+    # exhaustive search and must equal brute-force cosine_topk exactly.
+    from catabra_pandas_spark.pipeline.similarity import (
+        cosine_topk, ivf_cosine_topk, lsh_cosine_topk)
+
+    nv, dim = max(n // 10, 100_000), 32
+    emb = spark.range(nv, numPartitions=64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(2001))
+                   .cast("double") / 1000.0 - 1.0) for d in range(dim)]
+                ).alias("embedding")).localCheckpoint(eager=True)
+    qv = emb.filter(F.col("vec_id") < 64)
+    t0 = time.perf_counter()
+    brute = cosine_topk(qv, emb, k=10, dim=dim).localCheckpoint(eager=True)
+    t_brute = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lsh_b = lsh_cosine_topk(qv, emb, k=10, dim=dim,
+                            broadcast_queries=True).localCheckpoint(eager=True)
+    t_lb = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lsh_s = lsh_cosine_topk(qv, emb, k=10, dim=dim,
+                            broadcast_queries=False).localCheckpoint(eager=True)
+    t_ls = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ivf_all = ivf_cosine_topk(qv, emb, k=10, dim=dim, n_centroids=32,
+                              n_probe=32).localCheckpoint(eager=True)
+    t_ivf = time.perf_counter() - t0
+    print(f"ann {nv:,} vecs x {dim}d: brute={t_brute:.1f}s "
+          f"lsh_bcast={t_lb:.1f}s lsh_shuffle={t_ls:.1f}s ivf_all={t_ivf:.1f}s")
+    ok &= compare("lsh broadcast-probe == bucket-join", lsh_b, lsh_s,
+                  ["query_id", "rank"])
+    ok &= compare("ivf(all cells) == brute force", ivf_all, brute,
+                  ["query_id", "rank"])
+
     print("SCALE_SMOKE", "PASS" if ok else "FAIL")
     spark.stop()
     sys.exit(0 if ok else 1)
