@@ -579,7 +579,17 @@ def resample_eav(
             out_cols = [(_out_name(suf), suf) for suf in outs]
             types = [(custom_agg_schemas or {}).get(col, ddl)
                      for (col, _), ddl in zip(out_cols, outs.values())]
-            sub = pairs.filter(attr == F.lit(a)).select(*key_cols, value_col)
+            # explicit keyed repartition, NOT the groupBy's own exchange:
+            # AQE coalesces that exchange by DATA volume, and a few MB of
+            # pairs collapse to ~1 partition — which serializes every
+            # per-group Python call (measured 14.5 s -> 1.5 s for 7.5k
+            # groups at sf0.1).  A user REPARTITION_BY_NUM is never
+            # coalesced, so the groups stay spread across the cluster.
+            n_part = int(pairs.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"))
+            sub = (pairs.filter(attr == F.lit(a))
+                   .select(*key_cols, value_col)
+                   .repartition(n_part, *key_cols))
             schema = key_ddl + "".join(
                 f", {col} {t}" for (col, _), t in zip(out_cols, types))
 

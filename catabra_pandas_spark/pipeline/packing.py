@@ -155,7 +155,14 @@ def pack_bins(
         return pdf
 
     if gb:
-        packed = slim.groupBy(*gb).applyInPandas(pack, out_schema)
+        # explicit keyed repartition so AQE cannot coalesce the groupBy's
+        # exchange to ~1 partition on small inputs — that would serialize
+        # every per-group Python packing call (same hazard measured 10x
+        # on the resample_eav custom-agg path)
+        n_part = int(slim.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
+        packed = (slim.repartition(n_part, *gb)
+                  .groupBy(*gb).applyInPandas(pack, out_schema))
     else:
         packed = (slim.withColumn("__g__", F.lit(0)).groupBy("__g__")
                   .applyInPandas(pack, "`__g__` int, " + out_schema)
