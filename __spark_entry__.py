@@ -2716,6 +2716,52 @@ _Q_RESAMPLE_CUSTOM_MULTI_SQL = f"""
 """
 
 
+def q_resample_eav_custom_slope(spark, sf):
+    """TIME-DEPENDENT custom aggregation: a two-argument callable
+    fn(times, values) receives the window's observation times too
+    (reference resampling.py docs Example 2 fits a regression per
+    window), here the least-squares slope of value vs time-in-days.
+    Oracle: DuckDB's native regr_slope."""
+    ev = _ev(spark, sf).select(F.col("uid").alias("entity"), "t",
+                               F.col("etype").alias("attribute"),
+                               F.col("val").alias("value"))
+    win = _weekly_windows(spark, sf)
+
+    def slope(times, values):
+        import numpy as np
+        m = values.notna() & times.notna()
+        x = (times[m] / 86400e6).to_numpy(dtype=float)
+        y = values[m].to_numpy(dtype=float)
+        if len(x) < 2:
+            return None
+        vx = ((x - x.mean()) ** 2).mean()
+        if vx == 0:
+            return None
+        cov = ((x - x.mean()) * (y - y.mean())).mean()
+        return float(cov / vx)
+
+    out = cps.resample_eav(ev, win, {"view": [slope]},
+                           entity_col="entity", time_col="t", include_stop=False,
+                           assume_unique_windows=True, regular=(0, WK_US))
+    # integer-rounded: the slope is a catastrophic-cancellation quantity
+    # (covar/var of near-collinear micros-scale x), so numpy's and
+    # DuckDB's summation orders differ in the 9th significant digit —
+    # round-0 keeps the check hard (a wrong time unit or column scales
+    # the slope by orders of magnitude) without ULP-boundary flakes
+    return out.select("entity", "t_start", "t_stop",
+                      F.round("view_slope", 0).alias("view_slope"))
+
+
+_Q_RESAMPLE_CUSTOM_SLOPE_SQL = f"""
+    WITH e AS ({_EV_SQL}), w AS ({_WEEKLY_SQL})
+    SELECT w.entity, w.t_start, w.t_stop,
+           round(regr_slope(e.val, e.t / 86400000000.0), 0) AS view_slope
+    FROM w LEFT JOIN (SELECT * FROM e WHERE etype = 'view') e
+      ON e.uid = w.entity AND e.t >= w.t_start AND e.t < w.t_stop
+    GROUP BY w.entity, w.t_start, w.t_stop
+"""
+
+
 # --------------------------------------------------------------------------
 # driver API
 # --------------------------------------------------------------------------
@@ -3031,6 +3077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_str_bucket": q_merge_str_bucket,
         "resample_eav_custom": q_resample_eav_custom,
         "resample_eav_custom_multi": q_resample_eav_custom_multi,
+        "resample_eav_custom_slope": q_resample_eav_custom_slope,
         "json_props": q_json_props,
         "merge_overlap_sweep": q_merge_overlap_sweep,
         "find_containing_sweep": q_find_containing_sweep,
@@ -3123,6 +3170,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_eav_sliding": _Q_RESAMPLE_SLIDING_SQL,
         "resample_eav_custom": _Q_RESAMPLE_CUSTOM_SQL,
         "resample_eav_custom_multi": _Q_RESAMPLE_CUSTOM_MULTI_SQL,
+        "resample_eav_custom_slope": _Q_RESAMPLE_CUSTOM_SLOPE_SQL,
         "resample_interval": _Q_RESAMPLE_INTERVAL_SQL,
         "resample_interval_sweep": _Q_RESAMPLE_INTERVAL_SQL,
         "merge_date_intervals": _Q_MERGE_DATE_SQL,

@@ -553,14 +553,17 @@ def resample_eav(
 
     # --- custom callables via applyInPandas -----------------------------
     # Contract (reference ``catabra_pandas/resampling.py:128-161``): a
-    # callable receives the window's values and may emit EITHER a single
-    # scalar (one output column ``{attr}_{fn.__name__}``) OR several named
-    # outputs as a dict / pd.Series keyed by output name (columns
-    # ``{attr}_{key}``, e.g. a covariance agg returning
+    # callable receives the window's values — or (times, values) when it
+    # declares two positional parameters, for time-dependent aggs like
+    # the reference docs' regression-slope example — and may emit EITHER
+    # a single scalar (one output column ``{attr}_{fn.__name__}``) OR
+    # several named outputs as a dict / pd.Series keyed by output name
+    # (columns ``{attr}_{key}``, e.g. a covariance agg returning
     # ``{"slope": ..., "intercept": ...}``).  Output shape is discovered
     # once by probing on the driver (or pinned via ``custom_agg_schemas``,
     # keyed by final column name); each callable costs ONE applyInPandas
-    # over a (keys, value) projection emitting all its columns at once.
+    # over a (keys[, time], value) projection emitting all its columns at
+    # once.
     if custom_reqs:
         import pandas as pd  # noqa
 
@@ -568,7 +571,8 @@ def resample_eav(
             f"{f.name} {f.dataType.simpleString()}" for f in wjoin.schema.fields)
 
         for a, fn, name in custom_reqs:
-            outs = _probe_custom_agg(fn)          # {suffix|None: ddl}
+            wants_time = _custom_agg_arity(fn) >= 2
+            outs = _probe_custom_agg(fn, wants_time)   # {suffix|None: ddl}
 
             def _out_name(suf):
                 # None suffix = legacy scalar contract
@@ -587,23 +591,25 @@ def resample_eav(
             # coalesced, so the groups stay spread across the cluster.
             n_part = int(pairs.sparkSession.conf.get(
                 "spark.sql.shuffle.partitions", "200"))
+            proj = [*key_cols] + ([time_col] if wants_time else []) + [value_col]
             sub = (pairs.filter(attr == F.lit(a))
-                   .select(*key_cols, value_col)
+                   .select(*proj)
                    .repartition(n_part, *key_cols))
             schema = key_ddl + "".join(
                 f", {col} {t}" for (col, _), t in zip(out_cols, types))
 
-            def make_apply(_fn, _keys, _outs):
+            def make_apply(_fn, _keys, _outs, _wants_time):
                 def apply_fn(key, pdf):
                     data = {k: [v] for k, v in zip(_keys, key)}
-                    r = _fn(pdf[value_col])
+                    r = (_fn(pdf[time_col], pdf[value_col]) if _wants_time
+                         else _fn(pdf[value_col]))
                     for col, suf in _outs:
                         data[col] = [r if suf is None else r[suf]]
                     return pd.DataFrame(data)
                 return apply_fn
 
             red = sub.groupBy(*key_cols).applyInPandas(
-                make_apply(fn, key_cols, out_cols), schema=schema)
+                make_apply(fn, key_cols, out_cols, wants_time), schema=schema)
             out = out.join(red, on=key_cols, how="left")
 
     # size/count are 0 (not null) for windows without observations
@@ -636,7 +642,23 @@ def _scalar_ddl(r) -> str:
     return "double"
 
 
-def _probe_custom_agg(fn) -> "dict[Optional[str], str]":
+def _custom_agg_arity(fn) -> int:
+    """Number of positional parameters a custom agg callable declares: 1 =
+    ``fn(values)``, >= 2 = ``fn(times, values)`` (the time-dependent
+    contract — reference docs' regression-slope example needs the window's
+    observation times).  Unintrospectable callables default to 1."""
+    import inspect
+
+    try:
+        params = [p for p in inspect.signature(fn).parameters.values()
+                  if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                  and p.default is p.empty]
+        return max(len(params), 1)
+    except (TypeError, ValueError):
+        return 1
+
+
+def _probe_custom_agg(fn, wants_time: bool = False) -> "dict[Optional[str], str]":
     """Discover a custom aggregation's output shape by probing the callable
     with a 3-row dummy Series on the driver — reference ergonomics
     (``catabra_pandas/resampling.py:256-272`` probes with a dummy frame and
@@ -651,7 +673,8 @@ def _probe_custom_agg(fn) -> "dict[Optional[str], str]":
     import pandas as pd
 
     try:
-        r = fn(pd.Series([1.0, 2.0, 3.0]))
+        vals = pd.Series([1.0, 2.0, 3.0])
+        r = fn(pd.Series([0.0, 1.0, 2.0]), vals) if wants_time else fn(vals)
     except Exception:
         return {None: "double"}
     if isinstance(r, Mapping):

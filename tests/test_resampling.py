@@ -289,6 +289,46 @@ def test_resample_eav_custom_agg_schema_probe(spark):
     assert (pdf.loc[pdf.hr_verdict == "some", "hr_n_valid"] > 0).all()
 
 
+def test_resample_eav_custom_agg_multi_output_and_time(spark):
+    """r6 contract extensions: a callable may return a dict of named
+    outputs (-> N columns), and a TWO-argument callable receives
+    (times, values) — reference resampling.py:128-161 / docs Example 2."""
+    from catabra_pandas_spark.operators.resampling import _custom_agg_arity
+
+    assert _custom_agg_arity(lambda s: s.max()) == 1
+    assert _custom_agg_arity(lambda t, v: 0.0) == 2
+    df = _eav_data(5)
+    win = _windows(5)
+
+    def span(s):
+        s = s.dropna()
+        return {"lo": float(s.min()) if len(s) else None,
+                "hi": float(s.max()) if len(s) else None}
+
+    def t_weighted(times, values):
+        m = values.notna()
+        if not m.any():
+            return None
+        # value at the LATEST observation time — needs the time axis
+        return float(values[m].iloc[times[m].to_numpy().argmax()])
+
+    out = resample_eav(to_sdf(spark, df), to_sdf(spark, win),
+                       {"hr": [span, t_weighted]}).toPandas()
+    assert {"hr_lo", "hr_hi", "hr_t_weighted"} <= set(out.columns)
+    # oracle per window
+    for _, w in out.iterrows():
+        sub = df[(df.entity == w.entity) & (df.attribute == "hr")
+                 & (df.timestamp >= w.timestamp_start)
+                 & (df.timestamp < w.timestamp_stop)].dropna(subset=["value"])
+        if len(sub):
+            assert abs(w.hr_lo - sub.value.min()) < 1e-9
+            assert abs(w.hr_hi - sub.value.max()) < 1e-9
+            assert abs(w.hr_t_weighted
+                       - sub.sort_values("timestamp").value.iloc[-1]) < 1e-9
+        else:
+            assert pd.isna(w.hr_lo) and pd.isna(w.hr_t_weighted)
+
+
 def _interval_data(seed, n=300, n_entities=10):
     rng = np.random.default_rng(seed)
     df = pd.DataFrame({
