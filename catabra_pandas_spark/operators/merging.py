@@ -571,18 +571,20 @@ def _bucket_join(
             raise ValueError(
                 "bucket strategy: mixed string/non-string interval "
                 "endpoints cannot be ranked into one code space")
+        from ..util import ordered_dense_ids
         dic = (lm.select(F.col(l_start).alias("__v__"))
                .unionByName(lm.select(F.col(l_stop).alias("__v__")))
                .unionByName(rm.select(F.col(r_start).alias("__v__")))
                .unionByName(rm.select(F.col(r_stop).alias("__v__")))
                .distinct())
-        w = Window.partitionBy().orderBy(F.col("__v__").asc())
-        dic = dic.withColumn("__code__", F.row_number().over(w).cast("double"))
-        # the dictionary derives from BOTH inputs, so joining it back to
-        # either would be a self-join whose deduplicated attribute ids
-        # break the caller's residual-predicate references; checkpointing
-        # materializes the (small) code map once with fresh attributes
-        dic = dic.localCheckpoint(eager=True)
+        # distributed order-preserving rank (range buckets + O(P) offsets
+        # — no single-partition sort), then checkpoint: the dictionary
+        # derives from BOTH inputs, so joining it back to either would be
+        # a self-join whose deduplicated attribute ids break the caller's
+        # residual-predicate references (ordered_dense_ids checkpoints
+        # internally, giving the code map fresh attributes for free)
+        dic = ordered_dense_ids(dic, ["__v__"], "__code__") \
+            .withColumn("__code__", F.col("__code__").cast("double"))
 
         def code_of(df, col, out):
             d = F.broadcast(dic.select(F.col("__v__"),

@@ -35,13 +35,13 @@ def factorize(
     assigns ids in an arbitrary-but-deterministic order (Spark has no
     insertion order to preserve).
 
-    Scale: the default path is fully distributed — distinct keys hash into
-    ``n_buckets`` buckets, ids are (bucket offset + in-bucket rank), and
-    only the ``n_buckets`` bucket counts ever reach the driver (the counts
+    Scale: both paths are fully distributed.  The default hashes distinct
+    keys into ``n_buckets`` buckets, ids are (bucket offset + in-bucket
+    rank), and only the bucket counts ever reach the driver (the counts
     are materialized once, so every consumer of the ids sees the same
-    assignment).  ``sort=True`` ranks over a single-partition global sort
-    of the distinct keys: exact order preservation, appropriate for
-    enum-like key sets; prefer the default for high-cardinality keys.
+    assignment).  ``sort=True`` uses the same offset design over RANGE
+    buckets (``util.ordered_dense_ids``) — exact order preservation with
+    no single-partition sort.
     """
     columns = as_list(columns)
     ensure_columns(left, columns)
@@ -56,8 +56,8 @@ def factorize(
     distinct = keys.distinct()
 
     if sort:
-        w = Window.partitionBy().orderBy(*[F.col(c).asc_nulls_last() for c in kcols])
-        ids = distinct.withColumn(key_name, F.row_number().over(w) - F.lit(1))
+        from ..util import ordered_dense_ids
+        ids = ordered_dense_ids(distinct, kcols, key_name)
     else:
         n_buckets = 1024
         # pmod, not abs(...)%: abs(Long.MIN_VALUE) is still negative and
@@ -80,8 +80,9 @@ def factorize(
 
     def attach(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         cond = [df[c].eqNullSafe(ids[k]) for c, k in zip(cols, kcols)]
-        joined = df.join(F.broadcast(ids) if sort else ids,
-                         on=cond and _and_all(cond), how="left")
+        # no forced broadcast: the id map's size is known post-checkpoint/
+        # post-shuffle, so Catalyst+AQE pick broadcast vs shuffle join
+        joined = df.join(ids, on=cond and _and_all(cond), how="left")
         return joined.drop(*kcols)
 
     left_out = attach(left, columns)

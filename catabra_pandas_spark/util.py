@@ -32,6 +32,49 @@ def numeric_double(c: Column, dt) -> Column:
     return c.cast("double")
 
 
+def ordered_dense_ids(df: DataFrame, cols: Sequence[str],
+                      out_col: str) -> DataFrame:
+    """Order-preserving dense 0-based int64 ids over (assumed-distinct)
+    key tuples, FULLY DISTRIBUTED — no single-partition global sort:
+
+    1. ``repartitionByRange`` on the key (nulls last) splits the key
+       space into contiguous range buckets;
+    2. one O(P) aggregation collects per-bucket counts to the driver
+       (scalars only — never data);
+    3. a window per bucket assigns in-bucket ``row_number``, shifted by
+       the bucket's running offset.
+
+    Two shuffles total, both on the key; driver state is P scalars.  The
+    same design as ``factorize``'s hash-bucket path, with range buckets
+    making the ids ORDER-preserving (code order == key order), which is
+    what range-bucketing non-numeric interval endpoints requires.
+    """
+    from pyspark.sql import Window
+
+    cols = list(cols)
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    order = [F.col(c).asc_nulls_last() for c in cols]
+    # checkpoint pins the sampled range boundaries: the counts job and
+    # the consumer plans must see the IDENTICAL partitioning, and
+    # repartitionByRange re-samples per evaluation otherwise
+    ranged = (df.repartitionByRange(n, *order)
+              .withColumn("__pid__", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+    counts = {r["__pid__"]: r["cnt"]
+              for r in ranged.groupBy("__pid__")
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = [], 0
+    for p in range(n):
+        offsets.append(acc)
+        acc += counts.get(p, 0)
+    off = F.array(*[F.lit(o).cast("long") for o in offsets])
+    w = Window.partitionBy("__pid__").orderBy(*order)
+    return (ranged.withColumn(
+        out_col,
+        F.element_at(off, F.col("__pid__") + 1) + F.row_number().over(w) - 1)
+        .drop("__pid__"))
+
+
 def as_list(x) -> list:
     if x is None:
         return []
