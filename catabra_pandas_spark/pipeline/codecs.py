@@ -486,16 +486,55 @@ def _magnitude(v: int) -> tuple[int, int]:
     return t, code
 
 
+def _encode_block(bw: "_BitWriter", block: np.ndarray, qmat: np.ndarray,
+                  dc_enc, ac_enc, pred: int) -> int:
+    """DCT + quantize + Huffman-encode one level-shifted 8x8 block;
+    returns the new DC predictor."""
+    coef = _DCT @ block @ _DCT.T
+    qz = np.round(coef / qmat).astype(np.int32)
+    zz = qz.reshape(64)[_ZIGZAG]
+    diff = int(zz[0]) - pred
+    t, code = _magnitude(diff)
+    c, ln = dc_enc[t]
+    bw.write(c, ln)
+    if t:
+        bw.write(code, t)
+    nz = np.nonzero(zz[1:])[0]
+    k = 0
+    for idx in nz:
+        run = int(idx) - k
+        while run > 15:
+            c, ln = ac_enc[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        t, code = _magnitude(int(zz[idx + 1]))
+        c, ln = ac_enc[(run << 4) | t]
+        bw.write(c, ln)
+        bw.write(code, t)
+        k = int(idx) + 1
+    if k < 63:
+        c, ln = ac_enc[0x00]  # EOB
+        bw.write(c, ln)
+    return int(zz[0])
+
+
+def _scaled_qtab(base: np.ndarray, quality: int) -> np.ndarray:
+    q = max(1, min(100, quality))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
 def jpeg_encode_gray(px: np.ndarray, quality: int = 85) -> bytes:
     """Encode a (h, w) uint8 greyscale array as a baseline JPEG (one
     component, 4:4:4, standard Annex K tables scaled by ``quality`` via
     the libjpeg convention).  Fixture-grade: correctness over speed."""
     px = np.asarray(px, dtype=np.float64)
     h, w = px.shape
-    q = max(1, min(100, quality))
-    scale = 5000 / q if q < 50 else 200 - 2 * q
-    qtab = np.clip((_QT_LUMA * scale + 50) // 100, 1, 255).astype(np.int32)
-
+    qtab = _scaled_qtab(_QT_LUMA, quality)
     dc_enc = _build_huff_encode(*_HT_DC_LUMA)
     ac_enc = _build_huff_encode(*_HT_AC_LUMA)
 
@@ -506,43 +545,70 @@ def jpeg_encode_gray(px: np.ndarray, quality: int = 85) -> bytes:
     qmat = qtab.reshape(8, 8)  # _QT_LUMA is listed in natural order
     for y0 in range(0, bh, 8):
         for x0 in range(0, bwid, 8):
-            block = padded[y0:y0 + 8, x0:x0 + 8]
-            coef = _DCT @ block @ _DCT.T
-            qz = np.round(coef / qmat).astype(np.int32)
-            zz = qz.reshape(64)[_ZIGZAG]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            t, code = _magnitude(diff)
-            c, ln = dc_enc[t]
-            bw.write(c, ln)
-            if t:
-                bw.write(code, t)
-            # AC: run-length of zeros
-            nz = np.nonzero(zz[1:])[0]
-            k = 0
-            for idx in nz:
-                run = int(idx) - k
-                while run > 15:
-                    c, ln = ac_enc[0xF0]  # ZRL
-                    bw.write(c, ln)
-                    run -= 16
-                t, code = _magnitude(int(zz[idx + 1]))
-                c, ln = ac_enc[(run << 4) | t]
-                bw.write(c, ln)
-                bw.write(code, t)
-                k = int(idx) + 1
-            if k < 63:
-                c, ln = ac_enc[0x00]  # EOB
-                bw.write(c, ln)
+            pred = _encode_block(bw, padded[y0:y0 + 8, x0:x0 + 8],
+                                 qmat, dc_enc, ac_enc, pred)
     bw.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+    dqt = _seg(0xDB, b"\x00" + bytes(int(v) for v in qtab[_ZIGZAG]))
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = (_seg(0xC4, b"\x00" + bytes(_HT_DC_LUMA[0]) + bytes(_HT_DC_LUMA[1]))
+           + _seg(0xC4, b"\x10" + bytes(_HT_AC_LUMA[0]) + bytes(_HT_AC_LUMA[1])))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xFF\xD8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xFF\xD9")
 
-    zz_qtab = qtab[_ZIGZAG]  # DQT stores the table in zigzag order
-    dqt = seg(0xDB, b"\x00" + bytes(int(v) for v in zz_qtab))
-    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    dht = (seg(0xC4, b"\x00" + bytes(_HT_DC_LUMA[0]) + bytes(_HT_DC_LUMA[1]))
-           + seg(0xC4, b"\x10" + bytes(_HT_AC_LUMA[0]) + bytes(_HT_AC_LUMA[1])))
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+def jpeg_encode_rgb420(px: np.ndarray, quality: int = 85) -> bytes:
+    """Encode a (h, w, 3) uint8 RGB array as a baseline JPEG with 4:2:0
+    chroma subsampling (the dominant real-world JPEG layout): BT.601
+    RGB -> YCbCr, Cb/Cr box-averaged 2x2, MCU = four Y blocks + one Cb +
+    one Cr, luma/chroma Annex K tables.  Fixture-grade — exists so the
+    decoder's color + subsampling + chroma-table paths are roundtrip-
+    tested, not just claimed."""
+    px = np.asarray(px, dtype=np.float64)
+    h, w, _ = px.shape
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    yy = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    mh, mw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+    pad = lambda p: np.pad(p, ((0, mh - h), (0, mw - w)), mode="edge")  # noqa: E731
+    yy, cb, cr = pad(yy), pad(cb), pad(cr)
+    # 4:2:0: box-average each 2x2 chroma neighborhood
+    cb2 = cb.reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3))
+    cr2 = cr.reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3))
+
+    ql = _scaled_qtab(_QT_LUMA, quality).reshape(8, 8)
+    qc = _scaled_qtab(_QT_CHROMA, quality).reshape(8, 8)
+    dc_l, ac_l = _build_huff_encode(*_HT_DC_LUMA), _build_huff_encode(*_HT_AC_LUMA)
+    dc_c, ac_c = (_build_huff_encode(*_HT_DC_CHROMA),
+                  _build_huff_encode(*_HT_AC_CHROMA))
+
+    bw = _BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+    for my in range(0, mh, 16):
+        for mx in range(0, mw, 16):
+            for by in (0, 8):
+                for bx in (0, 8):
+                    pred[1] = _encode_block(
+                        bw, yy[my + by:my + by + 8, mx + bx:mx + bx + 8],
+                        ql, dc_l, ac_l, pred[1])
+            cy, cx = my // 2, mx // 2
+            pred[2] = _encode_block(bw, cb2[cy:cy + 8, cx:cx + 8],
+                                    qc, dc_c, ac_c, pred[2])
+            pred[3] = _encode_block(bw, cr2[cy:cy + 8, cx:cx + 8],
+                                    qc, dc_c, ac_c, pred[3])
+    bw.flush()
+
+    dqt = (_seg(0xDB, b"\x00" + bytes(int(v) for v in
+                                      _scaled_qtab(_QT_LUMA, quality)[_ZIGZAG]))
+           + _seg(0xDB, b"\x01" + bytes(int(v) for v in
+                                        _scaled_qtab(_QT_CHROMA, quality)[_ZIGZAG])))
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    dht = (_seg(0xC4, b"\x00" + bytes(_HT_DC_LUMA[0]) + bytes(_HT_DC_LUMA[1]))
+           + _seg(0xC4, b"\x10" + bytes(_HT_AC_LUMA[0]) + bytes(_HT_AC_LUMA[1]))
+           + _seg(0xC4, b"\x01" + bytes(_HT_DC_CHROMA[0]) + bytes(_HT_DC_CHROMA[1]))
+           + _seg(0xC4, b"\x11" + bytes(_HT_AC_CHROMA[0]) + bytes(_HT_AC_CHROMA[1])))
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     return (b"\xFF\xD8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xFF\xD9")

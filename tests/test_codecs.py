@@ -7,6 +7,7 @@ import pytest
 from catabra_pandas_spark.pipeline.codecs import (
     jpeg_decode,
     jpeg_encode_gray,
+    jpeg_encode_rgb420,
     png_decode,
     png_encode,
 )
@@ -125,6 +126,32 @@ def test_jpeg_non_multiple_of_8_dims():
     dec = jpeg_decode(jpeg_encode_gray(img, quality=90))
     assert dec.shape == (13, 21)
     assert np.abs(dec.astype(float) - img.astype(float)).mean() < 6
+
+
+def test_jpeg_color_420_roundtrip():
+    """Color + 4:2:0 subsampling + chroma tables — the decoder paths a
+    grayscale fixture never exercises."""
+    x, y = np.meshgrid(np.arange(70), np.arange(44))
+    img = np.stack([128 + 60 * np.sin(x / 9.0),
+                    128 + 60 * np.cos(y / 11.0),
+                    128 + 40 * np.sin((x + y) / 13.0)], axis=-1).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode_rgb420(img, quality=90))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(float) - img.astype(float))
+    assert err.mean() < 4 and err.max() < 35
+
+
+def test_jpeg_color_flat_is_near_exact():
+    flat = np.full((20, 28, 3), [200, 60, 120], dtype=np.uint8)
+    dec = jpeg_decode(jpeg_encode_rgb420(flat, quality=85))
+    assert np.abs(dec.astype(int) - flat.astype(int)).max() <= 1
+
+
+def test_jpeg_color_non_multiple_of_16_dims():
+    rng = np.random.RandomState(9)
+    img = np.clip(rng.normal(120, 8, size=(19, 33, 3)), 0, 255).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode_rgb420(img, quality=92))
+    assert dec.shape == (19, 33, 3)
 
 
 def test_jpeg_rejects_progressive_and_garbage():
