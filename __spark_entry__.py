@@ -2236,6 +2236,44 @@ _Q_FUNNEL_SQL = """
 """
 
 
+def q_stream_funnel(spark, sf):
+    """stream_funnel (custom stateful streaming op: per-entity greedy
+    stage matching with O(k) state via applyInPandasWithState) in
+    batch-dispatch mode — identical greedy semantics to the batch funnel,
+    no `within` bound.  The incremental cross-micro-batch path is
+    exercised in tests/test_streaming.py."""
+    ev = read_table(spark, sf, "events")
+    out = STRM.stream_funnel(ev, ["view", "click", "purchase"],
+                             entity_col="user_id", time_col="ts",
+                             type_col="event_type")
+    return out.select(
+        F.col("user_id").alias("entity"), "n_stages", "converted",
+        F.unix_micros(F.col("t_first").cast("timestamp")).alias("t_first"),
+        F.unix_micros(F.col("t_convert").cast("timestamp")).alias("t_convert"))
+
+
+_Q_STREAM_FUNNEL_SQL = """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+           GROUP BY e.user_id)
+    SELECT s1.user_id AS entity,
+           CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS n_stages,
+           t3 IS NOT NULL AS converted,
+           epoch_us(s1.t1)::BIGINT AS t_first,
+           epoch_us(t3)::BIGINT AS t_convert
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 def q_retention(spark, sf):
     """Cohort retention matrix (operators/events.py): users cohorted by
     first-activity week, per-cell distinct-active counts — two combinable
@@ -3048,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ffill": q_stream_ffill,
         "stream_dedup": q_stream_dedup,
         "stream_resample_interval": q_stream_resample_interval,
+        "stream_funnel": q_stream_funnel,
         # approximate tier: oracle-backed recall certificates / DuckDB twin
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -3205,6 +3244,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_ffill": _Q_STREAM_FFILL_SQL,
         "stream_dedup": _Q_STREAM_DEDUP_SQL,
         "stream_resample_interval": _Q_STREAM_RESAMPLE_INTERVAL_SQL,
+        "stream_funnel": _Q_STREAM_FUNNEL_SQL,
         # recall certificates: oracle = the exact ground truth the
         # approximate operator must fully recover (see q_minhash_lsh)
         "minhash_lsh": _ngram_sql(0.8),

@@ -162,6 +162,98 @@ def stream_ffill(
                                     GroupStateTimeout.NoTimeout))
 
 
+def stream_funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    entity_col: str = "entity",
+    time_col: str = "timestamp",
+    type_col: str = "event_type",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Streaming funnel — a CUSTOM STATEFUL operator via
+    ``applyInPandasWithState`` (batch analogue ``operators.events.funnel``,
+    same greedy earliest-completion semantics: stage i matches at the
+    earliest ``steps[i]`` event strictly after stage i-1's matched time).
+
+    State per entity = the k matched stage times (epoch micros) — O(k)
+    scalars regardless of event volume, the streaming mirror of the batch
+    operator's chained-min design.  Each micro-batch sorts its group rows
+    by event time, advances the greedy match, and emits the entity's
+    REFRESHED funnel row (update output mode: downstream sinks see the
+    latest n_stages/converted per entity).  Exact vs batch when each
+    entity's events arrive in event-time order across micro-batches
+    (disorder within one batch is handled by the sort).
+
+    With ``watermark``, entity state expires one watermark interval after
+    the entity's latest event (event-time timeout) — bounding state for
+    unbounded entity populations; without it state lives forever (batch
+    replays, bounded key sets).  Batch DataFrames dispatch to the batch
+    operator, so one call site serves both modes and the batch path is
+    oracle-checkable."""
+    if len(steps) < 1:
+        raise ValueError("steps must be non-empty")
+    if not df.isStreaming:
+        from ..operators.events import funnel
+        return funnel(df, steps, entity_col=entity_col, time_col=time_col,
+                      type_col=type_col)
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k = len(steps)
+    steps = list(steps)
+    src = df.withWatermark(time_col, watermark) if watermark else df
+    ent_type = df.schema[entity_col].dataType
+    out_schema = T.StructType([
+        T.StructField(entity_col, ent_type),
+        T.StructField("n_stages", T.IntegerType()),
+        T.StructField("converted", T.BooleanType()),
+        T.StructField("t_first", T.TimestampType()),
+        T.StructField("t_convert", T.TimestampType()),
+    ])
+    state_schema = T.StructType(
+        [T.StructField(f"m{i}", T.LongType()) for i in range(k)])
+    timeout_ms = (int(pd.Timedelta(watermark).total_seconds() * 1000)
+                  if watermark else None)
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        m = list(state.get) if state.exists else [None] * k
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf[pdf[type_col].isin(steps)].sort_values(time_col)
+        s = sum(1 for v in m if v is not None)
+        last_t = None
+        for t, ty in zip(pdf[time_col].astype("int64") // 1000,
+                         pdf[type_col]):
+            t = int(t)
+            last_t = t
+            if s < k and ty == steps[s] and (s == 0 or t > m[s - 1]):
+                m[s] = t
+                s += 1
+        if s == 0:
+            return  # no step-0 event yet: no funnel row, no state
+        state.update(tuple(m))
+        if timeout_ms is not None and last_t is not None:
+            state.setTimeoutTimestamp(last_t // 1000 + timeout_ms)
+        ts = lambda us: (pd.Timestamp(us * 1000) if us is not None  # noqa: E731
+                         else pd.NaT)
+        yield pd.DataFrame({
+            entity_col: [key[0]],
+            "n_stages": [s],
+            "converted": [s == k],
+            "t_first": [ts(m[0])],
+            "t_convert": [ts(m[k - 1]) if s == k else pd.NaT],
+        })
+
+    return (src.groupBy(entity_col)
+            .applyInPandasWithState(
+                fn, out_schema, state_schema, "update",
+                GroupStateTimeout.EventTimeTimeout if watermark
+                else GroupStateTimeout.NoTimeout))
+
+
 def stream_dedup(
     df: DataFrame,
     subset: Union[str, Sequence[str]],

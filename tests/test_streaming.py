@@ -189,6 +189,57 @@ def test_streaming_plumbing_available_now(spark, tmp_path):
     assert_pdf_equal(got, batch, sort_by=["entity", "session_start"])
 
 
+def test_stream_funnel_stateful(spark, tmp_path):
+    """Stateful streaming funnel: stage matches accumulate ACROSS
+    micro-batches (state = k matched times), update-mode rows refresh the
+    entity's funnel status, and the final status equals the batch
+    operator on the concatenated data."""
+    import time as _time
+
+    from catabra_pandas_spark.operators.events import funnel
+    from catabra_pandas_spark.streaming import stream_funnel
+
+    base = pd.Timestamp("2026-01-01")
+    early = pd.DataFrame({
+        "entity": ["a", "a", "b", "c"],
+        "timestamp": [base, base + pd.Timedelta(minutes=1),
+                      base + pd.Timedelta(minutes=2),
+                      base + pd.Timedelta(minutes=3)],
+        "event_type": ["view", "cart", "view", "cart"],  # c: cart first -> no row
+    })
+    late = pd.DataFrame({
+        "entity": ["a", "b"],
+        "timestamp": [base + pd.Timedelta(minutes=10),
+                      base + pd.Timedelta(minutes=11)],
+        "event_type": ["purchase", "cart"],   # a completes; b reaches 2
+    })
+    src_dir = str(tmp_path / "funnel_src")
+    to_sdf(spark, early).coalesce(1).write.mode("overwrite").parquet(src_dir)
+    _time.sleep(1.2)
+    to_sdf(spark, late).coalesce(1).write.mode("append").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    out = stream_funnel(stream, ["view", "cart", "purchase"])
+    q = (out.writeStream.format("memory").queryName("funnel_test")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM funnel_test").toPandas()
+
+    # update mode: keep each entity's most-advanced row = final status
+    final = (got.sort_values("n_stages").groupby("entity").tail(1)
+             .reset_index(drop=True))
+    both = pd.concat([early, late], ignore_index=True)
+    exp = funnel(to_sdf(spark, both), ["view", "cart", "purchase"]).toPandas()
+    assert_pdf_equal(final, exp, sort_by=["entity"])
+    # the cross-batch completion specifically
+    a = final.set_index("entity").loc["a"]
+    assert bool(a.converted) and a.n_stages == 3
+    assert a.t_convert == base + pd.Timedelta(minutes=10)
+    assert "c" not in set(final.entity)  # never emitted a step-0 event
+
+
 def test_stream_dedup_batch_deterministic(spark):
     pdf = pd.DataFrame({
         "k": ["a", "a", "a", "b"],
