@@ -37,6 +37,24 @@ def test_factorize_sorted(spark):
     assert {k: int(v) for k, v in got.items()} == {"a": 0, "b": 1, "c": 2}
 
 
+def test_ordered_dense_ids_distributed(spark):
+    """util.ordered_dense_ids: 0-based consecutive, order-preserving over
+    the key, stable across many range buckets (the distributed path that
+    replaced single-partition sorts in factorize(sort=True) and the
+    string-endpoint bucket-join dictionary)."""
+    import numpy as np
+
+    from catabra_pandas_spark.util import ordered_dense_ids
+
+    rng = np.random.default_rng(41)
+    vals = [f"k{v:05d}" for v in rng.choice(100_000, 5_000, replace=False)]
+    df = to_sdf(spark, pd.DataFrame({"v": vals})).repartition(16)
+    out = ordered_dense_ids(df, ["v"], "id").toPandas().sort_values("v")
+    ids = out.id.to_numpy()
+    assert ids.min() == 0 and ids.max() == len(vals) - 1
+    assert (np.diff(ids) == 1).all()  # dense AND lexicographic order
+
+
 def test_inner_or_cross(spark):
     l = to_sdf(spark, pd.DataFrame({"k": [1, 2], "x": [10, 20]}))
     r = to_sdf(spark, pd.DataFrame({"k": [1, 1, 3], "y": [5, 6, 7]}))
