@@ -119,10 +119,13 @@ def cosine_topk(
     corpus vectors (self-matches on equal ids excluded).
 
     Returns (query_id, neighbor_id, cosine_sim, rank) with deterministic
-    tie-break (sim desc, neighbor id asc).
+    tie-break (sim desc, neighbor id asc).  ``broadcast_queries=False``
+    keeps the shuffled-join + per-pair-expression formulation for query
+    sets too large to hold on one machine (same results, larger
+    exchange).
 
-    Plan: the query matrix is broadcast to the executors (sc.broadcast —
-    the ``broadcast_queries`` contract: |Q| x dim must fit one machine),
+    Plan (default): the query matrix is broadcast to the executors
+    (sc.broadcast — the contract: |Q| x dim must fit one machine),
     the corpus is scanned ONCE with no shuffle, and each Arrow batch is
     scored by a single numpy matmul (B x dim @ dim x Q) that emits only
     its LOCAL top-k rows per query.  The sole exchange is the final
@@ -138,6 +141,22 @@ def cosine_topk(
 
     if dim is None:
         dim = _infer_dim(queries, query_vec)
+    if not broadcast_queries:
+        # query set too large to collect: score via the shuffled join +
+        # per-pair expression path (norms precomputed per side so the
+        # |Q| x |C| loop never recomputes them), Arrow top-k tail
+        q = (queries.select(F.col(query_id).alias("query_id"),
+                            F.col(query_vec).cast("array<double>").alias("__qv__"))
+             .withColumn("__qn__", _norm(F.col("__qv__"), dim)))
+        c = (corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                           F.col(corpus_vec).cast("array<double>").alias("__cv__"))
+             .withColumn("__cn__", _norm(F.col("__cv__"), dim)))
+        scored = (c.join(q, on=F.col("query_id") != F.col("neighbor_id"),
+                         how="inner")
+                  .withColumn("cosine_sim",
+                              _dot(F.col("__qv__"), F.col("__cv__"), dim)
+                              / (F.col("__qn__") * F.col("__cn__"))))
+        return _topk_per_query(scored, k)
     qpdf = (queries.select(F.col(query_id).alias("query_id"),
                            F.col(query_vec).cast("array<double>").alias("v"))
             .filter(F.col("v").isNotNull() & (F.size("v") == dim))

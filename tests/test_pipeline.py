@@ -129,6 +129,18 @@ def test_cosine_topk_exact(spark, emb):
         assert np.allclose(got.cosine_sim.round(5), [e[1] for e in expect], atol=1e-4)
 
 
+def test_cosine_topk_nonbroadcast_matches(spark, emb):
+    """broadcast_queries=False (shuffled-join path for unbroadcastable
+    query sets) must equal the broadcast-probe matmul path exactly."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = cosine_topk(queries, emb, k=5).toPandas()
+    b = cosine_topk(queries, emb, k=5, broadcast_queries=False).toPandas()
+    for df in (a, b):
+        df["cosine_sim"] = df["cosine_sim"].round(9)
+    from .conftest import assert_pdf_equal
+    assert_pdf_equal(a, b, sort_by=["query_id", "rank"])
+
+
 def test_lsh_cosine_topk_recall(spark, emb):
     queries = emb.filter(F.col("vec_id") < 20)
     exact = cosine_topk(queries, emb, k=3).toPandas()
