@@ -326,15 +326,24 @@ def _probe_topk_mapper(corpus: DataFrame, corpus_id: str, corpus_vec: str,
             .select("query_id", "neighbor_id", "cosine_sim", "rank"))
 
 
-def _lsh_signature_bits(mat, planes: int, tables: int, seed: int):
-    """Signatures shared by every LSH path (and replayed literally by the
-    DuckDB oracle): plane-major ±1 hyperplanes from RandomState(seed),
-    sign bits packed little-endian per table."""
+def _lsh_hyperplanes(dim: int, planes: int, tables: int, seed: int):
+    """The ±1 hyperplane matrix shared by every LSH path (and replayed
+    literally by the DuckDB oracle): plane-major from RandomState(seed)."""
     import numpy as np
 
     rnd = np.random.RandomState(seed)
-    dim = mat.shape[1]
-    hyper = np.where(rnd.rand(planes * tables, dim) < 0.5, 1.0, -1.0).T
+    return np.where(rnd.rand(planes * tables, dim) < 0.5, 1.0, -1.0).T
+
+
+def _lsh_signature_bits(mat, planes: int, tables: int, seed: int,
+                        hyper=None):
+    """Per-table signatures: sign bits of ``mat @ hyper`` packed
+    little-endian.  Pass a precomputed ``hyper`` (e.g. from a broadcast)
+    to avoid regenerating the plane matrix per Arrow batch."""
+    import numpy as np
+
+    if hyper is None:
+        hyper = _lsh_hyperplanes(mat.shape[1], planes, tables, seed)
     pow2 = (1 << np.arange(planes, dtype=np.int64))
     bits = (mat @ hyper) > 0
     return (bits.reshape(len(mat), tables, planes) * pow2).sum(axis=2) \
@@ -363,12 +372,13 @@ def _lsh_broadcast_probe(queries, corpus, k, query_id, corpus_id,
             for qi, sig in enumerate(p[:, t]):
                 d.setdefault(int(sig), []).append(qi)
         table_dicts.append({s: np.unique(v) for s, v in d.items()})
+    hyper = _lsh_hyperplanes(dim, planes, tables, seed)
     bq = corpus.sparkSession.sparkContext.broadcast(
-        (qids, qmat, qnorm, table_dicts, planes, tables, seed))
+        (qids, qmat, qnorm, table_dicts, planes, tables, seed, hyper))
 
     def candidates(bval, cm, n_rows):
-        _, _, _, dicts, pl, tb, sd = bval
-        csigs = _lsh_signature_bits(cm, pl, tb, sd)  # (B, tables)
+        dicts, pl, tb, sd, hy = bval[3], bval[4], bval[5], bval[6], bval[7]
+        csigs = _lsh_signature_bits(cm, pl, tb, sd, hyper=hy)  # (B, tables)
         rows, qs = [], []
         for t in range(tb):
             st = csigs[:, t]
