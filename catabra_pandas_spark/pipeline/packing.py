@@ -120,6 +120,11 @@ def pack_bins(
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(ob, kind="stable").reset_index(drop=True)
+        if gb and pdf[gb].isna().any().any():
+            raise ValueError(
+                "pack_bins requires non-NULL group keys: a NULL-keyed "
+                "group would be packed but then silently dropped by the "
+                "assignment join-back (NULL never equals NULL in a join)")
         if pdf[ob].isna().any().any():
             raise ValueError(
                 "pack_bins requires non-NULL order keys: a NULL order key "

@@ -82,6 +82,19 @@ def test_pack_bins_budget_respected(spark, weighted, mode):
         assert ids == list(range(len(ids)))
 
 
+def test_pack_bins_null_keys_raise(spark):
+    """NULL group or order keys would be packed and then silently dropped
+    by the inner join-back (NULL never equals NULL) — both must raise."""
+    pdf = pd.DataFrame({"g": ["a", None, "a"], "id": [1.0, 2.0, 3.0],
+                        "w": [10.0, 10.0, 10.0]})
+    with pytest.raises(Exception, match="non-NULL group"):
+        pack_bins(to_sdf(spark, pdf), "w", 100, "id", group_by="g").count()
+    pdf2 = pd.DataFrame({"g": ["a", "a"], "id": [1.0, None],
+                         "w": [10.0, 10.0]})
+    with pytest.raises(Exception, match="non-NULL order"):
+        pack_bins(to_sdf(spark, pdf2), "w", 100, "id", group_by="g").count()
+
+
 def test_pack_bins_keyless_single_group(spark):
     pdf = pd.DataFrame({"id": range(10), "w": [100] * 10})
     out = pack_bins(to_sdf(spark, pdf), "w", 250, "id").toPandas()
