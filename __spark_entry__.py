@@ -2236,6 +2236,41 @@ _Q_FUNNEL_SQL = """
 """
 
 
+def q_bpe_train(spark, sf):
+    """REAL distributed BPE tokenizer training (pipeline/bpe.py): one
+    word-count shuffle -> driver-side merge learning on the (word, count)
+    sufficient statistics -> broadcast-vocab map-only tokenization.  The
+    oracle cannot replay the merge loop in SQL, so the output is the
+    certificate pattern (cf. q_multimodal_jpeg): per-document booleans of
+    two hard invariants computed from the ACTUAL tokens — (a) BPE decode
+    reassembles the lowercased whitespace-normalized text exactly,
+    (b) the token count respects the per-word upper bound (chars + 1
+    end-of-word marker per word)."""
+    docs = read_table(spark, sf, "documents").select("doc_id", "text") \
+        .filter(F.col("doc_id") < 300)
+    merges = P.train_bpe(docs, n_merges=100)
+    out = P.bpe_tokenize(docs, merges, tokens_col="__toks__")
+    norm = F.lower(F.regexp_replace(F.trim(F.coalesce(F.col("text"),
+                                                      F.lit(""))),
+                                    r"\s+", " "))
+    dec = F.rtrim(F.regexp_replace(F.array_join("__toks__", ""),
+                                   "</w>", " "))
+    words = F.filter(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))),
+                             r"\s+"), lambda t: t != "")
+    bound = (F.length(F.regexp_replace(norm, " ", ""))
+             + F.size(words))
+    return out.select(
+        "doc_id",
+        (dec == norm).alias("roundtrip_ok"),
+        (F.col("n_bpe_tokens") <= bound).alias("within_bound"))
+
+
+_Q_BPE_TRAIN_SQL = """
+    SELECT doc_id, TRUE AS roundtrip_ok, TRUE AS within_bound
+    FROM documents WHERE doc_id < 300
+"""
+
+
 def q_stream_funnel(spark, sf):
     """stream_funnel (custom stateful streaming op: per-entity greedy
     stage matching with O(k) state via applyInPandasWithState) in
@@ -3087,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_resample_interval": q_stream_resample_interval,
         "stream_funnel": q_stream_funnel,
+        "bpe_train": q_bpe_train,
         # approximate tier: oracle-backed recall certificates / DuckDB twin
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -3245,6 +3281,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": _Q_STREAM_DEDUP_SQL,
         "stream_resample_interval": _Q_STREAM_RESAMPLE_INTERVAL_SQL,
         "stream_funnel": _Q_STREAM_FUNNEL_SQL,
+        "bpe_train": _Q_BPE_TRAIN_SQL,
         # recall certificates: oracle = the exact ground truth the
         # approximate operator must fully recover (see q_minhash_lsh)
         "minhash_lsh": _ngram_sql(0.8),

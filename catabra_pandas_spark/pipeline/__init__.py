@@ -32,6 +32,7 @@ from .multimodal import (attach_binary_metadata, decode_binary,
 from .sampling import (assign_splits, deterministic_sample, mix_corpora,
                        stratified_sample)
 from .packing import chunk_documents, pack_bins, pack_sequences
+from .bpe import bpe_decode_tokens, bpe_tokenize, train_bpe
 from .sketches import (approx_distinct, bloom_filter_words, bloom_prejoin,
                        distinct_certificate, heavy_hitters,
                        quantile_certificate, quantile_sketch)
@@ -47,4 +48,5 @@ __all__ = [
     "token_count_bpe", "repetition_stats", "scrub_pii",
     "attach_binary_metadata", "decode_binary", "resize_image", "sample_frames",
     "assign_splits", "deterministic_sample", "stratified_sample",
+    "train_bpe", "bpe_tokenize", "bpe_decode_tokens",
 ]
