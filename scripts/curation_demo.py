@@ -98,12 +98,17 @@ def main():
                           w, n_total=total, on="doc_id", seed=7)
     funnel.append(("mixture", mixed.count()))
 
-    # 7. sequence packing into 256-token bins per source
-    packed = P.pack_sequences(P.token_count(mixed), "n_tokens", 256,
+    # 7. tokenizer training on the CURATED mixture (word-count shuffle +
+    #    driver merge loop), then real learned-BPE token counts
+    merges = P.train_bpe(mixed, n_merges=150)
+    tokenized = P.bpe_tokenize(mixed, merges)
+
+    # 8. sequence packing into 256-token bins per source
+    packed = P.pack_sequences(P.token_count(tokenized), "n_tokens", 256,
                               "doc_id", group_by="source")
     n_bins = packed.agg(F.countDistinct("source", "bin_id")).collect()[0][0]
 
-    # 8. z-ordered write for downstream min-max pruning
+    # 9. z-ordered write for downstream min-max pruning
     tmp = None
     if out_dir is None:
         tmp = tempfile.TemporaryDirectory()
@@ -123,6 +128,7 @@ def main():
         print(f"  {stage:>16}: {cnt}{drop}")
         prev = cnt
     print("  rejection reasons:", {r["rule"]: r["count"] for r in loss})
+    print(f"  learned BPE merges: {len(merges)}")
     print(f"  packed bins: {n_bins}; rows written: {written}")
     print(f"  wall: {time.perf_counter() - t0:.1f}s")
     assert written == funnel[-1][1], "written rows must equal mixture rows"
