@@ -75,6 +75,8 @@ HEADLINE = [
     "resample_eav_custom_multi",
     "multimodal_png",
     "multimodal_jpeg",
+    "stream_funnel",
+    "bpe_train",
 ]
 
 
