@@ -2479,6 +2479,64 @@ _Q_MULTIMODAL_AUDIO_SQL = f"""
 """
 
 
+def q_multimodal_wav(spark, sf):
+    """REAL WAV container roundtrip, oracle-checked end-to-end: a
+    deterministic stereo int16 waveform per document is packed into
+    genuine RIFF/WAVE bytes (pipeline/codecs.py wav_encode: fmt + data
+    chunks), the mapInPandas WAV decoder walks the chunk list, mixes to
+    mono and recovers waveform statistics from the BYTES; the DuckDB
+    oracle recomputes the same statistics from the generating formula
+    without ever seeing the binary — PCM is lossless, so exact."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    docs = read_table(spark, sf, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 200)
+
+    @pandas_udf(T.BinaryType())
+    def make_wav(doc_id):
+        import numpy as np
+
+        from catabra_pandas_spark.pipeline.codecs import wav_encode
+
+        def build(d):
+            d = int(d)
+            n = d % 50 + 4
+            i = np.arange(n, dtype=np.int64)
+            left = (d * 13 + i * 7) % 2001 - 1000
+            right = (d * 17 + i * 11) % 2001 - 1000
+            return wav_encode(
+                np.stack([left, right], axis=1).astype(np.int16),
+                sample_rate=8000)
+        return doc_id.map(build)
+
+    d = docs.withColumn("payload", make_wav(F.col("doc_id")))
+    d = P.attach_binary_metadata(d, "payload", modality="audio",
+                                 mime="audio/wav")
+    out = P.decode_binary(d, "payload")
+    return out.select(
+        "doc_id",
+        F.element_at("features", 1).alias("n_samples"),
+        F.round(F.element_at("features", 2), 6).alias("s_mean"),
+        F.element_at("features", 4).alias("s_min"),
+        F.element_at("features", 5).alias("s_max"))
+
+
+_Q_MULTIMODAL_WAV_SQL = """
+    WITH d AS (SELECT doc_id, doc_id % 50 + 4 AS n
+               FROM documents WHERE doc_id < 200),
+    s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+    v AS (SELECT doc_id,
+                 (((doc_id * 13 + i * 7) % 2001 - 1000)
+                  + ((doc_id * 17 + i * 11) % 2001 - 1000)) / 2.0 AS mono
+          FROM s)
+    SELECT doc_id, count(*)::DOUBLE AS n_samples,
+           round(avg(mono), 6) AS s_mean,
+           min(mono) AS s_min, max(mono) AS s_max
+    FROM v GROUP BY doc_id
+"""
+
+
 def q_multimodal_frames(spark, sf):
     """pipeline.sample_frames: every-Nth-frame index explosion per video
     row (JVM sequence explode — the fan-out step that distributes per-frame
@@ -3136,6 +3194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_png": q_multimodal_png,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_wav": q_multimodal_wav,
         # sketch tier: certificates + bloom pruning
         "hll_distinct": q_hll_distinct,
         "heavy_hitters": q_heavy_hitters,
@@ -3298,6 +3357,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": _Q_MULTIMODAL_FRAMES_SQL,
         "multimodal_png": _Q_MULTIMODAL_PNG_SQL,
         "multimodal_jpeg": _Q_MULTIMODAL_JPEG_SQL,
+        "multimodal_wav": _Q_MULTIMODAL_WAV_SQL,
         # sketch tier: exact outputs with sketch-quality booleans, so the
         # oracle replays the exact side and TRUE-literals the certificate
         "hll_distinct": _Q_HLL_DISTINCT_SQL,

@@ -146,6 +146,60 @@ def png_encode(px: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# WAV (RIFF PCM)
+# ---------------------------------------------------------------------------
+
+
+def wav_decode(payload: bytes) -> tuple:
+    """Decode a RIFF/WAVE payload to (samples, sample_rate, n_channels):
+    16-bit PCM (format 1) only — the raw interchange format.  Samples are
+    an (n_frames, n_channels) int16 array.  Walks the chunk list, so
+    extra chunks (LIST/fact/cue) before ``data`` are handled."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only 16-bit PCM WAV supported (format={audio_format}, "
+            f"bits={bits})")
+    x = np.frombuffer(data, dtype="<i2")
+    n_frames = len(x) // n_channels
+    return (x[:n_frames * n_channels].reshape(n_frames, n_channels),
+            sample_rate, n_channels)
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode an (n_frames,) or (n_frames, n_channels) int16 array as a
+    canonical 16-bit PCM WAV — fixture-grade; decode(encode(x)) is
+    byte-exact on the samples."""
+    x = np.asarray(samples, dtype="<i2")
+    if x.ndim == 1:
+        x = x[:, None]
+    n_frames, n_channels = x.shape
+    data = x.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * n_channels * 2, n_channels * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
 # JPEG (baseline sequential DCT, SOF0)
 # ---------------------------------------------------------------------------
 

@@ -7,14 +7,15 @@ struct; decode / feature-extraction / frame-sampling run as Arrow-batched
 Decode is dispatched on the metadata ``mime``:
 
 * **REAL decoders** (pure python/numpy, no external codec library):
-  16-bit little-endian PCM audio (``audio/pcm16``), binary netpbm images
+  16-bit little-endian PCM audio (``audio/pcm16``), RIFF/WAVE containers
+  (``audio/wav``, chunk walk + stereo mixdown), binary netpbm images
   (``image/x-portable-pixmap`` P6 / ``image/x-portable-graymap`` P5),
   full **PNG** (zlib inflate + scanline unfilter) and baseline
   sequential **JPEG** (Huffman + dequant + IDCT) via
   ``pipeline.codecs``.  These are genuine byte-level decoders — the
-  driver's ``multimodal_audio``/``multimodal_decode`` queries round-trip
-  values -> bytes -> decoded statistics against DuckDB oracles that
-  never see the binary.
+  driver's ``multimodal_audio``/``multimodal_wav``/``multimodal_decode``
+  queries round-trip values -> bytes -> decoded statistics against
+  DuckDB oracles that never see the binary.
 * a clearly-marked deterministic STUB for the remaining codec formats
   (mp3/mp4 — no audio/video codec in this container); swap
   ``_decode_fake`` for ffmpeg/soundfile in production.  The Spark-side
@@ -139,6 +140,21 @@ def _decode_jpeg(payload: bytes, meta: dict) -> list[float]:
     return _image_features(px)
 
 
+def _decode_wav(payload: bytes, meta: dict) -> list[float]:
+    """REAL decode: RIFF/WAVE container (pure python chunk walk —
+    ``pipeline.codecs.wav_decode``), mixed down to mono, then the shared
+    8-dim audio feature vector of ``_decode_pcm16``."""
+    from .codecs import wav_decode
+    samples, _rate, _nch = wav_decode(payload)
+    mono = samples.astype(np.float64).mean(axis=1)
+    x = mono
+    if x.size == 0:
+        return [0.0] * 8
+    zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    return [float(x.size), float(x.mean()), float(np.sqrt((x * x).mean())),
+            float(x.min()), float(x.max()), zc, float(x[0]), float(x[-1])]
+
+
 def _decode_fake(payload: bytes, meta: dict) -> list[float]:
     """STUB for the remaining codec formats (mp3/mp4 — no audio/video
     codec in this container).  Deterministic 8-dim byte-accumulator so
@@ -152,6 +168,7 @@ def _decode_fake(payload: bytes, meta: dict) -> list[float]:
 
 _DECODERS = {
     "audio/pcm16": _decode_pcm16,
+    "audio/wav": _decode_wav,
     "image/x-portable-pixmap": _decode_netpbm,
     "image/x-portable-graymap": _decode_netpbm,
     "image/png": _decode_png,

@@ -10,6 +10,8 @@ from catabra_pandas_spark.pipeline.codecs import (
     jpeg_encode_rgb420,
     png_decode,
     png_encode,
+    wav_decode,
+    wav_encode,
 )
 
 
@@ -152,6 +154,32 @@ def test_jpeg_color_non_multiple_of_16_dims():
     img = np.clip(rng.normal(120, 8, size=(19, 33, 3)), 0, 255).astype(np.uint8)
     dec = jpeg_decode(jpeg_encode_rgb420(img, quality=92))
     assert dec.shape == (19, 33, 3)
+
+
+@pytest.mark.parametrize("shape", [(100,), (64, 1), (50, 2)])
+def test_wav_roundtrip_exact(shape):
+    rng = np.random.RandomState(13)
+    x = rng.randint(-32768, 32768, size=shape).astype(np.int16)
+    samples, rate, nch = wav_decode(wav_encode(x, sample_rate=8000))
+    ref = x if x.ndim == 2 else x[:, None]
+    assert rate == 8000 and nch == ref.shape[1]
+    assert (samples == ref).all()
+
+
+def test_wav_extra_chunks_and_rejects():
+    import struct
+
+    x = np.arange(10, dtype=np.int16)
+    enc = bytearray(wav_encode(x))
+    # splice a LIST chunk between fmt and data: decoder must skip it
+    fmt_end = enc.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    enc2 = bytes(enc[:fmt_end]) + extra + bytes(enc[fmt_end:])
+    enc2 = enc2[:4] + struct.pack("<I", len(enc2) - 8) + enc2[8:]
+    samples, _, _ = wav_decode(enc2)
+    assert (samples[:, 0] == x).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"OggS not a wav")
 
 
 def test_jpeg_rejects_progressive_and_garbage():
