@@ -2861,10 +2861,15 @@ def q_resample_eav_custom_slope(spark, sf):
     def slope(times, values):
         import numpy as np
         m = values.notna() & times.notna()
-        x = (times[m] / 86400e6).to_numpy(dtype=float)
+        # slope is shift-invariant in x: anchor at the window's first
+        # observation so x spans [0, 7) days instead of ~20k days since
+        # epoch — kills the catastrophic cancellation in cov/var and
+        # makes round-6 stable against summation-order differences
+        t = times[m].to_numpy(dtype=float)
         y = values[m].to_numpy(dtype=float)
-        if len(x) < 2:
+        if len(t) < 2:
             return None
+        x = (t - t.min()) / 86400e6
         vx = ((x - x.mean()) ** 2).mean()
         if vx == 0:
             return None
@@ -2874,22 +2879,33 @@ def q_resample_eav_custom_slope(spark, sf):
     out = cps.resample_eav(ev, win, {"view": [slope]},
                            entity_col="entity", time_col="t", include_stop=False,
                            assume_unique_windows=True, regular=(0, WK_US))
-    # integer-rounded: the slope is a catastrophic-cancellation quantity
-    # (covar/var of near-collinear micros-scale x), so numpy's and
-    # DuckDB's summation orders differ in the 9th significant digit —
-    # round-0 keeps the check hard (a wrong time unit or column scales
-    # the slope by orders of magnitude) without ULP-boundary flakes
+    # `+ 0.0` normalizes IEEE signed zero: DuckDB round() follows C
+    # semantics and yields -0.0 for small negative slopes; Spark's
+    # F.round never does — value-equal but representation-unequal, so
+    # the driver's hash would red without the normalization (r6 fail)
     return out.select("entity", "t_start", "t_stop",
-                      F.round("view_slope", 0).alias("view_slope"))
+                      (F.round("view_slope", 6) + F.lit(0.0)).alias("view_slope"))
 
 
 _Q_RESAMPLE_CUSTOM_SLOPE_SQL = f"""
-    WITH e AS ({_EV_SQL}), w AS ({_WEEKLY_SQL})
-    SELECT w.entity, w.t_start, w.t_stop,
-           round(regr_slope(e.val, e.t / 86400000000.0), 0) AS view_slope
-    FROM w LEFT JOIN (SELECT * FROM e WHERE etype = 'view') e
-      ON e.uid = w.entity AND e.t >= w.t_start AND e.t < w.t_stop
-    GROUP BY w.entity, w.t_start, w.t_stop
+    WITH e AS ({_EV_SQL}), w AS ({_WEEKLY_SQL}),
+    j AS (
+      SELECT w.entity, w.t_start, w.t_stop, e.val, e.t
+      FROM w LEFT JOIN (SELECT * FROM e WHERE etype = 'view') e
+        ON e.uid = w.entity AND e.t >= w.t_start AND e.t < w.t_stop
+    ),
+    -- anchor x at the window's first observation (slope is shift-
+    -- invariant; relative days avoid micros-since-epoch cancellation)
+    j2 AS (
+      SELECT entity, t_start, t_stop, val,
+             (t - min(t) OVER (PARTITION BY entity, t_start, t_stop))
+               / 86400000000.0 AS xd
+      FROM j
+    )
+    -- `+ 0.0` drops IEEE -0.0 (DuckDB round() keeps the sign, Spark not)
+    SELECT entity, t_start, t_stop,
+           round(regr_slope(val, xd), 6) + 0.0 AS view_slope
+    FROM j2 GROUP BY entity, t_start, t_stop
 """
 
 

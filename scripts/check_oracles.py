@@ -46,6 +46,16 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
         if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
             x = pd.to_numeric(x, errors="coerce").astype(float)
             y = pd.to_numeric(y, errors="coerce").astype(float)
+            # IEEE signed zero: 0.0 == -0.0 is True, but the driver hashes
+            # the REPRESENTATION — DuckDB round() emits -0.0 for small
+            # negatives where Spark's F.round emits 0.0 (r6's
+            # resample_eav_custom_slope failed exactly this way)
+            sz = (np.signbit(x.to_numpy()) != np.signbit(y.to_numpy())) & \
+                 (x.to_numpy() == 0.0) & (y.to_numpy() == 0.0)
+            if sz.any():
+                problems.append(
+                    f"col {c}: {int(sz.sum())} rows differ only in zero sign"
+                    " (-0.0 vs 0.0) (HASH RISK)")
             exact = ((x == y) | (x.isna() & y.isna()))
             close = np.isclose(x, y, atol=1e-9, rtol=0) | (x.isna() & y.isna())
             if not exact.all():
