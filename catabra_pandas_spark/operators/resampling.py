@@ -570,17 +570,35 @@ def resample_eav(
         key_ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in wjoin.schema.fields)
 
+        # probe every callable first so output-column collisions (two
+        # multi-output callables on one attribute sharing an output key,
+        # or a custom column shadowing a built-in agg / key column) fail
+        # LOUDLY here instead of as an ambiguous-reference join error
+        resolved = []
         for a, fn, name in custom_reqs:
             wants_time = _custom_agg_arity(fn) >= 2
             outs = _probe_custom_agg(fn, wants_time)   # {suffix|None: ddl}
 
-            def _out_name(suf):
+            def _out_name(suf, _a=a, _name=name):
                 # None suffix = legacy scalar contract
                 if suf is None:
-                    return name
-                return a + "_" + (re.sub(r"\W+", "_", suf).strip("_") or "out")
+                    return _name
+                return _a + "_" + (re.sub(r"\W+", "_", suf).strip("_") or "out")
 
-            out_cols = [(_out_name(suf), suf) for suf in outs]
+            resolved.append((a, fn, wants_time, outs,
+                             [(_out_name(suf), suf) for suf in outs]))
+        produced = [c for *_, oc in resolved for c, _ in oc]
+        taken = set(out.columns)
+        dupes = sorted({c for c in produced
+                        if produced.count(c) > 1 or c in taken})
+        if dupes:
+            raise ValueError(
+                f"resample_eav: custom aggregations produce duplicate output "
+                f"column(s) {dupes}; multi-output columns are named "
+                "'{attr}_{key}' and scalar ones '{attr}_{fn.__name__}' — give "
+                "the callables distinct __name__s or distinct output keys")
+
+        for a, fn, wants_time, outs, out_cols in resolved:
             types = [(custom_agg_schemas or {}).get(col, ddl)
                      for (col, _), ddl in zip(out_cols, outs.values())]
             # explicit keyed repartition, NOT the groupBy's own exchange:

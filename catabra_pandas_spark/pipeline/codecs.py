@@ -55,11 +55,17 @@ def png_decode(payload: bytes) -> np.ndarray:
     idat = []
     palette = None
     while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         ctype = payload[pos + 4:pos + 8]
         data = payload[pos + 8:pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("truncated PNG IHDR")
             width, height, bitdepth, colortype, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
@@ -78,7 +84,10 @@ def png_decode(payload: bytes) -> np.ndarray:
     if ch is None:
         raise ValueError(f"PNG colortype {colortype} not supported")
 
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
@@ -126,14 +135,19 @@ def png_decode(payload: bytes) -> np.ndarray:
 
 
 def png_encode(px: np.ndarray) -> bytes:
-    """Encode a (h, w) or (h, w, {1,3,4}) uint8 array as a PNG (filter 0,
-    one IDAT).  Minimal but spec-conformant; used by the test fixtures so
-    decode can be verified byte-exactly."""
+    """Encode a (h, w) or (h, w, {1,2,3,4}) uint8 array as a PNG (filter 0,
+    one IDAT).  2 channels = grey+alpha (colortype 4), so rasters decoded
+    from a colortype-4 PNG re-encode losslessly.  Minimal but
+    spec-conformant; used by the test fixtures so decode can be verified
+    byte-exactly."""
     px = np.asarray(px, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(
+            f"png_encode needs a (h, w[, 1|2|3|4]) raster, got {px.shape}")
     h, w, ch = px.shape
-    colortype = {1: 0, 3: 2, 4: 6}[ch]
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
@@ -164,8 +178,12 @@ def wav_decode(payload: bytes) -> tuple:
         cid = payload[pos:pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
         body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
         pos += 8 + size + (size & 1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -299,6 +317,8 @@ class _BitReader:
 
     def _fill(self):
         d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy stream")
         b = d[self.pos]
         if b == 0xFF:
             nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0
@@ -373,13 +393,19 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG marker")
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
             break
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("truncated JPEG segment")
         data = payload[pos + 2:pos + seglen]
         if marker == 0xDB:      # DQT
             p = 0

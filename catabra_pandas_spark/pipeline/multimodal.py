@@ -219,6 +219,7 @@ def resize_image(
     out_height: int,
     meta_col: str = "media_meta",
     out_col: str = "payload_resized",
+    out_meta_col: Optional[str] = None,
 ) -> DataFrame:
     """Resize image payloads via ``mapInPandas`` (Arrow batches, narrow map
     — no shuffle).  REAL nearest-neighbor resampling for every supported
@@ -227,10 +228,20 @@ def resize_image(
     decoded by the pure-python codecs (``pipeline.codecs``) and re-encoded
     as LOSSLESS PNG, so the resample step never stacks a second
     generation of DCT loss.  Unknown mimes (mp4 frames etc.) raise
-    ``NotImplementedError`` inside the mapper.  All outputs flow through
-    ``decode_binary`` unchanged."""
-    out_schema = T.StructType(df.schema.fields + [
-        T.StructField(out_col, T.BinaryType())])
+    ``NotImplementedError`` inside the mapper.
+
+    Because jpeg inputs come back as PNG bytes, the input metadata's mime
+    no longer describes ``out_col``; when ``meta_col`` is present an
+    UPDATED metadata struct (same type, mime/width/height rewritten) is
+    emitted as ``out_meta_col`` (default ``{out_col}_meta``) so the
+    resized column feeds straight back into ``decode_binary``."""
+    meta_field = next((f for f in df.schema.fields if f.name == meta_col), None)
+    if out_meta_col is None:
+        out_meta_col = f"{out_col}_meta"
+    extra = [T.StructField(out_col, T.BinaryType())]
+    if meta_field is not None:
+        extra.append(T.StructField(out_meta_col, meta_field.dataType))
+    out_schema = T.StructType(df.schema.fields + extra)
     in_cols = df.columns
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -242,8 +253,19 @@ def resize_image(
             xs = (np.arange(out_width) * w) // out_width
             return raster[ys][:, xs]
 
+        def updated_meta(m, out_mime):
+            if not hasattr(m, "get"):
+                return None
+            m2 = dict(m)
+            m2["mime"] = out_mime
+            if "width" in m2:
+                m2["width"] = out_width
+            if "height" in m2:
+                m2["height"] = out_height
+            return m2
+
         for pdf in batches:
-            outs = []
+            outs, metas = [], []
             for p, m in zip(pdf[binary_col], pdf.get(meta_col, [None] * len(pdf))):
                 mime = (m or {}).get("mime") if hasattr(m, "get") else None
                 if mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
@@ -258,20 +280,27 @@ def resize_image(
                     magic = b"P6" if c == 3 else b"P5"
                     hdr = b"%s\n%d %d\n%d\n" % (magic, out_width, out_height, maxval)
                     outs.append(hdr + small.tobytes())
+                    metas.append(updated_meta(m, mime))
                 elif mime == "image/png":
                     outs.append(png_encode(nn(png_decode(p))))
+                    metas.append(updated_meta(m, "image/png"))
                 elif mime == "image/jpeg":
                     px = jpeg_decode(p)
                     if px.ndim == 2:
                         px = px[:, :, None]
                     outs.append(png_encode(nn(px)))
+                    metas.append(updated_meta(m, "image/png"))
                 else:
                     raise NotImplementedError(
                         f"resize of {mime!r} needs a video codec; netpbm, "
                         "png and jpeg resize natively in this container")
             pdf = pdf.copy()
             pdf[out_col] = outs
-            yield pdf[in_cols + [out_col]]
+            cols = in_cols + [out_col]
+            if meta_field is not None:
+                pdf[out_meta_col] = metas
+                cols = cols + [out_meta_col]
+            yield pdf[cols]
 
     return df.mapInPandas(mapper, schema=out_schema)
 

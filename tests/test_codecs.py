@@ -191,3 +191,44 @@ def test_jpeg_rejects_progressive_and_garbage():
     enc[i + 1] = 0xC2
     with pytest.raises(ValueError, match="SOF2"):
         jpeg_decode(bytes(enc))
+
+
+def test_png_grey_alpha_roundtrip():
+    """2-channel grey+alpha (colortype 4) encodes and decodes losslessly —
+    resize_image produces such rasters from colortype-4 inputs."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(9, 4, 2), dtype=np.uint8)
+    dec = png_decode(png_encode(img))
+    assert dec.shape == (9, 4, 2)
+    assert (dec == img).all()
+
+
+def test_png_encode_rejects_bad_channel_count():
+    with pytest.raises(ValueError, match="raster"):
+        png_encode(np.zeros((4, 4, 5), dtype=np.uint8))
+    with pytest.raises(ValueError, match="raster"):
+        png_encode(np.zeros((4,), dtype=np.uint8))
+
+
+def test_truncated_payloads_raise_valueerror():
+    """Corrupt/truncated bytes surface as ValueError (documented contract),
+    never IndexError/struct.error/zlib.error."""
+    png = png_encode(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    jpg = jpeg_encode_gray(np.full((16, 16), 90, np.uint8))
+    wav = wav_encode(np.arange(100, dtype=np.int16))
+    for payload, decode in ((png, png_decode), (jpg, jpeg_decode),
+                            (wav, wav_decode)):
+        # NB: not len-3 for PNG — that only clips the IEND CRC, which a
+        # decoder may legitimately ignore
+        cuts = [9, 14, len(payload) // 2]
+        if decode is not png_decode:
+            cuts.append(len(payload) - 3)
+        for cut in cuts:
+            with pytest.raises(ValueError):
+                decode(payload[:cut])
+    # corrupt IDAT bytes (valid chunk framing, broken zlib stream)
+    bad = bytearray(png)
+    i = bad.index(b"IDAT") + 8
+    bad[i:i + 4] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError):
+        png_decode(bytes(bad))

@@ -588,3 +588,36 @@ print("SUBPROC_OK")
     res = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=240)
     assert "SUBPROC_OK" in res.stdout, res.stderr[-2000:]
+
+
+def test_resize_jpeg_decodes_via_updated_meta(spark):
+    """jpeg inputs are re-encoded as PNG by resize_image; the emitted
+    {out_col}_meta struct carries mime=image/png so the resized column
+    feeds straight back into decode_binary (the r6 docstring promise —
+    previously the stale jpeg mime made the PNG bytes hit _decode_jpeg)."""
+    from catabra_pandas_spark.pipeline import resize_image
+    from catabra_pandas_spark.pipeline.codecs import jpeg_encode_gray
+
+    img = np.full((16, 16), 120, np.uint8)
+    jpg = jpeg_encode_gray(img)
+    sdf = spark.createDataFrame(pd.DataFrame({"id": [0], "payload": [jpg]}))
+    d = attach_binary_metadata(sdf, "payload", modality="image",
+                               mime="image/jpeg")
+    r = resize_image(d, "payload", out_width=4, out_height=4)
+    out = decode_binary(r, "payload_resized",
+                        meta_col="payload_resized_meta").toPandas()
+    meta = out.payload_resized_meta[0]
+    assert meta["mime"] == "image/png"
+    assert meta["width"] == 4 and meta["height"] == 4
+    # modality et al. survive the rewrite
+    assert meta["modality"] == "image"
+    feats = out.features[0]
+    assert feats[0] == 4.0 and feats[1] == 4.0           # width, height
+    assert abs(feats[3] - 120.0) < 3.0                   # mean survives DCT
+    # netpbm keeps its own mime in the updated struct
+    ppm = b"P5\n4 4\n255\n" + bytes(range(16))
+    d2 = attach_binary_metadata(
+        spark.createDataFrame(pd.DataFrame({"id": [0], "payload": [ppm]})),
+        "payload", modality="image", mime="image/x-portable-graymap")
+    r2 = resize_image(d2, "payload", out_width=2, out_height=2).toPandas()
+    assert r2.payload_resized_meta[0]["mime"] == "image/x-portable-graymap"

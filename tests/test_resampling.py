@@ -329,6 +329,24 @@ def test_resample_eav_custom_agg_multi_output_and_time(spark):
             assert pd.isna(w.hr_lo) and pd.isna(w.hr_t_weighted)
 
 
+def test_resample_eav_custom_agg_duplicate_columns_raise(spark):
+    """Two multi-output callables on one attribute sharing an output key
+    would produce duplicate columns and ambiguous downstream joins — the
+    collision is detected up front with a clear error (ADVICE r6)."""
+    df = _eav_data(6)
+    win = _windows(6)
+
+    def stats_a(s):
+        return {"lo": float(s.min()) if len(s.dropna()) else None}
+
+    def stats_b(s):
+        return {"lo": float(s.max()) if len(s.dropna()) else None}
+
+    with pytest.raises(ValueError, match="duplicate output"):
+        resample_eav(to_sdf(spark, df), to_sdf(spark, win),
+                     {"hr": [stats_a, stats_b]})
+
+
 def _interval_data(seed, n=300, n_entities=10):
     rng = np.random.default_rng(seed)
     df = pd.DataFrame({
