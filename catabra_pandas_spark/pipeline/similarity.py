@@ -104,6 +104,89 @@ def _topk_per_query(scored: DataFrame, k: int, dedup: bool = False) -> DataFrame
             .select("query_id", "neighbor_id", "cosine_sim", "rank"))
 
 
+def _blocked_exact_topk(q: DataFrame, c: DataFrame, k: int,
+                        qt: str, ct: str,
+                        n_query_blocks: int, n_corpus_blocks: int) -> DataFrame:
+    """Exact cosine top-k over (query_id, __qv__) x (neighbor_id, __cv__)
+    as a BLOCK-GRID of Arrow matmuls: queries hash to one of
+    ``n_query_blocks``, corpus rows to one of ``n_corpus_blocks``, each
+    row is replicated across the other dimension's blocks, and each
+    (qb, cb) grid cell is scored by ONE cogrouped applyInPandas whose
+    matmul emits only its local top-k per query.  The per-pair scored set
+    exists only inside BLAS; no |Q|·|C| rows are ever materialized.
+
+    The corpus slab inside a cell is scored in bounded slices so the sims
+    matrix never exceeds ~32M doubles regardless of block sizing."""
+    import numpy as np
+    import pandas as pd
+
+    spark = q.sparkSession
+    nq_b, nc_b = int(n_query_blocks), int(n_corpus_blocks)
+    q2 = (q.withColumn("__qb__",
+                       F.pmod(F.xxhash64("query_id"), F.lit(nq_b)).cast("int"))
+           .withColumn("__cb__", F.explode(F.array(
+               *[F.lit(i) for i in range(nc_b)]))))
+    c2 = (c.withColumn("__cb__",
+                       F.pmod(F.xxhash64("neighbor_id"), F.lit(nc_b)).cast("int"))
+           .withColumn("__qb__", F.explode(F.array(
+               *[F.lit(i) for i in range(nq_b)]))))
+    # explicit keyed repartition: AQE sizes the cogroup exchange by DATA
+    # volume and would coalesce a few-MB vector table to ~1 task,
+    # serializing every grid cell's Python call (same failure mode as the
+    # resample_eav custom-agg stage; see operators/resampling.py)
+    n_part = min(nq_b * nc_b,
+                 int(spark.conf.get("spark.sql.shuffle.partitions", "200")))
+    q2 = q2.repartition(n_part, "__qb__", "__cb__")
+    c2 = c2.repartition(n_part, "__qb__", "__cb__")
+    out_schema = f"query_id {qt}, neighbor_id {ct}, cosine_sim double"
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [],
+                              "cosine_sim": []})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        qids = left["query_id"].to_numpy()
+        qm = np.stack(left["__qv__"].to_numpy())
+        qn = np.sqrt((qm * qm).sum(axis=1))
+        right = right.sort_values("neighbor_id", kind="stable")
+        nids = right["neighbor_id"].to_numpy()
+        cm = np.stack(right["__cv__"].to_numpy())
+        cn = np.sqrt((cm * cm).sum(axis=1))
+        step = max(1, (32 << 20) // max(len(qids), 1))  # <=32M sims/slice
+        parts = []
+        for lo in range(0, len(nids), step):
+            nid, sm, sn = nids[lo:lo + step], cm[lo:lo + step], cn[lo:lo + step]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (sm @ qm.T) / (sn[:, None] * qn[None, :])
+            # self-matches and zero-norm/NaN rows sort last and drop
+            sims[np.equal.outer(nid, qids)] = np.nan
+            kk = min(k, len(nid))
+            idx = np.argsort(-sims, axis=0, kind="stable")[:kk]
+            top = np.take_along_axis(sims, idx, axis=0)
+            keep = np.isfinite(top)
+            if keep.any():
+                parts.append(pd.DataFrame({
+                    "query_id": np.broadcast_to(qids, (kk, len(qids)))[keep],
+                    "neighbor_id": nid[idx][keep],
+                    "cosine_sim": top[keep]}))
+        if not parts:
+            return empty
+        merged = pd.concat(parts, ignore_index=True)
+        # reduce the <=k-per-slice candidates to the cell's true top-k
+        return (merged.sort_values(["cosine_sim", "neighbor_id"],
+                                   ascending=[False, True], kind="stable")
+                      .groupby("query_id", sort=False).head(k))
+
+    pre = (q2.groupBy("__qb__", "__cb__")
+             .cogroup(c2.groupBy("__qb__", "__cb__"))
+             .applyInPandas(score, schema=out_schema))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (pre.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine_sim", "rank"))
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -114,15 +197,25 @@ def cosine_topk(
     corpus_vec: str = "embedding",
     broadcast_queries: bool = True,
     dim: int | None = None,
+    n_query_blocks: int = 8,
+    n_corpus_blocks: int = 8,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: for each query vector the k nearest
     corpus vectors (self-matches on equal ids excluded).
 
     Returns (query_id, neighbor_id, cosine_sim, rank) with deterministic
     tie-break (sim desc, neighbor id asc).  ``broadcast_queries=False``
-    keeps the shuffled-join + per-pair-expression formulation for query
-    sets too large to hold on one machine (same results, larger
-    exchange).
+    switches to a BLOCK-GRID plan for query sets too large to hold on one
+    machine: queries are hashed into ``n_query_blocks``, the corpus into
+    ``n_corpus_blocks``, each side is replicated across the other's
+    blocks (one shuffle each), and every (q-block, c-block) cell is
+    scored by a cogrouped Arrow matmul that emits only its local top-k
+    per query.  Exactness makes O(|Q|·|C|) multiplications inherent, but
+    they happen inside BLAS, never as per-pair rows — the exchanges carry
+    |Q|·n_corpus_blocks + |C|·n_query_blocks vector rows plus k rows per
+    (query, c-block), orders of magnitude below the |Q|·|C| joined set
+    the previous per-pair-expression fallback shuffled.  Size the block
+    counts so one cell (|Q|/nq + |C|/nc vectors) fits a worker.
 
     Plan (default): the query matrix is broadcast to the executors
     (sc.broadcast — the contract: |Q| x dim must fit one machine),
@@ -141,22 +234,17 @@ def cosine_topk(
 
     if dim is None:
         dim = _infer_dim(queries, query_vec)
+    qt = queries.schema[query_id].dataType.simpleString()
+    ct = corpus.schema[corpus_id].dataType.simpleString()
     if not broadcast_queries:
-        # query set too large to collect: score via the shuffled join +
-        # per-pair expression path (norms precomputed per side so the
-        # |Q| x |C| loop never recomputes them), Arrow top-k tail
         q = (queries.select(F.col(query_id).alias("query_id"),
                             F.col(query_vec).cast("array<double>").alias("__qv__"))
-             .withColumn("__qn__", _norm(F.col("__qv__"), dim)))
+             .filter(F.col("__qv__").isNotNull() & (F.size("__qv__") == dim)))
         c = (corpus.select(F.col(corpus_id).alias("neighbor_id"),
                            F.col(corpus_vec).cast("array<double>").alias("__cv__"))
-             .withColumn("__cn__", _norm(F.col("__cv__"), dim)))
-        scored = (c.join(q, on=F.col("query_id") != F.col("neighbor_id"),
-                         how="inner")
-                  .withColumn("cosine_sim",
-                              _dot(F.col("__qv__"), F.col("__cv__"), dim)
-                              / (F.col("__qn__") * F.col("__cn__"))))
-        return _topk_per_query(scored, k)
+             .filter(F.col("__cv__").isNotNull() & (F.size("__cv__") == dim)))
+        return _blocked_exact_topk(q, c, k, qt, ct,
+                                   n_query_blocks, n_corpus_blocks)
     qpdf = (queries.select(F.col(query_id).alias("query_id"),
                            F.col(query_vec).cast("array<double>").alias("v"))
             .filter(F.col("v").isNotNull() & (F.size("v") == dim))
@@ -170,8 +258,6 @@ def cosine_topk(
     c = (corpus.select(F.col(corpus_id).alias("neighbor_id"),
                        F.col(corpus_vec).cast("array<double>").alias("__cv__"))
          .filter(F.col("__cv__").isNotNull() & (F.size("__cv__") == dim)))
-    qt = queries.schema[query_id].dataType.simpleString()
-    ct = corpus.schema[corpus_id].dataType.simpleString()
     out_schema = f"query_id {qt}, neighbor_id {ct}, cosine_sim double"
 
     def mapper(batches):

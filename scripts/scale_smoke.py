@@ -172,6 +172,14 @@ def main():
     t0 = time.perf_counter()
     brute = cosine_topk(qv, emb, k=10, dim=dim).localCheckpoint(eager=True)
     t_brute = time.perf_counter() - t0
+    # blocked grid (broadcast_queries=False): corpus is replicated
+    # n_query_blocks times, so size nq_b to the real query volume — 2
+    # here exercises the full cogroup grid while keeping the smoke honest
+    t0 = time.perf_counter()
+    blocked = cosine_topk(qv, emb, k=10, dim=dim, broadcast_queries=False,
+                          n_query_blocks=2, n_corpus_blocks=8
+                          ).localCheckpoint(eager=True)
+    t_blocked = time.perf_counter() - t0
     t0 = time.perf_counter()
     lsh_b = lsh_cosine_topk(qv, emb, k=10, dim=dim,
                             broadcast_queries=True).localCheckpoint(eager=True)
@@ -185,7 +193,13 @@ def main():
                               n_probe=32).localCheckpoint(eager=True)
     t_ivf = time.perf_counter() - t0
     print(f"ann {nv:,} vecs x {dim}d: brute={t_brute:.1f}s "
+          f"blocked={t_blocked:.1f}s ({t_blocked / t_brute:.1f}x) "
           f"lsh_bcast={t_lb:.1f}s lsh_shuffle={t_ls:.1f}s ivf_all={t_ivf:.1f}s")
+    ok &= compare("blocked grid == broadcast brute", blocked, brute,
+                  ["query_id", "rank"])
+    if t_blocked > 3.5 * t_brute:
+        print(f"WEAK: blocked exact path {t_blocked / t_brute:.1f}x broadcast")
+        ok = False
     ok &= compare("lsh broadcast-probe == bucket-join", lsh_b, lsh_s,
                   ["query_id", "rank"])
     ok &= compare("ivf(all cells) == brute force", ivf_all, brute,
