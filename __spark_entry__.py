@@ -370,6 +370,51 @@ _Q_MERGE_TIMEDELTA_SQL = """
 """
 
 
+# urgency-ASCENDING order — the REVERSE of the lexicographic string
+# order, so a lexicographic shortcut would produce different bands
+_PRIORITY_ORDER = ["5-LOW", "4-NOT SPECIFIED", "3-MEDIUM", "2-HIGH",
+                   "1-URGENT"]
+
+
+def q_merge_cat_intervals(spark, sf):
+    """merge_intervals over ORDERED-CATEGORICAL endpoints — the last row
+    of the reference dtype grid (tests/util.py:377-416).  Pandas ordered
+    categoricals map to StringType here (SURVEY §1.2); the dtype's
+    ordering is restored by encode_ordered_categories (a literal JVM
+    lookup, no shuffle), and the interval join runs on the dense codes
+    via the same strategy="bucket" equi-join machinery as
+    merge_str_bucket.  o_orderpriority is ordered by URGENCY (the reverse
+    of its lexicographic order); both the left points and the right band
+    endpoints are category VALUES that only become comparable through
+    the dictionary encode."""
+    orders = read_table(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("prio"))
+    orders = cps.encode_ordered_categories(orders, "prio", _PRIORITY_ORDER,
+                                           out_col="pcode")
+    bands = spark.createDataFrame(
+        [("routine", "5-LOW", "3-MEDIUM"), ("expedite", "2-HIGH", "1-URGENT")],
+        "band string, lo_cat string, hi_cat string")
+    bands = cps.encode_ordered_categories(bands, "lo_cat", _PRIORITY_ORDER,
+                                          out_col="lo")
+    bands = cps.encode_ordered_categories(bands, "hi_cat", _PRIORITY_ORDER,
+                                          out_col="hi")
+    out = cps.merge_intervals(
+        orders, bands.select("band", "lo", "hi"), how="inner",
+        left_start="pcode", left_stop="pcode",
+        right_start="lo", right_stop="hi",
+        strategy="bucket", bucket_width=2)
+    return out.select("o_orderkey", "prio", "band")
+
+
+_Q_MERGE_CAT_SQL = """
+    SELECT o_orderkey, o_orderpriority AS prio,
+           CASE WHEN o_orderpriority IN ('5-LOW', '4-NOT SPECIFIED',
+                                         '3-MEDIUM')
+                THEN 'routine' ELSE 'expedite' END AS band
+    FROM orders
+"""
+
+
 def q_merge_asof(spark, sf):
     """As-of join (operators/asof.py): for every click event, the value of
     the user's most recent purchase within the preceding 7 days — the
@@ -1894,6 +1939,22 @@ _Q_COSINE_TOPK_SQL = """
 """
 
 
+def q_cosine_topk_blocked(spark, sf):
+    """Exact cosine top-5 via the BLOCK-GRID fallback
+    (broadcast_queries=False, pipeline/similarity.py
+    _blocked_exact_topk): queries and corpus hash into a grid of
+    (q-block, c-block) cells, each cell scored by one cogrouped Arrow
+    matmul emitting only its local top-k — the plan for query sets too
+    large to broadcast.  Must equal the broadcast-probe path exactly,
+    so it shares q_cosine_topk's oracle."""
+    emb = read_table(spark, sf, "embeddings")
+    out = P.cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, dim=64,
+                        broadcast_queries=False,
+                        n_query_blocks=3, n_corpus_blocks=5)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+
+
 def q_embedding_neardup_exact(spark, sf):
     """Exact embedding near-dup pairs (cosine >= 0.3) on a capped subset —
     the ground truth the LSH variant approximates.  (0.3, not a higher
@@ -3171,14 +3232,73 @@ _Q_MIX_CORPORA_SQL = """
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries in dict
-    # order each round.  Slots 1-32 hold the pipeline/streaming/ANN/sketch/
-    # packing/multimodal tier that had never received a driver row through
-    # r5; slots 33-50 hold queries whose code paths changed most recently
-    # (r5 sweep refactor, r6 work items).  The long-stable families
-    # (impute_*, resample_eav_*, combine_*, most merge_*) — green every
-    # round r1-r5 — are rotated to the tail.
+    # order each round.  Rotation rule (r6 VERDICT/ADVICE): any query whose
+    # underlying operator code changed since its last green driver row
+    # must sit inside the window.  r7 window = (a) the families whose
+    # modules were edited in r6 AFTER their last (r5) driver rows —
+    # merging.py, resampling.py, misc.py; (b) queries over code changed
+    # THIS round — resample_eav custom tier (collision guard + slope fix),
+    # similarity (block-grid fallback), bpe (incremental merge loop),
+    # multimodal/codecs (hardening + resize metadata) — plus the two new
+    # queries merge_cat_intervals and cosine_topk_blocked; (c) stable
+    # queries with the OLDEST (r5) rows.  The tail holds queries green in
+    # r6 whose code is unchanged since.
     return {
-        # -- never-driver-verified tier (VERDICT r5 item 1) --
+        # -- (a) re-prove: modules edited in r6 after their r5 rows --
+        "merge_overlap": q_merge_overlap,
+        "merge_open_endpoints": q_merge_open_endpoints,
+        "merge_left_keep_first": q_merge_left_keep_first,
+        "merge_keep_both": q_merge_keep_both,
+        "merge_indexers": q_merge_indexers,
+        "find_containing": q_find_containing,
+        "resample_eav_basic": q_resample_eav_basic,
+        "resample_eav_irregular": q_resample_eav_irregular,
+        "resample_eav_quantiles": q_resample_eav_quantiles,
+        "resample_eav_moments": q_resample_eav_moments,
+        "resample_eav_ranks": q_resample_eav_ranks,
+        "resample_eav_mode": q_resample_eav_mode,
+        "resample_eav_sliding": q_resample_eav_sliding,
+        "resample_interval": q_resample_interval,
+        "make_windows": q_make_windows,
+        "factorize": q_factorize,
+        "inner_or_cross": q_inner_or_cross,
+        "topk": q_topk,
+        # -- (b) code changed THIS round (r7) + new queries --
+        "resample_eav_custom": q_resample_eav_custom,
+        "resample_eav_custom_multi": q_resample_eav_custom_multi,
+        "resample_eav_custom_slope": q_resample_eav_custom_slope,
+        "merge_cat_intervals": q_merge_cat_intervals,
+        "cosine_topk": q_cosine_topk,
+        "cosine_topk_blocked": q_cosine_topk_blocked,
+        "bpe_train": q_bpe_train,
+        "bpe_tokens": q_bpe_tokens,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_png": q_multimodal_png,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_wav": q_multimodal_wav,
+        # -- (c) stable queries whose newest rows are oldest (r5) --
+        "impute_ffill": q_impute_ffill,
+        "impute_bfill": q_impute_bfill,
+        "impute_afill": q_impute_afill,
+        "impute_lfill": q_impute_lfill,
+        "impute_linear": q_impute_linear,
+        "combine_union": q_combine_union,
+        "combine_k3": q_combine_k3,
+        "combine_gaps": q_combine_gaps,
+        "combine_attrs": q_combine_attrs,
+        "group_intervals": q_group_intervals,
+        "group_intervals_ts": q_group_intervals_ts,
+        "grouped_mode": q_grouped_mode,
+        "prev_next": q_prev_next,
+        "rollup": q_rollup,
+        "cube": q_cube,
+        "dedup_exact": q_dedup_exact,
+        "decontam": q_decontam,
+        "text_stats": q_text_stats,
+        # ---- driver window ends here (50) ----
+        # -- tail: green in r6, code unchanged since --
         "langid": q_langid,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -3186,7 +3306,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_split": q_sample_split,
         "mix_corpora": q_mix_corpora,
-        "cosine_topk": q_cosine_topk,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "sessionize": q_sessionize,
         "funnel": q_funnel,
@@ -3196,38 +3315,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_resample_interval": q_stream_resample_interval,
         "stream_funnel": q_stream_funnel,
-        "bpe_train": q_bpe_train,
-        # approximate tier: oracle-backed recall certificates / DuckDB twin
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
-        # multimodal: real pcm16 roundtrip (oracle-checked) + the stubbed
-        # codec-format plumbing (rows-only; no codec in the container)
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
-        "multimodal_png": q_multimodal_png,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_wav": q_multimodal_wav,
-        # sketch tier: certificates + bloom pruning
         "hll_distinct": q_hll_distinct,
         "heavy_hitters": q_heavy_hitters,
         "quantile_sketch": q_quantile_sketch,
         "bloom_prejoin": q_bloom_prejoin,
-        # packing tier (partition_series analogue + LLM packing/chunking)
         "pack_sequences": q_pack_sequences,
         "pack_bins": q_pack_bins,
         "chunk_documents": q_chunk_documents,
-        # layout tier
         "zorder": q_zorder,
-        # -- recently-changed / this-round work items --
         "merge_str_intervals": q_merge_str_intervals,
         "merge_str_bucket": q_merge_str_bucket,
-        "resample_eav_custom": q_resample_eav_custom,
-        "resample_eav_custom_multi": q_resample_eav_custom_multi,
-        "resample_eav_custom_slope": q_resample_eav_custom_slope,
         "json_props": q_json_props,
         "merge_overlap_sweep": q_merge_overlap_sweep,
         "find_containing_sweep": q_find_containing_sweep,
@@ -3237,48 +3339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_timedelta_intervals": q_merge_timedelta_intervals,
         "merge_asof": q_merge_asof,
         "bucket_range_join": q_bucket_range_join,
-        "dedup_exact": q_dedup_exact,
-        "decontam": q_decontam,
-        "text_stats": q_text_stats,
         "quality_gate": q_quality_gate,
         "fingerprint": q_fingerprint,
-        "bpe_tokens": q_bpe_tokens,
         "scrub_pii": q_scrub_pii,
         "repetition": q_repetition,
-        "topk": q_topk,
-        # -- long-stable tail (green r1-r5; rotated out of the window) --
-        "merge_overlap": q_merge_overlap,
-        "merge_open_endpoints": q_merge_open_endpoints,
-        "merge_left_keep_first": q_merge_left_keep_first,
-        "merge_keep_both": q_merge_keep_both,
-        "merge_indexers": q_merge_indexers,
-        "find_containing": q_find_containing,
-        "group_intervals": q_group_intervals,
-        "group_intervals_ts": q_group_intervals_ts,
-        "combine_union": q_combine_union,
-        "combine_k3": q_combine_k3,
-        "combine_gaps": q_combine_gaps,
-        "combine_attrs": q_combine_attrs,
-        "grouped_mode": q_grouped_mode,
-        "prev_next": q_prev_next,
-        "impute_ffill": q_impute_ffill,
-        "impute_bfill": q_impute_bfill,
-        "impute_afill": q_impute_afill,
-        "impute_lfill": q_impute_lfill,
-        "impute_linear": q_impute_linear,
-        "make_windows": q_make_windows,
-        "resample_eav_basic": q_resample_eav_basic,
-        "resample_eav_irregular": q_resample_eav_irregular,
-        "resample_eav_quantiles": q_resample_eav_quantiles,
-        "resample_eav_moments": q_resample_eav_moments,
-        "resample_eav_ranks": q_resample_eav_ranks,
-        "resample_eav_mode": q_resample_eav_mode,
-        "resample_eav_sliding": q_resample_eav_sliding,
-        "resample_interval": q_resample_interval,
-        "factorize": q_factorize,
-        "inner_or_cross": q_inner_or_cross,
-        "rollup": q_rollup,
-        "cube": q_cube,
     }
 
 
@@ -3292,6 +3356,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_indexers": _Q_MERGE_INDEXERS_SQL,
         "merge_str_intervals": _Q_MERGE_STR_SQL,
         "merge_str_bucket": _Q_MERGE_STR_BUCKET_SQL,
+        "merge_cat_intervals": _Q_MERGE_CAT_SQL,
         "merge_asof": _Q_MERGE_ASOF_SQL,
         "bucket_range_join": _Q_BUCKET_RANGE_SQL,
         "find_containing": _Q_FIND_CONTAINING_SQL,
@@ -3347,6 +3412,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_split": _Q_SAMPLE_SPLIT_SQL,
         "mix_corpora": _Q_MIX_CORPORA_SQL,
         "cosine_topk": _Q_COSINE_TOPK_SQL,
+        "cosine_topk_blocked": _Q_COSINE_TOPK_SQL,
         "embedding_neardup_exact": _Q_EMB_NEARDUP_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
         "funnel": _Q_FUNNEL_SQL,

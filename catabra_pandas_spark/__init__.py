@@ -28,7 +28,8 @@ from .operators.sweep import sweep_point_in_interval
 from .operators.intervals import combine_intervals, group_intervals
 from .operators.sequences import impute, prev_next_values
 from .operators.modes import grouped_mode
-from .operators.misc import factorize, grouped_topk, inner_or_cross_join
+from .operators.misc import (encode_ordered_categories, factorize,
+                             grouped_topk, inner_or_cross_join)
 from .operators.resampling import make_windows, resample_eav, resample_interval
 
 __all__ = [
@@ -42,6 +43,7 @@ __all__ = [
     "combine_intervals",
     "find_containing_interval",
     "impute",
+    "encode_ordered_categories",
     "factorize",
     "grouped_topk",
     "merge_intervals",

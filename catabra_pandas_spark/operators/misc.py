@@ -90,6 +90,39 @@ def factorize(
     return left_out, right_out
 
 
+def encode_ordered_categories(
+    df: DataFrame,
+    column: str,
+    categories: Sequence,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Dictionary-encode an ordered-categorical column to its 1-based
+    ordinal code under the EXPLICIT category order.
+
+    Pandas ordered categoricals map to ``StringType`` in this engine
+    (SURVEY §1.2); what the dtype actually contributes is an ordering
+    that differs from the lexicographic string order (reference dtype
+    grid ``tests/util.py:377-416``).  This helper restores that ordering
+    as an integer code column — a literal ``array_position`` lookup,
+    JVM-side, map-only, no shuffle — so range operators
+    (``merge_intervals``, ``find_containing_interval``, ...) can run
+    interval logic over custom-ordered categories on their dense-code
+    axis exactly like any numeric endpoint.  Values outside
+    ``categories`` code as null (null input stays null).
+
+    The literal lookup is O(|categories|) per row — right for the tens-
+    to-thousands of levels real categoricals have; for degenerate
+    million-level "categories" dictionary-encode via ``factorize``
+    (sort=True) instead."""
+    cats = list(categories)
+    if len(set(cats)) != len(cats):
+        raise ValueError("categories must be distinct")
+    ensure_columns(df, [column])
+    code = F.array_position(F.array(*[F.lit(c) for c in cats]), F.col(column))
+    return df.withColumn(out_col or f"{column}_code",
+                         F.nullif(code, F.lit(0)).cast("int"))
+
+
 def _and_all(conds):
     out = conds[0]
     for c in conds[1:]:

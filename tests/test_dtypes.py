@@ -254,3 +254,39 @@ def test_merge_sweep_dtype(spark, kind):
     s = merge_intervals(li, ri, strategy="sweep", **kw).toPandas()
     assert len(s) == len(d)
     assert_pdf_equal(s, d, sort_by=["idx", "ridx"])
+
+
+def test_ordered_categorical_endpoints(spark):
+    """The last dtype-grid row (reference tests/util.py:377-416): ordered
+    categoricals map to StringType + encode_ordered_categories, whose
+    codes follow the EXPLICIT category order — here the reverse of the
+    lexicographic one — and feed merge_intervals like any numeric axis."""
+    from catabra_pandas_spark import encode_ordered_categories
+
+    # severity ordered low->critical; lexicographic order would be
+    # critical < high < low < medium
+    order = ["low", "medium", "high", "critical"]
+    pts = to_sdf(spark, pd.DataFrame({
+        "id": [0, 1, 2, 3, 4],
+        "sev": ["low", "medium", "high", "critical", "unknown"]}))
+    enc = encode_ordered_categories(pts, "sev", order, out_col="code")
+    got = {r.id: r.code for r in enc.collect()}
+    assert got == {0: 1, 1: 2, 2: 3, 3: 4, 4: None}
+
+    bands = to_sdf(spark, pd.DataFrame({
+        "band": ["ok", "alert"],
+        "lo_cat": ["low", "high"], "hi_cat": ["medium", "critical"]}))
+    bands = encode_ordered_categories(bands, "lo_cat", order, out_col="lo")
+    bands = encode_ordered_categories(bands, "hi_cat", order, out_col="hi")
+    out = merge_intervals(
+        enc, bands.select("band", "lo", "hi"), how="inner",
+        left_start="code", left_stop="code",
+        right_start="lo", right_stop="hi",
+        strategy="bucket", bucket_width=2).toPandas()
+    assert dict(zip(out.id, out.band)) == {0: "ok", 1: "ok",
+                                           2: "alert", 3: "alert"}
+    # lexicographic STRING endpoints would band these differently:
+    # 'medium' > 'high' lexicographically, proving the order came from
+    # the category list, not the strings
+    with pytest.raises(ValueError, match="distinct"):
+        encode_ordered_categories(pts, "sev", ["low", "low"])
