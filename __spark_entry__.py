@@ -2370,6 +2370,35 @@ _Q_STREAM_FUNNEL_SQL = """
 """
 
 
+def q_stream_asof(spark, sf):
+    """stream_asof (7th streaming op, streaming/__init__.py): backward
+    as-of join of each click to the user's latest view value within the
+    preceding 3 days, in batch-dispatch mode (-> operators.asof.merge_asof
+    with direction="backward"); the O(1)-state applyInPandasWithState
+    path over a union of two readStream sources is exercised in
+    tests/test_streaming.py.  DuckDB oracle: native ASOF LEFT JOIN +
+    tolerance post-filter."""
+    ev = _ev(spark, sf)
+    clicks = ev.filter(F.col("etype") == "click").select("eid", "uid", "t")
+    views = (ev.filter((F.col("etype") == "view") & F.col("val").isNotNull())
+             .groupBy("uid", "t").agg(F.max("val").alias("vval")))
+    out = STRM.stream_asof(clicks, views, on="t", by="uid",
+                           right_value="vval", tolerance=3 * DAY * 1e6)
+    return out.select("eid", "uid", "t",
+                      F.round("vval_asof", 6).alias("vval_asof"))
+
+
+_Q_STREAM_ASOF_SQL = f"""
+    WITH l AS (SELECT eid, uid, t FROM ({_EV_SQL}) WHERE etype = 'click'),
+    r AS (SELECT uid, t, max(val) AS vval FROM ({_EV_SQL})
+          WHERE etype = 'view' AND val IS NOT NULL GROUP BY uid, t)
+    SELECT l.eid, l.uid, l.t,
+           CASE WHEN l.t - r.t <= 259200000000::BIGINT
+                THEN round(r.vval, 6) END AS vval_asof
+    FROM l ASOF LEFT JOIN r ON l.uid = r.uid AND l.t >= r.t
+"""
+
+
 def q_retention(spark, sf):
     """Cohort retention matrix (operators/events.py): users cohorted by
     first-activity week, per-cell distinct-active counts — two combinable
@@ -3272,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_blocked": q_cosine_topk_blocked,
         "bpe_train": q_bpe_train,
         "bpe_tokens": q_bpe_tokens,
+        "stream_asof": q_stream_asof,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio": q_multimodal_audio,
@@ -3358,6 +3388,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_str_bucket": _Q_MERGE_STR_BUCKET_SQL,
         "merge_cat_intervals": _Q_MERGE_CAT_SQL,
         "merge_asof": _Q_MERGE_ASOF_SQL,
+        "stream_asof": _Q_STREAM_ASOF_SQL,
         "bucket_range_join": _Q_BUCKET_RANGE_SQL,
         "find_containing": _Q_FIND_CONTAINING_SQL,
         "find_containing_sweep": _Q_FIND_CONTAINING_SQL,

@@ -441,3 +441,131 @@ def stream_resample_interval(
                     F.col("window.start").alias("window_start"),
                     F.col("window.end").alias("window_stop"),
                     *attributes))
+
+
+def stream_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "timestamp",
+    by: str = "entity",
+    right_value: str = "value",
+    out_col: Optional[str] = None,
+    tolerance: Optional[float] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Streaming backward as-of join — a CUSTOM STATEFUL operator via
+    ``applyInPandasWithState`` (batch analogue ``operators.asof.merge_asof``
+    with ``direction="backward"``): every left row picks up the latest
+    ``right_value`` whose ``on`` key is <= its own, within the same ``by``
+    group, optionally no older than ``tolerance`` (in the key's units for
+    numeric keys, SECONDS for timestamps).
+
+    Structured Streaming's native stream-stream joins cannot express
+    "latest right row per left row" (they emit ALL matches in a range),
+    so the two streams are unioned with a side tag — one shuffle on
+    ``by`` — and a per-group state of TWO scalars (last right key, last
+    right value) advances through each micro-batch in event-time order:
+    right rows update the state, left rows emit joined.  O(1) state per
+    group, unbounded streams.  Exact vs the batch operator when each
+    group's rows arrive in event-time order across micro-batches
+    (disorder within one micro-batch is handled by the sort; right rows
+    sort before left rows on key ties = ``allow_exact_matches``).
+
+    With ``watermark``, group state expires one watermark interval after
+    the group's latest row (event-time timeout).  Batch inputs dispatch
+    to ``merge_asof``, so one call site serves both modes and the batch
+    path is oracle-checkable.  Output = the left schema plus ``out_col``
+    (default ``{right_value}_asof``, double).
+    """
+    out_col = out_col or f"{right_value}_asof"
+    if out_col in left.columns:
+        raise ValueError(f"out_col {out_col!r} collides with a left column")
+    if not left.isStreaming and not right.isStreaming:
+        from ..operators.asof import merge_asof
+        r = right.select(by, on, F.col(right_value).cast("double")
+                         .alias(out_col))
+        out = merge_asof(left, r, on=on, by=by, direction="backward",
+                         tolerance=tolerance)
+        return out.select(*left.columns, out_col)
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    on_type = left.schema[on].dataType
+    is_ts = isinstance(on_type, T.TimestampType)
+    if watermark is not None and not is_ts:
+        raise ValueError("watermark requires a timestamp `on` key")
+    payload = [c for c in left.columns if c not in (by, on)]
+    side = F.lit(0)
+    l2 = left.select(by, on, *payload).withColumn("__side__", side) \
+        .withColumn("__rv__", F.lit(None).cast("double"))
+    r2 = (right.select(by, on, F.col(right_value).cast("double")
+                       .alias("__rv__"))
+          .withColumn("__side__", F.lit(1)))
+    for c in payload:
+        r2 = r2.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    r2 = r2.select(*l2.columns)
+    if watermark is not None:
+        l2 = l2.withWatermark(on, watermark)
+        r2 = r2.withWatermark(on, watermark)
+    src = l2.unionByName(r2)
+
+    out_schema = T.StructType(
+        [f for f in left.schema.fields]
+        + [T.StructField(out_col, T.DoubleType())])
+    state_schema = T.StructType([T.StructField("t_last", T.LongType()),
+                                 T.StructField("v_last", T.DoubleType())])
+    # tolerance compares in the state's integer key space: micros for
+    # timestamp keys (tolerance given in seconds), raw units otherwise
+    tol = None if tolerance is None else (
+        int(tolerance * 1e6) if is_ts else tolerance)
+    timeout_ms = (int(pd.Timedelta(watermark).total_seconds() * 1000)
+                  if watermark else None)
+    lcols = list(left.columns)
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        t_last, v_last = state.get if state.exists else (None, None)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # null keys: right rows can never match (drop); left rows emit
+        # unmatched (batch merge_asof parity)
+        nul = pdf[pdf[on].isna() & (pdf["__side__"] == 0)]
+        pdf = pdf[pdf[on].notna()]
+        if is_ts:
+            keys = pdf[on].astype("int64") // 1000  # ns -> us
+        else:
+            keys = pdf[on].astype("int64")
+        pdf = pdf.assign(__k__=keys).sort_values(
+            ["__k__", "__side__"], ascending=[True, False],
+            kind="stable")  # right (1) before left (0) on ties
+        outs, vals = [], []
+        for idx, row_side, k, rv in zip(pdf.index, pdf["__side__"],
+                                        pdf["__k__"], pdf["__rv__"]):
+            if row_side == 1:
+                t_last, v_last = int(k), (None if pd.isna(rv) else float(rv))
+            else:
+                ok = (t_last is not None
+                      and (tol is None or int(k) - t_last <= tol))
+                outs.append(idx)
+                vals.append(v_last if ok else None)
+        if t_last is not None:
+            state.update((t_last, v_last))
+            if timeout_ms is not None and len(pdf):
+                last_k = int(pdf["__k__"].iloc[-1])
+                state.setTimeoutTimestamp(last_k // 1000 + timeout_ms)
+        if outs:
+            res = pdf.loc[outs, lcols].copy()
+            res[out_col] = pd.array(vals, dtype="float64")
+            yield res
+        if len(nul):
+            res = nul[lcols].copy()
+            res[out_col] = pd.array([None] * len(nul), dtype="float64")
+            yield res
+
+    return (src.groupBy(by)
+            .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                    GroupStateTimeout.EventTimeTimeout
+                                    if watermark
+                                    else GroupStateTimeout.NoTimeout))

@@ -74,7 +74,10 @@ def main():
             "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
             "smj": len(re.findall(r"SortMergeJoin", plan)),
             "shj": len(re.findall(r"ShuffledHashJoin", plan)),
-            "python": len(re.findall(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas|PythonMapInArrow", plan)),
+            "python": len(re.findall(
+                r"ArrowEvalPython|FlatMapGroupsInPandas"
+                r"|FlatMapCoGroupsInPandas|MapInPandas|PythonMapInArrow",
+                plan)),
             "pruned": pruning(plan),
         })
 

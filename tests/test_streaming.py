@@ -415,3 +415,75 @@ def test_map_only_text_ops_run_under_streaming(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)],
         want.sort_values("doc_id").reset_index(drop=True)[sorted(want.columns)])
+
+
+def test_stream_asof_stateful(spark, tmp_path):
+    """Streaming backward as-of join: state (last right key/value) carries
+    ACROSS micro-batches; right rows update it, left rows emit joined.
+    Matches the batch merge_asof dispatch on the same data."""
+    import time as _time
+
+    from catabra_pandas_spark.streaming import stream_asof
+
+    base = pd.Timestamp("2026-03-01")
+    mins = lambda m: base + pd.Timedelta(minutes=m)  # noqa: E731
+    # left = clicks, right = quotes; entity 'a' gets a quote only in
+    # batch 1, so its batch-2 clicks must join from state
+    l_early = pd.DataFrame({"entity": ["a", "b"], "timestamp": [mins(1), mins(1)],
+                            "click_id": [10, 20]})
+    r_early = pd.DataFrame({"entity": ["a"], "timestamp": [mins(0)],
+                            "value": [5.0]})
+    l_late = pd.DataFrame({"entity": ["a", "b"], "timestamp": [mins(30), mins(30)],
+                           "click_id": [11, 21]})
+    r_late = pd.DataFrame({"entity": ["b"], "timestamp": [mins(29)],
+                           "value": [9.0]})
+    ldir, rdir = str(tmp_path / "asof_l"), str(tmp_path / "asof_r")
+    to_sdf(spark, l_early).coalesce(1).write.mode("overwrite").parquet(ldir)
+    to_sdf(spark, r_early).coalesce(1).write.mode("overwrite").parquet(rdir)
+    _time.sleep(1.2)
+    to_sdf(spark, l_late).coalesce(1).write.mode("append").parquet(ldir)
+    to_sdf(spark, r_late).coalesce(1).write.mode("append").parquet(rdir)
+
+    lschema = spark.read.parquet(ldir).schema
+    rschema = spark.read.parquet(rdir).schema
+    ls = (spark.readStream.schema(lschema)
+          .option("maxFilesPerTrigger", 1).parquet(ldir))
+    rs = (spark.readStream.schema(rschema)
+          .option("maxFilesPerTrigger", 1).parquet(rdir))
+    out = stream_asof(ls, rs, on="timestamp", by="entity",
+                      right_value="value")
+    q = (out.writeStream.format("memory").queryName("asof_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM asof_test").toPandas()
+           .set_index("click_id").sort_index())
+
+    # batch dispatch on the full data = the oracle
+    lb = pd.concat([l_early, l_late], ignore_index=True)
+    rb = pd.concat([r_early, r_late], ignore_index=True)
+    exp = (stream_asof(to_sdf(spark, lb), to_sdf(spark, rb),
+                       on="timestamp", by="entity", right_value="value")
+           .toPandas().set_index("click_id").sort_index())
+    pd.testing.assert_series_equal(got.value_asof, exp.value_asof)
+    # the cross-batch case: a's minute-30 click joins the minute-0 quote
+    assert got.loc[11, "value_asof"] == 5.0
+    # b's first click precedes any quote
+    assert pd.isna(got.loc[20, "value_asof"])
+    assert got.loc[21, "value_asof"] == 9.0
+
+
+def test_stream_asof_tolerance_and_ties(spark):
+    """Batch dispatch: tolerance bounds the lookback; right rows at the
+    exact left key match (allow_exact_matches)."""
+    from catabra_pandas_spark.streaming import stream_asof
+
+    left = pd.DataFrame({"entity": [1, 1, 1], "t": [10, 20, 100],
+                         "lid": [0, 1, 2]})
+    right = pd.DataFrame({"entity": [1, 1], "t": [10, 15], "value": [1.0, 2.0]})
+    out = (stream_asof(to_sdf(spark, left), to_sdf(spark, right),
+                       on="t", by="entity", right_value="value",
+                       tolerance=10)
+           .toPandas().set_index("lid").sort_index())
+    assert out.loc[0, "value_asof"] == 1.0    # exact-key match
+    assert out.loc[1, "value_asof"] == 2.0    # within tolerance
+    assert pd.isna(out.loc[2, "value_asof"])  # 100 - 15 > 10
