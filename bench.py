@@ -77,6 +77,10 @@ HEADLINE = [
     "multimodal_jpeg",
     "stream_funnel",
     "bpe_train",
+    # r7 additions
+    "merge_cat_intervals",
+    "cosine_topk_blocked",
+    "stream_asof",
 ]
 
 

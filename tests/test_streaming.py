@@ -487,3 +487,54 @@ def test_stream_asof_tolerance_and_ties(spark):
     assert out.loc[0, "value_asof"] == 1.0    # exact-key match
     assert out.loc[1, "value_asof"] == 2.0    # within tolerance
     assert pd.isna(out.loc[2, "value_asof"])  # 100 - 15 > 10
+
+
+def test_stream_asof_state_timeout(spark, tmp_path):
+    """Event-time timeout: with a watermark, a group's (last right key,
+    value) state expires once the watermark passes its last event by the
+    watermark interval — a later left row then emits UNMATCHED instead of
+    joining a stale quote."""
+    import time as _time
+
+    from catabra_pandas_spark.streaming import stream_asof
+
+    base = pd.Timestamp("2026-04-01")
+    mins = lambda m: base + pd.Timedelta(minutes=m)  # noqa: E731
+    # batch 1: entity 'a' gets a quote at t=0
+    r1 = pd.DataFrame({"entity": ["a"], "timestamp": [mins(0)], "value": [5.0]})
+    l1 = pd.DataFrame({"entity": ["a"], "timestamp": [mins(1)], "click_id": [0]})
+    # batch 2: other-entity traffic far in the future advances the
+    # watermark past a's timeout (10-minute watermark, events at +6h)
+    r2 = pd.DataFrame({"entity": ["z"], "timestamp": [mins(360)], "value": [1.0]})
+    l2 = pd.DataFrame({"entity": ["z"], "timestamp": [mins(361)], "click_id": [90]})
+    # batch 3: z-only traffic — 'a' has NO data here, so its expiry fires
+    # (a timed-out group that receives data in the same batch is invoked
+    # with the data instead, state intact)
+    r3 = pd.DataFrame({"entity": ["z"], "timestamp": [mins(370)], "value": [2.0]})
+    l3 = pd.DataFrame({"entity": ["z"], "timestamp": [mins(371)], "click_id": [91]})
+    # batch 4: a's next click — state must be gone
+    l4 = pd.DataFrame({"entity": ["a"], "timestamp": [mins(400)], "click_id": [1]})
+    r4 = pd.DataFrame({"entity": ["z"], "timestamp": [mins(400)], "value": [3.0]})
+
+    ldir, rdir = str(tmp_path / "asto_l"), str(tmp_path / "asto_r")
+    for i, (lpdf, rpdf) in enumerate([(l1, r1), (l2, r2), (l3, r3), (l4, r4)]):
+        mode = "overwrite" if i == 0 else "append"
+        to_sdf(spark, lpdf).coalesce(1).write.mode(mode).parquet(ldir)
+        to_sdf(spark, rpdf).coalesce(1).write.mode(mode).parquet(rdir)
+        _time.sleep(1.2)
+
+    ls = (spark.readStream.schema(spark.read.parquet(ldir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(ldir))
+    rs = (spark.readStream.schema(spark.read.parquet(rdir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(rdir))
+    out = stream_asof(ls, rs, on="timestamp", by="entity",
+                      right_value="value", watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("asof_timeout")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM asof_timeout").toPandas()
+           .set_index("click_id").sort_index())
+
+    assert got.loc[0, "value_asof"] == 5.0      # in-horizon join
+    assert pd.isna(got.loc[1, "value_asof"])    # state expired at +6h watermark
+    assert got.loc[90, "value_asof"] == 1.0
