@@ -538,3 +538,48 @@ def test_stream_asof_state_timeout(spark, tmp_path):
     assert got.loc[0, "value_asof"] == 5.0      # in-horizon join
     assert pd.isna(got.loc[1, "value_asof"])    # state expired at +6h watermark
     assert got.loc[90, "value_asof"] == 1.0
+
+
+def test_stream_funnel_state_timeout(spark, tmp_path):
+    """stream_funnel event-time timeout: an entity's matched-stage state
+    expires once the watermark passes its last event by the watermark
+    interval, so a later step-2 event starts a fresh funnel instead of
+    completing the stale one."""
+    import time as _time
+
+    from catabra_pandas_spark.streaming import stream_funnel
+
+    base = pd.Timestamp("2026-05-01")
+    mins = lambda m: base + pd.Timedelta(minutes=m)  # noqa: E731
+    b1 = pd.DataFrame({"entity": ["a"], "timestamp": [mins(0)],
+                       "event_type": ["view"]})
+    # far-future traffic for another entity advances the watermark
+    b2 = pd.DataFrame({"entity": ["z"], "timestamp": [mins(360)],
+                       "event_type": ["view"]})
+    b3 = pd.DataFrame({"entity": ["z"], "timestamp": [mins(370)],
+                       "event_type": ["click"]})
+    # a's click arrives after its state expired: no stage-0 view on
+    # record anymore -> no funnel row for the click alone
+    b4 = pd.DataFrame({"entity": ["a"], "timestamp": [mins(400)],
+                       "event_type": ["click"]})
+    src = str(tmp_path / "funnel_timeout_src")
+    for i, pdf in enumerate([b1, b2, b3, b4]):
+        to_sdf(spark, pdf).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append").parquet(src)
+        _time.sleep(1.2)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_funnel(stream, ["view", "click"], watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("funnel_timeout")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM funnel_timeout").toPandas()
+
+    # a reached stage 1 in batch 1; after expiry its batch-4 click matches
+    # nothing (stage 0 must come first), so a's LAST emitted row is still
+    # n_stages=1, unconverted — without the timeout it would show 2/True
+    last_a = got[got.entity == "a"].iloc[-1]
+    assert last_a.n_stages == 1 and not last_a.converted
+    last_z = got[got.entity == "z"].iloc[-1]
+    assert last_z.n_stages == 2 and last_z.converted
