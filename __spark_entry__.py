@@ -2257,6 +2257,89 @@ _Q_IVF_ANN_SQL = """
 """
 
 
+def q_kmeans_ann(spark, sf):
+    """IVF-flat ANN over a TRAINED spherical-k-means codebook
+    (pipeline.kmeans_codebook): 2 Lloyd iterations of cosine assignment
+    (one Arrow matmul scan) + per-dim mean update (one map-side-
+    combinable groupBy per iteration), means rounded to 6 decimals so the
+    loop is engine-replayable; then the same single-scan broadcast-probe
+    IVF search as q_ivf_ann.  Fully oracle-checked: the DuckDB twin
+    replays init (8 lowest-id vectors), both Lloyd iterations (empty
+    cells keep their previous centroid), cell assignment, 2-cell probing
+    and exact re-scoring from the same deterministic recipe."""
+    emb = read_table(spark, sf, "embeddings")
+    book = P.kmeans_codebook(emb, n_centroids=8, n_iter=2, dim=64,
+                             normalize=False, round_decimals=6)
+    out = P.ivf_cosine_topk(emb.filter(F.col("vec_id") < 20), emb, k=5,
+                            n_probe=2, dim=64, centroids=book)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+
+
+def _kmeans_ann_sql(k_cells=8, iters=2, dim=64, n_queries=20, n_probe=2,
+                    topk=5) -> str:
+    """DuckDB twin of q_kmeans_ann: replays the deterministic spherical
+    k-means loop (init = lowest-id vectors as cells 0..k-1, cosine
+    assignment with ties to the lowest cell, per-dim means rounded to 6,
+    empty cells carry the previous centroid) and then the IVF-flat
+    probe/re-score skeleton of _Q_IVF_ANN_SQL."""
+    mean_list = ", ".join(f"round(avg(a.v[{d + 1}]), 6)" for d in range(dim))
+    parts = [f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k_cells})
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    a{i} AS (
+      SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_cosine_similarity(e.v, c.cv)
+                                         DESC, c.cid) AS rn
+      FROM emb e CROSS JOIN c{i - 1} c
+    ),
+    m{i} AS (
+      SELECT a.cid, [{mean_list}]::DOUBLE[] AS mv
+      FROM a{i} a WHERE a.rn = 1 GROUP BY a.cid
+    ),
+    c{i} AS (
+      SELECT p.cid, coalesce(m.mv, p.cv) AS cv
+      FROM c{i - 1} p LEFT JOIN m{i} m ON m.cid = p.cid
+    )""")
+    parts.append(f""",
+    asgn AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_cosine_similarity(e.v, c.cv)
+                                         DESC, c.cid) AS rn
+      FROM emb e CROSS JOIN c{iters} c
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM asgn WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, cid AS cell FROM asgn
+               WHERE vec_id < {n_queries} AND rn <= {n_probe}),
+    cand AS (
+      SELECT p.query_id, ce.vec_id AS neighbor_id
+      FROM qprobe p JOIN cells ce ON ce.cell = p.cell
+      WHERE ce.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_cosine_similarity(q.v, n.v) AS sim,
+             row_number() OVER (PARTITION BY c.query_id
+                                ORDER BY list_cosine_similarity(q.v, n.v)
+                                         DESC, c.neighbor_id) AS rank
+      FROM cand c JOIN emb q ON q.vec_id = c.query_id
+                  JOIN emb n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank
+    FROM scored WHERE rank <= {topk}""")
+    return "".join(parts)
+
+
+_Q_KMEANS_ANN_SQL = _kmeans_ann_sql()
+
+
 def q_funnel(spark, sf):
     """Event-funnel analysis (operators/events.py): per user, greedy
     earliest-completion matching of view -> click -> purchase within 7
@@ -3302,6 +3385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_tokens": q_bpe_tokens,
         "stream_asof": q_stream_asof,
+        "kmeans_ann": q_kmeans_ann,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio": q_multimodal_audio,
@@ -3444,6 +3528,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_corpora": _Q_MIX_CORPORA_SQL,
         "cosine_topk": _Q_COSINE_TOPK_SQL,
         "cosine_topk_blocked": _Q_COSINE_TOPK_SQL,
+        "kmeans_ann": _Q_KMEANS_ANN_SQL,
         "embedding_neardup_exact": _Q_EMB_NEARDUP_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
         "funnel": _Q_FUNNEL_SQL,

@@ -81,6 +81,7 @@ HEADLINE = [
     "merge_cat_intervals",
     "cosine_topk_blocked",
     "stream_asof",
+    "kmeans_ann",
 ]
 
 

@@ -716,6 +716,7 @@ def kmeans_codebook(
     corpus_vec: str = "embedding",
     dim: int | None = None,
     normalize: bool = True,
+    round_decimals: int | None = None,
 ) -> list:
     """Deterministic spherical k-means codebook for ``ivf_cosine_topk``:
     Lloyd iterations with cosine assignment, seeded by the ``n_centroids``
@@ -731,6 +732,12 @@ def kmeans_codebook(
 
     Returns ``[(cell_id, centroid_vector), ...]`` — pass as ``centroids=``
     to ``ivf_cosine_topk``.
+
+    ``round_decimals`` rounds each UPDATED centroid mean (empty cells
+    keep their carried-over vector untouched) — set it when an
+    independent engine must replay the loop exactly: engines sum in
+    different orders, so unrounded means differ in the last ulps while
+    rounded ones are bit-identical (the kmeans_ann oracle uses 6).
     """
     import numpy as np
     from pyspark.sql import types as T
@@ -760,7 +767,9 @@ def kmeans_codebook(
                .groupBy("cell").agg(*avg_cols)
                .collect())  # <= n_centroids rows
         for r in upd:
-            C[int(r["cell"])] = [r[f"c{d}"] for d in range(dim)]
+            v = np.asarray([r[f"c{d}"] for d in range(dim)], dtype=np.float64)
+            C[int(r["cell"])] = (v.round(round_decimals)
+                                 if round_decimals is not None else v)
     if normalize:
         C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     return [(i, C[i].tolist()) for i in range(len(C))]

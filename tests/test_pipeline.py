@@ -621,3 +621,27 @@ def test_resize_jpeg_decodes_via_updated_meta(spark):
         "payload", modality="image", mime="image/x-portable-graymap")
     r2 = resize_image(d2, "payload", out_width=2, out_height=2).toPandas()
     assert r2.payload_resized_meta[0]["mime"] == "image/x-portable-graymap"
+
+
+def test_kmeans_codebook_round_decimals_matches_numpy_lloyd(spark, emb):
+    """round_decimals pins the loop to an engine-replayable recipe: a pure
+    numpy Lloyd replay (same init, cosine ties to lowest cell, round-6
+    means, empty-cell carryover) reproduces the codebook EXACTLY — the
+    property the kmeans_ann DuckDB oracle relies on."""
+    from catabra_pandas_spark.pipeline import kmeans_codebook
+
+    book = kmeans_codebook(emb, n_centroids=4, n_iter=2, dim=64,
+                           normalize=False, round_decimals=6)
+    pdf = emb.toPandas().sort_values("vec_id")
+    M = np.stack(pdf.embedding.to_numpy()).astype(float)
+    C = M[:4].copy()
+    for _ in range(2):
+        mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        best = np.argmax(mn @ cn.T, axis=1)
+        for c in range(4):
+            m = best == c
+            if m.any():
+                C[c] = M[m].mean(axis=0).round(6)
+    got = np.array([v for _, v in book])
+    assert np.array_equal(got, C)
