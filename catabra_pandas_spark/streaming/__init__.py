@@ -469,7 +469,11 @@ def stream_asof(
     group, unbounded streams.  Exact vs the batch operator when each
     group's rows arrive in event-time order across micro-batches
     (disorder within one micro-batch is handled by the sort; right rows
-    sort before left rows on key ties = ``allow_exact_matches``).
+    sort before left rows on key ties = ``allow_exact_matches``).  One
+    tie nuance: among right rows sharing the SAME key, the batch
+    operator picks the greatest payload while the stream keeps the last
+    processed — pre-aggregate key ties away (as the driver query does)
+    when exact parity matters.
 
     With ``watermark``, group state expires one watermark interval after
     the group's latest row (event-time timeout).  Batch inputs dispatch
@@ -546,7 +550,9 @@ def stream_asof(
             if row_side == 1:
                 t_last, v_last = int(k), (None if pd.isna(rv) else float(rv))
             else:
-                ok = (t_last is not None
+                # t_last <= k guards cross-batch disorder: a late left
+                # row must not join a quote from its own future
+                ok = (t_last is not None and t_last <= int(k)
                       and (tol is None or int(k) - t_last <= tol))
                 outs.append(idx)
                 vals.append(v_last if ok else None)
