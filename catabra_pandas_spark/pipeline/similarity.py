@@ -104,6 +104,12 @@ def _topk_per_query(scored: DataFrame, k: int, dedup: bool = False) -> DataFrame
             .select("query_id", "neighbor_id", "cosine_sim", "rank"))
 
 
+# cap on the sims matrix inside one blocked-cosine grid cell (elements =
+# queries x corpus-slice doubles); module-level so tests can shrink it to
+# force the multi-slice merge path on small data
+_BLOCK_SIMS_ELEMS = 32 << 20
+
+
 def _blocked_exact_topk(q: DataFrame, c: DataFrame, k: int,
                         qt: str, ct: str,
                         n_query_blocks: int, n_corpus_blocks: int) -> DataFrame:
@@ -139,6 +145,8 @@ def _blocked_exact_topk(q: DataFrame, c: DataFrame, k: int,
     q2 = q2.repartition(n_part, "__qb__", "__cb__")
     c2 = c2.repartition(n_part, "__qb__", "__cb__")
     out_schema = f"query_id {qt}, neighbor_id {ct}, cosine_sim double"
+    # captured by value at plan time so the closure ships it to executors
+    slice_elems = int(_BLOCK_SIMS_ELEMS)
 
     def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"query_id": [], "neighbor_id": [],
@@ -152,7 +160,7 @@ def _blocked_exact_topk(q: DataFrame, c: DataFrame, k: int,
         nids = right["neighbor_id"].to_numpy()
         cm = np.stack(right["__cv__"].to_numpy())
         cn = np.sqrt((cm * cm).sum(axis=1))
-        step = max(1, (32 << 20) // max(len(qids), 1))  # <=32M sims/slice
+        step = max(1, slice_elems // max(len(qids), 1))
         parts = []
         for lo in range(0, len(nids), step):
             nid, sm, sn = nids[lo:lo + step], cm[lo:lo + step], cn[lo:lo + step]

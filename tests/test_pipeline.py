@@ -645,3 +645,22 @@ def test_kmeans_codebook_round_decimals_matches_numpy_lloyd(spark, emb):
                 C[c] = M[m].mean(axis=0).round(6)
     got = np.array([v for _, v in book])
     assert np.array_equal(got, C)
+
+
+def test_cosine_topk_blocked_multi_slice(spark, emb, monkeypatch):
+    """Force the blocked path's corpus-slice loop (normally only hit when
+    a grid cell's sims matrix would exceed ~32M doubles): with the cap
+    shrunk so every cell scores in many slices, the cross-slice top-k
+    merge must still equal the broadcast path exactly, including
+    similarity ties broken by neighbor id."""
+    from catabra_pandas_spark.pipeline import similarity as S
+
+    monkeypatch.setattr(S, "_BLOCK_SIMS_ELEMS", 40)  # ~8 corpus rows/slice
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = cosine_topk(queries, emb, k=7).toPandas()
+    b = cosine_topk(queries, emb, k=7, broadcast_queries=False,
+                    n_query_blocks=2, n_corpus_blocks=3).toPandas()
+    for df in (a, b):
+        df["cosine_sim"] = df["cosine_sim"].round(9)
+    from .conftest import assert_pdf_equal
+    assert_pdf_equal(a, b, sort_by=["query_id", "rank"])
