@@ -583,3 +583,42 @@ def test_stream_funnel_state_timeout(spark, tmp_path):
     assert last_a.n_stages == 1 and not last_a.converted
     last_z = got[got.entity == "z"].iloc[-1]
     assert last_z.n_stages == 2 and last_z.converted
+
+
+def test_stream_asof_numeric_key(spark, tmp_path):
+    """Streaming with a NUMERIC ordering key (long micros, no watermark):
+    state carries across micro-batches; tolerance is in raw key units;
+    watermark is refused (event-time timeout needs a timestamp key)."""
+    import time as _time
+
+    from catabra_pandas_spark.streaming import stream_asof
+
+    l1 = pd.DataFrame({"entity": [1], "t": [100], "lid": [0]})
+    r1 = pd.DataFrame({"entity": [1], "t": [90], "value": [7.0]})
+    l2 = pd.DataFrame({"entity": [1, 1], "t": [150, 500], "lid": [1, 2]})
+    r2 = pd.DataFrame({"entity": [1], "t": [140], "value": [8.0]})
+    ldir, rdir = str(tmp_path / "num_l"), str(tmp_path / "num_r")
+    to_sdf(spark, l1).coalesce(1).write.mode("overwrite").parquet(ldir)
+    to_sdf(spark, r1).coalesce(1).write.mode("overwrite").parquet(rdir)
+    _time.sleep(1.2)
+    to_sdf(spark, l2).coalesce(1).write.mode("append").parquet(ldir)
+    to_sdf(spark, r2).coalesce(1).write.mode("append").parquet(rdir)
+
+    ls = (spark.readStream.schema(spark.read.parquet(ldir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(ldir))
+    rs = (spark.readStream.schema(spark.read.parquet(rdir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(rdir))
+    out = stream_asof(ls, rs, on="t", by="entity", right_value="value",
+                      tolerance=100)
+    q = (out.writeStream.format("memory").queryName("asof_num")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM asof_num").toPandas()
+           .set_index("lid").sort_index())
+    assert got.loc[0, "value_asof"] == 7.0    # batch-1 state
+    assert got.loc[1, "value_asof"] == 8.0    # in-batch right row
+    assert pd.isna(got.loc[2, "value_asof"])  # 500 - 140 > tolerance 100
+
+    with pytest.raises(ValueError, match="timestamp"):
+        stream_asof(ls, rs, on="t", by="entity", right_value="value",
+                    watermark="10 minutes")
