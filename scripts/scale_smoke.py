@@ -192,6 +192,15 @@ def main():
     ivf_all = ivf_cosine_topk(qv, emb, k=10, dim=dim, n_centroids=32,
                               n_probe=32).localCheckpoint(eager=True)
     t_ivf = time.perf_counter() - t0
+    # trained codebook: 2 Lloyd iterations over the full corpus, then
+    # probing EVERY trained cell must also degenerate to exhaustive search
+    from catabra_pandas_spark.pipeline.similarity import kmeans_codebook
+    t0 = time.perf_counter()
+    book = kmeans_codebook(emb, n_centroids=32, n_iter=2, dim=dim,
+                           normalize=False, round_decimals=6)
+    ivf_km = ivf_cosine_topk(qv, emb, k=10, dim=dim, n_probe=32,
+                             centroids=book).localCheckpoint(eager=True)
+    t_km = time.perf_counter() - t0
     print(f"ann {nv:,} vecs x {dim}d: brute={t_brute:.1f}s "
           f"blocked={t_blocked:.1f}s ({t_blocked / t_brute:.1f}x) "
           f"lsh_bcast={t_lb:.1f}s lsh_shuffle={t_ls:.1f}s ivf_all={t_ivf:.1f}s")
@@ -204,6 +213,9 @@ def main():
                   ["query_id", "rank"])
     ok &= compare("ivf(all cells) == brute force", ivf_all, brute,
                   ["query_id", "rank"])
+    print(f"kmeans codebook train+search {nv:,} vecs: {t_km:.1f}s")
+    ok &= compare("ivf(kmeans book, all cells) == brute force", ivf_km,
+                  brute, ["query_id", "rank"])
 
     print("SCALE_SMOKE", "PASS" if ok else "FAIL")
     spark.stop()
