@@ -2453,6 +2453,59 @@ _Q_STREAM_FUNNEL_SQL = """
 """
 
 
+def q_lm_perplexity(spark, sf):
+    """CCNet-style bigram-LM perplexity scoring (pipeline/text.py
+    train_ngram_lm + ngram_perplexity): two capped count shuffles train
+    the model (unigram explode + map-only arrays_zip bigrams — the
+    sufficient statistics, KBs at any corpus size), then a broadcast
+    map-only Arrow scorer adds add-1-smoothed perplexity per document —
+    the standard quality-filter signal for training-data curation.  The
+    DuckDB twin replays tokenization (zipped unnest), both capped count
+    tables with the same deterministic ordering, and the smoothed
+    log-prob average."""
+    docs = read_table(spark, sf, "documents")
+    model = P.train_ngram_lm(docs)
+    out = P.ngram_perplexity(docs, model)
+    return out.select("doc_id", "n_bigrams",
+                      F.round("perplexity", 6).alias("perplexity"))
+
+
+_Q_LM_PERPLEXITY_SQL = """
+    WITH toks0 AS (
+      SELECT doc_id, unnest(l) AS tok,
+             unnest(range(1, len(l) + 1)) AS ord
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM documents)
+    ),
+    toks AS (SELECT * FROM toks0 WHERE tok != ''),
+    uni AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+      ORDER BY n DESC, tok LIMIT 50000
+    ),
+    pairs AS (
+      SELECT doc_id, tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+      FROM toks
+    ),
+    big AS (
+      SELECT w1, w2, count(*) AS n FROM pairs WHERE w2 IS NOT NULL
+      GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 200000
+    ),
+    vv AS (SELECT count(*) + 1 AS v FROM uni),
+    scored AS (
+      SELECT p.doc_id,
+             ln((coalesce(b.n, 0) + 1.0) / (coalesce(u.n, 0) + vv.v)) AS lp
+      FROM pairs p CROSS JOIN vv
+      LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+      LEFT JOIN uni u ON u.tok = p.w1
+      WHERE p.w2 IS NOT NULL
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(exp(-avg(lp)), 6) AS perplexity
+    FROM scored GROUP BY doc_id
+"""
+
+
 def q_stream_asof(spark, sf):
     """stream_asof (7th streaming op, streaming/__init__.py): backward
     as-of join of each click to the user's latest view value within the
@@ -3386,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "stream_asof": q_stream_asof,
         "kmeans_ann": q_kmeans_ann,
+        "lm_perplexity": q_lm_perplexity,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio": q_multimodal_audio,
@@ -3408,9 +3462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prev_next": q_prev_next,
         "rollup": q_rollup,
         "cube": q_cube,
-        "dedup_exact": q_dedup_exact,
         # ---- driver window ends here (50) ----
         # -- tail: green in r5/r6, code unchanged since --
+        "dedup_exact": q_dedup_exact,
         "decontam": q_decontam,
         "text_stats": q_text_stats,
         "langid": q_langid,
@@ -3529,6 +3583,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _Q_COSINE_TOPK_SQL,
         "cosine_topk_blocked": _Q_COSINE_TOPK_SQL,
         "kmeans_ann": _Q_KMEANS_ANN_SQL,
+        "lm_perplexity": _Q_LM_PERPLEXITY_SQL,
         "embedding_neardup_exact": _Q_EMB_NEARDUP_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
         "funnel": _Q_FUNNEL_SQL,

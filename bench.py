@@ -82,6 +82,7 @@ HEADLINE = [
     "cosine_topk_blocked",
     "stream_asof",
     "kmeans_ann",
+    "lm_perplexity",
 ]
 
 

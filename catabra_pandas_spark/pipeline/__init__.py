@@ -25,8 +25,10 @@ from .dedup import (
 )
 from .similarity import (cosine_topk, embedding_near_dup_pairs,
                          ivf_cosine_topk, kmeans_codebook, lsh_cosine_topk)
-from .text import (apply_filters, detect_language, fingerprint, repetition_stats,
-                   scrub_pii, text_quality, token_count, token_count_bpe)
+from .text import (apply_filters, detect_language, fingerprint,
+                   ngram_perplexity, repetition_stats, scrub_pii,
+                   text_quality, token_count, token_count_bpe,
+                   train_ngram_lm)
 from .multimodal import (attach_binary_metadata, decode_binary,
                          resize_image, sample_frames)
 from .sampling import (assign_splits, deterministic_sample, mix_corpora,
@@ -45,6 +47,7 @@ __all__ = [
     "cosine_topk", "lsh_cosine_topk",
     "ivf_cosine_topk", "embedding_near_dup_pairs", "kmeans_codebook",
     "detect_language", "fingerprint", "text_quality", "token_count",
+    "train_ngram_lm", "ngram_perplexity",
     "token_count_bpe", "repetition_stats", "scrub_pii",
     "attach_binary_metadata", "decode_binary", "resize_image", "sample_frames",
     "assign_splits", "deterministic_sample", "stratified_sample",

@@ -336,3 +336,111 @@ def apply_filters(
         out = (out.filter(F.col(kept_col))
                .drop(flags_col, reasons_col, kept_col))
     return out
+
+
+def train_ngram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    max_vocab: int = 50_000,
+    max_bigrams: int = 200_000,
+) -> dict:
+    """Train a capped bigram language model for CCNet-style perplexity
+    filtering: documents whose LM perplexity is extreme (boilerplate,
+    gibberish, wrong-language) are standard removals in large-scale
+    training-data curation.
+
+    Tokens = lowercased single-space split with empties dropped (the same
+    convention as ``heavy_hitters``'s oracle, so the model is SQL-
+    replayable).  Counts are the SUFFICIENT STATISTICS: two map-side-
+    combinable count shuffles (unigrams from an explode; bigrams from a
+    map-only ``arrays_zip`` of the token array against its own shift —
+    no window, no per-doc shuffle), each capped at the most frequent
+    ``max_vocab`` / ``max_bigrams`` entries with deterministic ordering
+    (count desc, token asc) — the rare tail beyond the cap scores as
+    unseen, which is exactly what smoothing is for.  The retained tables
+    are KBs-to-MBs however large the corpus; the driver never holds
+    anything proportional to data size.
+
+    Returns ``{"unigrams": {tok: n}, "bigrams": {(w1, w2): n}, "v": V}``
+    with ``V`` = retained vocabulary size + 1 (the add-k denominator),
+    ready for :func:`ngram_perplexity`.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != "")
+    base = df.select(toks.alias("__t__"))
+    uni = (base.select(F.explode("__t__").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.col("n").desc(), F.col("w").asc())
+           .limit(max_vocab).collect())
+    n = F.size("__t__")
+    pairs = F.arrays_zip(F.slice("__t__", 1, n - 1).alias("w1"),
+                         F.slice("__t__", 2, n - 1).alias("w2"))
+    big = (base.filter(n >= 2)
+           .select(F.explode(pairs).alias("p"))
+           .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
+           .limit(max_bigrams).collect())
+    unigrams = {r["w"]: int(r["n"]) for r in uni}
+    return {"unigrams": unigrams,
+            "bigrams": {(r["w1"], r["w2"]): int(r["n"]) for r in big},
+            "v": len(unigrams) + 1}
+
+
+def ngram_perplexity(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_cols=("doc_id",),
+    out_col: str = "perplexity",
+    k: float = 1.0,
+) -> DataFrame:
+    """Score documents with a :func:`train_ngram_lm` model: add-``k``
+    smoothed bigram perplexity ``exp(-mean ln P(w2|w1))`` with
+    ``P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V)``.
+
+    MAP-ONLY: the count tables are broadcast (they are the whole model)
+    and each Arrow batch scores its rows in Python — no shuffle at any
+    corpus size, the same recipe as ``bpe_tokenize``.  Output: the
+    ``id_cols`` plus ``n_bigrams`` and ``out_col``; documents with fewer
+    than two tokens are omitted (no bigram to score — filter them with
+    the quality gate instead).
+    """
+    import math
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    id_cols = list(id_cols)
+    bc = df.sparkSession.sparkContext.broadcast(
+        (model["unigrams"], model["bigrams"], float(model["v"])))
+    schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in id_cols]
+        + ["n_bigrams long", f"`{out_col}` double"])
+    src = df.select(*id_cols, text_col)
+
+    def mapper(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        uni, big, v = bc.value
+
+        def score(text):
+            if text is None:
+                return None, None
+            toks = [t for t in text.lower().split(" ") if t]
+            if len(toks) < 2:
+                return None, None
+            s = 0.0
+            for w1, w2 in zip(toks, toks[1:]):
+                s += math.log((big.get((w1, w2), 0) + k)
+                              / (uni.get(w1, 0) + k * v))
+            nb = len(toks) - 1
+            return nb, math.exp(-s / nb)
+
+        for pdf in batches:
+            scored = pdf[text_col].map(score)
+            out = pdf[id_cols].copy()
+            out["n_bigrams"] = [x[0] for x in scored]
+            out[out_col] = [x[1] for x in scored]
+            yield out[out["n_bigrams"].notna()]
+
+    return src.mapInPandas(mapper, schema=schema)

@@ -664,3 +664,37 @@ def test_cosine_topk_blocked_multi_slice(spark, emb, monkeypatch):
         df["cosine_sim"] = df["cosine_sim"].round(9)
     from .conftest import assert_pdf_equal
     assert_pdf_equal(a, b, sort_by=["query_id", "rank"])
+
+
+def test_ngram_lm_perplexity(spark):
+    """Bigram-LM training + add-1 perplexity scoring against a pure-python
+    reference; short/empty/null docs are omitted; repeated boilerplate
+    scores (much) lower perplexity than novel token sequences."""
+    import math
+
+    from catabra_pandas_spark.pipeline import ngram_perplexity, train_ngram_lm
+
+    boiler = "click here to subscribe to our newsletter "
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [boiler * 5, boiler * 3,
+                 "quantum flux harmonics destabilize the chrono lattice",
+                 "x", None],
+    })
+    sdf = spark.createDataFrame(docs)
+    model = train_ngram_lm(sdf)
+    out = (ngram_perplexity(sdf, model).toPandas()
+           .set_index("doc_id").sort_index())
+    assert list(out.index) == [1, 2, 3]
+
+    uni, big, v = model["unigrams"], model["bigrams"], model["v"]
+    for did in (1, 2, 3):
+        toks = [t for t in docs.set_index("doc_id").text[did].lower().split(" ")
+                if t]
+        s = sum(math.log((big.get((a, b), 0) + 1) / (uni.get(a, 0) + v))
+                for a, b in zip(toks, toks[1:]))
+        ref = math.exp(-s / (len(toks) - 1))
+        assert abs(out.loc[did, "perplexity"] - ref) < 1e-9
+        assert out.loc[did, "n_bigrams"] == len(toks) - 1
+    # the curation signal: boilerplate << novel text
+    assert out.loc[1, "perplexity"] < out.loc[3, "perplexity"] / 2
