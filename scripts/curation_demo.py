@@ -66,6 +66,15 @@ def main():
     kept = gated.filter("kept").drop("filter_flags", "filter_reasons", "kept")
     funnel.append(("quality_gate", kept.count()))
 
+    # 1b. LM-perplexity filter (CCNet-style): train the capped bigram
+    #     model on the gate survivors, drop the most perplexing tail
+    lm = P.train_ngram_lm(kept)
+    ppl = P.ngram_perplexity(kept, lm)
+    cut = ppl.approxQuantile("perplexity", [0.98], 0.001)[0]
+    kept = (kept.join(ppl.filter(F.col("perplexity") <= cut)
+                      .select("doc_id"), "doc_id", "left_semi"))
+    funnel.append(("lm_ppl_filter", kept.count()))
+
     # 2. PII scrub (in place; counts kept for audit)
     scrubbed = (P.scrub_pii(kept)
                 .withColumn("text", F.col("text_scrubbed"))
