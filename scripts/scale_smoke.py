@@ -217,6 +217,46 @@ def main():
     ok &= compare("ivf(kmeans book, all cells) == brute force", ivf_km,
                   brute, ["query_id", "rank"])
 
+    # --- text tier at n/10 documents -----------------------------------
+    # 1M synthetic docs (10-50 words from a 5k-word vocabulary, hash-
+    # derived executor-side).  The bigram space (~25M types) makes the
+    # LM's 200k cap BINDING, so retraining must reproduce the model
+    # EXACTLY — the deterministic (count desc, token asc) cap ordering
+    # under distributed execution is what this checks; a nondeterministic
+    # LIMIT would silently change scores between runs.
+    from catabra_pandas_spark.pipeline import (bpe_tokenize, ngram_perplexity,
+                                               train_bpe, train_ngram_lm)
+
+    nd = max(n // 10, 100_000)
+    words = F.transform(
+        F.sequence(F.lit(1), F.pmod(F.xxhash64("id"), F.lit(40)) + 10),
+        lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64(F.col("id"), i),
+                                              F.lit(5000))))
+    docs = spark.range(nd, numPartitions=64).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(words, " ").alias("text")).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    lm = train_ngram_lm(docs)
+    t_lm = time.perf_counter() - t0
+    capped = len(lm["bigrams"]) == 200_000
+    lm2 = train_ngram_lm(docs)
+    same = (lm["unigrams"] == lm2["unigrams"]
+            and lm["bigrams"] == lm2["bigrams"] and lm["v"] == lm2["v"])
+    t0 = time.perf_counter()
+    nrow = ngram_perplexity(docs, lm).count()
+    t_ppl = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    merges = train_bpe(docs, n_merges=500, max_words=50_000)
+    tok_rows = bpe_tokenize(docs, merges).count()
+    t_bpe = time.perf_counter() - t0
+    print(f"text {nd:,} docs: lm_train={t_lm:.1f}s (cap binding={capped}, "
+          f"retrain identical={same}) ppl_scan={t_ppl:.1f}s "
+          f"bpe_train+tokenize={t_bpe:.1f}s merges={len(merges)}")
+    ok &= same and capped and nrow == nd and tok_rows == nd
+    if not (same and capped and nrow == nd and tok_rows == nd):
+        print(f"FAIL text tier: same={same} capped={capped} "
+              f"ppl_rows={nrow} tok_rows={tok_rows} expected={nd}")
+
     print("SCALE_SMOKE", "PASS" if ok else "FAIL")
     spark.stop()
     sys.exit(0 if ok else 1)
