@@ -132,3 +132,26 @@ def test_train_bpe_min_frequency_floor():
     # a high floor stops early ((a,a) occurs twice per word -> count 20)
     assert _learn_merges(wc, 50, min_frequency=11) == [("a", "a")]
     assert _learn_merges(wc, 50, min_frequency=21) == []
+
+
+def test_learn_merges_property_random_vocab():
+    """Hypothesis: incremental == from-the-paper rescan on ARBITRARY word
+    counts (tie-heavy tiny alphabets are the adversarial case for the
+    deterministic (count desc, pair asc) argmax and the stale-index
+    re-check)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from catabra_pandas_spark.pipeline.bpe import _learn_merges
+
+    words = st.lists(
+        st.tuples(st.text(alphabet="abcd", min_size=1, max_size=8),
+                  st.integers(1, 50)),
+        min_size=0, max_size=40, unique_by=lambda t: t[0])
+
+    @settings(max_examples=50, deadline=None)
+    @given(wc=words)
+    def check(wc):
+        assert _learn_merges(wc, 60) == _ref_train(wc, 60)
+
+    check()
