@@ -290,3 +290,17 @@ def test_ordered_categorical_endpoints(spark):
     # the category list, not the strings
     with pytest.raises(ValueError, match="distinct"):
         encode_ordered_categories(pts, "sev", ["low", "low"])
+
+
+def test_encode_ordered_categories_integer_levels(spark):
+    """Category levels need not be strings: integer levels (e.g. coded
+    enums whose numeric order is NOT the semantic order) encode by the
+    explicit list position."""
+    from catabra_pandas_spark import encode_ordered_categories
+
+    pts = to_sdf(spark, pd.DataFrame({"id": [0, 1, 2, 3],
+                                      "lvl": [10, 99, 7, 5]}))
+    # semantic order: 99 < 7 < 10 (deliberately not numeric order)
+    enc = encode_ordered_categories(pts, "lvl", [99, 7, 10], out_col="code")
+    got = {r.id: r.code for r in enc.collect()}
+    assert got == {0: 3, 1: 1, 2: 2, 3: None}

@@ -698,3 +698,16 @@ def test_ngram_lm_perplexity(spark):
         assert out.loc[did, "n_bigrams"] == len(toks) - 1
     # the curation signal: boilerplate << novel text
     assert out.loc[1, "perplexity"] < out.loc[3, "perplexity"] / 2
+
+
+def test_ngram_lm_empty_corpus(spark):
+    """An empty (or all-null/short) corpus trains a usable degenerate
+    model (v=1) and scoring emits no rows rather than failing."""
+    from catabra_pandas_spark.pipeline import ngram_perplexity, train_ngram_lm
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [None]}),
+        "doc_id long, text string")
+    model = train_ngram_lm(docs)
+    assert model == {"unigrams": {}, "bigrams": {}, "v": 1}
+    assert ngram_perplexity(docs, model).count() == 0
