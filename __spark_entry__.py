@@ -2506,6 +2506,60 @@ _Q_LM_PERPLEXITY_SQL = """
 """
 
 
+def q_substring_dedup(spark, sf):
+    """ExactSubstr duplication stats (pipeline/dedup.py
+    exact_substring_stats — Lee et al. 2021): per document, the fraction
+    of tokens covered by 6-token windows whose token sequence occurs >= 2
+    times anywhere in the corpus — the substring-level boilerplate signal
+    document-level dedup misses.  Plan: window hashes built inside one
+    codegen transform over the token array (never replicated per
+    window), one count shuffle on the 8-byte hash, one semi-join back,
+    per-doc interval-union fold.  The DuckDB twin groups on the window
+    STRINGS themselves, so a Spark-side xxhash64 collision would
+    hash-mismatch — the check doubles as a collision canary."""
+    docs = read_table(spark, sf, "documents")
+    return P.exact_substring_stats(docs, width=6)
+
+
+_Q_SUBSTRING_DEDUP_SQL = """
+    WITH toks0 AS (
+      SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS ord
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM documents)
+    ),
+    toks AS (SELECT * FROM toks0 WHERE tok != ''),
+    arr AS (SELECT doc_id, list(tok ORDER BY ord) AS l FROM toks
+            GROUP BY doc_id),
+    n AS (SELECT doc_id, len(l) AS n, l FROM arr),
+    wins AS (
+      SELECT nn.doc_id, t.s,
+             array_to_string(nn.l[t.s : t.s + 5], ' ') AS win
+      FROM n nn, unnest(range(1, nn.n - 4)) AS t(s)
+      WHERE nn.n >= 6
+    ),
+    dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
+    ds AS (SELECT w.doc_id, w.s FROM wins w JOIN dup USING (win)),
+    marked AS (
+      SELECT doc_id, s,
+             CASE WHEN s >= coalesce(max(s + 6) OVER (
+                      PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_run
+      FROM ds
+    ),
+    runs AS (SELECT doc_id, s,
+                    sum(new_run) OVER (PARTITION BY doc_id ORDER BY s) AS rid
+             FROM marked),
+    agg AS (SELECT doc_id, rid, max(s) + 6 - min(s) AS cov
+            FROM runs GROUP BY doc_id, rid),
+    percov AS (SELECT doc_id, sum(cov) AS nd FROM agg GROUP BY doc_id)
+    SELECT nn.doc_id, nn.n::BIGINT AS n_tokens,
+           coalesce(p.nd, 0)::BIGINT AS n_dup_tokens,
+           round(coalesce(p.nd, 0) / nn.n::DOUBLE, 6) AS dup_fraction
+    FROM n nn LEFT JOIN percov p USING (doc_id)
+"""
+
+
 def q_stream_asof(spark, sf):
     """stream_asof (7th streaming op, streaming/__init__.py): backward
     as-of join of each click to the user's latest view value within the
@@ -3440,6 +3494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_asof": q_stream_asof,
         "kmeans_ann": q_kmeans_ann,
         "lm_perplexity": q_lm_perplexity,
+        "substring_dedup": q_substring_dedup,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio": q_multimodal_audio,
@@ -3461,9 +3516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_mode": q_grouped_mode,
         "prev_next": q_prev_next,
         "rollup": q_rollup,
-        "cube": q_cube,
         # ---- driver window ends here (50) ----
         # -- tail: green in r5/r6, code unchanged since --
+        "cube": q_cube,
         "dedup_exact": q_dedup_exact,
         "decontam": q_decontam,
         "text_stats": q_text_stats,
@@ -3584,6 +3639,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_blocked": _Q_COSINE_TOPK_SQL,
         "kmeans_ann": _Q_KMEANS_ANN_SQL,
         "lm_perplexity": _Q_LM_PERPLEXITY_SQL,
+        "substring_dedup": _Q_SUBSTRING_DEDUP_SQL,
         "embedding_neardup_exact": _Q_EMB_NEARDUP_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
         "funnel": _Q_FUNNEL_SQL,

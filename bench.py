@@ -83,6 +83,7 @@ HEADLINE = [
     "stream_asof",
     "kmeans_ann",
     "lm_perplexity",
+    "substring_dedup",
 ]
 
 

@@ -744,3 +744,79 @@ def minhash_cross_dup_pairs(
     return (cand.withColumn("est_jaccard", est)
             .filter(F.col("est_jaccard") >= threshold)
             .select("corpus_id", "other_id", "est_jaccard"))
+
+
+def exact_substring_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    min_count: int = 2,
+) -> DataFrame:
+    """SUBSTRING-level duplication statistics (the ExactSubstr signal of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): document-level dedup misses boilerplate that repeats INSIDE
+    otherwise-distinct documents — license headers, navigation chrome,
+    templated paragraphs.  This operator finds every ``width``-token
+    window whose token sequence occurs at least ``min_count`` times
+    across the whole corpus (including self-repetition within one
+    document) and reports, per document, how many of its tokens are
+    covered by such duplicated windows.
+
+    Returns ``(id_col, n_tokens, n_dup_tokens, dup_fraction)`` for every
+    document with at least one token; documents shorter than ``width``
+    contribute no windows and score 0.
+
+    Plan (the 100 TB shape): window HASHES are built map-side inside one
+    codegen ``transform`` over the token array (one xxhash64 per start
+    position — the token array is never replicated per window), so the
+    only per-window data that ever shuffles is (id, start, hash64).  One
+    count shuffle on the hash finds globally duplicated windows; one
+    equi-join on the hash brings the verdict back; the per-document
+    coverage is an interval-union fold (``F.aggregate``) over each
+    document's sorted duplicated starts — arrays bounded by document
+    length, never corpus-sized.  Hashing risks one 64-bit collision per
+    ~2^32 distinct windows (two different windows counted as one) — the
+    standard ExactSubstr trade; group on the substring itself if that is
+    unacceptable.
+    """
+    if width < 1 or min_count < 2:
+        raise ValueError("width must be >= 1 and min_count >= 2")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != "")
+    base = (df.select(F.col(id_col), toks.alias("__t__"))
+            .withColumn("__n__", F.size("__t__"))
+            .filter(F.col("__n__") >= 1))
+    # hashes of all windows, built WITHOUT exploding the token array:
+    # transform over start positions, each hashing one joined slice
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.col("__n__") - width + 1),
+        lambda s: F.xxhash64(F.concat_ws(" ", F.slice("__t__", s, width))))
+    wins = (base.filter(F.col("__n__") >= width)
+            .select(id_col, F.posexplode(hashes).alias("__p__", "__h__"))
+            .select(id_col, (F.col("__p__") + 1).alias("__s__"), "__h__"))
+    dup_h = (wins.groupBy("__h__").agg(F.count(F.lit(1)).alias("__c__"))
+             .filter(F.col("__c__") >= min_count).select("__h__"))
+    dup_starts = (wins.join(dup_h, "__h__", "left_semi")
+                  .groupBy(id_col)
+                  .agg(F.sort_array(F.collect_list("__s__")).alias("__ss__")))
+    # interval-union fold over sorted starts: each start covers
+    # [s, s+width); overlapping/adjacent windows must not double-count
+    covered = F.aggregate(
+        "__ss__",
+        F.struct(F.lit(0).cast("long").alias("cov"),
+                 F.lit(0).cast("long").alias("end")),
+        lambda acc, s: F.struct(
+            (acc["cov"] + F.greatest(
+                s + width - F.greatest(acc["end"], s.cast("long")),
+                F.lit(0).cast("long"))).alias("cov"),
+            F.greatest(acc["end"], (s + width).cast("long")).alias("end")),
+        lambda acc: acc["cov"])
+    out = (base.join(dup_starts, id_col, "left")
+           .select(id_col,
+                   F.col("__n__").cast("long").alias("n_tokens"),
+                   F.coalesce(covered, F.lit(0)).cast("long")
+                   .alias("n_dup_tokens")))
+    return out.withColumn(
+        "dup_fraction",
+        F.round(F.col("n_dup_tokens") / F.col("n_tokens"), 6))

@@ -711,3 +711,34 @@ def test_ngram_lm_empty_corpus(spark):
     model = train_ngram_lm(docs)
     assert model == {"unigrams": {}, "bigrams": {}, "v": 1}
     assert ngram_perplexity(docs, model).count() == 0
+
+
+def test_exact_substring_stats(spark):
+    """ExactSubstr signal: a shared boilerplate span is detected across
+    otherwise-distinct documents, overlapping windows never double-count,
+    self-repetition within one document counts, and short documents
+    score zero."""
+    from catabra_pandas_spark.pipeline import exact_substring_stats
+
+    boiler = "all rights reserved click here to subscribe"  # 7 tokens
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5], "text": [
+        f"unique alpha content {boiler} unique beta tail",
+        f"{boiler} a completely different continuation follows here",
+        "nothing shared with anything else at all here",
+        "tiny",
+        # self-repetition: the same 5-token run twice in ONE doc
+        "repeat me again and again repeat me again and again",
+    ]})
+    out = (exact_substring_stats(spark.createDataFrame(docs), width=5)
+           .toPandas().set_index("doc_id").sort_index())
+    # docs 1/2 share a 7-token span -> 7 covered tokens each (three
+    # overlapping 5-windows merged by the interval union)
+    assert out.loc[1, "n_dup_tokens"] == 7
+    assert out.loc[2, "n_dup_tokens"] == 7
+    assert out.loc[3, "n_dup_tokens"] == 0
+    assert out.loc[4, "n_dup_tokens"] == 0 and out.loc[4, "n_tokens"] == 1
+    # "repeat me again and again" occurs twice -> all 10 tokens covered
+    assert out.loc[5, "n_dup_tokens"] == 10
+    assert out.loc[5, "dup_fraction"] == 1.0
+    with pytest.raises(ValueError):
+        exact_substring_stats(spark.createDataFrame(docs), width=0)
