@@ -2560,6 +2560,69 @@ _Q_SUBSTRING_DEDUP_SQL = """
 """
 
 
+def q_substring_removal(spark, sf):
+    """ExactSubstr REMOVAL (pipeline/dedup.py exact_substring_dedup):
+    drop every token covered by a corpus-wide duplicated 6-token window
+    and re-join the survivors (all occurrences removed, per Lee et al.
+    2021).  Shares the candidate pipeline with substring_dedup; the
+    reconstruction is one Arrow mapInPandas with an O(n + spans)
+    difference-array mask.  The DuckDB twin rebuilds the text via an
+    anti-covered string_agg over the same span runs."""
+    docs = read_table(spark, sf, "documents")
+    return P.exact_substring_dedup(docs, width=6)
+
+
+_Q_SUBSTRING_REMOVAL_SQL = """
+    WITH toks0 AS (
+      SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS ord
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM documents)
+    ),
+    toks AS (SELECT * FROM toks0 WHERE tok != ''),
+    arr AS (SELECT doc_id, list(tok ORDER BY ord) AS l FROM toks
+            GROUP BY doc_id),
+    n AS (SELECT doc_id, len(l) AS n, l FROM arr),
+    wins AS (
+      SELECT nn.doc_id, t.s,
+             array_to_string(nn.l[t.s : t.s + 5], ' ') AS win
+      FROM n nn, unnest(range(1, nn.n - 4)) AS t(s)
+      WHERE nn.n >= 6
+    ),
+    dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
+    ds AS (SELECT w.doc_id, w.s FROM wins w JOIN dup USING (win)),
+    marked AS (
+      SELECT doc_id, s,
+             CASE WHEN s >= coalesce(max(s + 6) OVER (
+                      PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_run
+      FROM ds
+    ),
+    runs AS (SELECT doc_id, s,
+                    sum(new_run) OVER (PARTITION BY doc_id ORDER BY s) AS rid
+             FROM marked),
+    spans AS (SELECT doc_id, rid, min(s) AS s0, max(s) + 6 AS e0
+              FROM runs GROUP BY doc_id, rid),
+    pos AS (SELECT doc_id, unnest(l) AS tok,
+                   unnest(range(1, len(l) + 1)) AS p
+            FROM n),
+    keptpos AS (
+      SELECT t.doc_id, t.tok, t.p
+      FROM pos t
+      WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                        WHERE sp.doc_id = t.doc_id
+                          AND t.p >= sp.s0 AND t.p < sp.e0)
+    ),
+    rec AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY p) AS text_deduped
+            FROM keptpos GROUP BY doc_id)
+    SELECT nn.doc_id, nn.n::BIGINT AS n_tokens,
+           coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(r.text_deduped, '') AS text_deduped
+    FROM n nn LEFT JOIN rec r USING (doc_id)
+"""
+
+
 def q_stream_asof(spark, sf):
     """stream_asof (7th streaming op, streaming/__init__.py): backward
     as-of join of each click to the user's latest view value within the
@@ -3495,6 +3558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_ann": q_kmeans_ann,
         "lm_perplexity": q_lm_perplexity,
         "substring_dedup": q_substring_dedup,
+        "substring_removal": q_substring_removal,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio": q_multimodal_audio,
@@ -3515,9 +3579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_intervals_ts": q_group_intervals_ts,
         "grouped_mode": q_grouped_mode,
         "prev_next": q_prev_next,
-        "rollup": q_rollup,
         # ---- driver window ends here (50) ----
         # -- tail: green in r5/r6, code unchanged since --
+        "rollup": q_rollup,
         "cube": q_cube,
         "dedup_exact": q_dedup_exact,
         "decontam": q_decontam,
@@ -3640,6 +3704,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_ann": _Q_KMEANS_ANN_SQL,
         "lm_perplexity": _Q_LM_PERPLEXITY_SQL,
         "substring_dedup": _Q_SUBSTRING_DEDUP_SQL,
+        "substring_removal": _Q_SUBSTRING_REMOVAL_SQL,
         "embedding_neardup_exact": _Q_EMB_NEARDUP_SQL,
         "sessionize": _Q_SESSIONIZE_SQL,
         "funnel": _Q_FUNNEL_SQL,

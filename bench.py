@@ -84,6 +84,7 @@ HEADLINE = [
     "kmeans_ann",
     "lm_perplexity",
     "substring_dedup",
+    "substring_removal",
 ]
 
 

@@ -782,24 +782,8 @@ def exact_substring_stats(
     """
     if width < 1 or min_count < 2:
         raise ValueError("width must be >= 1 and min_count >= 2")
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
-                    lambda t: t != "")
-    base = (df.select(F.col(id_col), toks.alias("__t__"))
-            .withColumn("__n__", F.size("__t__"))
-            .filter(F.col("__n__") >= 1))
-    # hashes of all windows, built WITHOUT exploding the token array:
-    # transform over start positions, each hashing one joined slice
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.col("__n__") - width + 1),
-        lambda s: F.xxhash64(F.concat_ws(" ", F.slice("__t__", s, width))))
-    wins = (base.filter(F.col("__n__") >= width)
-            .select(id_col, F.posexplode(hashes).alias("__p__", "__h__"))
-            .select(id_col, (F.col("__p__") + 1).alias("__s__"), "__h__"))
-    dup_h = (wins.groupBy("__h__").agg(F.count(F.lit(1)).alias("__c__"))
-             .filter(F.col("__c__") >= min_count).select("__h__"))
-    dup_starts = (wins.join(dup_h, "__h__", "left_semi")
-                  .groupBy(id_col)
-                  .agg(F.sort_array(F.collect_list("__s__")).alias("__ss__")))
+    base, dup_starts = _dup_window_starts(df, text_col, id_col, width,
+                                          min_count)
     # interval-union fold over sorted starts: each start covers
     # [s, s+width); overlapping/adjacent windows must not double-count
     covered = F.aggregate(
@@ -820,3 +804,92 @@ def exact_substring_stats(
     return out.withColumn(
         "dup_fraction",
         F.round(F.col("n_dup_tokens") / F.col("n_tokens"), 6))
+
+
+def _dup_window_starts(df, text_col, id_col, width, min_count):
+    """Shared front half of the ExactSubstr operators: tokenized base
+    frame plus, per document, the SORTED start positions of its
+    corpus-wide duplicated ``width``-token windows.  Window hashes are
+    built inside one codegen ``transform`` over the token array (the
+    array is never replicated per window), so only (id, start, hash64)
+    triples shuffle; one count shuffle finds duplicated hashes, one
+    semi-join brings the verdict back."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != "")
+    base = (df.select(F.col(id_col), toks.alias("__t__"))
+            .withColumn("__n__", F.size("__t__"))
+            .filter(F.col("__n__") >= 1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.col("__n__") - width + 1),
+        lambda s: F.xxhash64(F.concat_ws(" ", F.slice("__t__", s, width))))
+    wins = (base.filter(F.col("__n__") >= width)
+            .select(id_col, F.posexplode(hashes).alias("__p__", "__h__"))
+            .select(id_col, (F.col("__p__") + 1).alias("__s__"), "__h__"))
+    dup_h = (wins.groupBy("__h__").agg(F.count(F.lit(1)).alias("__c__"))
+             .filter(F.col("__c__") >= min_count).select("__h__"))
+    dup_starts = (wins.join(dup_h, "__h__", "left_semi")
+                  .groupBy(id_col)
+                  .agg(F.sort_array(F.collect_list("__s__")).alias("__ss__")))
+    return base, dup_starts
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+    min_count: int = 2,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2021): drop every token covered by
+    a corpus-wide duplicated ``width``-token window and re-join the
+    survivors — the action behind :func:`exact_substring_stats`.  Like
+    the paper, ALL occurrences of a duplicated span are removed.
+
+    Returns ``(id_col, n_tokens, n_kept, out_col)`` for every document
+    with at least one token.  ``out_col`` is lowercased and
+    single-space-normalized (the tokenizer convention; reconstruction
+    from tokens cannot preserve the original casing/whitespace).
+    Documents with no duplicated spans keep all their tokens.
+
+    The candidate pipeline is shared with the stats operator; the
+    reconstruction is one Arrow ``mapInPandas`` over (tokens, duplicated
+    starts) pairs — a numpy difference-array marks covered positions in
+    O(n + spans) per document, no quadratic membership test.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if width < 1 or min_count < 2:
+        raise ValueError("width must be >= 1 and min_count >= 2")
+    base, dup_starts = _dup_window_starts(df, text_col, id_col, width,
+                                          min_count)
+    joined = base.join(dup_starts, id_col, "left")
+    id_t = df.schema[id_col].dataType.simpleString()
+    schema = (f"`{id_col}` {id_t}, n_tokens long, n_kept long, "
+              f"`{out_col}` string")
+
+    def rebuild(batches):
+        for pdf in batches:
+            ids, n_toks, n_kept, texts = [], [], [], []
+            for did, tok_arr, ss in zip(pdf[id_col], pdf["__t__"],
+                                        pdf["__ss__"]):
+                toks = list(tok_arr)
+                n = len(toks)
+                if ss is None or len(ss) == 0:
+                    kept = toks
+                else:
+                    diff = np.zeros(n + 1, dtype=np.int64)
+                    s = np.asarray(ss, dtype=np.int64) - 1   # 0-based
+                    np.add.at(diff, s, 1)
+                    np.add.at(diff, np.minimum(s + width, n), -1)
+                    covered = np.cumsum(diff[:n]) > 0
+                    kept = [t for t, c in zip(toks, covered) if not c]
+                ids.append(did)
+                n_toks.append(n)
+                n_kept.append(len(kept))
+                texts.append(" ".join(kept))
+            yield pd.DataFrame({id_col: ids, "n_tokens": n_toks,
+                                "n_kept": n_kept, out_col: texts})
+
+    return joined.mapInPandas(rebuild, schema=schema)

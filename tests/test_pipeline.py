@@ -742,3 +742,25 @@ def test_exact_substring_stats(spark):
     assert out.loc[5, "dup_fraction"] == 1.0
     with pytest.raises(ValueError):
         exact_substring_stats(spark.createDataFrame(docs), width=0)
+
+
+def test_exact_substring_dedup_removal(spark):
+    """Removal semantics: ALL occurrences of a duplicated span are
+    dropped (the Lee-2021 behavior), untouched docs keep every token,
+    and fully-duplicated docs come back empty."""
+    from catabra_pandas_spark.pipeline import exact_substring_dedup
+
+    boiler = "all rights reserved click here to subscribe"
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [
+        f"unique alpha content {boiler} unique beta tail",
+        f"{boiler} a completely different continuation follows here",
+        "nothing shared with anything else at all here",
+        "repeat me again and again repeat me again and again",
+    ]})
+    out = (exact_substring_dedup(spark.createDataFrame(docs), width=5)
+           .toPandas().set_index("doc_id").sort_index())
+    assert out.loc[1, "text_deduped"] == "unique alpha content unique beta tail"
+    assert out.loc[2, "text_deduped"] == \
+        "a completely different continuation follows here"
+    assert out.loc[3, "n_kept"] == out.loc[3, "n_tokens"]
+    assert out.loc[4, "text_deduped"] == "" and out.loc[4, "n_kept"] == 0
