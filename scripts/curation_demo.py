@@ -92,6 +92,15 @@ def main():
         .drop("cluster_id")
     funnel.append(("near_dup_dedup", neardup.count()))
 
+    # 4b. substring-level dedup (ExactSubstr): drop duplicated spans
+    #     inside the survivors, keep docs with enough novel tokens left
+    spans = P.exact_substring_dedup(neardup, width=8)
+    neardup = (neardup.join(spans.filter(F.col("n_kept") >= 5)
+                            .select("doc_id", "text_deduped"), "doc_id")
+               .withColumn("text", F.col("text_deduped"))
+               .drop("text_deduped"))
+    funnel.append(("substring_dedup", neardup.count()))
+
     # 5. decontamination against the held-out slice (doc_id % 20 == 0)
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = neardup.filter(F.col("doc_id") % 20 != 0)
