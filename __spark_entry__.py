@@ -2494,7 +2494,8 @@ _Q_LM_PERPLEXITY_SQL = """
     vv AS (SELECT count(*) + 1 AS v FROM uni),
     scored AS (
       SELECT p.doc_id,
-             ln((coalesce(b.n, 0) + 1.0) / (coalesce(u.n, 0) + vv.v)) AS lp
+             least(0.0, ln((coalesce(b.n, 0) + 1.0)
+                           / (coalesce(u.n, 0) + vv.v))) AS lp
       FROM pairs p CROSS JOIN vv
       LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
       LEFT JOIN uni u ON u.tok = p.w1

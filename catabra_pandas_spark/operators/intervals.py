@@ -227,10 +227,11 @@ def combine_intervals(
     cumulative sum ordered by (t, starts-first); adjacent event pairs define
     constant-coverage segments; in-band segments ([n_min, n_max]) are
     coalesced into maximal runs with a second cumulative-sum island pass.
-    Two window passes over one shuffle on the group keys.  As with
-    ``group_intervals``, the keyless (no ``group_by``) sweep is a single
-    global cumulative sum and runs on one task — supply a partition key for
-    cluster-scale inputs.
+    Two window passes over one shuffle on the group keys.  The keyless
+    (no ``group_by``) sweep is DISTRIBUTED too: events are range-chunked,
+    each chunk sweeps locally, and only O(P) scalar carries (per-chunk
+    event-count prefix sums and boundary coverage) cross chunks — see
+    ``_coverage_bands``' keyless branch below.
     """
     group_by = as_list(group_by)
     attr_cols = as_list(attr_cols)

@@ -397,7 +397,10 @@ def ngram_perplexity(
 ) -> DataFrame:
     """Score documents with a :func:`train_ngram_lm` model: add-``k``
     smoothed bigram perplexity ``exp(-mean ln P(w2|w1))`` with
-    ``P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V)``.
+    ``P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V)``, each per-bigram
+    log-prob clamped at 0 so capped-count-table artifacts (a retained
+    bigram whose first token missed the unigram cap) can never yield a
+    "probability" above 1 or a perplexity below 1.
 
     MAP-ONLY: the count tables are broadcast (they are the whole model)
     and each Arrow batch scores its rows in Python — no shuffle at any
@@ -431,8 +434,13 @@ def ngram_perplexity(
                 return None, None
             s = 0.0
             for w1, w2 in zip(toks, toks[1:]):
-                s += math.log((big.get((w1, w2), 0) + k)
-                              / (uni.get(w1, 0) + k * v))
+                # clamp at ln(1)=0: when the bigram cap retains a pair
+                # whose first token fell OUTSIDE the unigram cap,
+                # (c(w1w2)+k)/(0+k·V) can exceed 1 — not a probability;
+                # without the clamp such pairs would push perplexity
+                # below 1
+                s += min(0.0, math.log((big.get((w1, w2), 0) + k)
+                                       / (uni.get(w1, 0) + k * v)))
             nb = len(toks) - 1
             return nb, math.exp(-s / nb)
 

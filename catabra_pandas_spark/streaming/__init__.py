@@ -458,7 +458,10 @@ def stream_asof(
     with ``direction="backward"``): every left row picks up the latest
     ``right_value`` whose ``on`` key is <= its own, within the same ``by``
     group, optionally no older than ``tolerance`` (in the key's units for
-    numeric keys, SECONDS for timestamps).
+    numeric keys, SECONDS for timestamps).  ``on`` must be a timestamp or
+    numeric column; fractional keys keep a float64 key space (and a
+    double state field) rather than truncating to int64, so batch and
+    stream agree on float keys too.
 
     Structured Streaming's native stream-stream joins cannot express
     "latest right row per left row" (they emit ALL matches in a range),
@@ -497,6 +500,20 @@ def stream_asof(
 
     on_type = left.schema[on].dataType
     is_ts = isinstance(on_type, T.TimestampType)
+    # key space: int64 micros for timestamps, raw int64 for integral
+    # keys, float64 for fractional keys (NOT truncated to int — a left
+    # row at t=1.2 and a right row at t=1.9 are distinct keys, and
+    # right-before-left tie ordering must not make the left row join a
+    # quote from its future); anything else is rejected up front so the
+    # streaming path can never silently diverge from the exact batch
+    # merge_asof dispatch above.
+    is_frac = isinstance(on_type, (T.FloatType, T.DoubleType,
+                                   T.DecimalType))
+    if not is_ts and not is_frac and not isinstance(
+            on_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise ValueError(
+            f"stream_asof `on` key must be timestamp or numeric, got "
+            f"{on_type.simpleString()}")
     if watermark is not None and not is_ts:
         raise ValueError("watermark requires a timestamp `on` key")
     payload = [c for c in left.columns if c not in (by, on)]
@@ -517,12 +534,15 @@ def stream_asof(
     out_schema = T.StructType(
         [f for f in left.schema.fields]
         + [T.StructField(out_col, T.DoubleType())])
-    state_schema = T.StructType([T.StructField("t_last", T.LongType()),
-                                 T.StructField("v_last", T.DoubleType())])
-    # tolerance compares in the state's integer key space: micros for
-    # timestamp keys (tolerance given in seconds), raw units otherwise
+    state_schema = T.StructType([
+        T.StructField("t_last",
+                      T.DoubleType() if is_frac else T.LongType()),
+        T.StructField("v_last", T.DoubleType())])
+    # tolerance compares in the state's key space: micros for timestamp
+    # keys (tolerance given in seconds), raw units otherwise
     tol = None if tolerance is None else (
         int(tolerance * 1e6) if is_ts else tolerance)
+    conv = float if is_frac else int
     timeout_ms = (int(pd.Timedelta(watermark).total_seconds() * 1000)
                   if watermark else None)
     lcols = list(left.columns)
@@ -539,6 +559,8 @@ def stream_asof(
         pdf = pdf[pdf[on].notna()]
         if is_ts:
             keys = pdf[on].astype("int64") // 1000  # ns -> us
+        elif is_frac:
+            keys = pdf[on].astype("float64")
         else:
             keys = pdf[on].astype("int64")
         pdf = pdf.assign(__k__=keys).sort_values(
@@ -548,12 +570,13 @@ def stream_asof(
         for idx, row_side, k, rv in zip(pdf.index, pdf["__side__"],
                                         pdf["__k__"], pdf["__rv__"]):
             if row_side == 1:
-                t_last, v_last = int(k), (None if pd.isna(rv) else float(rv))
+                t_last, v_last = conv(k), (None if pd.isna(rv)
+                                           else float(rv))
             else:
                 # t_last <= k guards cross-batch disorder: a late left
                 # row must not join a quote from its own future
-                ok = (t_last is not None and t_last <= int(k)
-                      and (tol is None or int(k) - t_last <= tol))
+                ok = (t_last is not None and t_last <= conv(k)
+                      and (tol is None or conv(k) - t_last <= tol))
                 outs.append(idx)
                 vals.append(v_last if ok else None)
         if t_last is not None:

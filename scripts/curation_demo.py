@@ -71,8 +71,11 @@ def main():
     lm = P.train_ngram_lm(kept)
     ppl = P.ngram_perplexity(kept, lm)
     cut = ppl.approxQuantile("perplexity", [0.98], 0.001)[0]
-    kept = (kept.join(ppl.filter(F.col("perplexity") <= cut)
-                      .select("doc_id"), "doc_id", "left_semi"))
+    # anti-join against the over-cut tail (NOT semi-join against the
+    # survivors): ngram_perplexity omits <2-token docs from its output,
+    # and unscored docs must pass through, not be silently dropped
+    kept = (kept.join(ppl.filter(F.col("perplexity") > cut)
+                      .select("doc_id"), "doc_id", "left_anti"))
     funnel.append(("lm_ppl_filter", kept.count()))
 
     # 2. PII scrub (in place; counts kept for audit)

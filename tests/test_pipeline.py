@@ -691,13 +691,33 @@ def test_ngram_lm_perplexity(spark):
     for did in (1, 2, 3):
         toks = [t for t in docs.set_index("doc_id").text[did].lower().split(" ")
                 if t]
-        s = sum(math.log((big.get((a, b), 0) + 1) / (uni.get(a, 0) + v))
+        s = sum(min(0.0, math.log((big.get((a, b), 0) + 1)
+                                  / (uni.get(a, 0) + v)))
                 for a, b in zip(toks, toks[1:]))
         ref = math.exp(-s / (len(toks) - 1))
         assert abs(out.loc[did, "perplexity"] - ref) < 1e-9
         assert out.loc[did, "n_bigrams"] == len(toks) - 1
     # the curation signal: boilerplate << novel text
     assert out.loc[1, "perplexity"] < out.loc[3, "perplexity"] / 2
+
+
+def test_ngram_lm_clamped_probability(spark):
+    """When the bigram cap retains a pair whose FIRST token fell outside
+    the unigram cap, (c(w1w2)+k)/(0+k·V) can exceed 1; the per-bigram
+    log-prob is clamped at 0 so perplexity never drops below 1."""
+    from catabra_pandas_spark.pipeline import ngram_perplexity, train_ngram_lm
+
+    # 'zz yy' is the dominant bigram but max_vocab=1 keeps only the most
+    # frequent unigram ('zz', 3×) — so 'yy zz' has c(w1=yy)=0 while
+    # c(yy,zz)=2 survives the bigram cap: V=2, P = (2+1)/(0+2) = 1.5 > 1
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["zz yy zz yy zz"]}))
+    model = train_ngram_lm(docs, max_vocab=1, max_bigrams=10)
+    assert model["unigrams"] == {"zz": 3}
+    assert model["bigrams"][("yy", "zz")] == 2
+    out = (ngram_perplexity(docs, model).toPandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[1, "perplexity"] >= 1.0
 
 
 def test_ngram_lm_empty_corpus(spark):

@@ -540,6 +540,70 @@ def test_stream_asof_state_timeout(spark, tmp_path):
     assert got.loc[90, "value_asof"] == 1.0
 
 
+def test_stream_asof_float_keys(spark, tmp_path):
+    """Fractional `on` keys keep a float64 key space (double state field)
+    instead of truncating to int64: a left row at t=1.2 must NOT join a
+    right row at t=1.9 (under truncation both became key 1 and the
+    right-before-left tie order joined the future quote), and tolerance
+    keeps sub-unit precision.  Streaming result == exact batch dispatch."""
+    import time as _time
+
+    from catabra_pandas_spark.streaming import stream_asof
+
+    l1 = pd.DataFrame({"entity": [1], "t": [1.2], "lid": [0]})
+    r1 = pd.DataFrame({"entity": [1, 1], "t": [0.5, 1.9],
+                       "value": [1.0, 2.0]})
+    l2 = pd.DataFrame({"entity": [1, 1], "t": [2.0, 9.0], "lid": [1, 2]})
+    r2 = pd.DataFrame({"entity": [1], "t": [8.4], "value": [3.0]})
+    ldir, rdir = str(tmp_path / "asf_l"), str(tmp_path / "asf_r")
+    for i, (lpdf, rpdf) in enumerate([(l1, r1), (l2, r2)]):
+        mode = "overwrite" if i == 0 else "append"
+        to_sdf(spark, lpdf).coalesce(1).write.mode(mode).parquet(ldir)
+        to_sdf(spark, rpdf).coalesce(1).write.mode(mode).parquet(rdir)
+        _time.sleep(1.2)
+
+    ls = (spark.readStream.schema(spark.read.parquet(ldir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(ldir))
+    rs = (spark.readStream.schema(spark.read.parquet(rdir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(rdir))
+    out = stream_asof(ls, rs, on="t", by="entity", right_value="value",
+                      tolerance=0.7)
+    q = (out.writeStream.format("memory").queryName("asof_float")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM asof_float").toPandas()
+           .set_index("lid").sort_index())
+
+    assert got.loc[0, "value_asof"] == 1.0    # 1.2 joins 0.5, NOT 1.9
+    assert got.loc[1, "value_asof"] == 2.0    # 2.0 - 1.9 = 0.1 <= 0.7
+    assert got.loc[2, "value_asof"] == 3.0    # 9.0 - 8.4 = 0.6 <= 0.7
+
+    lb, rb = pd.concat([l1, l2], ignore_index=True), \
+        pd.concat([r1, r2], ignore_index=True)
+    exp = (stream_asof(to_sdf(spark, lb), to_sdf(spark, rb), on="t",
+                       by="entity", right_value="value", tolerance=0.7)
+           .toPandas().set_index("lid").sort_index())
+    pd.testing.assert_series_equal(got.value_asof, exp.value_asof)
+
+
+def test_stream_asof_rejects_nonnumeric_key(spark, tmp_path):
+    """A string `on` key raises up front on the streaming path instead of
+    silently producing a divergent int-cast keyspace."""
+    import pytest
+
+    from catabra_pandas_spark.streaming import stream_asof
+
+    lpdf = pd.DataFrame({"entity": [1], "t": ["x"], "lid": [0]})
+    rpdf = pd.DataFrame({"entity": [1], "t": ["y"], "value": [1.0]})
+    ldir, rdir = str(tmp_path / "asr_l"), str(tmp_path / "asr_r")
+    to_sdf(spark, lpdf).write.mode("overwrite").parquet(ldir)
+    to_sdf(spark, rpdf).write.mode("overwrite").parquet(rdir)
+    ls = spark.readStream.schema(spark.read.parquet(ldir).schema).parquet(ldir)
+    rs = spark.readStream.schema(spark.read.parquet(rdir).schema).parquet(rdir)
+    with pytest.raises(ValueError, match="timestamp or numeric"):
+        stream_asof(ls, rs, on="t", by="entity", right_value="value")
+
+
 def test_stream_funnel_state_timeout(spark, tmp_path):
     """stream_funnel event-time timeout: an entity's matched-stage state
     expires once the watermark passes its last event by the watermark
