@@ -2881,6 +2881,68 @@ _Q_MULTIMODAL_WAV_SQL = """
 """
 
 
+def q_multimodal_mp3(spark, sf):
+    """REAL MP3 header probe, oracle-checked end-to-end: per document a
+    genuine MPEG-1 Layer III byte stream (valid frame headers + computed
+    frame lengths, every 3rd doc wrapped in an ID3v2 tag) is built from
+    doc_id-derived parameters, then pipeline.multimodal.mp3_metadata
+    walks the frames BYTE BY BYTE (ISO 11172-3 header layout, ID3 skip)
+    to recover bitrate / sample rate / channels / frame count /
+    duration.  The DuckDB oracle replays the parameter arithmetic from
+    the published MPEG tables without ever seeing the binary — the
+    header walk must land on every frame boundary exactly or counts
+    diverge.  Scale: payload build + probe are both narrow Arrow maps,
+    zero shuffle."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    docs = read_table(spark, sf, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 300)
+
+    @pandas_udf(T.BinaryType())
+    def make_mp3(doc_id):
+        from catabra_pandas_spark.pipeline.codecs import mp3_encode_headers
+
+        def build(d):
+            d = int(d)
+            return mp3_encode_headers(
+                n_frames=d % 40 + 1,
+                bitrate_idx=d % 14 + 1,
+                sr_idx=d % 3,
+                channel_mode=d % 4,
+                id3_tag=(b"t" * (d % 50) if d % 3 == 0 else None))
+        return doc_id.map(build)
+
+    d = docs.withColumn("payload", make_mp3(F.col("doc_id")))
+    out = P.mp3_metadata(d, "payload")
+    return out.select(
+        "doc_id",
+        F.col("mp3_meta.n_frames").cast("long").alias("n_frames"),
+        F.col("mp3_meta.bitrate_kbps").cast("long").alias("bitrate_kbps"),
+        F.col("mp3_meta.sample_rate").cast("long").alias("sample_rate"),
+        F.col("mp3_meta.channels").cast("long").alias("channels"),
+        F.round("mp3_meta.duration_ms", 6).alias("duration_ms"))
+
+
+_Q_MULTIMODAL_MP3_SQL = """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+    p AS (SELECT doc_id,
+                 doc_id % 40 + 1 AS n_frames,
+                 ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                   256, 320])[(doc_id % 14 + 1)::INT] AS bitrate_kbps,
+                 ([44100, 48000, 32000])[(doc_id % 3 + 1)::INT]
+                     AS sample_rate,
+                 CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS channels
+          FROM d)
+    SELECT doc_id, n_frames::BIGINT AS n_frames,
+           bitrate_kbps::BIGINT AS bitrate_kbps,
+           sample_rate::BIGINT AS sample_rate,
+           channels::BIGINT AS channels,
+           round(n_frames * 1152.0 * 1000 / sample_rate, 6) AS duration_ms
+    FROM p
+"""
+
+
 def q_multimodal_frames(spark, sf):
     """pipeline.sample_frames: every-Nth-frame index explosion per video
     row (JVM sequence explode — the fan-out step that distributes per-frame
@@ -3515,24 +3577,82 @@ _Q_MIX_CORPORA_SQL = """
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries in dict
-    # order each round.  Rotation rule (r6 VERDICT/ADVICE): any query whose
-    # underlying operator code changed since its last green driver row
-    # must sit inside the window.  r7 window = (a) the families whose
-    # modules were edited in r6 AFTER their last (r5) driver rows —
-    # merging.py, resampling.py, misc.py; (b) queries over code changed
-    # THIS round — resample_eav custom tier (collision guard + slope fix),
-    # similarity (block-grid fallback), bpe (incremental merge loop),
-    # multimodal/codecs (hardening + resize metadata) — plus the two new
-    # queries merge_cat_intervals and cosine_topk_blocked; (c) stable
-    # queries with the OLDEST (r5) rows.  The tail holds queries green in
-    # r6 whose code is unchanged since.
+    # order each round.  Rotation rule (now ENFORCED mechanically by
+    # scripts/rotation_check.py, run from finalize_round.py): any query
+    # whose underlying module — or whose query-builder/oracle source —
+    # changed since its last green driver row must sit inside the window.
+    # r8 window = (a) the 10 queries whose newest rows were r5
+    # (bucket_range_join first: its numeric bucket path was refactored in
+    # r6 after that row); (b) queries over modules edited THIS round —
+    # streaming/__init__.py (float-key stream_asof), pipeline/text.py
+    # (bigram log-prob clamp), pipeline/multimodal.py + codecs.py (MP3
+    # header probe) and the new multimodal_mp3 query,
+    # operators/intervals.py (docstring); (c) backfill with the queries
+    # holding the OLDEST (r6) remaining rows.  The tail holds r6/r7-green
+    # queries whose code is unchanged since their rows.
     return {
-        # -- (a) re-prove: modules edited in r6 after their r5 rows --
+        # -- (a) newest row is r5; bucket_range_join's numeric path was
+        #    refactored in r6 after its row --
+        "bucket_range_join": q_bucket_range_join,
+        "rollup": q_rollup,
+        "cube": q_cube,
+        "dedup_exact": q_dedup_exact,
+        "decontam": q_decontam,
+        "text_stats": q_text_stats,
+        "quality_gate": q_quality_gate,
+        "fingerprint": q_fingerprint,
+        "scrub_pii": q_scrub_pii,
+        "repetition": q_repetition,
+        # -- (b) modules edited THIS round (r8) --
+        "langid": q_langid,
+        "lm_perplexity": q_lm_perplexity,
+        "stream_asof": q_stream_asof,
+        "sessionize": q_sessionize,
+        "stream_resample": q_stream_resample,
+        "stream_ffill": q_stream_ffill,
+        "stream_dedup": q_stream_dedup,
+        "stream_resample_interval": q_stream_resample_interval,
+        "stream_funnel": q_stream_funnel,
+        "multimodal_mp3": q_multimodal_mp3,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_png": q_multimodal_png,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_wav": q_multimodal_wav,
+        "multimodal_frames": q_multimodal_frames,
+        "group_intervals": q_group_intervals,
+        "group_intervals_ts": q_group_intervals_ts,
+        "group_intervals_keyless": q_group_intervals_keyless,
+        "combine_union": q_combine_union,
+        "combine_k3": q_combine_k3,
+        "combine_gaps": q_combine_gaps,
+        "combine_attrs": q_combine_attrs,
+        # -- (c) backfill: oldest remaining rows (r6), code unchanged --
+        "merge_str_intervals": q_merge_str_intervals,
+        "merge_str_bucket": q_merge_str_bucket,
+        "merge_date_intervals": q_merge_date_intervals,
+        "merge_timedelta_intervals": q_merge_timedelta_intervals,
+        "merge_overlap_sweep": q_merge_overlap_sweep,
+        "merge_asof": q_merge_asof,
+        "find_containing_sweep": q_find_containing_sweep,
+        "resample_interval_sweep": q_resample_interval_sweep,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "cross_dedup": q_cross_dedup,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
+        # ---- driver window ends here (50) ----
+        # -- tail: green in r6/r7, code unchanged since --
         "merge_overlap": q_merge_overlap,
         "merge_open_endpoints": q_merge_open_endpoints,
         "merge_left_keep_first": q_merge_left_keep_first,
         "merge_keep_both": q_merge_keep_both,
         "merge_indexers": q_merge_indexers,
+        "merge_cat_intervals": q_merge_cat_intervals,
         "find_containing": q_find_containing,
         "resample_eav_basic": q_resample_eav_basic,
         "resample_eav_irregular": q_resample_eav_irregular,
@@ -3541,73 +3661,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_eav_ranks": q_resample_eav_ranks,
         "resample_eav_mode": q_resample_eav_mode,
         "resample_eav_sliding": q_resample_eav_sliding,
+        "resample_eav_custom": q_resample_eav_custom,
+        "resample_eav_custom_multi": q_resample_eav_custom_multi,
+        "resample_eav_custom_slope": q_resample_eav_custom_slope,
         "resample_interval": q_resample_interval,
         "make_windows": q_make_windows,
         "factorize": q_factorize,
         "inner_or_cross": q_inner_or_cross,
         "topk": q_topk,
-        # -- (b) code changed THIS round (r7) + new queries --
-        "resample_eav_custom": q_resample_eav_custom,
-        "resample_eav_custom_multi": q_resample_eav_custom_multi,
-        "resample_eav_custom_slope": q_resample_eav_custom_slope,
-        "merge_cat_intervals": q_merge_cat_intervals,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_blocked": q_cosine_topk_blocked,
         "bpe_train": q_bpe_train,
         "bpe_tokens": q_bpe_tokens,
-        "stream_asof": q_stream_asof,
         "kmeans_ann": q_kmeans_ann,
-        "lm_perplexity": q_lm_perplexity,
         "substring_dedup": q_substring_dedup,
         "substring_removal": q_substring_removal,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_png": q_multimodal_png,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_wav": q_multimodal_wav,
-        # -- (c) stable queries whose newest rows are oldest (r5) --
         "impute_ffill": q_impute_ffill,
         "impute_bfill": q_impute_bfill,
         "impute_afill": q_impute_afill,
         "impute_lfill": q_impute_lfill,
         "impute_linear": q_impute_linear,
-        "combine_union": q_combine_union,
-        "combine_k3": q_combine_k3,
-        "combine_gaps": q_combine_gaps,
-        "combine_attrs": q_combine_attrs,
-        "group_intervals": q_group_intervals,
-        "group_intervals_ts": q_group_intervals_ts,
         "grouped_mode": q_grouped_mode,
         "prev_next": q_prev_next,
-        # ---- driver window ends here (50) ----
-        # -- tail: green in r5/r6, code unchanged since --
-        "rollup": q_rollup,
-        "cube": q_cube,
-        "dedup_exact": q_dedup_exact,
-        "decontam": q_decontam,
-        "text_stats": q_text_stats,
-        "langid": q_langid,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "cross_dedup": q_cross_dedup,
         "sample_stratified": q_sample_stratified,
         "sample_split": q_sample_split,
         "mix_corpora": q_mix_corpora,
-        "embedding_neardup_exact": q_embedding_neardup_exact,
-        "sessionize": q_sessionize,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "stream_resample": q_stream_resample,
-        "stream_ffill": q_stream_ffill,
-        "stream_dedup": q_stream_dedup,
-        "stream_resample_interval": q_stream_resample_interval,
-        "stream_funnel": q_stream_funnel,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
-        "multimodal_frames": q_multimodal_frames,
         "hll_distinct": q_hll_distinct,
         "heavy_hitters": q_heavy_hitters,
         "quantile_sketch": q_quantile_sketch,
@@ -3616,21 +3696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "chunk_documents": q_chunk_documents,
         "zorder": q_zorder,
-        "merge_str_intervals": q_merge_str_intervals,
-        "merge_str_bucket": q_merge_str_bucket,
         "json_props": q_json_props,
-        "merge_overlap_sweep": q_merge_overlap_sweep,
-        "find_containing_sweep": q_find_containing_sweep,
-        "group_intervals_keyless": q_group_intervals_keyless,
-        "resample_interval_sweep": q_resample_interval_sweep,
-        "merge_date_intervals": q_merge_date_intervals,
-        "merge_timedelta_intervals": q_merge_timedelta_intervals,
-        "merge_asof": q_merge_asof,
-        "bucket_range_join": q_bucket_range_join,
-        "quality_gate": q_quality_gate,
-        "fingerprint": q_fingerprint,
-        "scrub_pii": q_scrub_pii,
-        "repetition": q_repetition,
     }
 
 
@@ -3733,6 +3799,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_png": _Q_MULTIMODAL_PNG_SQL,
         "multimodal_jpeg": _Q_MULTIMODAL_JPEG_SQL,
         "multimodal_wav": _Q_MULTIMODAL_WAV_SQL,
+        "multimodal_mp3": _Q_MULTIMODAL_MP3_SQL,
         # sketch tier: exact outputs with sketch-quality booleans, so the
         # oracle replays the exact side and TRUE-literals the certificate
         "hll_distinct": _Q_HLL_DISTINCT_SQL,

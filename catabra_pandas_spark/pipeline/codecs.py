@@ -692,3 +692,133 @@ def jpeg_encode_rgb420(px: np.ndarray, quality: int = 85) -> bytes:
            + _seg(0xC4, b"\x11" + bytes(_HT_AC_CHROMA[0]) + bytes(_HT_AC_CHROMA[1])))
     sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     return (b"\xFF\xD8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xFF\xD9")
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG audio frame headers — metadata-only probe)
+# ---------------------------------------------------------------------------
+#
+# Public-spec frame-header parse (ISO/IEC 11172-3 / 13818-3 header layout:
+# 11-bit sync, 2-bit version, 2-bit layer, bitrate/samplerate indices,
+# padding, channel mode).  This gives a REAL header-level probe —
+# bitrate, sample rate, channels, frame count, duration — with the
+# sample decode itself still stubbed (no codec library in this
+# container; the reference likewise treats media as opaque blobs +
+# metadata).  Tables below are the published MPEG audio tables.
+
+# version bits -> MPEG version id (2.5 uses the reserved 00 slot)
+_MP3_VERSIONS = {0b00: 2.5, 0b10: 2.0, 0b11: 1.0}
+# Layer III bitrate (kbps) by version: index 1..14; 0=free, 15=bad
+_MP3_BITRATES = {
+    1.0: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    2.0: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    2.5: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {1.0: (44100, 48000, 32000),
+              2.0: (22050, 24000, 16000),
+              2.5: (11025, 12000, 8000)}
+# Layer III samples per frame: 1152 (MPEG-1), 576 (MPEG-2/2.5)
+_MP3_SPF = {1.0: 1152, 2.0: 576, 2.5: 576}
+
+
+def _mp3_frame_header(header: int) -> dict:
+    """Parse one 32-bit MPEG audio frame header word into
+    {version, layer, bitrate_kbps, sample_rate, channels, frame_bytes,
+    samples}.  Raises ValueError on bad sync / reserved fields / free
+    bitrate (frame length is then unknowable without a full parse)."""
+    if header >> 21 != 0x7FF:
+        raise ValueError("bad MP3 frame sync")
+    ver_bits = (header >> 19) & 0b11
+    layer_bits = (header >> 17) & 0b11
+    if ver_bits == 0b01 or layer_bits == 0b00:
+        raise ValueError("reserved MPEG version/layer bits")
+    version = _MP3_VERSIONS[ver_bits]
+    layer = 4 - layer_bits  # 0b01=III, 0b10=II, 0b11=I
+    if layer != 3:
+        raise ValueError(f"only Layer III supported, got Layer {layer}")
+    br_idx = (header >> 12) & 0xF
+    sr_idx = (header >> 10) & 0b11
+    if br_idx == 0xF or sr_idx == 0b11:
+        raise ValueError("invalid MP3 bitrate/samplerate index")
+    if br_idx == 0:
+        raise ValueError("free-bitrate MP3 frames not supported")
+    bitrate = _MP3_BITRATES[version][br_idx]
+    rate = _MP3_RATES[version][sr_idx]
+    padding = (header >> 9) & 1
+    mode = (header >> 6) & 0b11
+    spf = _MP3_SPF[version]
+    # Layer III frame length: spf/8 * bitrate / rate + padding
+    frame_bytes = (spf // 8) * bitrate * 1000 // rate + padding
+    return {"version": version, "layer": layer, "bitrate_kbps": bitrate,
+            "sample_rate": rate, "channels": 1 if mode == 0b11 else 2,
+            "frame_bytes": frame_bytes, "samples": spf}
+
+
+def mp3_probe(payload: bytes) -> dict:
+    """Walk an MPEG Layer III byte stream frame by frame (skipping a
+    leading ID3v2 tag and a trailing ID3v1 tag) and return header-level
+    metadata: {version, layer, bitrate_kbps, sample_rate, channels,
+    n_frames, duration_ms}.  bitrate_kbps is the FIRST frame's (use a
+    full walk average for VBR if needed — n_frames/duration already
+    count every frame).  Raises ValueError on a payload that does not
+    start with a valid frame (after tag skip) or whose last frame is
+    truncated."""
+    pos, end = 0, len(payload)
+    if payload[:3] == b"ID3":
+        if end < 10:
+            raise ValueError("truncated ID3v2 tag")
+        size = 0
+        for b in payload[6:10]:  # syncsafe 28-bit size
+            if b & 0x80:
+                raise ValueError("bad ID3v2 syncsafe size")
+            size = (size << 7) | b
+        pos = 10 + size
+    if payload[end - 128:end - 125] == b"TAG":
+        end -= 128  # ID3v1 trailer
+    if pos + 4 > end:
+        raise ValueError("no MP3 frame after tag skip")
+    first = _mp3_frame_header(int.from_bytes(payload[pos:pos + 4], "big"))
+    n_frames, samples = 0, 0
+    while pos + 4 <= end:
+        hdr = _mp3_frame_header(int.from_bytes(payload[pos:pos + 4], "big"))
+        if pos + hdr["frame_bytes"] > end:
+            raise ValueError("truncated final MP3 frame")
+        n_frames += 1
+        samples += hdr["samples"]
+        pos += hdr["frame_bytes"]
+    if pos != end:
+        raise ValueError("trailing garbage after last MP3 frame")
+    return {"version": first["version"], "layer": first["layer"],
+            "bitrate_kbps": first["bitrate_kbps"],
+            "sample_rate": first["sample_rate"],
+            "channels": first["channels"], "n_frames": n_frames,
+            "duration_ms": samples * 1000.0 / first["sample_rate"]}
+
+
+def mp3_encode_headers(
+    n_frames: int,
+    bitrate_idx: int = 9,
+    sr_idx: int = 0,
+    version: float = 1.0,
+    channel_mode: int = 0b00,
+    id3_tag: bytes | None = None,
+) -> bytes:
+    """Build a fixture-grade MPEG Layer III stream: ``n_frames`` valid
+    frame headers each followed by a zero payload of the exact computed
+    frame length (optionally prefixed by an ID3v2 tag wrapping
+    ``id3_tag``).  The frames carry no audio — this exists so
+    :func:`mp3_probe` has REAL byte streams to walk in tests and driver
+    fixtures.  probe(encode(...)) recovers every parameter exactly."""
+    ver_bits = {1.0: 0b11, 2.0: 0b10, 2.5: 0b00}[float(version)]
+    header = ((0x7FF << 21) | (ver_bits << 19) | (0b01 << 17)
+              | (int(bitrate_idx) << 12) | (int(sr_idx) << 10)
+              | (int(channel_mode) << 6))
+    info = _mp3_frame_header(header)
+    frame = header.to_bytes(4, "big") + b"\x00" * (info["frame_bytes"] - 4)
+    out = frame * int(n_frames)
+    if id3_tag is not None:
+        size = len(id3_tag)
+        ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                    (size >> 7) & 0x7F, size & 0x7F])
+        out = b"ID3\x04\x00\x00" + ss + id3_tag + out
+    return out

@@ -16,11 +16,15 @@ Decode is dispatched on the metadata ``mime``:
   driver's ``multimodal_audio``/``multimodal_wav``/``multimodal_decode``
   queries round-trip values -> bytes -> decoded statistics against
   DuckDB oracles that never see the binary.
-* a clearly-marked deterministic STUB for the remaining codec formats
-  (mp3/mp4 — no audio/video codec in this container); swap
-  ``_decode_fake`` for ffmpeg/soundfile in production.  The Spark-side
-  contract — schema, partitioning, Arrow batch shape — is identical
-  either way.
+* a REAL metadata-only **MP3 header probe** (:func:`mp3_metadata` /
+  ``codecs.mp3_probe``: MPEG Layer III frame-header walk, ID3 tag skip —
+  bitrate/sample-rate/channels/frame-count/duration from the published
+  header tables) with the sample decode itself stubbed;
+* a clearly-marked deterministic STUB for the remaining sample decodes
+  (mp3 audio frames / mp4 — no audio/video codec in this container);
+  swap ``_decode_fake`` for ffmpeg/soundfile in production.  The
+  Spark-side contract — schema, partitioning, Arrow batch shape — is
+  identical either way.
 """
 
 from __future__ import annotations
@@ -48,12 +52,27 @@ def attach_binary_metadata(
     modality: str,
     mime: str,
     meta_col: str = "media_meta",
+    probe: bool = False,
 ) -> DataFrame:
     """Attach the typed metadata struct next to an opaque binary column.
 
-    Width/height/frames are derived deterministically from the payload hash
-    (stand-ins until a real probe decodes headers) — the COLUMN SHAPE is the
-    contract downstream operators rely on."""
+    By default width/height/frames are derived deterministically from the
+    payload hash (stand-ins until a real probe decodes headers) — the
+    COLUMN SHAPE is the contract downstream operators rely on.  With
+    ``probe=True`` and ``mime="audio/mpeg"``, frame count and sample rate
+    come from a REAL MPEG frame-header walk (:func:`mp3_metadata`)
+    instead of the hash stand-in."""
+    if probe and mime == "audio/mpeg":
+        tmp = f"__{meta_col}_probe__"
+        out = mp3_metadata(df, binary_col, out_col=tmp)
+        return out.withColumn(meta_col, F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(mime).alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.col(f"{tmp}.n_frames").alias("n_frames"),
+            F.col(f"{tmp}.sample_rate").alias("sample_rate"),
+        )).drop(tmp)
     h = F.abs(F.xxhash64(F.col(binary_col)))
     return df.withColumn(meta_col, F.struct(
         F.lit(modality).alias("modality"),
@@ -63,6 +82,56 @@ def attach_binary_metadata(
         (h % 300 + 1).cast("int").alias("n_frames"),
         F.lit(16000).alias("sample_rate"),
     ))
+
+
+MP3_METADATA_SCHEMA = T.StructType([
+    T.StructField("version", T.DoubleType()),
+    T.StructField("layer", T.IntegerType()),
+    T.StructField("bitrate_kbps", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("duration_ms", T.DoubleType()),
+])
+
+
+def mp3_metadata(
+    df: DataFrame,
+    binary_col: str,
+    out_col: str = "mp3_meta",
+) -> DataFrame:
+    """REAL metadata-only MP3 probe: walk each payload's MPEG Layer III
+    frame headers (``pipeline.codecs.mp3_probe`` — public ISO 11172-3
+    header layout, ID3v2/v1 tag skip) and attach a typed struct with
+    version / bitrate / sample rate / channels / frame count / duration.
+    Sample DECODE stays stubbed (no codec library in this container);
+    header probing is what a curation pipeline needs to filter, bucket
+    and cost-model audio at scale.  Arrow ``mapInPandas``, narrow map —
+    no shuffle at any corpus size.  Null or unparseable payloads yield a
+    null struct rather than failing the batch."""
+    from .codecs import mp3_probe
+
+    out_schema = T.StructType(df.schema.fields
+                              + [T.StructField(out_col, MP3_METADATA_SCHEMA)])
+    in_cols = df.columns
+    names = [f.name for f in MP3_METADATA_SCHEMA.fields]
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def probe(p):
+            if p is None:
+                return None
+            try:
+                info = mp3_probe(bytes(p))
+            except ValueError:
+                return None
+            return {k: info[k] for k in names}
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[binary_col].map(probe)
+            yield pdf[in_cols + [out_col]]
+
+    return df.mapInPandas(mapper, schema=out_schema)
 
 
 def _decode_pcm16(payload: bytes, meta: dict) -> list[float]:

@@ -232,3 +232,59 @@ def test_truncated_payloads_raise_valueerror():
     bad[i:i + 4] = b"\x00\x00\x00\x00"
     with pytest.raises(ValueError):
         png_decode(bytes(bad))
+
+
+def test_mp3_probe_roundtrip():
+    """mp3_probe(mp3_encode_headers(...)) recovers every header parameter
+    exactly, across versions / bitrate / samplerate indices / channel
+    modes, with and without ID3v2/ID3v1 tags."""
+    from catabra_pandas_spark.pipeline.codecs import (mp3_encode_headers,
+                                                      mp3_probe)
+
+    cases = [
+        dict(n_frames=7, bitrate_idx=9, sr_idx=1, version=1.0,
+             channel_mode=3, exp=(128, 48000, 1)),
+        dict(n_frames=1, bitrate_idx=14, sr_idx=0, version=1.0,
+             channel_mode=0, exp=(320, 44100, 2)),
+        dict(n_frames=40, bitrate_idx=2, sr_idx=2, version=2.0,
+             channel_mode=1, exp=(16, 16000, 2)),
+        dict(n_frames=3, bitrate_idx=5, sr_idx=0, version=2.5,
+             channel_mode=3, exp=(40, 11025, 1)),
+    ]
+    for c in cases:
+        br, sr, ch = c.pop("exp")
+        payload = mp3_encode_headers(**c)
+        info = mp3_probe(payload)
+        assert info["version"] == c["version"]
+        assert info["layer"] == 3
+        assert (info["bitrate_kbps"], info["sample_rate"],
+                info["channels"]) == (br, sr, ch)
+        assert info["n_frames"] == c["n_frames"]
+        spf = 1152 if c["version"] == 1.0 else 576
+        assert abs(info["duration_ms"]
+                   - c["n_frames"] * spf * 1000.0 / sr) < 1e-9
+    # tag handling: ID3v2 prefix and ID3v1 trailer are both skipped
+    p = mp3_encode_headers(5, bitrate_idx=9, sr_idx=0, id3_tag=b"x" * 200)
+    assert mp3_probe(p)["n_frames"] == 5
+    assert mp3_probe(p + b"TAG" + b"\x00" * 125)["n_frames"] == 5
+
+
+def test_mp3_probe_rejects_bad_streams():
+    """Bad sync, truncated final frame, trailing garbage, and free
+    bitrate all raise ValueError instead of returning bogus metadata."""
+    import pytest
+
+    from catabra_pandas_spark.pipeline.codecs import (mp3_encode_headers,
+                                                      mp3_probe)
+
+    good = mp3_encode_headers(2, bitrate_idx=9, sr_idx=0)
+    with pytest.raises(ValueError, match="sync"):
+        mp3_probe(b"\x00\x00" + good)
+    with pytest.raises(ValueError, match="truncated final"):
+        mp3_probe(good[:-10])
+    with pytest.raises(ValueError):
+        mp3_probe(good + b"\xff\xfb")  # dangling partial header
+    with pytest.raises(ValueError, match="free-bitrate"):
+        mp3_encode_headers(1, bitrate_idx=0, sr_idx=0)
+    with pytest.raises(ValueError, match="bitrate/samplerate"):
+        mp3_encode_headers(1, bitrate_idx=15, sr_idx=0)

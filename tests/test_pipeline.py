@@ -346,6 +346,45 @@ def test_multimodal_real_decoders(spark):
     assert abs(fi[6] - px.astype(float).std()) < 1e-9 and fi[7] == 255.0
 
 
+def test_mp3_metadata_probe(spark):
+    """mp3_metadata walks real MPEG frame headers via mapInPandas and
+    attaches the typed struct; unparseable/null payloads yield a null
+    struct; attach_binary_metadata(probe=True) fills n_frames/sample_rate
+    from the SAME header walk instead of the hash stand-in."""
+    from catabra_pandas_spark.pipeline import mp3_metadata
+    from catabra_pandas_spark.pipeline.codecs import mp3_encode_headers
+
+    pdf = pd.DataFrame({
+        "id": [0, 1, 2, 3],
+        "payload": [
+            mp3_encode_headers(12, bitrate_idx=9, sr_idx=0, channel_mode=3,
+                               id3_tag=b"title"),
+            mp3_encode_headers(4, bitrate_idx=14, sr_idx=1, version=2.0),
+            b"not an mp3 at all",
+            None,
+        ],
+    })
+    sdf = spark.createDataFrame(pdf, "id long, payload binary")
+    out = (mp3_metadata(sdf, "payload").toPandas()
+           .set_index("id").sort_index())
+    m0 = out.loc[0, "mp3_meta"]
+    assert (m0["version"], m0["bitrate_kbps"], m0["sample_rate"],
+            m0["channels"], m0["n_frames"]) == (1.0, 128, 44100, 1, 12)
+    assert abs(m0["duration_ms"] - 12 * 1152 * 1000.0 / 44100) < 1e-9
+    m1 = out.loc[1, "mp3_meta"]
+    assert (m1["version"], m1["bitrate_kbps"], m1["sample_rate"],
+            m1["n_frames"]) == (2.0, 160, 24000, 4)
+    assert out.loc[2, "mp3_meta"] is None
+    assert out.loc[3, "mp3_meta"] is None
+
+    probed = (attach_binary_metadata(sdf.filter("id = 0"), "payload",
+                                     modality="audio", mime="audio/mpeg",
+                                     probe=True)
+              .toPandas().media_meta[0])
+    assert probed["n_frames"] == 12 and probed["sample_rate"] == 44100
+    assert probed["mime"] == "audio/mpeg"
+
+
 def test_netpbm_rejects_16bit_maxval():
     """maxval > 255 means 2-byte samples; a uint8 read would silently
     misdecode, so the decoder must raise instead."""
