@@ -1,10 +1,15 @@
-"""Round-closing checklist (VERDICT r6 item 8): regenerate the derived
-artifacts that went stale exactly once each in r5/r6 and FAIL if any
-driver query is missing from them.
+"""Round-closing checklist (VERDICT r6 item 8 + r7 item 1): regenerate
+the derived artifacts that went stale exactly once each in r5/r6, FAIL
+if any driver query is missing from them, and FAIL if the window
+rotation rule is violated.
 
-1. ``PLANS.md``     — via scripts/plan_inventory.py; must contain one row
+1. rotation rule    — via scripts/rotation_check.py: any query whose
+                      exercised package symbols / builder / oracle
+                      changed since its last green driver row must be
+                      inside the first-50 window (stateless, from git).
+2. ``PLANS.md``     — via scripts/plan_inventory.py; must contain one row
                       per ``__spark_entry__.queries()`` entry.
-2. ``BASELINE_REPLICATION.json`` — via scripts/bench_baseline.py; must
+3. ``BASELINE_REPLICATION.json`` — via scripts/bench_baseline.py; must
                       parse and contain all three T1/T2/T3 workloads.
 
 Run as the LAST commit of a round:  python scripts/finalize_round.py
@@ -37,6 +42,7 @@ def main() -> None:
     import __spark_entry__ as entry
     names = list(entry.queries())
 
+    run("rotation_check.py")
     run("plan_inventory.py")
     plans = open(os.path.join(REPO, "PLANS.md")).read()
     have = set(re.findall(r"^\| (\S+) \|", plans, re.M))
