@@ -85,6 +85,8 @@ HEADLINE = [
     "lm_perplexity",
     "substring_dedup",
     "substring_removal",
+    # r8 additions
+    "multimodal_mp3",
 ]
 
 

@@ -13,12 +13,32 @@ the Spark analogue, sized to the same order of magnitude:
   chunked merge vs the single-task constant-group window (the naive
   formulation) must produce identical clusterings.
 
+r8 adds three opt-in tiers (heavier; named explicitly to run):
+
+* ``exactsubstr`` — ExactSubstr stats+removal at n documents with a SKEW
+  case: one 8-token boilerplate span in ~50% of documents, so a single
+  window hash carries ~n/2 occurrences.  Proves the count shuffle's
+  map-side partial aggregation absorbs the hot hash (max task duration
+  and shuffle volume recorded from the event log) and the per-doc
+  ``collect_list`` of duplicated starts stays bounded by doc length.
+* ``bpe16k`` — BPE training at a REALISTIC 16k-merge vocabulary over
+  n/50 documents: times the incremental merge loop and, for comparison,
+  the straight-from-the-paper rescan loop over the first 250 merges
+  (extrapolated), recording the measured advantage.
+* ``cosinebig`` — the block-grid exact cosine path with a query set too
+  large to broadcast (n/50 queries x 32d vs n/10 corpus): records wall
+  time, max task duration and total shuffle volume vs the |Q|·|C|
+  pair-row bytes a naive crossJoin would shuffle.
+
 Data is synthesized EXECUTOR-SIDE from ``spark.range`` + hash arithmetic
 (deterministic, no driver materialization, no testdata dependency), so
 the script also demonstrates the generation pattern for arbitrary-SF
 stress runs.  Exit code 0 iff every comparison matches.
 
-Usage: python scripts/scale_smoke.py [n_obs] (default 10_000_000)
+Usage: python scripts/scale_smoke.py [n_obs] [tiers]
+  n_obs  default 10_000_000
+  tiers  comma list of {eav,interval,group,ann,text,exactsubstr,bpe16k,
+         cosinebig}; default = the five original (driver-cadence) tiers
 """
 
 from __future__ import annotations
@@ -42,6 +62,38 @@ def synth_eav(spark, n, n_entities=20_000, n_attrs=49, span=1_000_000.0):
     )
 
 
+def job_group_metrics(spark, group):
+    """(max_task_ms, shuffle_write_bytes, shuffle_read_bytes) for every
+    stage of the jobs run under ``group``, parsed from the session's
+    event log — the hard evidence for 'the combiner absorbed the hot
+    key' claims.  Returns Nones if the log is unavailable."""
+    import glob
+    import json as _json
+
+    app = spark.sparkContext.applicationId
+    paths = glob.glob(f"/tmp/spark-events/{app}*")
+    if not paths:
+        return None, None, None
+    stages, max_ms, sw, sr = set(), 0, 0, 0
+    for line in open(paths[0]):
+        try:
+            ev = _json.loads(line)
+        except ValueError:
+            continue
+        kind = ev.get("Event")
+        if kind == "SparkListenerJobStart" and \
+                (ev.get("Properties") or {}).get("spark.jobGroup.id") == group:
+            stages.update(s["Stage ID"] for s in ev.get("Stage Infos", []))
+        elif kind == "SparkListenerTaskEnd" and ev.get("Stage ID") in stages:
+            tm = ev.get("Task Metrics") or {}
+            max_ms = max(max_ms, tm.get("Executor Run Time", 0))
+            sw += (tm.get("Shuffle Write Metrics") or {}
+                   ).get("Shuffle Bytes Written", 0)
+            rd = tm.get("Shuffle Read Metrics") or {}
+            sr += rd.get("Local Bytes Read", 0) + rd.get("Remote Bytes Read", 0)
+    return max_ms, sw, sr
+
+
 def compare(name, a, b, keys):
     """Cell-exact comparison via two anti-joins on rounded frames (no
     driver-side collect of the bulk data)."""
@@ -58,11 +110,17 @@ def compare(name, a, b, keys):
     return ok
 
 
+DEFAULT_TIERS = ("eav", "interval", "group", "ann", "text")
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    tiers = set(sys.argv[2].split(",")) if len(sys.argv) > 2 \
+        else set(DEFAULT_TIERS)
     from pyspark.sql import SparkSession, functions as F
     import catabra_pandas_spark as cps
 
+    os.makedirs("/tmp/spark-events", exist_ok=True)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (SparkSession.builder.master(f"local[{cpus}]")
              .appName("scale-smoke")
@@ -72,190 +130,386 @@ def main():
                      os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.ui.enabled", "false")
+             # task-level evidence (max task ms, shuffle bytes) for the
+             # skew tiers comes from the event log
+             .config("spark.eventLog.enabled", "true")
+             .config("spark.eventLog.dir", "file:/tmp/spark-events")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
     ok = True
-
-    # --- resample_eav: direct vs sweep at n obs ------------------------
-    df = synth_eav(spark, n).localCheckpoint(eager=True)
     span = 1_000_000.0
     duration = span * 0.1
-    anchors = (df.filter(F.col("attribute") == "attr_3")
-               .select("entity", F.col("timestamp").alias("stop"))
-               .limit(25_000))
-    windows = (anchors.union(anchors.select("entity", (F.col("stop") - 0.5 * duration).alias("stop")))
-               .select("entity", (F.col("stop") - duration).alias("start"), "stop")
-               .localCheckpoint(eager=True))
-    agg = {"attr_1": ["sum", "max"], "attr_2": "min",
-           "attr_3": ["r-1", "t-1"], "attr_47": "size", "attr_48": "median"}
-    kw = dict(entity_col="entity", time_col="timestamp",
-              attribute_col="attribute", value_col="value",
-              window_start_col="start", window_stop_col="stop",
-              include_start=False, include_stop=False, regular=False)
-    t0 = time.perf_counter()
-    out_direct = cps.resample_eav(df, windows, agg, join_strategy="direct", **kw)
-    out_direct = out_direct.localCheckpoint(eager=True)
-    t_direct = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    out_sweep = cps.resample_eav(df, windows, agg, join_strategy="sweep", **kw)
-    out_sweep = out_sweep.localCheckpoint(eager=True)
-    t_sweep = time.perf_counter() - t0
-    print(f"resample_eav {n:,} obs: direct={t_direct:.1f}s sweep={t_sweep:.1f}s")
-    ok &= compare("resample_eav direct==sweep", out_direct, out_sweep,
-                  ["entity", "start", "stop"])
+
+    def build_windows():
+        df_ = synth_eav(spark, n)
+        anchors = (df_.filter(F.col("attribute") == "attr_3")
+                   .select("entity", F.col("timestamp").alias("stop"))
+                   .limit(25_000))
+        return (anchors.union(anchors.select(
+                    "entity", (F.col("stop") - 0.5 * duration).alias("stop")))
+                .select("entity", (F.col("stop") - duration).alias("start"),
+                        "stop")
+                .localCheckpoint(eager=True))
+
+    windows = None
+    if "eav" in tiers or "interval" in tiers:
+        windows = build_windows()
+
+    # --- resample_eav: direct vs sweep at n obs ------------------------
+    if "eav" in tiers:
+        df = synth_eav(spark, n).localCheckpoint(eager=True)
+        agg = {"attr_1": ["sum", "max"], "attr_2": "min",
+               "attr_3": ["r-1", "t-1"], "attr_47": "size",
+               "attr_48": "median"}
+        kw = dict(entity_col="entity", time_col="timestamp",
+                  attribute_col="attribute", value_col="value",
+                  window_start_col="start", window_stop_col="stop",
+                  include_start=False, include_stop=False, regular=False)
+        t0 = time.perf_counter()
+        out_direct = cps.resample_eav(df, windows, agg,
+                                      join_strategy="direct", **kw)
+        out_direct = out_direct.localCheckpoint(eager=True)
+        t_direct = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out_sweep = cps.resample_eav(df, windows, agg,
+                                     join_strategy="sweep", **kw)
+        out_sweep = out_sweep.localCheckpoint(eager=True)
+        t_sweep = time.perf_counter() - t0
+        print(f"resample_eav {n:,} obs: direct={t_direct:.1f}s "
+              f"sweep={t_sweep:.1f}s")
+        ok &= compare("resample_eav direct==sweep", out_direct, out_sweep,
+                      ["entity", "start", "stop"])
 
     # --- resample_interval: direct vs sweep at n/2 intervals -----------
     m = n // 2
-    iv = (synth_eav(spark, m, n_attrs=9)
-          .select("entity", F.col("timestamp").alias("start"),
-                  (F.col("timestamp") + 500.0).alias("stop"),
-                  "attribute", "value")
-          .localCheckpoint(eager=True))
-    wins = windows.limit(20_000).localCheckpoint(eager=True)
-    t0 = time.perf_counter()
-    ri_direct = cps.resample_interval(
-        iv, wins, attributes=[f"attr_{i}" for i in range(1, 10)],
-        entity_col="entity", start_col="start", stop_col="stop",
-        attribute_col="attribute", value_col="value",
-        window_start_col="start", window_stop_col="stop",
-        join_strategy="direct").localCheckpoint(eager=True)
-    t_direct = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    ri_sweep = cps.resample_interval(
-        iv, wins, attributes=[f"attr_{i}" for i in range(1, 10)],
-        entity_col="entity", start_col="start", stop_col="stop",
-        attribute_col="attribute", value_col="value",
-        window_start_col="start", window_stop_col="stop",
-        join_strategy="sweep").localCheckpoint(eager=True)
-    t_sweep = time.perf_counter() - t0
-    print(f"resample_interval {m:,} ivs: direct={t_direct:.1f}s sweep={t_sweep:.1f}s")
-    ok &= compare("resample_interval direct==sweep", ri_direct, ri_sweep,
-                  ["entity", "start", "stop"])
+    if "interval" in tiers:
+        iv = (synth_eav(spark, m, n_attrs=9)
+              .select("entity", F.col("timestamp").alias("start"),
+                      (F.col("timestamp") + 500.0).alias("stop"),
+                      "attribute", "value")
+              .localCheckpoint(eager=True))
+        wins = windows.limit(20_000).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        ri_direct = cps.resample_interval(
+            iv, wins, attributes=[f"attr_{i}" for i in range(1, 10)],
+            entity_col="entity", start_col="start", stop_col="stop",
+            attribute_col="attribute", value_col="value",
+            window_start_col="start", window_stop_col="stop",
+            join_strategy="direct").localCheckpoint(eager=True)
+        t_direct = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ri_sweep = cps.resample_interval(
+            iv, wins, attributes=[f"attr_{i}" for i in range(1, 10)],
+            entity_col="entity", start_col="start", stop_col="stop",
+            attribute_col="attribute", value_col="value",
+            window_start_col="start", window_stop_col="stop",
+            join_strategy="sweep").localCheckpoint(eager=True)
+        t_sweep = time.perf_counter() - t0
+        print(f"resample_interval {m:,} ivs: direct={t_direct:.1f}s "
+              f"sweep={t_sweep:.1f}s")
+        ok &= compare("resample_interval direct==sweep", ri_direct, ri_sweep,
+                      ["entity", "start", "stop"])
 
     # --- keyless group_intervals: chunked merge vs single-task ---------
-    gi = (synth_eav(spark, m, n_attrs=1)
-          .select(F.col("timestamp").alias("start"),
-                  (F.col("timestamp") + 3.0).alias("stop"))
-          .localCheckpoint(eager=True))
-    t0 = time.perf_counter()
-    chunked = cps.group_intervals(gi, start_col="start", stop_col="stop",
-                                  distance=1.0).localCheckpoint(eager=True)
-    t_chunked = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    single = (cps.group_intervals(gi.withColumn("g", F.lit(0)), group_by="g",
-                                  start_col="start", stop_col="stop",
-                                  distance=1.0)
-              .drop("g").localCheckpoint(eager=True))
-    t_single = time.perf_counter() - t0
-    print(f"group_intervals keyless {m:,} ivs: chunked={t_chunked:.1f}s "
-          f"single-task={t_single:.1f}s")
-    ok &= compare("group_intervals chunked==single", chunked, single,
-                  ["start", "stop"])
+    if "group" in tiers:
+        gi = (synth_eav(spark, m, n_attrs=1)
+              .select(F.col("timestamp").alias("start"),
+                      (F.col("timestamp") + 3.0).alias("stop"))
+              .localCheckpoint(eager=True))
+        t0 = time.perf_counter()
+        chunked = cps.group_intervals(gi, start_col="start", stop_col="stop",
+                                      distance=1.0).localCheckpoint(eager=True)
+        t_chunked = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        single = (cps.group_intervals(gi.withColumn("g", F.lit(0)),
+                                      group_by="g",
+                                      start_col="start", stop_col="stop",
+                                      distance=1.0)
+                  .drop("g").localCheckpoint(eager=True))
+        t_single = time.perf_counter() - t0
+        print(f"group_intervals keyless {m:,} ivs: chunked={t_chunked:.1f}s "
+              f"single-task={t_single:.1f}s")
+        ok &= compare("group_intervals chunked==single", chunked, single,
+                      ["start", "stop"])
 
     # --- ANN kernels at n/10 vectors -----------------------------------
-    # Cross-implementation consistency: (a) the broadcast-probe LSH (numpy
-    # scoring, single corpus scan) against the shuffled bucket-equi-join
-    # LSH (JVM expression scoring) — same candidate definition, so outputs
-    # must be identical; (b) IVF probing EVERY cell degenerates to
-    # exhaustive search and must equal brute-force cosine_topk exactly.
-    from catabra_pandas_spark.pipeline.similarity import (
-        cosine_topk, ivf_cosine_topk, lsh_cosine_topk)
+    if "ann" in tiers:
+        # Cross-implementation consistency: (a) the broadcast-probe LSH (numpy
+        # scoring, single corpus scan) against the shuffled bucket-equi-join
+        # LSH (JVM expression scoring) — same candidate definition, so outputs
+        # must be identical; (b) IVF probing EVERY cell degenerates to
+        # exhaustive search and must equal brute-force cosine_topk exactly.
+        from catabra_pandas_spark.pipeline.similarity import (
+            cosine_topk, ivf_cosine_topk, lsh_cosine_topk)
 
-    nv, dim = max(n // 10, 100_000), 32
-    emb = spark.range(nv, numPartitions=64).select(
-        F.col("id").alias("vec_id"),
-        F.array(*[(F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(2001))
-                   .cast("double") / 1000.0 - 1.0) for d in range(dim)]
-                ).alias("embedding")).localCheckpoint(eager=True)
-    qv = emb.filter(F.col("vec_id") < 64)
-    t0 = time.perf_counter()
-    brute = cosine_topk(qv, emb, k=10, dim=dim).localCheckpoint(eager=True)
-    t_brute = time.perf_counter() - t0
-    # blocked grid (broadcast_queries=False): corpus is replicated
-    # n_query_blocks times, so size nq_b to the real query volume — 2
-    # here exercises the full cogroup grid while keeping the smoke honest
-    t0 = time.perf_counter()
-    blocked = cosine_topk(qv, emb, k=10, dim=dim, broadcast_queries=False,
-                          n_query_blocks=2, n_corpus_blocks=8
-                          ).localCheckpoint(eager=True)
-    t_blocked = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    lsh_b = lsh_cosine_topk(qv, emb, k=10, dim=dim,
-                            broadcast_queries=True).localCheckpoint(eager=True)
-    t_lb = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    lsh_s = lsh_cosine_topk(qv, emb, k=10, dim=dim,
-                            broadcast_queries=False).localCheckpoint(eager=True)
-    t_ls = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    ivf_all = ivf_cosine_topk(qv, emb, k=10, dim=dim, n_centroids=32,
-                              n_probe=32).localCheckpoint(eager=True)
-    t_ivf = time.perf_counter() - t0
-    # trained codebook: 2 Lloyd iterations over the full corpus, then
-    # probing EVERY trained cell must also degenerate to exhaustive search
-    from catabra_pandas_spark.pipeline.similarity import kmeans_codebook
-    t0 = time.perf_counter()
-    book = kmeans_codebook(emb, n_centroids=32, n_iter=2, dim=dim,
-                           normalize=False, round_decimals=6)
-    ivf_km = ivf_cosine_topk(qv, emb, k=10, dim=dim, n_probe=32,
-                             centroids=book).localCheckpoint(eager=True)
-    t_km = time.perf_counter() - t0
-    print(f"ann {nv:,} vecs x {dim}d: brute={t_brute:.1f}s "
-          f"blocked={t_blocked:.1f}s ({t_blocked / t_brute:.1f}x) "
-          f"lsh_bcast={t_lb:.1f}s lsh_shuffle={t_ls:.1f}s ivf_all={t_ivf:.1f}s")
-    ok &= compare("blocked grid == broadcast brute", blocked, brute,
-                  ["query_id", "rank"])
-    if t_blocked > 3.5 * t_brute:
-        print(f"WEAK: blocked exact path {t_blocked / t_brute:.1f}x broadcast")
-        ok = False
-    ok &= compare("lsh broadcast-probe == bucket-join", lsh_b, lsh_s,
-                  ["query_id", "rank"])
-    ok &= compare("ivf(all cells) == brute force", ivf_all, brute,
-                  ["query_id", "rank"])
-    print(f"kmeans codebook train+search {nv:,} vecs: {t_km:.1f}s")
-    ok &= compare("ivf(kmeans book, all cells) == brute force", ivf_km,
-                  brute, ["query_id", "rank"])
+        nv, dim = max(n // 10, 100_000), 32
+        emb = spark.range(nv, numPartitions=64).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(2001))
+                       .cast("double") / 1000.0 - 1.0) for d in range(dim)]
+                    ).alias("embedding")).localCheckpoint(eager=True)
+        qv = emb.filter(F.col("vec_id") < 64)
+        t0 = time.perf_counter()
+        brute = cosine_topk(qv, emb, k=10, dim=dim).localCheckpoint(eager=True)
+        t_brute = time.perf_counter() - t0
+        # blocked grid (broadcast_queries=False): corpus is replicated
+        # n_query_blocks times, so size nq_b to the real query volume — 2
+        # here exercises the full cogroup grid while keeping the smoke honest
+        t0 = time.perf_counter()
+        blocked = cosine_topk(qv, emb, k=10, dim=dim, broadcast_queries=False,
+                              n_query_blocks=2, n_corpus_blocks=8
+                              ).localCheckpoint(eager=True)
+        t_blocked = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lsh_b = lsh_cosine_topk(qv, emb, k=10, dim=dim,
+                                broadcast_queries=True).localCheckpoint(eager=True)
+        t_lb = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lsh_s = lsh_cosine_topk(qv, emb, k=10, dim=dim,
+                                broadcast_queries=False).localCheckpoint(eager=True)
+        t_ls = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ivf_all = ivf_cosine_topk(qv, emb, k=10, dim=dim, n_centroids=32,
+                                  n_probe=32).localCheckpoint(eager=True)
+        t_ivf = time.perf_counter() - t0
+        # trained codebook: 2 Lloyd iterations over the full corpus, then
+        # probing EVERY trained cell must also degenerate to exhaustive search
+        from catabra_pandas_spark.pipeline.similarity import kmeans_codebook
+        t0 = time.perf_counter()
+        book = kmeans_codebook(emb, n_centroids=32, n_iter=2, dim=dim,
+                               normalize=False, round_decimals=6)
+        ivf_km = ivf_cosine_topk(qv, emb, k=10, dim=dim, n_probe=32,
+                                 centroids=book).localCheckpoint(eager=True)
+        t_km = time.perf_counter() - t0
+        print(f"ann {nv:,} vecs x {dim}d: brute={t_brute:.1f}s "
+              f"blocked={t_blocked:.1f}s ({t_blocked / t_brute:.1f}x) "
+              f"lsh_bcast={t_lb:.1f}s lsh_shuffle={t_ls:.1f}s ivf_all={t_ivf:.1f}s")
+        ok &= compare("blocked grid == broadcast brute", blocked, brute,
+                      ["query_id", "rank"])
+        if t_blocked > 3.5 * t_brute:
+            print(f"WEAK: blocked exact path {t_blocked / t_brute:.1f}x broadcast")
+            ok = False
+        ok &= compare("lsh broadcast-probe == bucket-join", lsh_b, lsh_s,
+                      ["query_id", "rank"])
+        ok &= compare("ivf(all cells) == brute force", ivf_all, brute,
+                      ["query_id", "rank"])
+        print(f"kmeans codebook train+search {nv:,} vecs: {t_km:.1f}s")
+        ok &= compare("ivf(kmeans book, all cells) == brute force", ivf_km,
+                      brute, ["query_id", "rank"])
 
     # --- text tier at n/10 documents -----------------------------------
-    # 1M synthetic docs (10-50 words from a 5k-word vocabulary, hash-
-    # derived executor-side).  The bigram space (~25M types) makes the
-    # LM's 200k cap BINDING, so retraining must reproduce the model
-    # EXACTLY — the deterministic (count desc, token asc) cap ordering
-    # under distributed execution is what this checks; a nondeterministic
-    # LIMIT would silently change scores between runs.
-    from catabra_pandas_spark.pipeline import (bpe_tokenize, ngram_perplexity,
-                                               train_bpe, train_ngram_lm)
+    if "text" in tiers:
+        # 1M synthetic docs (10-50 words from a 5k-word vocabulary, hash-
+        # derived executor-side).  The bigram space (~25M types) makes the
+        # LM's 200k cap BINDING, so retraining must reproduce the model
+        # EXACTLY — the deterministic (count desc, token asc) cap ordering
+        # under distributed execution is what this checks; a nondeterministic
+        # LIMIT would silently change scores between runs.
+        from catabra_pandas_spark.pipeline import (bpe_tokenize, ngram_perplexity,
+                                                   train_bpe, train_ngram_lm)
 
-    nd = max(n // 10, 100_000)
-    words = F.transform(
-        F.sequence(F.lit(1), F.pmod(F.xxhash64("id"), F.lit(40)) + 10),
-        lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64(F.col("id"), i),
-                                              F.lit(5000))))
-    docs = spark.range(nd, numPartitions=64).select(
-        F.col("id").alias("doc_id"),
-        F.array_join(words, " ").alias("text")).localCheckpoint(eager=True)
-    t0 = time.perf_counter()
-    lm = train_ngram_lm(docs)
-    t_lm = time.perf_counter() - t0
-    capped = len(lm["bigrams"]) == 200_000
-    lm2 = train_ngram_lm(docs)
-    same = (lm["unigrams"] == lm2["unigrams"]
-            and lm["bigrams"] == lm2["bigrams"] and lm["v"] == lm2["v"])
-    t0 = time.perf_counter()
-    nrow = ngram_perplexity(docs, lm).count()
-    t_ppl = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    merges = train_bpe(docs, n_merges=500, max_words=50_000)
-    tok_rows = bpe_tokenize(docs, merges).count()
-    t_bpe = time.perf_counter() - t0
-    print(f"text {nd:,} docs: lm_train={t_lm:.1f}s (cap binding={capped}, "
-          f"retrain identical={same}) ppl_scan={t_ppl:.1f}s "
-          f"bpe_train+tokenize={t_bpe:.1f}s merges={len(merges)}")
-    ok &= same and capped and nrow == nd and tok_rows == nd
-    if not (same and capped and nrow == nd and tok_rows == nd):
-        print(f"FAIL text tier: same={same} capped={capped} "
-              f"ppl_rows={nrow} tok_rows={tok_rows} expected={nd}")
+        nd = max(n // 10, 100_000)
+        words = F.transform(
+            F.sequence(F.lit(1), F.pmod(F.xxhash64("id"), F.lit(40)) + 10),
+            lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64(F.col("id"), i),
+                                                  F.lit(5000))))
+        docs = spark.range(nd, numPartitions=64).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(words, " ").alias("text")).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        lm = train_ngram_lm(docs)
+        t_lm = time.perf_counter() - t0
+        capped = len(lm["bigrams"]) == 200_000
+        lm2 = train_ngram_lm(docs)
+        same = (lm["unigrams"] == lm2["unigrams"]
+                and lm["bigrams"] == lm2["bigrams"] and lm["v"] == lm2["v"])
+        t0 = time.perf_counter()
+        nrow = ngram_perplexity(docs, lm).count()
+        t_ppl = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        merges = train_bpe(docs, n_merges=500, max_words=50_000)
+        tok_rows = bpe_tokenize(docs, merges).count()
+        t_bpe = time.perf_counter() - t0
+        print(f"text {nd:,} docs: lm_train={t_lm:.1f}s (cap binding={capped}, "
+              f"retrain identical={same}) ppl_scan={t_ppl:.1f}s "
+              f"bpe_train+tokenize={t_bpe:.1f}s merges={len(merges)}")
+        ok &= same and capped and nrow == nd and tok_rows == nd
+        if not (same and capped and nrow == nd and tok_rows == nd):
+            print(f"FAIL text tier: same={same} capped={capped} "
+                  f"ppl_rows={nrow} tok_rows={tok_rows} expected={nd}")
+
+    # --- ExactSubstr at n docs with a hot boilerplate span -------------
+    if "exactsubstr" in tiers:
+        # ~50% of documents share ONE 8-token boilerplate span, so a
+        # single window hash carries ~n/2 occurrences — the skew case for
+        # the count shuffle.  Map-side partial aggregation must absorb it
+        # (each task emits ONE row per distinct hash, so the hot hash
+        # costs 64 combiner rows, not n/2 shuffled rows); the per-doc
+        # collect_list of duplicated starts is bounded by doc length.
+        from catabra_pandas_spark.pipeline import (exact_substring_dedup,
+                                                   exact_substring_stats)
+
+        nd = n
+        base_words = F.transform(
+            F.sequence(F.lit(1), F.pmod(F.xxhash64("id"), F.lit(12)) + 12),
+            lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64(F.col("id"), i),
+                                                  F.lit(20_000))))
+        boiler = F.array(*[F.lit(f"boiler{j}") for j in range(8)])
+        words = F.when(F.col("id") % 2 == 0,
+                       F.concat(F.slice(base_words, 1, 6), boiler,
+                                F.slice(base_words, 7, 100))
+                       ).otherwise(base_words)
+        docs = spark.range(nd, numPartitions=64).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(words, " ").alias("text")).localCheckpoint(
+                eager=True)
+        sc = spark.sparkContext
+        sc.setJobGroup("exactsubstr_skew", "ExactSubstr skew tier")
+        t0 = time.perf_counter()
+        stats = exact_substring_stats(docs, width=8).localCheckpoint(
+            eager=True)
+        t_stats = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        removed = exact_substring_dedup(docs, width=8)
+        n_removed = removed.filter(F.col("n_kept") < F.col("n_tokens")).count()
+        t_removal = time.perf_counter() - t0
+        sc.setJobGroup("default", "")
+        agg_row = stats.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.avg(F.when(F.col("doc_id") % 2 == 0, F.col("dup_fraction"))
+                  ).alias("frac_even"),
+            F.avg(F.when(F.col("doc_id") % 2 == 1, F.col("dup_fraction"))
+                  ).alias("frac_odd")).collect()[0]
+        max_ms, sw, sr = job_group_metrics(spark, "exactsubstr_skew")
+        print(f"exactsubstr {nd:,} docs (hot span in 50%): "
+              f"stats={t_stats:.1f}s removal={t_removal:.1f}s "
+              f"max_task={max_ms}ms shuffle_w={sw and sw >> 20}MB "
+              f"shuffle_r={sr and sr >> 20}MB")
+        print(f"  dup_fraction: even-docs avg={agg_row['frac_even']:.3f} "
+              f"odd-docs avg={agg_row['frac_odd']:.4f}; "
+              f"{n_removed:,} docs shrank on removal")
+        tier_ok = (agg_row["rows"] == nd
+                   and agg_row["frac_even"] > 0.2
+                   and agg_row["frac_odd"] < 0.01
+                   and abs(n_removed - nd // 2) < nd // 100)
+        print(f"[{'ok' if tier_ok else 'FAIL'}] exactsubstr skew tier")
+        ok &= tier_ok
+
+    # --- BPE at a realistic 16k-merge vocabulary ------------------------
+    if "bpe16k" in tiers:
+        # the incremental merge loop (pipeline/bpe.py _learn_merges) vs
+        # the straight-from-the-paper rescan loop, on the SAME word-count
+        # table; the rescan is timed over its first 250 merges and
+        # extrapolated linearly (it does a full vocabulary sweep per
+        # merge, so linear extrapolation UNDERSTATES its true 16k cost)
+        from catabra_pandas_spark.pipeline.bpe import (_learn_merges,
+                                                       _word_counts, _EOW)
+        from catabra_pandas_spark.pipeline import bpe_tokenize
+
+        nd = max(n // 50, 50_000)
+        words = F.transform(
+            F.sequence(F.lit(1), F.pmod(F.xxhash64("id"), F.lit(40)) + 10),
+            lambda i: F.concat(F.lit("w"), F.pmod(
+                F.xxhash64(F.col("id"), i), F.lit(30_000))))
+        docs = spark.range(nd, numPartitions=64).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(words, " ").alias("text")).localCheckpoint(
+                eager=True)
+        t0 = time.perf_counter()
+        wc = _word_counts(docs, "text", lowercase=True, max_words=100_000)
+        t_wc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        merges = _learn_merges(wc, n_merges=16_000)
+        t_inc = time.perf_counter() - t0
+
+        def rescan(word_counts, n_merges):
+            words_ = [[list(w) + [_EOW], cnt] for w, cnt in word_counts]
+            out = []
+            for _ in range(n_merges):
+                pairs: dict = {}
+                for sym, cnt in words_:
+                    for p in zip(sym, sym[1:]):
+                        pairs[p] = pairs.get(p, 0) + cnt
+                if not pairs:
+                    break
+                best, c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+                if c < 2:
+                    break
+                out.append(best)
+                a, b = best
+                for w in words_:
+                    sym = w[0]
+                    j, new = 0, []
+                    while j < len(sym):
+                        if j + 1 < len(sym) and sym[j] == a \
+                                and sym[j + 1] == b:
+                            new.append(a + b)
+                            j += 2
+                        else:
+                            new.append(sym[j])
+                            j += 1
+                    w[0] = new
+            return out
+
+        probe = min(250, len(merges))
+        t0 = time.perf_counter()
+        base_merges = rescan(wc, probe)
+        t_rescan_probe = time.perf_counter() - t0
+        est_rescan = t_rescan_probe / probe * len(merges)
+        same_prefix = base_merges == merges[:probe]
+        t0 = time.perf_counter()
+        tok_rows = bpe_tokenize(docs, merges).count()
+        t_tok = time.perf_counter() - t0
+        print(f"bpe16k {nd:,} docs: word_counts={t_wc:.1f}s "
+              f"incremental_loop={t_inc:.1f}s for {len(merges):,} merges; "
+              f"rescan {probe} merges={t_rescan_probe:.1f}s -> "
+              f"~{est_rescan:.0f}s at {len(merges):,} "
+              f"({est_rescan / max(t_inc, 1e-9):.0f}x); "
+              f"tokenize={t_tok:.1f}s rows={tok_rows:,}")
+        tier_ok = (same_prefix and tok_rows == nd
+                   and t_inc < est_rescan / 5)
+        print(f"[{'ok' if tier_ok else 'FAIL'}] bpe16k tier "
+              f"(prefix identical={same_prefix})")
+        ok &= tier_ok
+
+    # --- block-grid cosine with a non-broadcastable query set ----------
+    if "cosinebig" in tiers:
+        # queries at n/50 rows x 32d (~hundreds of MB at cluster scale —
+        # past any sane broadcast threshold): the (qb, cb) cogroup grid
+        # shuffles each side O(blocks) times, NOT the |Q|x|C| pair rows a
+        # naive crossJoin would materialize.  Recorded: wall, max task
+        # duration, total shuffle bytes vs the pair-row estimate.
+        from catabra_pandas_spark.pipeline.similarity import cosine_topk
+
+        dim = 32
+        nq = max(n // 50, 20_000)
+        nc = max(n // 10, 100_000)
+        mk = lambda m, tag: spark.range(m, numPartitions=64).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.pmod(F.xxhash64(F.col("id"), F.lit(tag), F.lit(d)),
+                              F.lit(2001)).cast("double") / 1000.0 - 1.0)
+                      for d in range(dim)]).alias("embedding"))
+        qv = mk(nq, 1).localCheckpoint(eager=True)
+        emb = mk(nc, 2).localCheckpoint(eager=True)
+        sc = spark.sparkContext
+        sc.setJobGroup("cosine_big", "non-broadcast block-grid cosine")
+        t0 = time.perf_counter()
+        out = cosine_topk(qv, emb, k=5, dim=dim, broadcast_queries=False,
+                          n_query_blocks=8, n_corpus_blocks=16)
+        n_out = out.count()
+        t_big = time.perf_counter() - t0
+        sc.setJobGroup("default", "")
+        max_ms, sw, sr = job_group_metrics(spark, "cosine_big")
+        pair_bytes = nq * nc * (8 + 8 + 8)  # naive crossJoin pair rows
+        print(f"cosinebig {nq:,} queries x {nc:,} corpus x {dim}d: "
+              f"wall={t_big:.1f}s max_task={max_ms}ms "
+              f"shuffle_w={sw and sw >> 20}MB shuffle_r={sr and sr >> 20}MB "
+              f"vs naive pair-rows ~{pair_bytes >> 20}MB")
+        tier_ok = n_out == nq * 5 and (sw is None or sw < pair_bytes / 10)
+        print(f"[{'ok' if tier_ok else 'FAIL'}] cosinebig tier "
+              f"(rows={n_out:,})")
+        ok &= tier_ok
 
     print("SCALE_SMOKE", "PASS" if ok else "FAIL")
     spark.stop()
