@@ -3642,9 +3642,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "cross_dedup": q_cross_dedup,
-        "funnel": q_funnel,
-        "retention": q_retention,
         "embedding_neardup_exact": q_embedding_neardup_exact,
+        # r8 blocked-cosine kernel rewrite (argpartition + L3 slices)
+        "cosine_topk": q_cosine_topk,
+        "cosine_topk_blocked": q_cosine_topk_blocked,
         # ---- driver window ends here (50) ----
         # -- tail: green in r6/r7, code unchanged since --
         "merge_overlap": q_merge_overlap,
@@ -3669,8 +3670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "factorize": q_factorize,
         "inner_or_cross": q_inner_or_cross,
         "topk": q_topk,
-        "cosine_topk": q_cosine_topk,
-        "cosine_topk_blocked": q_cosine_topk_blocked,
+        "funnel": q_funnel,
+        "retention": q_retention,
         "bpe_train": q_bpe_train,
         "bpe_tokens": q_bpe_tokens,
         "kmeans_ann": q_kmeans_ann,

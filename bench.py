@@ -8,8 +8,17 @@ column, unlike count()).
 
 from __future__ import annotations
 
-import json
 import os
+
+# one BLAS thread per Python worker: every core already runs a worker, so
+# per-call BLAS fan-out only adds contention (set BEFORE the JVM spawns —
+# local-mode workers inherit this process's environment)
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
+
+import json
 import sys
 import time
 

@@ -106,8 +106,15 @@ def _topk_per_query(scored: DataFrame, k: int, dedup: bool = False) -> DataFrame
 
 # cap on the sims matrix inside one blocked-cosine grid cell (elements =
 # queries x corpus-slice doubles); module-level so tests can shrink it to
-# force the multi-slice merge path on small data
-_BLOCK_SIMS_ELEMS = 32 << 20
+# force the multi-slice merge path on small data.  1M doubles = 8 MB:
+# sized to stay L3-resident PER WORKER — with every core running a
+# worker, a large sims slab is DRAM-bandwidth-bound and the whole grid
+# serializes on memory traffic (measured on the 20k x 100k x 32d smoke:
+# 32M-element slices ran the cell stage at ~414 CPU-s, 1M-element slices
+# at ~48 CPU-s, a 5x wall-clock win; argpartition showed the same
+# cliff).  The extra per-slice top-k candidates are nq x k x n_slices
+# rows per cell — noise next to the matmul.
+_BLOCK_SIMS_ELEMS = 1 << 20
 
 
 def _blocked_exact_topk(q: DataFrame, c: DataFrame, k: int,
@@ -121,8 +128,13 @@ def _blocked_exact_topk(q: DataFrame, c: DataFrame, k: int,
     matmul emits only its local top-k per query.  The per-pair scored set
     exists only inside BLAS; no |Q|·|C| rows are ever materialized.
 
-    The corpus slab inside a cell is scored in bounded slices so the sims
-    matrix never exceeds ~32M doubles regardless of block sizing."""
+    The corpus slab inside a cell is scored in bounded L3-resident slices
+    (``_BLOCK_SIMS_ELEMS``) so concurrent workers don't serialize on DRAM
+    bandwidth.  Deployment note: pin BLAS to one thread per Python worker
+    (``OPENBLAS_NUM_THREADS=1`` in the executor environment, as bench.py
+    / scale_smoke.py do) — each worker already owns exactly one task
+    slot, and per-call BLAS thread fan-out on these small GEMMs measured
+    ~1.7x slower under full-machine concurrency."""
     import numpy as np
     import pandas as pd
 
@@ -164,17 +176,36 @@ def _blocked_exact_topk(q: DataFrame, c: DataFrame, k: int,
         parts = []
         for lo in range(0, len(nids), step):
             nid, sm, sn = nids[lo:lo + step], cm[lo:lo + step], cn[lo:lo + step]
+            # (queries, corpus-slice) orientation: row-major top-k along
+            # the CONTIGUOUS axis
             with np.errstate(divide="ignore", invalid="ignore"):
-                sims = (sm @ qm.T) / (sn[:, None] * qn[None, :])
+                sims = (qm @ sm.T) / (qn[:, None] * sn[None, :])
             # self-matches and zero-norm/NaN rows sort last and drop
-            sims[np.equal.outer(nid, qids)] = np.nan
+            sims[np.equal.outer(qids, nid)] = np.nan
             kk = min(k, len(nid))
-            idx = np.argsort(-sims, axis=0, kind="stable")[:kk]
-            top = np.take_along_axis(sims, idx, axis=0)
+            # O(nc) argpartition instead of a full O(nc log nc) sort —
+            # the sort was ~70x the matmul cost at 100k-corpus cells
+            # (ascending on -sims puts NaN last, exactly like the sort)
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            top = np.take_along_axis(sims, idx, axis=1)
+            # argpartition selects by VALUE only; when a tie crosses the
+            # k boundary the deterministic (sim desc, neighbor_id asc)
+            # contract needs the stable-sort selection — detect those
+            # rows (rare: exact float-cosine ties) and redo just them.
+            # nids are ascending within the slice, so a stable argsort on
+            # -sims yields ascending neighbor_id among equal sims.
+            with np.errstate(invalid="ignore"):
+                vk = top.min(axis=1)
+                n_eq_all = (sims == vk[:, None]).sum(axis=1)
+                n_eq_sel = (top == vk[:, None]).sum(axis=1)
+            for r in np.nonzero(n_eq_all > n_eq_sel)[0]:
+                idx[r] = np.argsort(-sims[r], kind="stable")[:kk]
+                top[r] = sims[r][idx[r]]
             keep = np.isfinite(top)
             if keep.any():
                 parts.append(pd.DataFrame({
-                    "query_id": np.broadcast_to(qids, (kk, len(qids)))[keep],
+                    "query_id": np.broadcast_to(
+                        qids[:, None], (len(qids), kk))[keep],
                     "neighbor_id": nid[idx][keep],
                     "cosine_sim": top[keep]}))
         if not parts:

@@ -44,6 +44,14 @@ Usage: python scripts/scale_smoke.py [n_obs] [tiers]
 from __future__ import annotations
 
 import os
+
+# one BLAS thread per Python worker: every core already runs a worker, so
+# per-call BLAS fan-out only adds contention (set BEFORE the JVM spawns —
+# local-mode workers inherit this process's environment)
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
 import sys
 import time
 
@@ -134,8 +142,18 @@ def main():
              # skew tiers comes from the event log
              .config("spark.eventLog.enabled", "true")
              .config("spark.eventLog.dir", "file:/tmp/spark-events")
+             # plain single-file JSON (Spark 4 defaults to rolling zstd,
+             # which the in-session parser can't read)
+             .config("spark.eventLog.rolling.enabled", "false")
+             .config("spark.eventLog.compress", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+    # warm the Python workers once (each worker's first Arrow task pays
+    # ~5 CPU-s of pandas/numpy imports; 32 cold workers read as ~450
+    # CPU-s of phantom skew in the first Python stage measured) — the
+    # same steady-state protocol as bench.py
+    spark.range(int(cpus) * 8, numPartitions=int(cpus) * 2) \
+        .mapInPandas(lambda it: it, schema="id long").count()
 
     ok = True
     span = 1_000_000.0
