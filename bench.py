@@ -154,7 +154,16 @@ def main():
     # best-of-3 per query, like the reference's %timeit baseline: this VM
     # shows sporadic multi-second stalls (same plan: 1.8 s vs 14.9 s across
     # runs; in round 4, 10.1/4.1/2.0 s for one query back-to-back), and
-    # min-of-repeats is the standard steady-state estimator
+    # min-of-repeats is the standard steady-state estimator.
+    # r8 re-measure of the r7 grouped_mode drift (0.40 -> 0.76 s): NOT a
+    # code regression — modes.py and its whole symbol closure are
+    # byte-identical since r5, and the r7 bench confs reproduce both
+    # numbers.  Isolated (SPARK_GRAFT_ONLY=grouped_mode) it runs 0.70-0.98
+    # s paying its own codegen JIT; inside the full session it rides
+    # shared-JIT warmth at 0.37-0.76 s depending on what compiled before
+    # it.  Sub-second queries in a 60-query session have a +/-0.4 s
+    # session-JIT band; only cross-run drift OUTSIDE an isolated re-run
+    # indicates a real regression.
     times: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
