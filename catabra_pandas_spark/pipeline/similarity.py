@@ -138,7 +138,6 @@ def _blocked_exact_topk(q: DataFrame, c: DataFrame, k: int,
     import numpy as np
     import pandas as pd
 
-    spark = q.sparkSession
     nq_b, nc_b = int(n_query_blocks), int(n_corpus_blocks)
     q2 = (q.withColumn("__qb__",
                        F.pmod(F.xxhash64("query_id"), F.lit(nq_b)).cast("int"))
@@ -151,9 +150,12 @@ def _blocked_exact_topk(q: DataFrame, c: DataFrame, k: int,
     # explicit keyed repartition: AQE sizes the cogroup exchange by DATA
     # volume and would coalesce a few-MB vector table to ~1 task,
     # serializing every grid cell's Python call (same failure mode as the
-    # resample_eav custom-agg stage; see operators/resampling.py)
-    n_part = min(nq_b * nc_b,
-                 int(spark.conf.get("spark.sql.shuffle.partitions", "200")))
+    # resample_eav custom-agg stage; see operators/resampling.py).
+    # ONE CELL PER PARTITION: cells are uniform-cost, so hashing several
+    # into one partition only adds balls-in-bins skew (measured 2x
+    # med-to-max task spread at 128 cells over 32 partitions); surplus
+    # partitions just queue over the cores.
+    n_part = min(nq_b * nc_b, 4096)
     q2 = q2.repartition(n_part, "__qb__", "__cb__")
     c2 = c2.repartition(n_part, "__qb__", "__cb__")
     out_schema = f"query_id {qt}, neighbor_id {ct}, cosine_sim double"
@@ -172,49 +174,68 @@ def _blocked_exact_topk(q: DataFrame, c: DataFrame, k: int,
         nids = right["neighbor_id"].to_numpy()
         cm = np.stack(right["__cv__"].to_numpy())
         cn = np.sqrt((cm * cm).sum(axis=1))
-        step = max(1, slice_elems // max(len(qids), 1))
-        parts = []
-        for lo in range(0, len(nids), step):
-            nid, sm, sn = nids[lo:lo + step], cm[lo:lo + step], cn[lo:lo + step]
-            # (queries, corpus-slice) orientation: row-major top-k along
-            # the CONTIGUOUS axis
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = (qm @ sm.T) / (qn[:, None] * sn[None, :])
-            # self-matches and zero-norm/NaN rows sort last and drop
-            sims[np.equal.outer(qids, nid)] = np.nan
-            kk = min(k, len(nid))
-            # O(nc) argpartition instead of a full O(nc log nc) sort —
-            # the sort was ~70x the matmul cost at 100k-corpus cells
-            # (ascending on -sims puts NaN last, exactly like the sort)
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            top = np.take_along_axis(sims, idx, axis=1)
-            # argpartition selects by VALUE only; when a tie crosses the
-            # k boundary the deterministic (sim desc, neighbor_id asc)
-            # contract needs the stable-sort selection — detect those
-            # rows (rare: exact float-cosine ties) and redo just them.
-            # nids are ascending within the slice, so a stable argsort on
-            # -sims yields ascending neighbor_id among equal sims.
-            with np.errstate(invalid="ignore"):
+        # tile BOTH dimensions: the sims slab stays <= slice_elems
+        # (L3-resident) whatever the cell shape, and each query tile
+        # keeps a CONSTANT-size running top-k buffer folded slice by
+        # slice.  (The previous slice-only loop accumulated nq x k
+        # candidate rows PER SLICE before one big merge: with a 25k-query
+        # cell the step collapsed to ~41 corpus rows and ~1500 pending
+        # slices OOM-killed the workers at ~4 GB each on the
+        # 200k x 1M smoke.)
+        q_tile = max(64, min(len(qids), 4096))
+        c_step = max(64, slice_elems // q_tile)
+        kk = min(k, len(nids))
+        out = []
+        for q0 in range(0, len(qids), q_tile):
+            tq_ids = qids[q0:q0 + q_tile]
+            tqm, tqn = qm[q0:q0 + q_tile], qn[q0:q0 + q_tile]
+            best_v = best_n = None
+            for lo in range(0, len(nids), c_step):
+                nid, sm = nids[lo:lo + c_step], cm[lo:lo + c_step]
+                sn = cn[lo:lo + c_step]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (tqm @ sm.T) / (tqn[:, None] * sn[None, :])
+                # self-matches and zero-norm/NaN pairs sort last and drop
+                # (-inf, not NaN, so the lexsort fold below stays simple)
+                sims[np.equal.outer(tq_ids, nid)] = -np.inf
+                np.nan_to_num(sims, copy=False, nan=-np.inf)
+                ks = min(k, len(nid))
+                # O(nc) argpartition instead of a full O(nc log nc) sort —
+                # the sort was ~70x the matmul cost at 100k-corpus cells
+                idx = np.argpartition(-sims, ks - 1, axis=1)[:, :ks]
+                top = np.take_along_axis(sims, idx, axis=1)
+                # argpartition selects by VALUE only; when a tie crosses
+                # the k boundary the deterministic (sim desc, neighbor
+                # asc) contract needs the stable-sort selection — detect
+                # those rows (rare: exact float-cosine ties) and redo
+                # just them.  nids are ascending within the slice, so a
+                # stable argsort on -sims yields ascending neighbor_id
+                # among equal sims.
                 vk = top.min(axis=1)
                 n_eq_all = (sims == vk[:, None]).sum(axis=1)
                 n_eq_sel = (top == vk[:, None]).sum(axis=1)
-            for r in np.nonzero(n_eq_all > n_eq_sel)[0]:
-                idx[r] = np.argsort(-sims[r], kind="stable")[:kk]
-                top[r] = sims[r][idx[r]]
-            keep = np.isfinite(top)
+                for r in np.nonzero(n_eq_all > n_eq_sel)[0]:
+                    idx[r] = np.argsort(-sims[r], kind="stable")[:ks]
+                    top[r] = sims[r][idx[r]]
+                nid_sel = nid[idx]
+                if best_v is None:
+                    best_v, best_n = top, nid_sel
+                else:
+                    cv = np.concatenate([best_v, top], axis=1)
+                    cnn = np.concatenate([best_n, nid_sel], axis=1)
+                    # exact (sim desc, neighbor asc) fold of <= 2k columns
+                    order = np.lexsort((cnn, -cv), axis=1)[:, :kk]
+                    best_v = np.take_along_axis(cv, order, axis=1)
+                    best_n = np.take_along_axis(cnn, order, axis=1)
+            keep = np.isfinite(best_v)
             if keep.any():
-                parts.append(pd.DataFrame({
+                w = best_v.shape[1]
+                out.append(pd.DataFrame({
                     "query_id": np.broadcast_to(
-                        qids[:, None], (len(qids), kk))[keep],
-                    "neighbor_id": nid[idx][keep],
-                    "cosine_sim": top[keep]}))
-        if not parts:
-            return empty
-        merged = pd.concat(parts, ignore_index=True)
-        # reduce the <=k-per-slice candidates to the cell's true top-k
-        return (merged.sort_values(["cosine_sim", "neighbor_id"],
-                                   ascending=[False, True], kind="stable")
-                      .groupby("query_id", sort=False).head(k))
+                        tq_ids[:, None], (len(tq_ids), w))[keep],
+                    "neighbor_id": best_n[keep],
+                    "cosine_sim": best_v[keep]}))
+        return pd.concat(out, ignore_index=True) if out else empty
 
     pre = (q2.groupBy("__qb__", "__cb__")
              .cogroup(c2.groupBy("__qb__", "__cb__"))
