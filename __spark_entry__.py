@@ -2943,6 +2943,70 @@ _Q_MULTIMODAL_MP3_SQL = """
 """
 
 
+def q_multimodal_mp4(spark, sf):
+    """REAL MP4 container probe, oracle-checked end-to-end: per document
+    a genuine ISO BMFF box tree (ftyp + moov{mvhd, trak/tkhd...} with
+    16.16 fixed-point dimensions) is built from doc_id-derived
+    parameters, then pipeline.multimodal.mp4_metadata walks the boxes
+    BYTE BY BYTE (ISO 14496-12 size+fourcc layout) to recover brand /
+    timescale / duration / track count / width / height.  The DuckDB
+    oracle replays the parameter arithmetic without ever seeing the
+    binary.  Scale: build + probe are narrow Arrow maps, zero shuffle."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    docs = read_table(spark, sf, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 300)
+
+    @pandas_udf(T.BinaryType())
+    def make_mp4(doc_id):
+        from catabra_pandas_spark.pipeline.codecs import mp4_encode_boxes
+
+        def build(d):
+            d = int(d)
+            return mp4_encode_boxes(
+                duration_ms=(d % 3600) * 1000.0 + 500.0,
+                timescale=(600, 1000, 90000)[d % 3],
+                width=320 + (d % 5) * 320,
+                height=180 + (d % 5) * 180,
+                n_tracks=d % 3 + 1,
+                brand=(b"isom", b"mp42")[d % 2],
+                version=d % 4 // 2)  # mvhd v0 for 0,1; v1 for 2,3
+        return doc_id.map(build)
+
+    d = docs.withColumn("payload", make_mp4(F.col("doc_id")))
+    out = P.mp4_metadata(d, "payload")
+    return out.select(
+        "doc_id",
+        F.col("mp4_meta.major_brand").alias("major_brand"),
+        F.col("mp4_meta.timescale").cast("long").alias("timescale"),
+        F.col("mp4_meta.duration").alias("duration"),
+        F.round("mp4_meta.duration_ms", 6).alias("duration_ms"),
+        F.col("mp4_meta.n_tracks").cast("long").alias("n_tracks"),
+        F.col("mp4_meta.width").alias("width"),
+        F.col("mp4_meta.height").alias("height"))
+
+
+_Q_MULTIMODAL_MP4_SQL = """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+    p AS (SELECT doc_id,
+                 (doc_id % 3600) * 1000.0 + 500.0 AS req_ms,
+                 ([600, 1000, 90000])[(doc_id % 3 + 1)::INT] AS timescale,
+                 CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END
+                     AS major_brand,
+                 doc_id % 3 + 1 AS n_tracks,
+                 (320 + (doc_id % 5) * 320)::DOUBLE AS width,
+                 (180 + (doc_id % 5) * 180)::DOUBLE AS height
+          FROM d),
+    q AS (SELECT *, round(req_ms * timescale / 1000.0)::BIGINT AS duration
+          FROM p)
+    SELECT doc_id, major_brand, timescale::BIGINT AS timescale, duration,
+           round(duration * 1000.0 / timescale, 6) AS duration_ms,
+           n_tracks::BIGINT AS n_tracks, width, height
+    FROM q
+"""
+
+
 def q_multimodal_frames(spark, sf):
     """pipeline.sample_frames: every-Nth-frame index explosion per video
     row (JVM sequence explode — the fan-out step that distributes per-frame
@@ -3614,6 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_resample_interval": q_stream_resample_interval,
         "stream_funnel": q_stream_funnel,
         "multimodal_mp3": q_multimodal_mp3,
+        "multimodal_mp4": q_multimodal_mp4,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio": q_multimodal_audio,
@@ -3641,7 +3706,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
-        "cross_dedup": q_cross_dedup,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         # r8 blocked-cosine kernel rewrite (argpartition + L3 slices)
         "cosine_topk": q_cosine_topk,
@@ -3670,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "factorize": q_factorize,
         "inner_or_cross": q_inner_or_cross,
         "topk": q_topk,
+        "cross_dedup": q_cross_dedup,
         "funnel": q_funnel,
         "retention": q_retention,
         "bpe_train": q_bpe_train,
@@ -3801,6 +3866,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_jpeg": _Q_MULTIMODAL_JPEG_SQL,
         "multimodal_wav": _Q_MULTIMODAL_WAV_SQL,
         "multimodal_mp3": _Q_MULTIMODAL_MP3_SQL,
+        "multimodal_mp4": _Q_MULTIMODAL_MP4_SQL,
         # sketch tier: exact outputs with sketch-quality booleans, so the
         # oracle replays the exact side and TRUE-literals the certificate
         "hll_distinct": _Q_HLL_DISTINCT_SQL,

@@ -32,7 +32,8 @@ from .text import (apply_filters, detect_language, fingerprint,
                    text_quality, token_count, token_count_bpe,
                    train_ngram_lm)
 from .multimodal import (attach_binary_metadata, decode_binary,
-                         mp3_metadata, resize_image, sample_frames)
+                         mp3_metadata, mp4_metadata, resize_image,
+                         sample_frames)
 from .sampling import (assign_splits, deterministic_sample, mix_corpora,
                        stratified_sample)
 from .packing import chunk_documents, pack_bins, pack_sequences
@@ -51,7 +52,7 @@ __all__ = [
     "detect_language", "fingerprint", "text_quality", "token_count",
     "train_ngram_lm", "ngram_perplexity",
     "token_count_bpe", "repetition_stats", "scrub_pii",
-    "attach_binary_metadata", "decode_binary", "mp3_metadata",
+    "attach_binary_metadata", "decode_binary", "mp3_metadata", "mp4_metadata",
     "resize_image", "sample_frames",
     "assign_splits", "deterministic_sample", "stratified_sample",
     "train_bpe", "bpe_tokenize", "bpe_decode_tokens",

@@ -822,3 +822,128 @@ def mp3_encode_headers(
                     (size >> 7) & 0x7F, size & 0x7F])
         out = b"ID3\x04\x00\x00" + ss + id3_tag + out
     return out
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO BMFF box walk — metadata-only probe)
+# ---------------------------------------------------------------------------
+#
+# Public-spec container parse (ISO/IEC 14496-12 box structure: 32-bit
+# big-endian size + fourcc type, size==1 -> 64-bit largesize, fullbox
+# version/flags; mvhd timescale/duration, tkhd width/height as 16.16
+# fixed point).  Like the MP3 probe this is REAL header-level metadata —
+# brand, duration, track count, display dimensions — with the sample
+# decode itself still stubbed (no codec library in this container).
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for the boxes in
+    payload[start:end]; raises ValueError on truncated/invalid sizes."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated MP4 box header")
+        size = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize")
+            size = int.from_bytes(payload[pos + 8:pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"invalid MP4 box size {size} for "
+                             f"{typ!r} at {pos}")
+        yield typ, body, pos + size
+        pos += size
+
+
+def mp4_probe(payload: bytes) -> dict:
+    """Walk an ISO BMFF (MP4) box tree and return header-level metadata:
+    ``{major_brand, timescale, duration, duration_ms, n_tracks, width,
+    height}`` — width/height from the first video-sized ``tkhd`` (16.16
+    fixed point), duration from ``mvhd`` (version 0 and 1 layouts).
+    Raises ValueError when no ``moov``/``mvhd`` is present or any box
+    size is inconsistent."""
+    brand = None
+    info: dict = {}
+    tracks = 0
+    width = height = 0.0
+
+    def walk_trak(b0: int, b1: int) -> None:
+        nonlocal tracks, width, height
+        tracks += 1
+        for typ, t0, t1 in _mp4_boxes(payload, b0, b1):
+            if typ != b"tkhd":
+                continue
+            ver = payload[t0]
+            off = t0 + 4 + (32 if ver == 1 else 20) + 8 + 2 + 2 + 2 + 2 + 36
+            if off + 8 > t1:
+                raise ValueError("truncated tkhd box")
+            w = int.from_bytes(payload[off:off + 4], "big") / 65536.0
+            h = int.from_bytes(payload[off + 4:off + 8], "big") / 65536.0
+            if w and h and not (width and height):
+                width, height = w, h
+
+    for typ, b0, b1 in _mp4_boxes(payload, 0, len(payload)):
+        if typ == b"ftyp":
+            brand = payload[b0:b0 + 4].decode("latin-1")
+        elif typ == b"moov":
+            for t, m0, m1 in _mp4_boxes(payload, b0, b1):
+                if t == b"mvhd":
+                    ver = payload[m0]
+                    if ver == 1:
+                        ts = int.from_bytes(payload[m0 + 20:m0 + 24], "big")
+                        dur = int.from_bytes(payload[m0 + 24:m0 + 32], "big")
+                    else:
+                        ts = int.from_bytes(payload[m0 + 12:m0 + 16], "big")
+                        dur = int.from_bytes(payload[m0 + 16:m0 + 20], "big")
+                    if ts == 0:
+                        raise ValueError("mvhd timescale is zero")
+                    info = {"timescale": ts, "duration": dur,
+                            "duration_ms": dur * 1000.0 / ts}
+                elif t == b"trak":
+                    walk_trak(m0, m1)
+    if not info:
+        raise ValueError("no moov/mvhd box — not an MP4 movie")
+    return {"major_brand": brand or "", "n_tracks": tracks,
+            "width": width, "height": height, **info}
+
+
+def _mp4_box(typ: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def mp4_encode_boxes(
+    duration_ms: float,
+    timescale: int = 1000,
+    width: int = 0,
+    height: int = 0,
+    n_tracks: int = 1,
+    brand: bytes = b"isom",
+    version: int = 0,
+) -> bytes:
+    """Fixture-grade ISO BMFF builder: ``ftyp`` + ``moov`` holding a
+    real ``mvhd`` (version 0 or 1) and ``n_tracks`` ``trak/tkhd`` boxes
+    with 16.16 fixed-point dimensions, plus an empty ``mdat``.  No
+    samples — this exists so :func:`mp4_probe` has genuine box trees to
+    walk; probe(encode(...)) recovers every parameter exactly."""
+    dur = int(round(duration_ms * timescale / 1000.0))
+    if version == 1:
+        mvhd = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                + struct.pack(">I", timescale) + struct.pack(">Q", dur)
+                + b"\x00" * 80)
+    else:
+        mvhd = (b"\x00\x00\x00\x00" + b"\x00" * 8
+                + struct.pack(">I", timescale) + struct.pack(">I", dur)
+                + b"\x00" * 80)
+    tkhd = (b"\x00\x00\x00\x00" + b"\x00" * 20 + b"\x00" * 8
+            + b"\x00" * 8 + b"\x00" * 36
+            + struct.pack(">I", int(width) << 16)
+            + struct.pack(">I", int(height) << 16))
+    trak = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd))
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + trak * int(n_tracks))
+    return (_mp4_box(b"ftyp", brand + b"\x00\x00\x02\x00" + brand)
+            + moov + _mp4_box(b"mdat", b""))

@@ -16,15 +16,16 @@ Decode is dispatched on the metadata ``mime``:
   driver's ``multimodal_audio``/``multimodal_wav``/``multimodal_decode``
   queries round-trip values -> bytes -> decoded statistics against
   DuckDB oracles that never see the binary.
-* a REAL metadata-only **MP3 header probe** (:func:`mp3_metadata` /
-  ``codecs.mp3_probe``: MPEG Layer III frame-header walk, ID3 tag skip —
-  bitrate/sample-rate/channels/frame-count/duration from the published
-  header tables) with the sample decode itself stubbed;
-* a clearly-marked deterministic STUB for the remaining sample decodes
-  (mp3 audio frames / mp4 — no audio/video codec in this container);
-  swap ``_decode_fake`` for ffmpeg/soundfile in production.  The
-  Spark-side contract — schema, partitioning, Arrow batch shape — is
-  identical either way.
+* REAL metadata-only **MP3 and MP4 header probes** (:func:`mp3_metadata`
+  / ``codecs.mp3_probe``: MPEG Layer III frame-header walk, ID3 tag
+  skip, published bitrate/samplerate tables; :func:`mp4_metadata` /
+  ``codecs.mp4_probe``: ISO BMFF box walk — mvhd duration/timescale,
+  tkhd 16.16 dimensions, track count) with the sample decodes stubbed;
+* a clearly-marked deterministic STUB for the remaining SAMPLE decodes
+  (mp3 audio frames / mp4 tracks — no audio/video codec in this
+  container); swap ``_decode_fake`` for ffmpeg/soundfile in production.
+  The Spark-side contract — schema, partitioning, Arrow batch shape —
+  is identical either way.
 """
 
 from __future__ import annotations
@@ -122,6 +123,54 @@ def mp3_metadata(
                 return None
             try:
                 info = mp3_probe(bytes(p))
+            except ValueError:
+                return None
+            return {k: info[k] for k in names}
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[binary_col].map(probe)
+            yield pdf[in_cols + [out_col]]
+
+    return df.mapInPandas(mapper, schema=out_schema)
+
+
+MP4_METADATA_SCHEMA = T.StructType([
+    T.StructField("major_brand", T.StringType()),
+    T.StructField("timescale", T.IntegerType()),
+    T.StructField("duration", T.LongType()),
+    T.StructField("duration_ms", T.DoubleType()),
+    T.StructField("n_tracks", T.IntegerType()),
+    T.StructField("width", T.DoubleType()),
+    T.StructField("height", T.DoubleType()),
+])
+
+
+def mp4_metadata(
+    df: DataFrame,
+    binary_col: str,
+    out_col: str = "mp4_meta",
+) -> DataFrame:
+    """REAL metadata-only MP4 probe: walk each payload's ISO BMFF box
+    tree (``pipeline.codecs.mp4_probe`` — public ISO 14496-12 box
+    layout) and attach a typed struct with brand / timescale / duration /
+    track count / display dimensions.  Sample DECODE stays stubbed (no
+    codec library in this container).  Arrow ``mapInPandas``, narrow
+    map — no shuffle at any corpus size.  Null or unparseable payloads
+    yield a null struct rather than failing the batch."""
+    from .codecs import mp4_probe
+
+    out_schema = T.StructType(df.schema.fields
+                              + [T.StructField(out_col, MP4_METADATA_SCHEMA)])
+    in_cols = df.columns
+    names = [f.name for f in MP4_METADATA_SCHEMA.fields]
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def probe(p):
+            if p is None:
+                return None
+            try:
+                info = mp4_probe(bytes(p))
             except ValueError:
                 return None
             return {k: info[k] for k in names}

@@ -288,3 +288,43 @@ def test_mp3_probe_rejects_bad_streams():
         mp3_encode_headers(1, bitrate_idx=0, sr_idx=0)
     with pytest.raises(ValueError, match="bitrate/samplerate"):
         mp3_encode_headers(1, bitrate_idx=15, sr_idx=0)
+
+
+def test_mp4_probe_roundtrip():
+    """mp4_probe(mp4_encode_boxes(...)) recovers brand, timescale,
+    duration, track count and 16.16 display dimensions exactly, for both
+    mvhd versions."""
+    from catabra_pandas_spark.pipeline.codecs import (mp4_encode_boxes,
+                                                      mp4_probe)
+
+    p = mp4_encode_boxes(12345.0, timescale=600, width=1920, height=1080,
+                         n_tracks=2, brand=b"mp42")
+    info = mp4_probe(p)
+    assert info["major_brand"] == "mp42"
+    assert info["timescale"] == 600 and info["duration"] == 7407
+    assert abs(info["duration_ms"] - 12345.0) < 1.0
+    assert info["n_tracks"] == 2
+    assert (info["width"], info["height"]) == (1920.0, 1080.0)
+    v1 = mp4_probe(mp4_encode_boxes(999.0, version=1))
+    assert v1["duration_ms"] == 999.0 and v1["timescale"] == 1000
+
+
+def test_mp4_probe_rejects_bad_boxes():
+    """Truncated headers, inconsistent sizes, missing moov, and zero
+    timescale all raise ValueError."""
+    import pytest
+
+    from catabra_pandas_spark.pipeline.codecs import (mp4_encode_boxes,
+                                                      mp4_probe)
+
+    good = mp4_encode_boxes(1000.0)
+    with pytest.raises(ValueError, match="truncated MP4 box header"):
+        mp4_probe(good[:-3])
+    with pytest.raises(ValueError, match="no moov"):
+        mp4_probe(good[:20])  # ftyp only (20-byte box)
+    bad = bytearray(good)
+    bad[0] = 0xFF  # ftyp size far beyond payload
+    with pytest.raises(ValueError, match="invalid MP4 box size"):
+        mp4_probe(bytes(bad))
+    with pytest.raises(ValueError, match="timescale"):
+        mp4_probe(mp4_encode_boxes(1000.0, timescale=0))

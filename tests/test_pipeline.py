@@ -385,6 +385,34 @@ def test_mp3_metadata_probe(spark):
     assert probed["mime"] == "audio/mpeg"
 
 
+def test_mp4_metadata_probe(spark):
+    """mp4_metadata walks real ISO BMFF box trees via mapInPandas and
+    attaches the typed struct; unparseable/null payloads yield a null
+    struct."""
+    from catabra_pandas_spark.pipeline import mp4_metadata
+    from catabra_pandas_spark.pipeline.codecs import mp4_encode_boxes
+
+    pdf = pd.DataFrame({
+        "id": [0, 1, 2],
+        "payload": [
+            mp4_encode_boxes(30000.0, timescale=90000, width=640,
+                             height=360, n_tracks=2, brand=b"mp42"),
+            b"definitely not an mp4",
+            None,
+        ],
+    })
+    sdf = spark.createDataFrame(pdf, "id long, payload binary")
+    out = (mp4_metadata(sdf, "payload").toPandas()
+           .set_index("id").sort_index())
+    m0 = out.loc[0, "mp4_meta"]
+    assert m0["major_brand"] == "mp42"
+    assert m0["timescale"] == 90000 and m0["duration"] == 2700000
+    assert m0["n_tracks"] == 2
+    assert (m0["width"], m0["height"]) == (640.0, 360.0)
+    assert out.loc[1, "mp4_meta"] is None
+    assert out.loc[2, "mp4_meta"] is None
+
+
 def test_netpbm_rejects_16bit_maxval():
     """maxval > 255 means 2-byte samples; a uint8 read would silently
     misdecode, so the decoder must raise instead."""
