@@ -1939,6 +1939,79 @@ _Q_COSINE_TOPK_SQL = """
 """
 
 
+def q_embedding_q8(spark, sf):
+    """int8 scalar quantization of the embedding store
+    (pipeline/similarity.py quantize_embeddings — map-only, codegen
+    unrolled element_at arithmetic, zero shuffle): per vector the scale
+    max|v|/127 and order-independent code statistics (sum/min/max and
+    the max reconstruction error, bounded by scale/2).  The DuckDB twin
+    replays the affine arithmetic on the raw floats — both engines run
+    the identical double ops, so round-half-away codes match bit for
+    bit."""
+    emb = read_table(spark, sf, "embeddings").filter(F.col("vec_id") < 300)
+    q = P.quantize_embeddings(emb, dim=64)
+    code = F.col("codes_q8")
+    recon = F.transform(
+        F.arrays_zip(F.col("embedding").cast("array<double>").alias("v"),
+                     code.alias("c")),
+        lambda r: F.abs(r["v"] - r["c"].cast("double")
+                        * F.col("scale_q8")))
+    # two-step select: aliasing round(scale_q8) AS scale_q8 in the SAME
+    # select would make the recon lambda's F.col("scale_q8") resolve to
+    # the ROUNDED lateral column alias instead of the child column
+    # (verified: max_abs_err shifted by code_max x round-error, ~1.6e-8)
+    stats = q.select(
+        "vec_id", "scale_q8",
+        F.aggregate(code, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x.cast("long")).alias("code_sum"),
+        F.array_min(code).cast("long").alias("code_min"),
+        F.array_max(code).cast("long").alias("code_max"),
+        F.array_max(recon).alias("__err__"))
+    return stats.select(
+        "vec_id", F.round("scale_q8", 9).alias("scale_q8"),
+        "code_sum", "code_min", "code_max",
+        F.round("__err__", 9).alias("max_abs_err"))
+
+
+_Q_EMBEDDING_Q8_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 300),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM e),
+    c AS (SELECT vec_id, scale,
+                 list_transform(v, x -> round(x / scale)::BIGINT) AS codes,
+                 list_transform(v, x -> abs(x - round(x / scale) * scale))
+                     AS err
+          FROM s)
+    SELECT vec_id, round(scale, 9) AS scale_q8,
+           list_sum(codes)::BIGINT AS code_sum,
+           list_min(codes) AS code_min, list_max(codes) AS code_max,
+           round(list_max(err), 9) AS max_abs_err
+    FROM c
+"""
+
+
+def q_q8_ann(spark, sf):
+    """int8-quantization recall certificate (pipeline/similarity.py
+    q8_cosine_topk): the corpus is scanned as int8 CODES (4x fewer bytes
+    than float32 — at 100 TB the scan is the bill), per-batch code-space
+    cosine picks an 8k candidate pool, and the pool is re-scored EXACTLY
+    on the float vectors.  The certificate semi-joins the exact top-5
+    pairs against the q8 result: green iff quantized scanning recovered
+    every true neighbor, so it shares q_cosine_topk's exact oracle."""
+    emb = read_table(spark, sf, "embeddings")
+    corpus_q8 = P.quantize_embeddings(emb, dim=64)
+    q8 = P.q8_cosine_topk(emb.filter(F.col("vec_id") < 10), corpus_q8,
+                          k=5, dim=64, rerank_vec="embedding", rerank=8)
+    exact = P.cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5,
+                          dim=64)
+    return (exact.join(q8.select("query_id", "neighbor_id"),
+                       ["query_id", "neighbor_id"], "left_semi")
+            .select("query_id", "neighbor_id",
+                    F.round("cosine_sim", 6).alias("cosine_sim"), "rank"))
+
+
 def q_cosine_topk_blocked(spark, sf):
     """Exact cosine top-5 via the BLOCK-GRID fallback
     (broadcast_queries=False, pipeline/similarity.py
@@ -3702,14 +3775,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_asof": q_merge_asof,
         "find_containing_sweep": q_find_containing_sweep,
         "resample_interval_sweep": q_resample_interval_sweep,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         # r8 blocked-cosine kernel rewrite (argpartition + L3 slices)
+        # + the new int8 quantization tier
         "cosine_topk": q_cosine_topk,
         "cosine_topk_blocked": q_cosine_topk_blocked,
+        "embedding_q8": q_embedding_q8,
+        "q8_ann": q_q8_ann,
         # ---- driver window ends here (50) ----
         # -- tail: green in r6/r7, code unchanged since --
         "merge_overlap": q_merge_overlap,
@@ -3735,6 +3809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inner_or_cross": q_inner_or_cross,
         "topk": q_topk,
         "cross_dedup": q_cross_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
         "funnel": q_funnel,
         "retention": q_retention,
         "bpe_train": q_bpe_train,
@@ -3867,6 +3943,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_wav": _Q_MULTIMODAL_WAV_SQL,
         "multimodal_mp3": _Q_MULTIMODAL_MP3_SQL,
         "multimodal_mp4": _Q_MULTIMODAL_MP4_SQL,
+        "embedding_q8": _Q_EMBEDDING_Q8_SQL,
+        "q8_ann": _Q_COSINE_TOPK_SQL,
         # sketch tier: exact outputs with sketch-quality booleans, so the
         # oracle replays the exact side and TRUE-literals the certificate
         "hll_distinct": _Q_HLL_DISTINCT_SQL,

@@ -96,6 +96,9 @@ HEADLINE = [
     "substring_removal",
     # r8 additions
     "multimodal_mp3",
+    "multimodal_mp4",
+    "embedding_q8",
+    "q8_ann",
 ]
 
 

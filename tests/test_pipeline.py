@@ -851,3 +851,64 @@ def test_exact_substring_dedup_removal(spark):
         "a completely different continuation follows here"
     assert out.loc[3, "n_kept"] == out.loc[3, "n_tokens"]
     assert out.loc[4, "text_deduped"] == "" and out.loc[4, "n_kept"] == 0
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    """int8 scalar quantization: codes in [-127, 127], the max-|v|
+    coordinate maps to exactly +/-127, reconstruction error is bounded
+    by scale/2 per coordinate, and all-zero / null vectors get scale 0 /
+    null struct fields."""
+    import numpy as np
+
+    from catabra_pandas_spark.pipeline import quantize_embeddings
+
+    rng = np.random.default_rng(11)
+    vecs = [rng.standard_normal(8).tolist() for _ in range(20)]
+    pdf = pd.DataFrame({"vec_id": range(22), "embedding": vecs + [[0.0] * 8, None]})
+    sdf = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    out = (quantize_embeddings(sdf, dim=8).toPandas()
+           .set_index("vec_id").sort_index())
+    for i, v in enumerate(vecs):
+        v = np.asarray(v)
+        scale = out.loc[i, "scale_q8"]
+        codes = np.asarray(out.loc[i, "codes_q8"], dtype=np.int64)
+        assert abs(scale - np.abs(v).max() / 127.0) < 1e-12
+        assert codes.min() >= -127 and codes.max() <= 127
+        assert np.abs(codes).max() == 127
+        assert np.abs(codes * scale - v).max() <= scale / 2 + 1e-12
+    assert out.loc[20, "scale_q8"] == 0.0
+    assert list(out.loc[20, "codes_q8"]) == [0] * 8
+    assert out.loc[21, "scale_q8"] is None or pd.isna(out.loc[21, "scale_q8"])
+    assert out.loc[21, "codes_q8"] is None
+
+
+def test_q8_cosine_topk_rerank_matches_exact(spark):
+    """q8 scan + exact re-rank recovers the exact cosine top-k (values
+    AND order) on a 500-vector corpus; the pure code-space variant ranks
+    with small error but high overlap."""
+    import numpy as np
+
+    from catabra_pandas_spark.pipeline import (cosine_topk, q8_cosine_topk,
+                                               quantize_embeddings)
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "vec_id": range(500),
+        "embedding": [rng.standard_normal(16).tolist() for _ in range(500)],
+    })
+    sdf = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    qdf = sdf.filter(F.col("vec_id") < 8)
+    corpus_q8 = quantize_embeddings(sdf, dim=16)
+
+    exact = (cosine_topk(qdf, sdf, k=5, dim=16).toPandas()
+             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    rer = (q8_cosine_topk(qdf, corpus_q8, k=5, dim=16,
+                          rerank_vec="embedding", rerank=8).toPandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert list(rer.neighbor_id) == list(exact.neighbor_id)
+    assert np.allclose(rer.cosine_sim, exact.cosine_sim, atol=1e-9)
+
+    approx = (q8_cosine_topk(qdf, corpus_q8, k=5, dim=16).toPandas())
+    pairs_e = set(zip(exact.query_id, exact.neighbor_id))
+    pairs_a = set(zip(approx.query_id, approx.neighbor_id))
+    assert len(pairs_a & pairs_e) >= int(0.8 * len(pairs_e))
