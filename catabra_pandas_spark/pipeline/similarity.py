@@ -928,10 +928,16 @@ def q8_cosine_topk(
             .filter(F.col("v").isNotNull() & (F.size("v") == dim))
             .toPandas())
     qids = qpdf["query_id"].to_numpy()
-    qmat = (np.stack(qpdf["v"].to_numpy()).astype(np.float32)
-            if len(qpdf) else np.zeros((0, dim), dtype=np.float32))
+    # float64 master copy for the EXACT re-score; float32 copy for the
+    # fast code scan (re-scoring with the float32-degraded queries
+    # flipped 6th-decimal rank ties vs cosine_topk in the scale smoke)
+    qmat64 = (np.stack(qpdf["v"].to_numpy())
+              if len(qpdf) else np.zeros((0, dim)))
+    qmat = qmat64.astype(np.float32)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
-    bq = corpus.sparkSession.sparkContext.broadcast((qids, qmat, qnorm))
+    qnorm64 = np.sqrt((qmat64 * qmat64).sum(axis=1))
+    bq = corpus.sparkSession.sparkContext.broadcast(
+        (qids, qmat, qnorm, qmat64, qnorm64))
     pool = max(k, int(k * rerank))
 
     cols = [F.col(corpus_id).alias("neighbor_id"),
@@ -944,7 +950,7 @@ def q8_cosine_topk(
     out_schema = f"query_id {qt}, neighbor_id {c.schema['neighbor_id'].dataType.simpleString()}, cosine_sim double"
 
     def scorer(batches):
-        qids_, qm, qn = bq.value
+        qids_, qm, qn, qm64, qn64 = bq.value
         if len(qids_) == 0:
             return
         for pdf in batches:
@@ -966,10 +972,9 @@ def q8_cosine_topk(
                 exact = np.full((pp, len(qids_)), -np.inf)
                 for j in range(len(qids_)):
                     sel = cand[:, j]
-                    qv = qm[j].astype(np.float64)
+                    qv = qm64[j]
                     with np.errstate(divide="ignore", invalid="ignore"):
-                        e = (fv[sel] @ qv) / (fn[sel] * np.sqrt(
-                            (qv * qv).sum()))
+                        e = (fv[sel] @ qv) / (fn[sel] * qn64[j])
                     e[np.equal(nids[sel], qids_[j])] = -np.inf
                     exact[:, j] = np.where(np.isnan(e), -np.inf, e)
                 scores = exact

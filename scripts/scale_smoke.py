@@ -315,6 +315,21 @@ def main():
         print(f"kmeans codebook train+search {nv:,} vecs: {t_km:.1f}s")
         ok &= compare("ivf(kmeans book, all cells) == brute force", ivf_km,
                       brute, ["query_id", "rank"])
+        # int8 quantized scan + exact re-rank must equal brute force at
+        # scale (recall certificate: any quantization miss red-flags)
+        from catabra_pandas_spark.pipeline.similarity import (
+            q8_cosine_topk, quantize_embeddings)
+        emb_q8 = quantize_embeddings(emb, dim=dim).localCheckpoint(
+            eager=True)
+        t0 = time.perf_counter()
+        q8 = q8_cosine_topk(qv, emb_q8, k=10, dim=dim,
+                            rerank_vec="embedding", rerank=8
+                            ).localCheckpoint(eager=True)
+        t_q8 = time.perf_counter() - t0
+        print(f"q8 scan+rerank {nv:,} vecs: {t_q8:.1f}s "
+              f"({t_q8 / t_brute:.1f}x brute)")
+        ok &= compare("q8 scan + exact rerank == brute force", q8, brute,
+                      ["query_id", "rank"])
 
     # --- text tier at n/10 documents -----------------------------------
     if "text" in tiers:
