@@ -130,8 +130,15 @@ def main():
         # sort-based aggregation on any realistic group count
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
         # wide codegen (64-agg signatures, unrolled dot products) fills the
-        # default 240 MB JIT code cache over a 20-query session
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
+        # default 240 MB JIT code cache over a 20-query session; at the
+        # r8 session size (65 queries x warm-up + best-of-3) even 512 MB
+        # saturated during warm-up and the timed runs hit evicted /
+        # never-compiled code — a BROAD ~1.2x uniform slowdown that
+        # looked like machine drift.  Measured on identical code+data:
+        # 512m -> 1.20x of r7's common-query total, 1g -> 1.11x,
+        # 2g -> 1.08x (residual is VM-level; reserved != committed, so
+        # 2g costs nothing on this box)
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=2g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
