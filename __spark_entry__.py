@@ -2961,11 +2961,14 @@ def q_multimodal_mp3(spark, sf):
     doc_id-derived parameters, then pipeline.multimodal.mp3_metadata
     walks the frames BYTE BY BYTE (ISO 11172-3 header layout, ID3 skip)
     to recover bitrate / sample rate / channels / frame count /
-    duration.  The DuckDB oracle replays the parameter arithmetic from
-    the published MPEG tables without ever seeing the binary — the
-    header walk must land on every frame boundary exactly or counts
-    diverge.  Scale: payload build + probe are both narrow Arrow maps,
-    zero shuffle."""
+    duration.  Every 5th doc is VBR — each frame cycles its own bitrate
+    index (d%14+1, (d+1)%14+1, (d+2)%14+1), so the walk must parse EVERY
+    frame header (not stride by the first frame's length) and
+    avg_bitrate_kbps is the frame-count-weighted mean.  The DuckDB
+    oracle replays the parameter arithmetic from the published MPEG
+    tables without ever seeing the binary — the header walk must land on
+    every frame boundary exactly or counts diverge.  Scale: payload
+    build + probe are both narrow Arrow maps, zero shuffle."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql import types as T
 
@@ -2980,7 +2983,8 @@ def q_multimodal_mp3(spark, sf):
             d = int(d)
             return mp3_encode_headers(
                 n_frames=d % 40 + 1,
-                bitrate_idx=d % 14 + 1,
+                bitrate_idx=([(d + j) % 14 + 1 for j in range(3)]
+                             if d % 5 == 0 else d % 14 + 1),
                 sr_idx=d % 3,
                 channel_mode=d % 4,
                 id3_tag=(b"t" * (d % 50) if d % 3 == 0 else None))
@@ -2992,23 +2996,33 @@ def q_multimodal_mp3(spark, sf):
         "doc_id",
         F.col("mp3_meta.n_frames").cast("long").alias("n_frames"),
         F.col("mp3_meta.bitrate_kbps").cast("long").alias("bitrate_kbps"),
+        F.round("mp3_meta.avg_bitrate_kbps", 6).alias("avg_bitrate_kbps"),
         F.col("mp3_meta.sample_rate").cast("long").alias("sample_rate"),
         F.col("mp3_meta.channels").cast("long").alias("channels"),
         F.round("mp3_meta.duration_ms", 6).alias("duration_ms"))
 
 
 _Q_MULTIMODAL_MP3_SQL = """
-    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+    WITH br AS (SELECT [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                        224, 256, 320] AS tab),
+    d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
     p AS (SELECT doc_id,
                  doc_id % 40 + 1 AS n_frames,
-                 ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
-                   256, 320])[(doc_id % 14 + 1)::INT] AS bitrate_kbps,
+                 tab[(doc_id % 14 + 1)::INT] AS bitrate_kbps,
+                 CASE WHEN doc_id % 5 = 0 THEN
+                   -- VBR: frame f cycles index ((doc_id + f%3) % 14 + 1)
+                   list_sum(list_transform(range(doc_id % 40 + 1),
+                     f -> tab[((doc_id + f % 3) % 14 + 1)::INT]))
+                   / (doc_id % 40 + 1)::DOUBLE
+                 ELSE tab[(doc_id % 14 + 1)::INT]::DOUBLE END
+                     AS avg_bitrate_kbps,
                  ([44100, 48000, 32000])[(doc_id % 3 + 1)::INT]
                      AS sample_rate,
                  CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS channels
-          FROM d)
+          FROM d, br)
     SELECT doc_id, n_frames::BIGINT AS n_frames,
            bitrate_kbps::BIGINT AS bitrate_kbps,
+           round(avg_bitrate_kbps, 6) AS avg_bitrate_kbps,
            sample_rate::BIGINT AS sample_rate,
            channels::BIGINT AS channels,
            round(n_frames * 1152.0 * 1000 / sample_rate, 6) AS duration_ms

@@ -757,12 +757,13 @@ def _mp3_frame_header(header: int) -> dict:
 def mp3_probe(payload: bytes) -> dict:
     """Walk an MPEG Layer III byte stream frame by frame (skipping a
     leading ID3v2 tag and a trailing ID3v1 tag) and return header-level
-    metadata: {version, layer, bitrate_kbps, sample_rate, channels,
-    n_frames, duration_ms}.  bitrate_kbps is the FIRST frame's (use a
-    full walk average for VBR if needed — n_frames/duration already
-    count every frame).  Raises ValueError on a payload that does not
-    start with a valid frame (after tag skip) or whose last frame is
-    truncated."""
+    metadata: {version, layer, bitrate_kbps, avg_bitrate_kbps,
+    sample_rate, channels, n_frames, duration_ms}.  bitrate_kbps is the
+    FIRST frame's; avg_bitrate_kbps is the frame-count-weighted mean
+    over the whole walk (== bitrate_kbps for CBR, the honest number for
+    VBR streams where every frame carries its own bitrate index).
+    Raises ValueError on a payload that does not start with a valid
+    frame (after tag skip) or whose last frame is truncated."""
     pos, end = 0, len(payload)
     if payload[:3] == b"ID3":
         if end < 10:
@@ -773,23 +774,28 @@ def mp3_probe(payload: bytes) -> dict:
                 raise ValueError("bad ID3v2 syncsafe size")
             size = (size << 7) | b
         pos = 10 + size
-    if payload[end - 128:end - 125] == b"TAG":
+    # end >= 128 guard: a shorter payload would slice with a negative
+    # start and read bytes from INSIDE the stream — a spurious 'TAG'
+    # match there drives end below zero and rejects a valid stream
+    if end >= 128 and payload[end - 128:end - 125] == b"TAG":
         end -= 128  # ID3v1 trailer
     if pos + 4 > end:
         raise ValueError("no MP3 frame after tag skip")
     first = _mp3_frame_header(int.from_bytes(payload[pos:pos + 4], "big"))
-    n_frames, samples = 0, 0
+    n_frames, samples, bitrate_sum = 0, 0, 0
     while pos + 4 <= end:
         hdr = _mp3_frame_header(int.from_bytes(payload[pos:pos + 4], "big"))
         if pos + hdr["frame_bytes"] > end:
             raise ValueError("truncated final MP3 frame")
         n_frames += 1
         samples += hdr["samples"]
+        bitrate_sum += hdr["bitrate_kbps"]
         pos += hdr["frame_bytes"]
     if pos != end:
         raise ValueError("trailing garbage after last MP3 frame")
     return {"version": first["version"], "layer": first["layer"],
             "bitrate_kbps": first["bitrate_kbps"],
+            "avg_bitrate_kbps": bitrate_sum / n_frames,
             "sample_rate": first["sample_rate"],
             "channels": first["channels"], "n_frames": n_frames,
             "duration_ms": samples * 1000.0 / first["sample_rate"]}
@@ -808,14 +814,27 @@ def mp3_encode_headers(
     frame length (optionally prefixed by an ID3v2 tag wrapping
     ``id3_tag``).  The frames carry no audio — this exists so
     :func:`mp3_probe` has REAL byte streams to walk in tests and driver
-    fixtures.  probe(encode(...)) recovers every parameter exactly."""
+    fixtures.  probe(encode(...)) recovers every parameter exactly.
+
+    ``bitrate_idx`` may be a sequence of indices, cycled per frame, to
+    build a VBR stream (each frame then has its own header word and
+    frame length — probe's avg_bitrate_kbps is the cycle's mean)."""
     ver_bits = {1.0: 0b11, 2.0: 0b10, 2.5: 0b00}[float(version)]
-    header = ((0x7FF << 21) | (ver_bits << 19) | (0b01 << 17)
-              | (int(bitrate_idx) << 12) | (int(sr_idx) << 10)
-              | (int(channel_mode) << 6))
-    info = _mp3_frame_header(header)
-    frame = header.to_bytes(4, "big") + b"\x00" * (info["frame_bytes"] - 4)
-    out = frame * int(n_frames)
+    idxs = (list(bitrate_idx) if isinstance(bitrate_idx, (list, tuple))
+            else [int(bitrate_idx)])
+
+    def frame_for(bi: int) -> bytes:
+        header = ((0x7FF << 21) | (ver_bits << 19) | (0b01 << 17)
+                  | (int(bi) << 12) | (int(sr_idx) << 10)
+                  | (int(channel_mode) << 6))
+        info = _mp3_frame_header(header)
+        return header.to_bytes(4, "big") + b"\x00" * (info["frame_bytes"] - 4)
+
+    if len(idxs) == 1:
+        out = frame_for(idxs[0]) * int(n_frames)
+    else:
+        out = b"".join(frame_for(idxs[f % len(idxs)])
+                       for f in range(int(n_frames)))
     if id3_tag is not None:
         size = len(id3_tag)
         ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,

@@ -89,6 +89,7 @@ MP3_METADATA_SCHEMA = T.StructType([
     T.StructField("version", T.DoubleType()),
     T.StructField("layer", T.IntegerType()),
     T.StructField("bitrate_kbps", T.IntegerType()),
+    T.StructField("avg_bitrate_kbps", T.DoubleType()),
     T.StructField("sample_rate", T.IntegerType()),
     T.StructField("channels", T.IntegerType()),
     T.StructField("n_frames", T.IntegerType()),

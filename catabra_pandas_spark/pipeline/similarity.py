@@ -198,7 +198,10 @@ def _blocked_exact_topk(q: DataFrame, c: DataFrame, k: int,
                 # self-matches and zero-norm/NaN pairs sort last and drop
                 # (-inf, not NaN, so the lexsort fold below stays simple)
                 sims[np.equal.outer(tq_ids, nid)] = -np.inf
-                np.nan_to_num(sims, copy=False, nan=-np.inf)
+                # neginf=-inf: the default would rewrite the -inf
+                # self-match sentinels above to finite -1.8e308, which
+                # pass the isfinite keep filter and leak into the output
+                np.nan_to_num(sims, copy=False, nan=-np.inf, neginf=-np.inf)
                 ks = min(k, len(nid))
                 # O(nc) argpartition instead of a full O(nc log nc) sort —
                 # the sort was ~70x the matmul cost at 100k-corpus cells
@@ -868,7 +871,8 @@ def quantize_embeddings(
     # reconstruction-error expression differed at the 9th decimal
     # between two selects over the same frame)
     v = F.col(vec_col).cast("array<double>")
-    if dim is None:
+    if dim is None or dim < 2:
+        # F.greatest requires >= 2 columns, so dim=1 takes the HOF path
         mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
     else:
         mx = F.greatest(*[F.abs(F.element_at(v, i + 1))
@@ -962,7 +966,9 @@ def q8_cosine_topk(
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = (cm @ qm.T) / (cn[:, None] * qn[None, :])
             sims[np.equal.outer(nids, qids_)] = -np.inf
-            np.nan_to_num(sims, copy=False, nan=-np.inf)
+            # neginf=-inf keeps the self-match sentinels infinite (see
+            # _blocked_exact_topk — same finite -1.8e308 leak otherwise)
+            np.nan_to_num(sims, copy=False, nan=-np.inf, neginf=-np.inf)
             pp = min(pool, len(nids))
             cand = np.argpartition(-sims, pp - 1, axis=0)[:pp]  # (pp, nq)
             if rerank_vec is not None:

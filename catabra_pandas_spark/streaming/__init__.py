@@ -509,6 +509,16 @@ def stream_asof(
     # merge_asof dispatch above.
     is_frac = isinstance(on_type, (T.FloatType, T.DoubleType,
                                    T.DecimalType))
+    # decimal keys ride the float64 state key space; a precision beyond
+    # float64's 53-bit mantissa (~15.95 decimal digits) could collide or
+    # reorder in the stream while the exact batch dispatch compares full
+    # precision — reject up front rather than silently diverge
+    if isinstance(on_type, T.DecimalType) and on_type.precision > 15:
+        raise ValueError(
+            f"stream_asof `on` decimal key {on_type.simpleString()} "
+            "exceeds float64's exactly-representable precision (15 "
+            "digits); cast to double explicitly if the loss is "
+            "acceptable, or rescale to an integral key")
     if not is_ts and not is_frac and not isinstance(
             on_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         raise ValueError(

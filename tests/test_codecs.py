@@ -328,3 +328,40 @@ def test_mp4_probe_rejects_bad_boxes():
         mp4_probe(bytes(bad))
     with pytest.raises(ValueError, match="timescale"):
         mp4_probe(mp4_encode_boxes(1000.0, timescale=0))
+
+
+def test_mp3_probe_vbr_average_bitrate():
+    """A VBR stream (per-frame bitrate indices cycled by the fixture
+    encoder) reports the FIRST frame's bitrate_kbps plus the
+    frame-count-weighted avg_bitrate_kbps; CBR streams report the same
+    number in both fields."""
+    from catabra_pandas_spark.pipeline.codecs import (mp3_encode_headers,
+                                                      mp3_probe)
+
+    info = mp3_probe(mp3_encode_headers(6, bitrate_idx=[9, 11, 14],
+                                        sr_idx=0))
+    # MPEG-1 Layer III table: idx 9 -> 128, 11 -> 192, 14 -> 320 kbps
+    assert info["bitrate_kbps"] == 128
+    assert abs(info["avg_bitrate_kbps"] - (128 + 192 + 320) / 3) < 1e-12
+    assert info["n_frames"] == 6
+    cbr = mp3_probe(mp3_encode_headers(4, bitrate_idx=9, sr_idx=0))
+    assert cbr["avg_bitrate_kbps"] == cbr["bitrate_kbps"] == 128
+
+
+def test_mp3_probe_short_payload_id3v1_guard():
+    """Payloads shorter than 128 bytes must never run the ID3v1 trailer
+    check: a negative slice start reads bytes from INSIDE the stream,
+    and a spurious 'TAG' match there drove `end` below zero and rejected
+    a valid low-bitrate MPEG-2.5 stream."""
+    from catabra_pandas_spark.pipeline.codecs import (mp3_encode_headers,
+                                                      mp3_probe)
+
+    # two 48-byte MPEG-2.5 8 kbps frames -> 96-byte payload; plant 'TAG'
+    # at byte 64 (= end-128 after Python's negative-index wrap), inside
+    # the second frame's zero padding
+    p = bytearray(mp3_encode_headers(2, bitrate_idx=1, sr_idx=1,
+                                     version=2.5))
+    assert len(p) == 96
+    p[64:67] = b"TAG"
+    info = mp3_probe(bytes(p))
+    assert info["n_frames"] == 2 and info["bitrate_kbps"] == 8

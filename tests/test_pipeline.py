@@ -370,6 +370,7 @@ def test_mp3_metadata_probe(spark):
     m0 = out.loc[0, "mp3_meta"]
     assert (m0["version"], m0["bitrate_kbps"], m0["sample_rate"],
             m0["channels"], m0["n_frames"]) == (1.0, 128, 44100, 1, 12)
+    assert m0["avg_bitrate_kbps"] == 128.0  # CBR: average == first frame
     assert abs(m0["duration_ms"] - 12 * 1152 * 1000.0 / 44100) < 1e-9
     m1 = out.loc[1, "mp3_meta"]
     assert (m1["version"], m1["bitrate_kbps"], m1["sample_rate"],
@@ -912,3 +913,50 @@ def test_q8_cosine_topk_rerank_matches_exact(spark):
     pairs_e = set(zip(exact.query_id, exact.neighbor_id))
     pairs_a = set(zip(approx.query_id, approx.neighbor_id))
     assert len(pairs_a & pairs_e) >= int(0.8 * len(pairs_e))
+
+
+def test_cosine_topk_small_corpus_excludes_self(spark):
+    """k larger than the corpus: self-matches must stay excluded on BOTH
+    paths.  Regression for the nan_to_num(neginf=default) bug — the -inf
+    self-match sentinel was rewritten to finite -1.8e308, passed the
+    isfinite keep filter, and leaked into blocked / q8 output."""
+    import numpy as np
+
+    from catabra_pandas_spark.pipeline import (cosine_topk, q8_cosine_topk,
+                                               quantize_embeddings)
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "vec_id": range(3),
+        "embedding": [rng.standard_normal(8).tolist() for _ in range(3)],
+    })
+    sdf = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+
+    for out in (
+        cosine_topk(sdf, sdf, k=5, dim=8).toPandas(),
+        cosine_topk(sdf, sdf, k=5, dim=8, broadcast_queries=False,
+                    n_query_blocks=2, n_corpus_blocks=2).toPandas(),
+        q8_cosine_topk(sdf, quantize_embeddings(sdf, dim=8), k=5,
+                       dim=8).toPandas(),
+        q8_cosine_topk(sdf, quantize_embeddings(sdf, dim=8), k=5, dim=8,
+                       rerank_vec="embedding").toPandas(),
+    ):
+        # 3 queries x 2 non-self neighbors, all sims genuine cosines
+        assert len(out) == 6
+        assert (out.query_id != out.neighbor_id).all()
+        assert (out.cosine_sim.abs() <= 1 + 1e-9).all()
+
+
+def test_quantize_embeddings_dim1(spark):
+    """dim=1 must not hit F.greatest's >=2-column requirement (it falls
+    back to the array_max HOF path)."""
+    from catabra_pandas_spark.pipeline import quantize_embeddings
+
+    pdf = pd.DataFrame({"vec_id": [0, 1, 2],
+                        "embedding": [[2.0], [-4.0], [0.0]]})
+    sdf = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    out = quantize_embeddings(sdf, dim=1).toPandas().set_index("vec_id")
+    assert abs(out.loc[0, "scale_q8"] - 2.0 / 127) < 1e-15
+    assert list(out.loc[0, "codes_q8"]) == [127]
+    assert list(out.loc[1, "codes_q8"]) == [-127]
+    assert out.loc[2, "scale_q8"] == 0.0

@@ -686,3 +686,33 @@ def test_stream_asof_numeric_key(spark, tmp_path):
     with pytest.raises(ValueError, match="timestamp"):
         stream_asof(ls, rs, on="t", by="entity", right_value="value",
                     watermark="10 minutes")
+
+
+def test_stream_asof_rejects_wide_decimal_keys(spark, tmp_path):
+    """Decimal `on` keys wider than float64's 15 exactly-representable
+    digits are rejected up front on the streaming path: the state keeps
+    keys as float64, so a decimal(20,2) could collide/reorder in the
+    stream while the exact batch dispatch compares full precision.
+    Narrow decimals (<= 15 digits) still plan fine."""
+    import pytest
+
+    from catabra_pandas_spark.streaming import stream_asof
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.sql("SELECT 1L AS entity, CAST(1.5 AS DECIMAL(20,2)) AS t, "
+              "0L AS lid").write.parquet(lsrc)
+    spark.sql("SELECT 1L AS entity, CAST(1.0 AS DECIMAL(20,2)) AS t, "
+              "2.0D AS value").write.parquet(rsrc)
+    ls = spark.readStream.schema(
+        "entity long, t decimal(20,2), lid long").parquet(lsrc)
+    rs = spark.readStream.schema(
+        "entity long, t decimal(20,2), value double").parquet(rsrc)
+    with pytest.raises(ValueError, match="decimal"):
+        stream_asof(ls, rs, on="t", by="entity", right_value="value")
+
+    # decimal(12,2) fits float64 exactly -> accepted at plan time
+    ls2 = spark.readStream.schema(
+        "entity long, t decimal(12,2), lid long").parquet(lsrc)
+    rs2 = spark.readStream.schema(
+        "entity long, t decimal(12,2), value double").parquet(rsrc)
+    stream_asof(ls2, rs2, on="t", by="entity", right_value="value")
