@@ -3728,78 +3728,51 @@ _Q_MIX_CORPORA_SQL = """
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver verifies the FIRST 50 entries in dict
-    # order each round.  Rotation rule (now ENFORCED mechanically by
+    # order each round.  Rotation rule (ENFORCED mechanically by
     # scripts/rotation_check.py, run from finalize_round.py): any query
     # whose underlying module — or whose query-builder/oracle source —
     # changed since its last green driver row must sit inside the window.
-    # r8 window = (a) the 10 queries whose newest rows were r5
-    # (bucket_range_join first: its numeric bucket path was refactored in
-    # r6 after that row); (b) queries over modules edited THIS round —
-    # streaming/__init__.py (float-key stream_asof), pipeline/text.py
-    # (bigram log-prob clamp), pipeline/multimodal.py + codecs.py (MP3
-    # header probe) and the new multimodal_mp3 query,
-    # operators/intervals.py (docstring); (c) backfill with the queries
-    # holding the OLDEST (r6) remaining rows.  The tail holds r6/r7-green
+    # r9 window = (a) the 19 queries whose newest rows were r6 (two
+    # rounds stale, rotated back in on cadence); (b) the 13 queries whose
+    # symbol closure changed THIS round — similarity.py (self-match
+    # sentinel fix, dim<2 quantize), multimodal.py/codecs.py (VBR
+    # avg_bitrate_kbps + ID3v1 short-payload guard), streaming/__init__
+    # (decimal key guard); (c) backfill with the oldest (r7) remaining
+    # rows — the merge/resample families.  The tail holds r7/r8-green
     # queries whose code is unchanged since their rows.
     return {
-        # -- (a) newest row is r5; bucket_range_join's numeric path was
-        #    refactored in r6 after its row --
-        "bucket_range_join": q_bucket_range_join,
-        "rollup": q_rollup,
-        "cube": q_cube,
-        "dedup_exact": q_dedup_exact,
-        "decontam": q_decontam,
-        "text_stats": q_text_stats,
-        "quality_gate": q_quality_gate,
-        "fingerprint": q_fingerprint,
-        "scrub_pii": q_scrub_pii,
-        "repetition": q_repetition,
-        # -- (b) modules edited THIS round (r8) --
-        "langid": q_langid,
-        "lm_perplexity": q_lm_perplexity,
+        "cross_dedup": q_cross_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "sample_stratified": q_sample_stratified,
+        "sample_split": q_sample_split,
+        "mix_corpora": q_mix_corpora,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "hll_distinct": q_hll_distinct,
+        "heavy_hitters": q_heavy_hitters,
+        "quantile_sketch": q_quantile_sketch,
+        "bloom_prejoin": q_bloom_prejoin,
+        "pack_sequences": q_pack_sequences,
+        "pack_bins": q_pack_bins,
+        "chunk_documents": q_chunk_documents,
+        "zorder": q_zorder,
+        "json_props": q_json_props,
         "stream_asof": q_stream_asof,
-        "sessionize": q_sessionize,
-        "stream_resample": q_stream_resample,
-        "stream_ffill": q_stream_ffill,
-        "stream_dedup": q_stream_dedup,
-        "stream_resample_interval": q_stream_resample_interval,
-        "stream_funnel": q_stream_funnel,
         "multimodal_mp3": q_multimodal_mp3,
-        "multimodal_mp4": q_multimodal_mp4,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_png": q_multimodal_png,
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_wav": q_multimodal_wav,
-        "multimodal_frames": q_multimodal_frames,
-        "group_intervals": q_group_intervals,
-        "group_intervals_ts": q_group_intervals_ts,
-        "group_intervals_keyless": q_group_intervals_keyless,
-        "combine_union": q_combine_union,
-        "combine_k3": q_combine_k3,
-        "combine_gaps": q_combine_gaps,
-        "combine_attrs": q_combine_attrs,
-        # -- (c) backfill: oldest remaining rows (r6), code unchanged --
-        "merge_str_intervals": q_merge_str_intervals,
-        "merge_str_bucket": q_merge_str_bucket,
-        "merge_date_intervals": q_merge_date_intervals,
-        "merge_timedelta_intervals": q_merge_timedelta_intervals,
-        "merge_overlap_sweep": q_merge_overlap_sweep,
-        "merge_asof": q_merge_asof,
-        "find_containing_sweep": q_find_containing_sweep,
-        "resample_interval_sweep": q_resample_interval_sweep,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
         "embedding_neardup_exact": q_embedding_neardup_exact,
-        # r8 blocked-cosine kernel rewrite (argpartition + L3 slices)
-        # + the new int8 quantization tier
         "cosine_topk": q_cosine_topk,
         "cosine_topk_blocked": q_cosine_topk_blocked,
         "embedding_q8": q_embedding_q8,
         "q8_ann": q_q8_ann,
-        # ---- driver window ends here (50) ----
-        # -- tail: green in r6/r7, code unchanged since --
         "merge_overlap": q_merge_overlap,
         "merge_open_endpoints": q_merge_open_endpoints,
         "merge_left_keep_first": q_merge_left_keep_first,
@@ -3818,15 +3791,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_eav_custom_multi": q_resample_eav_custom_multi,
         "resample_eav_custom_slope": q_resample_eav_custom_slope,
         "resample_interval": q_resample_interval,
+        # ---- driver window ends here (50) ----
+        "bucket_range_join": q_bucket_range_join,
+        "rollup": q_rollup,
+        "cube": q_cube,
+        "dedup_exact": q_dedup_exact,
+        "decontam": q_decontam,
+        "text_stats": q_text_stats,
+        "quality_gate": q_quality_gate,
+        "fingerprint": q_fingerprint,
+        "scrub_pii": q_scrub_pii,
+        "repetition": q_repetition,
+        "langid": q_langid,
+        "lm_perplexity": q_lm_perplexity,
+        "sessionize": q_sessionize,
+        "stream_resample": q_stream_resample,
+        "stream_ffill": q_stream_ffill,
+        "stream_dedup": q_stream_dedup,
+        "stream_resample_interval": q_stream_resample_interval,
+        "stream_funnel": q_stream_funnel,
+        "multimodal_mp4": q_multimodal_mp4,
+        "multimodal_frames": q_multimodal_frames,
+        "group_intervals": q_group_intervals,
+        "group_intervals_ts": q_group_intervals_ts,
+        "group_intervals_keyless": q_group_intervals_keyless,
+        "combine_union": q_combine_union,
+        "combine_k3": q_combine_k3,
+        "combine_gaps": q_combine_gaps,
+        "combine_attrs": q_combine_attrs,
+        "merge_str_intervals": q_merge_str_intervals,
+        "merge_str_bucket": q_merge_str_bucket,
+        "merge_date_intervals": q_merge_date_intervals,
+        "merge_timedelta_intervals": q_merge_timedelta_intervals,
+        "merge_overlap_sweep": q_merge_overlap_sweep,
+        "merge_asof": q_merge_asof,
+        "find_containing_sweep": q_find_containing_sweep,
+        "resample_interval_sweep": q_resample_interval_sweep,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "make_windows": q_make_windows,
         "factorize": q_factorize,
         "inner_or_cross": q_inner_or_cross,
         "topk": q_topk,
-        "cross_dedup": q_cross_dedup,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "funnel": q_funnel,
-        "retention": q_retention,
         "bpe_train": q_bpe_train,
         "bpe_tokens": q_bpe_tokens,
         "kmeans_ann": q_kmeans_ann,
@@ -3839,20 +3845,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_linear": q_impute_linear,
         "grouped_mode": q_grouped_mode,
         "prev_next": q_prev_next,
-        "sample_stratified": q_sample_stratified,
-        "sample_split": q_sample_split,
-        "mix_corpora": q_mix_corpora,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "hll_distinct": q_hll_distinct,
-        "heavy_hitters": q_heavy_hitters,
-        "quantile_sketch": q_quantile_sketch,
-        "bloom_prejoin": q_bloom_prejoin,
-        "pack_sequences": q_pack_sequences,
-        "pack_bins": q_pack_bins,
-        "chunk_documents": q_chunk_documents,
-        "zorder": q_zorder,
-        "json_props": q_json_props,
     }
 
 
