@@ -174,6 +174,13 @@ def main():
     # it.  Sub-second queries in a 60-query session have a +/-0.4 s
     # session-JIT band; only cross-run drift OUTSIDE an isolated re-run
     # indicates a real regression.
+    # r9 isolated re-run of the r8 merge_overlap move (0.42 -> 0.52 s,
+    # the only >20% common-query change that round): 3x
+    # SPARK_GRAFT_ONLY=merge_overlap at sf0.1 gave 0.858/0.898/0.998 s —
+    # stable, own-codegen-dominated, the grouped_mode pattern exactly.
+    # merging.py had docstring-only changes in r8 and none since; the
+    # PLANS.md plan is unchanged (0 exchanges, 1 broadcast hash join).
+    # Verdict: in-band session-JIT placement, not a regression.
     times: dict[str, float] = {}
     for name in headline:
         fn = qs[name]

@@ -70,19 +70,31 @@ def synth_eav(spark, n, n_entities=20_000, n_attrs=49, span=1_000_000.0):
     )
 
 
-def job_group_metrics(spark, group):
-    """(max_task_ms, shuffle_write_bytes, shuffle_read_bytes) for every
-    stage of the jobs run under ``group``, parsed from the session's
-    event log — the hard evidence for 'the combiner absorbed the hot
-    key' claims.  Returns Nones if the log is unavailable."""
+def job_group_metrics(spark, group, with_input=False):
+    """(max_task_ms, shuffle_write_bytes, shuffle_read_bytes[,
+    input_bytes_read]) for every stage of the jobs run under ``group``,
+    parsed from the session's event log — the hard evidence for 'the
+    combiner absorbed the hot key' / 'the q8 scan reads a quarter of the
+    bytes' claims.  Returns Nones if the log is unavailable."""
     import glob
     import json as _json
 
+    # the listener bus is async and the log writer only flushes on
+    # job-end events — drain it or a parse right after an action reads
+    # a truncated log (measured: a 12 MB parquet scan showed 0 bytes)
+    try:
+        bus = spark.sparkContext._jsc.sc().listenerBus()
+        try:
+            bus.waitUntilEmpty()
+        except Exception:
+            bus.waitUntilEmpty(10_000)
+    except Exception:
+        pass
     app = spark.sparkContext.applicationId
     paths = glob.glob(f"/tmp/spark-events/{app}*")
     if not paths:
-        return None, None, None
-    stages, max_ms, sw, sr = set(), 0, 0, 0
+        return (None,) * (4 if with_input else 3)
+    stages, max_ms, sw, sr, inb = set(), 0, 0, 0, 0
     for line in open(paths[0]):
         try:
             ev = _json.loads(line)
@@ -99,7 +111,8 @@ def job_group_metrics(spark, group):
                    ).get("Shuffle Bytes Written", 0)
             rd = tm.get("Shuffle Read Metrics") or {}
             sr += rd.get("Local Bytes Read", 0) + rd.get("Remote Bytes Read", 0)
-    return max_ms, sw, sr
+            inb += (tm.get("Input Metrics") or {}).get("Bytes Read", 0)
+    return (max_ms, sw, sr, inb) if with_input else (max_ms, sw, sr)
 
 
 def compare(name, a, b, keys):
@@ -262,12 +275,20 @@ def main():
             cosine_topk, ivf_cosine_topk, lsh_cosine_topk)
 
         nv, dim = max(n // 10, 100_000), 32
+        # full-mantissa hash noise (xxhash64 / 2^63), NOT a small value
+        # grid: a 2001-value lattice dictionary-encodes in parquet and
+        # made the float32-vs-int8 storage certificate below meaningless
+        # (measured 1.36x instead of ~3.5x) — real embeddings are
+        # near-incompressible, so the synthetic corpus must be too
         emb = spark.range(nv, numPartitions=64).select(
             F.col("id").alias("vec_id"),
-            F.array(*[(F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(2001))
-                       .cast("double") / 1000.0 - 1.0) for d in range(dim)]
+            F.array(*[(F.xxhash64(F.col("id"), F.lit(d)).cast("double")
+                       / F.lit(float(2 ** 63))) for d in range(dim)]
                     ).alias("embedding")).localCheckpoint(eager=True)
-        qv = emb.filter(F.col("vec_id") < 64)
+        # own tiny checkpoint: reads of emb's cached blocks count as
+        # task Input Metrics and would drown the parquet scan bytes in
+        # the storage certificate's job groups
+        qv = emb.filter(F.col("vec_id") < 64).localCheckpoint(eager=True)
         t0 = time.perf_counter()
         brute = cosine_topk(qv, emb, k=10, dim=dim).localCheckpoint(eager=True)
         t_brute = time.perf_counter() - t0
@@ -330,6 +351,96 @@ def main():
               f"({t_q8 / t_brute:.1f}x brute)")
         ok &= compare("q8 scan + exact rerank == brute force", q8, brute,
                       ["query_id", "rank"])
+
+        # --- q8 STORAGE certificate: the quantization tier's whole
+        # motivation is scan BYTES (similarity.py quantize_embeddings
+        # docstring) — persist the codes (+scale) and the float32 corpus
+        # to parquet and measure what each top-k scan actually READS
+        # (event-log Input Metrics), not what the prose claims.  tinyint
+        # codes are 1/4 of float32 on the wire and both columns are
+        # near-incompressible hash noise, so parquet keeps most of the
+        # ratio; the scan also never touches scale_q8 (column pruning —
+        # cosine is scale-invariant).
+        import shutil
+        import tempfile
+        root = tempfile.mkdtemp(prefix="q8store_")
+        f32_dir, q8_dir = f"{root}/f32", f"{root}/q8"
+        emb.select("vec_id", F.col("embedding").cast("array<float>")
+                   .alias("embedding")).write.parquet(f32_dir)
+        emb_q8.select("vec_id", "codes_q8", "scale_q8").write.parquet(q8_dir)
+        du = lambda d: sum(os.path.getsize(os.path.join(r, fn))
+                           for r, _, fs in os.walk(d) for fn in fs)
+        size_f32, size_q8 = du(f32_dir), du(q8_dir)
+
+        # scan-byte attribution: neither event-log Input Metrics nor the
+        # Hadoop FS counters see the vectorized reader's data pages in
+        # Spark 4 local mode (measured: a 35 MB scan reported 20 KB — it
+        # bypasses Hadoop streams; AQE stage jobs also run outside the
+        # job group).  The faithful number for "what a 1000-executor
+        # cluster pulls off object storage" is the PHYSICAL COMPRESSED
+        # SIZE of the column chunks each plan reads — taken from parquet
+        # footers, with the plan's ReadSchema asserted to prove the
+        # column set (scale_q8 must be pruned: cosine is
+        # scale-invariant, the scan never touches it).
+        import glob as _glob
+        import pyarrow.parquet as _pq
+
+        def scan_bytes(d, cols):
+            total = 0
+            for fn in _glob.glob(os.path.join(d, "*.parquet")):
+                md = _pq.ParquetFile(fn).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        if col.path_in_schema.split(".")[0] in cols:
+                            total += col.total_compressed_size
+            return total
+
+        t0 = time.perf_counter()
+        q8_plan = q8_cosine_topk(qv, spark.read.parquet(q8_dir), k=10,
+                                 dim=dim)
+        q8_disk = q8_plan.localCheckpoint(eager=True)
+        t_q8s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        f32_plan = cosine_topk(
+            qv, spark.read.parquet(f32_dir).select(
+                "vec_id", F.col("embedding").cast("array<double>")
+                .alias("embedding")),
+            k=10, dim=dim)
+        f32_disk = f32_plan.localCheckpoint(eager=True)
+        t_f32s = time.perf_counter() - t0
+        # prove the column sets from the physical plans, then price them
+        _jvm = spark.sparkContext._jvm
+        q8_expl = _jvm.PythonSQLUtils.explainString(
+            q8_plan._jdf.queryExecution(), "formatted")
+        q8_read = q8_expl.split("ReadSchema")[1].split("\n")[0]
+        assert "scale_q8" not in q8_read, \
+            f"q8 scan failed to prune scale_q8: {q8_read}"
+        assert "codes_q8" in q8_read
+        in_q8 = scan_bytes(q8_dir, {"vec_id", "codes_q8"})
+        in_f32 = scan_bytes(f32_dir, {"vec_id", "embedding"})
+        q8_mem = q8_cosine_topk(qv, emb_q8, k=10, dim=dim
+                                ).localCheckpoint(eager=True)
+        ok &= compare("q8 top-k from parquet == from memory", q8_disk,
+                      q8_mem, ["query_id", "rank"])
+        n_f32 = f32_disk.count()
+        disk_ratio = size_f32 / max(size_q8, 1)
+        scan_ratio = (in_f32 / in_q8) if in_q8 else None
+        print(f"q8 storage {nv:,} vecs x {dim}d: parquet {size_f32 >> 20}MB "
+              f"f32 vs {size_q8 >> 20}MB q8 ({disk_ratio:.2f}x); scan read "
+              f"{in_f32 and in_f32 >> 20}MB vs {in_q8 and in_q8 >> 20}MB "
+              f"({scan_ratio and round(scan_ratio, 2)}x), wall "
+              f"{t_f32s:.1f}s vs {t_q8s:.1f}s; f32 topk rows={n_f32}")
+        # the claim under test is SCAN bytes ("the scan reads a quarter
+        # of the float32 bytes") — >= 3x after parquet framing/vec_id
+        # overhead at dim=32.  Disk carries scale_q8 too (pruned by the
+        # scan), so its floor is softer.
+        if scan_ratio < 3.0 or disk_ratio < 2.5:
+            print(f"WEAK: q8 byte savings below the design claim "
+                  f"(disk {disk_ratio:.2f}x, scan {scan_ratio:.2f}x)")
+            ok = False
+        shutil.rmtree(root, ignore_errors=True)
 
     # --- text tier at n/10 documents -----------------------------------
     if "text" in tiers:
