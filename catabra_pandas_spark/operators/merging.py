@@ -280,9 +280,17 @@ def merge_intervals(
         return df
 
     # rename AFTER predicate construction is avoided by renaming first and
-    # translating the interval/key column names through the rename maps
+    # translating the interval/key column names through the rename maps.
+    # The alias re-projection mints FRESH attribute ids on both sides:
+    # when left and right derive from the same parent frame (self-joins —
+    # windows and observations cut from one table; localCheckpoint
+    # preserves exprIds, so even checkpointed frames collide), the later
+    # parent-qualified references (lm_r[...] / rm_r[...]) would otherwise
+    # be ambiguous and fail analysis.
     lm_r = _apply_ren(lm, lren)
     rm_r = _apply_ren(rm, rren)
+    lm_r = lm_r.select([F.col(c).alias(c) for c in lm_r.columns])
+    rm_r = rm_r.select([F.col(c).alias(c) for c in rm_r.columns])
     l_name = lambda c: lren.get(c, c) if c else None  # noqa: E731
     r_name = lambda c: rren.get(c, c) if c else None  # noqa: E731
 

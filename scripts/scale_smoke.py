@@ -38,7 +38,7 @@ stress runs.  Exit code 0 iff every comparison matches.
 Usage: python scripts/scale_smoke.py [n_obs] [tiers]
   n_obs  default 10_000_000
   tiers  comma list of {eav,interval,group,ann,text,exactsubstr,bpe16k,
-         cosinebig}; default = the five original (driver-cadence) tiers
+         cosinebig,skew,streamstate}; default = the five original tiers
 """
 
 from __future__ import annotations
@@ -115,6 +115,45 @@ def job_group_metrics(spark, group, with_input=False):
     return (max_ms, sw, sr, inb) if with_input else (max_ms, sw, sr)
 
 
+def tasks_between(spark, ms0, ms1):
+    """(n_tasks, max_run_ms, median_run_ms) of every task that launched
+    and finished inside [ms0, ms1] wall-clock — time-window attribution,
+    because AQE materializes query stages on its own thread pool and
+    their jobs never inherit a job group (measured).  The caller must
+    keep the window exclusive to the leg being measured."""
+    import glob
+    import json as _json
+    import statistics
+
+    try:
+        bus = spark.sparkContext._jsc.sc().listenerBus()
+        try:
+            bus.waitUntilEmpty()
+        except Exception:
+            bus.waitUntilEmpty(10_000)
+    except Exception:
+        pass
+    app = spark.sparkContext.applicationId
+    paths = glob.glob(f"/tmp/spark-events/{app}*")
+    if not paths:
+        return None, None, None
+    runs = []
+    for line in open(paths[0]):
+        try:
+            ev = _json.loads(line)
+        except ValueError:
+            continue
+        if ev.get("Event") != "SparkListenerTaskEnd":
+            continue
+        ti = ev.get("Task Info") or {}
+        if ti.get("Launch Time", 0) >= ms0 and ti.get("Finish Time", 0) <= ms1:
+            runs.append((ev.get("Task Metrics") or {})
+                        .get("Executor Run Time", 0))
+    if not runs:
+        return 0, None, None
+    return len(runs), max(runs), statistics.median(runs)
+
+
 def compare(name, a, b, keys):
     """Cell-exact comparison via two anti-joins on rounded frames (no
     driver-side collect of the bulk data)."""
@@ -123,11 +162,44 @@ def compare(name, a, b, keys):
                    for c in a.dtypes])
     rb = b.select([F.round(c[0], 6).alias(c[0]) if c[1] == "double" else F.col(c[0])
                    for c in b.dtypes])
+    rb = rb.select(ra.columns)  # exceptAll aligns by POSITION, not name
     d1 = ra.exceptAll(rb).count()
     d2 = rb.exceptAll(ra).count()
     n = a.count()
     ok = d1 == 0 and d2 == 0 and n > 0
     print(f"[{'ok' if ok else 'FAIL'}] {name}: rows={n} onlyA={d1} onlyB={d2}")
+    return ok
+
+
+def compare_tol(name, a, b, keys, atol=1e-6):
+    """Key-joined comparison with an absolute tolerance on doubles, for
+    legs whose aggregates legitimately differ in the last ulp between
+    execution strategies (a mean of two 6-decimal values lands EXACTLY
+    on the x.xxxxxx5 round boundary, so round-to-6 + exceptAll flags
+    rows whose values agree to 1e-10 — measured 541/40002 at n=10M).
+    ``keys`` must be unique per side; the full join must align 1:1."""
+    import functools
+    import operator
+
+    from pyspark.sql import functions as F
+    na, nb = a.count(), b.count()
+    j = a.alias("A").join(b.alias("B"), on=keys, how="full")
+    conds = []
+    for c, t in a.dtypes:
+        if c in keys:
+            continue
+        ca, cb = F.col(f"A.{c}"), F.col(f"B.{c}")
+        both_null = ca.isNull() & cb.isNull()
+        if t == "double":
+            conds.append(~both_null &
+                         (ca.isNull() | cb.isNull() | (F.abs(ca - cb) > atol)))
+        else:
+            conds.append(~(both_null | (ca == cb)))
+    bad = j.filter(functools.reduce(operator.or_, conds)).count()
+    nj = j.count()
+    ok = bad == 0 and na == nb == nj and na > 0
+    print(f"[{'ok' if ok else 'FAIL'}] {name}: rows={na}/{nb} joined={nj} "
+          f"bad={bad} (atol={atol})")
     return ok
 
 
@@ -654,6 +726,202 @@ def main():
         print(f"[{'ok' if tier_ok else 'FAIL'}] cosinebig tier "
               f"(rows={n_out:,})")
         ok &= tier_ok
+
+    # --- skewed-entity interval join (SURVEY §7 hard-part 5) ------------
+    if "skew" in tiers:
+        # One entity owns ~50% of n observations — the worst realistic
+        # hot-patient/hot-session shape for the interval-join tier
+        # (mirrors the reference's 20k-entity scale tests,
+        # tests/test_resample_eav.py:249-308, with the skew knob turned
+        # all the way up).  SURVEY §7 said "rely on AQE skew handling;
+        # salt only if measured" — this tier is that measurement.
+        r = spark.range(n, numPartitions=64)
+        h = lambda k: F.pmod(F.xxhash64(F.col("id"), F.lit(k)), F.lit(10**9))
+        df = r.select(
+            F.when(F.pmod(h(0), F.lit(2)) == 0, F.lit(0).cast("long"))
+             .otherwise(F.pmod(h(1), F.lit(20_000)) + 1).alias("entity"),
+            (h(2).cast("double") / 1e9 * span).alias("timestamp"),
+            F.concat(F.lit("attr_"), (F.pmod(h(3), F.lit(3)) + 1)
+                     .cast("string")).alias("attribute"),
+            (h(4).cast("double") / 1e6).alias("value"),
+        ).localCheckpoint(eager=True)
+        ents = df.select("entity").distinct()
+        wins = (ents.select("entity", F.lit(0.30 * span).alias("start"),
+                            F.lit(0.40 * span).alias("stop"))
+                .union(ents.select("entity", F.lit(0.60 * span).alias("start"),
+                                   F.lit(0.70 * span).alias("stop")))
+                .localCheckpoint(eager=True))
+        kw = dict(entity_col="entity", time_col="timestamp",
+                  attribute_col="attribute", value_col="value",
+                  window_start_col="start", window_stop_col="stop",
+                  regular=False)
+        # mean, not sum: the hot entity's windows aggregate ~n/20 values
+        # each, and two strategies summing 1M doubles in different orders
+        # legitimately differ beyond any fixed decimal rounding (measured:
+        # 2 rows at n=10M).  mean divides the same accumulated error by
+        # the count (hot-group error ~1e-10); min/max/median are
+        # order-exact.  Compared with compare_tol, not round+exceptAll —
+        # means of two 6-decimal inputs land exactly on round boundaries.
+        agg = {"attr_1": ["mean", "max"], "attr_2": "min",
+               "attr_3": "median"}
+
+        # correctness under skew: two independent algorithms must agree
+        ev_direct = cps.resample_eav(df, wins, agg, join_strategy="direct",
+                                     **kw).localCheckpoint(eager=True)
+        ev_sweep = cps.resample_eav(df, wins, agg, join_strategy="sweep",
+                                    **kw).localCheckpoint(eager=True)
+        ok &= compare_tol("skew resample_eav direct==sweep", ev_direct,
+                          ev_sweep, ["entity", "start", "stop"])
+        iv = df.select("entity", F.col("timestamp").alias("start"),
+                       (F.col("timestamp") + 2.0).alias("stop"), "value"
+                       ).localCheckpoint(eager=True)  # break df lineage
+        mi_kw = dict(on="entity", how="inner", left_start="start",
+                     left_stop="stop", right_start="start",
+                     right_stop="stop", suffixes=("_w", "_i"))
+        mi_direct = cps.merge_intervals(wins, iv, strategy="direct",
+                                        **mi_kw).localCheckpoint(eager=True)
+        mi_sweep = cps.merge_intervals(wins, iv, strategy="sweep",
+                                       **mi_kw).localCheckpoint(eager=True)
+        ok &= compare("skew merge_intervals direct==sweep", mi_direct,
+                      mi_sweep, ["entity"])
+
+        # skew CERTIFICATE: force the shuffled SMJ path a 100 TB windows
+        # table would take (20k-row windows broadcast at smoke scale, so
+        # broadcast must be disabled for the miniature to be faithful)
+        # and scale the AQE skew thresholds the same way the data is
+        # scaled down (the hot partition is ~200 MB here; at cluster
+        # scale it would dwarf the 256 MB default).
+        old_conf = {k: spark.conf.get(k) for k in
+                    ("spark.sql.autoBroadcastJoinThreshold",
+                     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                     "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                     "spark.sql.adaptive.forceOptimizeSkewedJoin")}
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "8m")
+
+        def smj_leg(label):
+            plan_df = cps.resample_eav(df, wins, agg,
+                                       join_strategy="direct", **kw)
+            ms0 = int(time.time() * 1000)
+            t0 = time.perf_counter()
+            # collect(), NOT a noop write: writes wrap the plan in their
+            # OWN QueryExecution, so the dataset's AQE plan would never
+            # finalize and the skew markers would be invisible (measured)
+            n_rows = len(plan_df.collect())
+            wall = time.perf_counter() - t0
+            ms1 = int(time.time() * 1000)
+            expl = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+                plan_df._jdf.queryExecution(), "formatted")
+            split = "skew=true" in expl
+            n_t, max_ms, med_ms = tasks_between(spark, ms0, ms1)
+            ratio = (round(max_ms / max(med_ms, 1), 1)
+                     if max_ms and med_ms else None)
+            print(f"skew {n:,} obs (entity 0 owns 50%), {label}: wall="
+                  f"{wall:.1f}s rows={n_rows} tasks={n_t} "
+                  f"max_task={max_ms}ms median_task={med_ms}ms "
+                  f"(ratio {ratio}x); AQE skew-split in final plan: {split}")
+            return split, ratio, n_t
+
+        try:
+            # leg 1, default AQE: expect NO split — the window
+            # aggregation downstream reuses the join's hash partitioning
+            # on `entity`, and OptimizeSkewedJoin declines to split when
+            # that would force an extra exchange
+            split1, ratio1, n1 = smj_leg("default AQE")
+            # leg 2: forceOptimizeSkewedJoin trades the extra exchange
+            # for the split — the production knob for this exact shape
+            spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin",
+                           "true")
+            split2, ratio2, n2 = smj_leg("forced skew-split")
+        finally:
+            for k, v in old_conf.items():
+                spark.conf.set(k, v)
+        if not split1:
+            print("NOTE: default AQE keeps the hot entity in one task to "
+                  "preserve the join->agg co-partitioning; at production "
+                  "scale set spark.sql.adaptive.forceOptimizeSkewedJoin="
+                  "true (measured above) or salt the hot entity on the "
+                  "build side (SURVEY §7 hard-part 5 fallback)")
+        ok &= bool(n1 and n2)
+        if not split2:
+            print("WEAK: even forced AQE did not split the skewed join")
+            ok = False
+
+    # --- streaming state-store footprint at n entities ------------------
+    if "streamstate" in tiers:
+        # The seven streaming operators claim O(1)/O(k) state PER GROUP
+        # (streaming/__init__.py stream_asof:two scalars, stream_funnel:
+        # k stage times).  This tier drives both over n DISTINCT entities
+        # with availableNow and records the state store's own accounting
+        # (stateOperators numRowsTotal / memoryUsedBytes from the final
+        # query progress) — bytes-per-entity is the number a capacity
+        # plan needs, not the docstring's O(1).
+        import shutil
+        import tempfile
+
+        from catabra_pandas_spark.streaming import stream_asof, stream_funnel
+
+        root = tempfile.mkdtemp(prefix="streamstate_")
+        n_ent = n
+        spark.range(n_ent, numPartitions=64).select(
+            F.col("id").alias("entity"), F.lit(10).cast("long").alias("t"),
+            F.col("id").alias("lid")).write.parquet(f"{root}/l")
+        spark.range(n_ent, numPartitions=64).select(
+            F.col("id").alias("entity"), F.lit(5).cast("long").alias("t"),
+            (F.col("id") * 0.5).alias("value")).write.parquet(f"{root}/r")
+        ls = spark.readStream.schema(
+            "entity long, t long, lid long").parquet(f"{root}/l")
+        rs = spark.readStream.schema(
+            "entity long, t long, value double").parquet(f"{root}/r")
+
+        def run_stream(out_df, mode, ck):
+            t0 = time.perf_counter()
+            q = (out_df.writeStream.format("noop").outputMode(mode)
+                 .option("checkpointLocation", f"{root}/{ck}")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(1800)
+            wall = time.perf_counter() - t0
+            so = ((q.lastProgress or {}).get("stateOperators") or [{}])[0]
+            return wall, so.get("numRowsTotal"), so.get("memoryUsedBytes")
+
+        w1, rows1, mem1 = run_stream(
+            stream_asof(ls, rs, on="t", by="entity", right_value="value"),
+            "append", "ck_asof")
+        bpe1 = mem1 / rows1 if rows1 else None
+        print(f"streamstate stream_asof {n_ent:,} entities: wall={w1:.1f}s "
+              f"state_rows={rows1:,} state_mem={mem1 and mem1 >> 20}MB "
+              f"({bpe1 and round(bpe1, 1)} B/entity)")
+
+        ev = spark.range(n_ent, numPartitions=64).select(
+            F.col("id").alias("entity"),
+            F.explode(F.array(F.lit("A"), F.lit("B"))).alias("event_type"))
+        ev = ev.select("entity", "event_type", F.timestamp_seconds(
+            F.lit(1_600_000_000) + F.when(F.col("event_type") == "A", 0)
+            .otherwise(60)).alias("timestamp"))
+        ev.write.parquet(f"{root}/ev")
+        es = spark.readStream.schema(
+            "entity long, event_type string, timestamp timestamp"
+        ).parquet(f"{root}/ev")
+        w2, rows2, mem2 = run_stream(
+            stream_funnel(es, steps=["A", "B"]), "update", "ck_funnel")
+        bpe2 = mem2 / rows2 if rows2 else None
+        print(f"streamstate stream_funnel {n_ent:,} entities (2 steps): "
+              f"wall={w2:.1f}s state_rows={rows2:,} "
+              f"state_mem={mem2 and mem2 >> 20}MB "
+              f"({bpe2 and round(bpe2, 1)} B/entity)")
+        # the O(1)/O(k) claim: state rows == entities, and per-entity
+        # bytes stay in store-overhead territory (hundreds of bytes),
+        # never proportional to event volume
+        ok &= rows1 == n_ent and rows2 == n_ent
+        if (bpe1 and bpe1 > 2048) or (bpe2 and bpe2 > 2048):
+            print(f"WEAK: streaming state exceeds 2 KB/entity "
+                  f"(asof {bpe1}, funnel {bpe2})")
+            ok = False
+        shutil.rmtree(root, ignore_errors=True)
 
     print("SCALE_SMOKE", "PASS" if ok else "FAIL")
     spark.stop()
