@@ -185,10 +185,28 @@ def _blocked_exact_topk(q: DataFrame, c: DataFrame, k: int,
         q_tile = max(64, min(len(qids), 4096))
         c_step = max(64, slice_elems // q_tile)
         kk = min(k, len(nids))
+        # r9 per-cell CPU profile (the r8 leftover): the Arrow/object
+        # np.stack conversion the r8 note suspected measures 0.06 s
+        # against ~45 s of kernel compute on a 25k x 62.5k cell — the
+        # real gap vs the bare matmul+argpartition profile (1.35x) was
+        # three EXTRA FULL-SLAB PASSES per slice, removed below with
+        # bitwise-identical results: (a) equal.outer self-match mask ->
+        # searchsorted on the sorted neighbor ids; (b) unconditional
+        # nan_to_num -> skipped when both norm vectors are finite and
+        # positive (NaN sims can only arise from zero/NaN/inf norms);
+        # (c) two full-slab == comparisons for boundary-tie detection ->
+        # argpartition at (ks-1, ks) exposes the first EXCLUDED value,
+        # and a tie crosses the boundary iff it equals the selected min.
+        norms_clean = (np.isfinite(qn).all() and np.isfinite(cn).all()
+                       and (qn > 0).all() and (cn > 0).all())
         out = []
         for q0 in range(0, len(qids), q_tile):
             tq_ids = qids[q0:q0 + q_tile]
             tqm, tqn = qm[q0:q0 + q_tile], qn[q0:q0 + q_tile]
+            # self-match coordinates via binary search (nids ascending):
+            # row r of this tile matches nid positions [sl[r], sr[r])
+            sl_all = np.searchsorted(nids, tq_ids, side="left")
+            sr_all = np.searchsorted(nids, tq_ids, side="right")
             best_v = best_n = None
             for lo in range(0, len(nids), c_step):
                 nid, sm = nids[lo:lo + c_step], cm[lo:lo + c_step]
@@ -197,29 +215,39 @@ def _blocked_exact_topk(q: DataFrame, c: DataFrame, k: int,
                     sims = (tqm @ sm.T) / (tqn[:, None] * sn[None, :])
                 # self-matches and zero-norm/NaN pairs sort last and drop
                 # (-inf, not NaN, so the lexsort fold below stays simple)
-                sims[np.equal.outer(tq_ids, nid)] = -np.inf
-                # neginf=-inf: the default would rewrite the -inf
-                # self-match sentinels above to finite -1.8e308, which
-                # pass the isfinite keep filter and leak into the output
-                np.nan_to_num(sims, copy=False, nan=-np.inf, neginf=-np.inf)
+                hi = min(lo + c_step, len(nids))
+                sl = np.clip(sl_all, lo, hi) - lo
+                sr = np.clip(sr_all, lo, hi) - lo
+                for r in np.nonzero(sr > sl)[0]:
+                    sims[r, sl[r]:sr[r]] = -np.inf
+                if not norms_clean:
+                    np.nan_to_num(sims, copy=False, nan=-np.inf,
+                                  neginf=-np.inf)
                 ks = min(k, len(nid))
                 # O(nc) argpartition instead of a full O(nc log nc) sort —
                 # the sort was ~70x the matmul cost at 100k-corpus cells
-                idx = np.argpartition(-sims, ks - 1, axis=1)[:, :ks]
+                if ks < len(nid):
+                    part = np.argpartition(-sims, (ks - 1, ks), axis=1)
+                    idx = part[:, :ks]
+                    nxt = part[:, ks]
+                else:
+                    idx, nxt = np.argpartition(-sims, ks - 1,
+                                               axis=1)[:, :ks], None
                 top = np.take_along_axis(sims, idx, axis=1)
                 # argpartition selects by VALUE only; when a tie crosses
                 # the k boundary the deterministic (sim desc, neighbor
-                # asc) contract needs the stable-sort selection — detect
-                # those rows (rare: exact float-cosine ties) and redo
-                # just them.  nids are ascending within the slice, so a
-                # stable argsort on -sims yields ascending neighbor_id
-                # among equal sims.
-                vk = top.min(axis=1)
-                n_eq_all = (sims == vk[:, None]).sum(axis=1)
-                n_eq_sel = (top == vk[:, None]).sum(axis=1)
-                for r in np.nonzero(n_eq_all > n_eq_sel)[0]:
-                    idx[r] = np.argsort(-sims[r], kind="stable")[:ks]
-                    top[r] = sims[r][idx[r]]
+                # asc) contract needs the stable-sort selection — a
+                # boundary tie exists iff the first excluded value equals
+                # the selected minimum (rare: exact float-cosine ties).
+                # nids are ascending within the slice, so a stable
+                # argsort on -sims yields ascending neighbor_id among
+                # equal sims.
+                if nxt is not None:
+                    vk = top.min(axis=1)
+                    crossing = sims[np.arange(len(sims)), nxt] == vk
+                    for r in np.nonzero(crossing)[0]:
+                        idx[r] = np.argsort(-sims[r], kind="stable")[:ks]
+                        top[r] = sims[r][idx[r]]
                 nid_sel = nid[idx]
                 if best_v is None:
                     best_v, best_n = top, nid_sel

@@ -637,3 +637,31 @@ def test_merge_sweep_half_infinite(spark):
     with pytest.raises(ValueError, match="start column"):
         merge_intervals(li, rr, on="g", how="inner", left_stop="stop",
                         right_stop="rstop", strategy="sweep")
+
+
+def test_merge_intervals_self_join_derived_frames(spark):
+    """Both inputs cut from ONE parent frame (windows and observations
+    derived from the same table — the make_windows flow) must work on
+    every strategy: localCheckpoint preserves exprIds, so without the
+    fresh-alias re-projection inside merge_intervals the parent-
+    qualified key references fail analysis as ambiguous."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from catabra_pandas_spark.operators.merging import merge_intervals
+
+    pdf = pd.DataFrame({"entity": [1, 1, 2, 2], "t": [1.0, 5.0, 2.0, 8.0]})
+    df = spark.createDataFrame(pdf).localCheckpoint(eager=True)
+    wins = df.groupBy("entity").agg(F.min("t").alias("start"),
+                                    F.max("t").alias("stop"))
+    iv = df.select("entity", F.col("t").alias("start"),
+                   (F.col("t") + 1.0).alias("stop"))
+    for strat, kw in (("direct", {}), ("sweep", {}),
+                      ("bucket", {"bucket_width": 4.0})):
+        out = merge_intervals(wins, iv, on="entity", how="inner",
+                              left_start="start", left_stop="stop",
+                              right_start="start", right_stop="stop",
+                              suffixes=("_w", "_i"), strategy=strat,
+                              **kw).toPandas()
+        assert len(out) == 4, strat  # every obs interval overlaps its span
+        assert set(out["entity"]) == {1, 2}, strat
