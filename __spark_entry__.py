@@ -3738,7 +3738,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sentinel fix, dim<2 quantize), multimodal.py/codecs.py (VBR
     # avg_bitrate_kbps + ID3v1 short-payload guard), streaming/__init__
     # (decimal key guard); (c) backfill with the oldest (r7) remaining
-    # rows — the merge/resample families.  The tail holds r7/r8-green
+    # rows — the merge family plus resample_eav basic/irregular, and
+    # the 8 tail queries the checker flagged after the r9
+    # merge_intervals self-join fix (fresh-alias re-projection touches
+    # every merge/sweep closure).  The tail holds r7/r8-green
     # queries whose code is unchanged since their rows.
     return {
         "cross_dedup": q_cross_dedup,
@@ -3782,6 +3785,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "find_containing": q_find_containing,
         "resample_eav_basic": q_resample_eav_basic,
         "resample_eav_irregular": q_resample_eav_irregular,
+        "resample_interval": q_resample_interval,
+        "bucket_range_join": q_bucket_range_join,
+        "merge_str_intervals": q_merge_str_intervals,
+        "merge_str_bucket": q_merge_str_bucket,
+        "merge_date_intervals": q_merge_date_intervals,
+        "merge_timedelta_intervals": q_merge_timedelta_intervals,
+        "merge_overlap_sweep": q_merge_overlap_sweep,
+        "find_containing_sweep": q_find_containing_sweep,
+        "resample_interval_sweep": q_resample_interval_sweep,
+        # ---- driver window ends here (50) ----
         "resample_eav_quantiles": q_resample_eav_quantiles,
         "resample_eav_moments": q_resample_eav_moments,
         "resample_eav_ranks": q_resample_eav_ranks,
@@ -3790,9 +3803,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_eav_custom": q_resample_eav_custom,
         "resample_eav_custom_multi": q_resample_eav_custom_multi,
         "resample_eav_custom_slope": q_resample_eav_custom_slope,
-        "resample_interval": q_resample_interval,
-        # ---- driver window ends here (50) ----
-        "bucket_range_join": q_bucket_range_join,
         "rollup": q_rollup,
         "cube": q_cube,
         "dedup_exact": q_dedup_exact,
@@ -3819,14 +3829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combine_k3": q_combine_k3,
         "combine_gaps": q_combine_gaps,
         "combine_attrs": q_combine_attrs,
-        "merge_str_intervals": q_merge_str_intervals,
-        "merge_str_bucket": q_merge_str_bucket,
-        "merge_date_intervals": q_merge_date_intervals,
-        "merge_timedelta_intervals": q_merge_timedelta_intervals,
-        "merge_overlap_sweep": q_merge_overlap_sweep,
         "merge_asof": q_merge_asof,
-        "find_containing_sweep": q_find_containing_sweep,
-        "resample_interval_sweep": q_resample_interval_sweep,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "make_windows": q_make_windows,
