@@ -960,3 +960,43 @@ def test_quantize_embeddings_dim1(spark):
     assert list(out.loc[0, "codes_q8"]) == [127]
     assert list(out.loc[1, "codes_q8"]) == [-127]
     assert out.loc[2, "scale_q8"] == 0.0
+
+
+def test_cosine_topk_blocked_tie_storm(spark):
+    """Adversarial ties for the r9 boundary-tie detector: vectors drawn
+    from {-1,0,1}^6 produce many EXACT cosine duplicates, so argpartition
+    selections constantly cross k-boundary ties and the (sim desc,
+    neighbor_id asc) contract is only met if the stable-repair path
+    fires.  Blocked grid must equal the broadcast path row-for-row, and
+    both must equal a brute-force numpy reference."""
+    import itertools
+
+    import numpy as np
+
+    from catabra_pandas_spark.pipeline import cosine_topk
+
+    vecs = [list(map(float, v))
+            for v in itertools.product([-1.0, 0.0, 1.0], repeat=6)
+            if any(v)][:400]
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    sdf = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    q = sdf.filter(F.col("vec_id") % 17 == 0)
+
+    a = (cosine_topk(q, sdf, k=7, dim=6).toPandas()
+         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    b = (cosine_topk(q, sdf, k=7, dim=6, broadcast_queries=False,
+                     n_query_blocks=3, n_corpus_blocks=5).toPandas()
+         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert list(a.neighbor_id) == list(b.neighbor_id)
+    assert np.allclose(a.cosine_sim, b.cosine_sim, atol=0)
+
+    # brute-force reference with the documented deterministic ordering
+    M = np.array(vecs)
+    nrm = np.sqrt((M * M).sum(axis=1))
+    qids = [int(r) for r in pdf.vec_id if r % 17 == 0]
+    for qid in qids:
+        sims = (M @ M[qid]) / (nrm * nrm[qid])
+        order = sorted((i for i in range(len(vecs)) if i != qid),
+                       key=lambda i: (-sims[i], i))[:7]
+        got = list(a[a.query_id == qid].neighbor_id)
+        assert got == order, f"query {qid}: {got} != {order}"
