@@ -181,3 +181,98 @@ def test_funnel_hot_entity_skew(spark):
     assert rows[0].n_stages == 3 and rows[0].converted
     assert rows[0].t_first == 0.0 and rows[0].t_convert == 2.0
     assert rows[1].n_stages == 1 and not rows[1].converted
+
+
+@settings(max_examples=10, deadline=None)
+@given(left=_left_rows, right=_right_rows,
+       inc=st.tuples(st.booleans(), st.booleans(), st.booleans(),
+                     st.booleans()),
+       width=st.sampled_from([0.5, 2.0, 11.0]))
+def test_merge_bucket_matches_direct(spark, left, right, inc, width):
+    """strategy="bucket" (explode to width-W buckets, emit from the one
+    bucket holding max(l_start, r_start)) completes the three-strategy
+    equivalence matrix: its match set must equal the direct join's under
+    random inclusion flags and bucket widths both narrower and wider
+    than every interval."""
+    ils, ilp, irs, irp = inc
+    lsdf = spark.createDataFrame([(int(k), float(a), float(b))
+                                  for k, a, b in left],
+                                 "k long, a double, b double")
+    rsdf = spark.createDataFrame([(int(k), float(c), float(d))
+                                  for k, c, d in right],
+                                 "k long, c double, d double")
+    kw = dict(on="k", how="inner", left_start="a", left_stop="b",
+              right_start="c", right_stop="d",
+              include_left_start=ils, include_left_stop=ilp,
+              include_right_start=irs, include_right_stop=irp)
+    d = merge_intervals(lsdf, rsdf, **kw).toPandas()
+    b = merge_intervals(lsdf, rsdf, strategy="bucket", bucket_width=width,
+                        **kw).toPandas()
+    cols = sorted(d.columns)
+    assert sorted(b.columns) == cols
+    pd.testing.assert_frame_equal(
+        b[cols].sort_values(cols).reset_index(drop=True),
+        d[cols].sort_values(cols).reset_index(drop=True))
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(min_value=0, max_value=1),
+                               _vals, _vals), min_size=1, max_size=14),
+       distance=st.sampled_from([0.0, 1.0, 3.0]),
+       inclusive=st.booleans())
+def test_group_intervals_matches_union_find(spark, rows, distance,
+                                            inclusive):
+    """group_intervals single-linkage clustering vs a brute-force
+    union-find over the pairwise sweep gap.  Reference misc.py:125-257
+    defines the linkage on SORT ORDER: for a pair sorted by (start,
+    stop), gap = later.start - earlier.stop, merged iff gap <= distance
+    (strict < for inclusive=False) — NOT the symmetric overlap formula,
+    which disagrees for zero-length intervals sitting inside a longer
+    one ([0,1.5] vs [1,1]: sweep gap -0.5 merges at distance 0, while
+    max(s)-min(t) = 0 would not under inclusive=False)."""
+    pdf = pd.DataFrame(rows, columns=["g", "s", "t"])
+    pdf = pdf[pdf.s <= pdf.t].reset_index(drop=True)
+    assume(len(pdf))
+    sdf = spark.createDataFrame(
+        [(int(g), float(s), float(t)) for g, s, t in
+         pdf.itertuples(index=False)], "g long, s double, t double")
+    out = (__import__("catabra_pandas_spark").group_intervals(
+        sdf, group_by="g", start_col="s", stop_col="t",
+        distance=distance, inclusive=inclusive,
+        group_id_name="group_id")
+        .toPandas())
+
+    # brute force union-find per group
+    import itertools
+    parent = list(range(len(pdf)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i, j in itertools.combinations(range(len(pdf)), 2):
+        ri, rj = pdf.iloc[i], pdf.iloc[j]
+        if ri.g != rj.g:
+            continue
+        first, later = sorted([(ri.s, ri.t), (rj.s, rj.t)])
+        gap = later[0] - first[1]
+        linked = gap <= distance if inclusive else gap < distance
+        if linked:
+            pi, pj = find(i), find(j)
+            parent[pi] = pj
+    comp = {}
+    for i in range(len(pdf)):
+        comp.setdefault(find(i), []).append(i)
+
+    # compare PARTITIONS (class ids are arbitrary labels within a group)
+    got = out.sort_values(["g", "s", "t"]).reset_index(drop=True)
+    exp_sets = {frozenset((pdf.iloc[i].g, pdf.iloc[i].s, pdf.iloc[i].t)
+                          for i in members)
+                for members in comp.values()}
+    got_sets = {frozenset(map(tuple, sub[["g", "s", "t"]].values.tolist()))
+                for _, sub in got.groupby(["g", "group_id"])}
+    # multisets of rows collapse to sets here; duplicates of one interval
+    # always land in the same class on both sides, so set-compare is exact
+    assert got_sets == exp_sets
