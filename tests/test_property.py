@@ -276,3 +276,91 @@ def test_group_intervals_matches_union_find(spark, rows, distance,
     # multisets of rows collapse to sets here; duplicates of one interval
     # always land in the same class on both sides, so set-compare is exact
     assert got_sets == exp_sets
+
+
+@settings(max_examples=10, deadline=None)
+@given(obs=st.lists(st.tuples(_keys, _vals, _vals,
+                              st.sampled_from([None, -2.0, 1.0, 3.0])),
+                    min_size=0, max_size=10),
+       wins=st.lists(st.tuples(_keys, _vals, _vals),
+                     min_size=1, max_size=6))
+def test_resample_interval_matches_bruteforce(spark, obs, wins):
+    """Duration-weighted resampling vs the spec formula computed row by
+    row in Python: W_I = v * |W∩I| / |I| with the documented edge cases
+    (null value -> 0; zero-length interval: 1 if its point lies in the
+    CLOSED window else 0).  Windows and intervals share the boundary
+    value pool, so closed-endpoint ties are constant traffic."""
+    obs = [(k, min(a, b), max(a, b), v) for k, a, b, v in obs]
+    wpdf = pd.DataFrame([(k, min(a, b), max(a, b)) for k, a, b in wins],
+                        columns=["entity", "start", "stop"]).drop_duplicates()
+    osdf = spark.createDataFrame(
+        [(int(k), float(a), float(b), "x", v) for k, a, b, v in obs],
+        "entity long, start double, stop double, attribute string, value double")
+    wsdf = spark.createDataFrame(
+        [(int(k), float(a), float(b)) for k, a, b in
+         wpdf.itertuples(index=False)],
+        "entity long, start double, stop double")
+    from catabra_pandas_spark import resample_interval
+    out = (resample_interval(osdf, wsdf, attributes=["x"],
+                             window_start_col="start",
+                             window_stop_col="stop")
+           .toPandas().set_index(["entity", "start", "stop"]))
+
+    for k, ws, wp in wpdf.itertuples(index=False):
+        total = 0.0
+        for ok, a, b, v in obs:
+            if ok != k or v is None:
+                continue
+            if a == b:
+                frac = 1.0 if ws <= a <= wp else 0.0
+            else:
+                inter = min(b, wp) - max(a, ws)
+                # closed endpoints: touching intervals overlap with
+                # length 0 (contribute 0), disjoint ones are excluded
+                frac = max(inter, 0.0) / (b - a) if inter >= 0 else 0.0
+            total += v * frac
+        got = float(out.loc[(k, ws, wp), "x"])
+        assert abs(got - total) < 1e-9, (k, ws, wp, got, total)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=st.lists(st.tuples(_keys, _vals,
+                               st.sampled_from([None, 1.0, 2.0, 5.0])),
+                     min_size=1, max_size=12))
+def test_impute_linear_matches_pandas(spark, rows):
+    """impute(method="linear") vs pandas positional interpolate per
+    group — the reference contract is POSITION-based ("row index values
+    are completely ignored", misc.py:720-721), so the oracle
+    interpolates over row rank, not over t; interior gaps fill,
+    leading/trailing nulls stay null."""
+    # dedupe on the RAW tuples: pandas would coerce None -> NaN, and a
+    # NaN smuggled into createDataFrame is a VALUE the engine must not
+    # impute (null-vs-NaN contract; see tests/conftest.to_sdf)
+    seen, uniq = set(), []
+    for g, t, v in rows:
+        if (g, t) not in seen:
+            seen.add((g, t))
+            uniq.append((g, t, v))
+    pdf = pd.DataFrame(uniq, columns=["g", "t", "v"])
+    sdf = spark.createDataFrame(
+        [(int(g), float(t), None if v is None else float(v))
+         for g, t, v in uniq],
+        "g long, t double, v double")
+    from catabra_pandas_spark import impute
+    out = (impute(sdf, method="linear", columns="v", group_by="g",
+                  order_by="t").toPandas()
+           .sort_values(["g", "t"]).reset_index(drop=True))
+    exp_parts = []
+    for g, sub in pdf.sort_values(["g", "t"]).groupby("g"):
+        s = sub["v"].astype(float).reset_index(drop=True)
+        filled = s.interpolate(method="linear", limit_area="inside")
+        exp_parts.append(pd.DataFrame(
+            {"g": g, "t": sub["t"].values, "v": filled.values}))
+    exp = (pd.concat(exp_parts).sort_values(["g", "t"])
+           .reset_index(drop=True))
+    assert len(out) == len(exp)
+    for got_v, exp_v in zip(out["v"], exp["v"]):
+        if pd.isna(exp_v):
+            assert pd.isna(got_v)
+        else:
+            assert abs(got_v - exp_v) < 1e-9
