@@ -364,3 +364,36 @@ def test_impute_linear_matches_pandas(spark, rows):
             assert pd.isna(got_v)
         else:
             assert abs(got_v - exp_v) < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(vecs=st.lists(
+    st.lists(st.sampled_from([0.0, 1e-30, 0.5, -1.0, 3.25, -1e6, 1e12]),
+             min_size=4, max_size=4),
+    min_size=1, max_size=8))
+def test_quantize_embeddings_invariants(spark, vecs):
+    """int8 quantization invariants over adversarial magnitudes (1e-30
+    .. 1e12 coordinates in one corpus): codes stay in [-127, 127], the
+    max-|v| coordinate maps to exactly +/-127, per-coordinate
+    reconstruction error is <= scale/2, and all-zero vectors get scale 0
+    with all-zero codes."""
+    import numpy as np
+
+    from catabra_pandas_spark.pipeline import quantize_embeddings
+
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    out = (quantize_embeddings(sdf, dim=4).toPandas()
+           .set_index("vec_id").sort_index())
+    for i, v in enumerate(vecs):
+        v = np.asarray(v, dtype=float)
+        scale = out.loc[i, "scale_q8"]
+        codes = np.asarray(out.loc[i, "codes_q8"], dtype=np.int64)
+        if not v.any():
+            assert scale == 0.0 and (codes == 0).all()
+            continue
+        assert abs(scale - np.abs(v).max() / 127.0) < 1e-12 * np.abs(v).max()
+        assert codes.min() >= -127 and codes.max() <= 127
+        assert np.abs(codes).max() == 127
+        assert np.abs(codes * scale - v).max() <= scale / 2 * (1 + 1e-12)
