@@ -397,3 +397,52 @@ def test_quantize_embeddings_invariants(spark, vecs):
         assert codes.min() >= -127 and codes.max() <= 127
         assert np.abs(codes).max() == 127
         assert np.abs(codes * scale - v).max() <= scale / 2 * (1 + 1e-12)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=st.lists(st.tuples(_vals, _vals), min_size=1, max_size=10),
+       band=st.sampled_from([(1, None), (2, None), (0, 0), (2, 3)]))
+def test_combine_intervals_matches_coverage_scan(spark, rows, band):
+    """combine_intervals (union / k-fold / gaps / bands) vs a brute-force
+    coverage scan over the closed-endpoint event ordering (starts before
+    stops at equal t — touching intervals combine).  The oracle walks
+    the sorted event list and emits maximal constant-coverage runs
+    clipped to [n_min, n_max]."""
+    n_min, n_max = band
+    ivs = [(min(a, b), max(a, b)) for a, b in rows]
+    sdf = spark.createDataFrame([(float(a), float(b)) for a, b in ivs],
+                                "start double, stop double")
+    from catabra_pandas_spark import combine_intervals
+    out = (combine_intervals(sdf, n_min=n_min, n_max=n_max)
+           .toPandas().sort_values(["start", "stop"])
+           .reset_index(drop=True))
+
+    # brute force: coverage between consecutive event times
+    pts = sorted({p for iv in ivs for p in iv})
+    segs = []  # (lo, hi, coverage) for maximal in-band runs
+    events = []
+    for a, b in ivs:
+        events.append((a, 0))   # start sorts before stop at equal t
+        events.append((b, 1))
+    events.sort()
+    cov, cur = 0, None
+    lo = None
+    for t, kind in events:
+        if cur is not None and t > cur:
+            ok = cov >= n_min and (n_max is None or cov <= n_max)
+            if ok and lo is None:
+                lo = cur
+            elif not ok and lo is not None:
+                segs.append((lo, cur))
+                lo = None
+        cur = t
+        cov += 1 if kind == 0 else -1
+    if lo is not None:
+        segs.append((lo, cur))
+    # zero-length in-band islands are dropped on both sides: the k-fold
+    # intersection of touching intervals ([0,1],[1,2], n_min=2) is the
+    # single point [1,1], which the operator does not emit (verified) —
+    # the oracle filters a < b to match
+    exp = [(a, b) for a, b in segs if a < b]
+    got = list(map(tuple, out[["start", "stop"]].values.tolist()))
+    assert got == sorted(exp), (ivs, band, got, sorted(exp))
