@@ -446,3 +446,98 @@ def test_combine_intervals_matches_coverage_scan(spark, rows, band):
     exp = [(a, b) for a, b in segs if a < b]
     got = list(map(tuple, out[["start", "stop"]].values.tolist()))
     assert got == sorted(exp), (ivs, band, got, sorted(exp))
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=st.lists(st.tuples(_keys, _vals,
+                               st.sampled_from([None, 1.0, 2.0, 9.0])),
+                     min_size=1, max_size=12),
+       fills=st.tuples(st.sampled_from([None, -1.0]),
+                       st.sampled_from([None, 99.0])))
+def test_prev_next_values_matches_pandas_shift(spark, rows, fills):
+    """prev_next_values vs pandas groupby.shift with fill values, plus
+    the is-first/is-last indicators (reference misc.py:439-641)."""
+    pfill, nfill = fills
+    seen, uniq = set(), []
+    for g, t, v in rows:  # unique (g, t) so row order is well-defined
+        if (g, t) not in seen:
+            seen.add((g, t))
+            uniq.append((g, t, v))
+    sdf = spark.createDataFrame(
+        [(int(g), float(t), None if v is None else float(v))
+         for g, t, v in uniq],
+        "g long, t double, v double")
+    from catabra_pandas_spark import prev_next_values
+    spec = {"v": {"prev_name": "pv", "next_name": "nv"}}
+    if pfill is not None:
+        spec["v"]["prev_fill"] = pfill
+    if nfill is not None:
+        spec["v"]["next_fill"] = nfill
+    out = (prev_next_values(sdf, sort_by="t", columns=spec, group_by="g",
+                            first_indicator_name="isf",
+                            last_indicator_name="isl")
+           .toPandas().sort_values(["g", "t"]).reset_index(drop=True))
+    pdf = (pd.DataFrame(uniq, columns=["g", "t", "v"])
+           .sort_values(["g", "t"]).reset_index(drop=True))
+    gb = pdf.groupby("g")["v"]
+    exp_pv, exp_nv = gb.shift(1), gb.shift(-1)
+    if pfill is not None:
+        # fill applies only where there IS no previous row, not where the
+        # previous row's value is null
+        first_mask = pdf.groupby("g").cumcount() == 0
+        exp_pv = exp_pv.where(~first_mask, pfill)
+    if nfill is not None:
+        last_mask = (pdf.iloc[::-1].groupby("g").cumcount() == 0)[::-1]
+        exp_nv = exp_nv.where(~last_mask.values, nfill)
+    for col, exp in (("pv", exp_pv), ("nv", exp_nv)):
+        for got_v, exp_v in zip(out[col], exp):
+            if pd.isna(exp_v):
+                assert pd.isna(got_v), (col, uniq, list(out[col]), list(exp))
+            else:
+                assert got_v == exp_v, (col, uniq, list(out[col]), list(exp))
+    assert list(out["isf"]) == list(pdf.groupby("g").cumcount() == 0)
+    assert list(out["isl"]) == list(
+        (pdf.iloc[::-1].groupby("g").cumcount() == 0)[::-1])
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=st.lists(st.tuples(_keys,
+                               st.sampled_from([None, 1.0, 2.0, 7.0])),
+                     min_size=1, max_size=14),
+       dropna=st.booleans())
+def test_grouped_mode_matches_bruteforce(spark, rows, dropna):
+    """grouped_mode vs a brute-force (count desc, value asc) scan with
+    the documented null rules: dropna prefers any non-null (all-null
+    groups yield (null, 0)); dropna=False lets null compete on
+    frequency but lose ties (nulls-last sort)."""
+    sdf = spark.createDataFrame(
+        [(int(g), None if v is None else float(v)) for g, v in rows],
+        "g long, v double")
+    from catabra_pandas_spark import grouped_mode
+    out = (grouped_mode(sdf, group_by="g", column="v", dropna=dropna)
+           .toPandas().set_index("g").sort_index())
+    from collections import Counter
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        cnt = Counter(vals)
+        if dropna:
+            nonnull = {k: c for k, c in cnt.items() if k is not None}
+            if nonnull:
+                best = min(nonnull.items(), key=lambda kv: (-kv[1], kv[0]))
+            else:
+                best = (None, 0)
+        else:
+            # null competes but loses ties: sort key (count desc,
+            # is-null, value asc with None last)
+            best = min(cnt.items(),
+                       key=lambda kv: (-kv[1], kv[0] is None,
+                                       kv[0] if kv[0] is not None else 0.0))
+            best = (best[0], cnt[best[0]])
+        got_m, got_c = out.loc[g, "mode"], out.loc[g, "count"]
+        if best[0] is None:
+            assert pd.isna(got_m), (g, vals, got_m, best)
+        else:
+            assert got_m == best[0], (g, vals, got_m, best)
+        assert got_c == best[1], (g, vals, got_c, best)
