@@ -541,3 +541,72 @@ def test_grouped_mode_matches_bruteforce(spark, rows, dropna):
         else:
             assert got_m == best[0], (g, vals, got_m, best)
         assert got_c == best[1], (g, vals, got_c, best)
+
+
+@settings(max_examples=8, deadline=None)
+@given(obs=st.lists(st.tuples(_keys, _vals, st.sampled_from(["a", "b"]),
+                              _vals),
+                    min_size=0, max_size=14),
+       wins=st.lists(st.tuples(_keys, _vals, _vals), min_size=1,
+                     max_size=5),
+       inc=st.tuples(st.booleans(), st.booleans()))
+def test_resample_eav_matches_pandas(spark, obs, wins, inc):
+    """resample_eav (irregular windows, mixed agg vocabulary incl. an
+    exact percentile and a rank) vs pandas computed per window from the
+    spec: per-attribute filter to the [start, stop] band under the given
+    inclusion flags, then Series aggregation.  Overlapping and
+    duplicate-key windows are generated freely; size is 0-filled where
+    other aggregations stay null."""
+    incs, incp = inc
+    # unique (entity, timestamp, attribute): equal-timestamp ties would
+    # make the r-1 rank aggregation nondeterministic without tiebreak_col
+    seen, uniq = set(), []
+    for k, t, attr, v in obs:
+        if (k, t, attr) not in seen:
+            seen.add((k, t, attr))
+            uniq.append((k, t, attr, v))
+    obs = uniq
+    wpdf = (pd.DataFrame([(k, min(a, b), max(a, b)) for k, a, b in wins],
+                         columns=["entity", "start", "stop"])
+            .drop_duplicates().reset_index(drop=True))
+    osdf = spark.createDataFrame(
+        [(int(k), float(t), attr, float(v)) for k, t, attr, v in obs],
+        "entity long, timestamp double, attribute string, value double")
+    wsdf = spark.createDataFrame(
+        [(int(k), float(a), float(b)) for k, a, b in
+         wpdf.itertuples(index=False)],
+        "entity long, start double, stop double")
+    from catabra_pandas_spark import resample_eav
+    agg = {"a": ["sum", "median", "p25", "size"], "b": ["min", "r-1"]}
+    out = (resample_eav(osdf, wsdf, agg, window_start_col="start",
+                        window_stop_col="stop", include_start=incs,
+                        include_stop=incp, regular=False)
+           .toPandas().set_index(["entity", "start", "stop"]).sort_index())
+    assert len(out) == len(wpdf)
+
+    opdf = pd.DataFrame(obs, columns=["entity", "timestamp", "attribute",
+                                      "value"])
+    for k, ws, wp in wpdf.itertuples(index=False):
+        if len(opdf):
+            lo = opdf.timestamp >= ws if incs else opdf.timestamp > ws
+            hi = opdf.timestamp <= wp if incp else opdf.timestamp < wp
+            band = opdf[(opdf.entity == k) & lo & hi]
+        else:
+            band = opdf
+        row = out.loc[(k, ws, wp)]
+        a = band[band.attribute == "a"].sort_values("timestamp").value
+        b = band[band.attribute == "b"].sort_values("timestamp").value
+        checks = {
+            "a_sum": a.sum() if len(a) else None,
+            "a_median": a.median() if len(a) else None,
+            "a_p25": a.quantile(0.25) if len(a) else None,
+            "a_size": float(len(a)),
+            "b_min": b.min() if len(b) else None,
+            "b_r-1": b.iloc[-1] if len(b) else None,
+        }
+        for col, exp in checks.items():
+            got = row[col]
+            if exp is None:
+                assert pd.isna(got), (col, k, ws, wp, got)
+            else:
+                assert abs(got - exp) < 1e-9, (col, k, ws, wp, got, exp)
