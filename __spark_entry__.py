@@ -3739,6 +3739,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # avg_bitrate_kbps + ID3v1 short-payload guard), streaming/__init__
     # (decimal key guard); (c) backfill with the oldest (r7) remaining
     # rows — the merge family plus resample_eav basic/irregular, and
+    # (third rotation) the resample_eav agg family + make_windows after
+    # the r9 sweep-kernel duplicate-id fix (their closures reach
+    # sweep_point_in_interval via the sweep join strategy), displacing
+    # the 9 lowest-risk r6-row queries (md5 sampling / packing / json —
+    # they keep r6 rows one more round; r10 MUST rotate them first), and
     # the 8 tail queries the checker flagged after the r9
     # merge_intervals self-join fix (fresh-alias re-projection touches
     # every merge/sweep closure).  The tail holds r7/r8-green
@@ -3749,20 +3754,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "funnel": q_funnel,
         "retention": q_retention,
-        "sample_stratified": q_sample_stratified,
-        "sample_split": q_sample_split,
-        "mix_corpora": q_mix_corpora,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "hll_distinct": q_hll_distinct,
         "heavy_hitters": q_heavy_hitters,
         "quantile_sketch": q_quantile_sketch,
-        "bloom_prejoin": q_bloom_prejoin,
-        "pack_sequences": q_pack_sequences,
-        "pack_bins": q_pack_bins,
-        "chunk_documents": q_chunk_documents,
-        "zorder": q_zorder,
-        "json_props": q_json_props,
         "stream_asof": q_stream_asof,
         "multimodal_mp3": q_multimodal_mp3,
         "multimodal_decode": q_multimodal_decode,
@@ -3794,7 +3790,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_overlap_sweep": q_merge_overlap_sweep,
         "find_containing_sweep": q_find_containing_sweep,
         "resample_interval_sweep": q_resample_interval_sweep,
-        # ---- driver window ends here (50) ----
         "resample_eav_quantiles": q_resample_eav_quantiles,
         "resample_eav_moments": q_resample_eav_moments,
         "resample_eav_ranks": q_resample_eav_ranks,
@@ -3803,6 +3798,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_eav_custom": q_resample_eav_custom,
         "resample_eav_custom_multi": q_resample_eav_custom_multi,
         "resample_eav_custom_slope": q_resample_eav_custom_slope,
+        "make_windows": q_make_windows,
+        # ---- driver window ends here (50) ----
+        "sample_stratified": q_sample_stratified,
+        "sample_split": q_sample_split,
+        "mix_corpora": q_mix_corpora,
+        "bloom_prejoin": q_bloom_prejoin,
+        "pack_sequences": q_pack_sequences,
+        "pack_bins": q_pack_bins,
+        "chunk_documents": q_chunk_documents,
+        "zorder": q_zorder,
+        "json_props": q_json_props,
         "rollup": q_rollup,
         "cube": q_cube,
         "dedup_exact": q_dedup_exact,
@@ -3832,7 +3838,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_asof": q_merge_asof,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
-        "make_windows": q_make_windows,
         "factorize": q_factorize,
         "inner_or_cross": q_inner_or_cross,
         "topk": q_topk,

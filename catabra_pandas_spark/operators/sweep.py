@@ -140,13 +140,26 @@ def sweep_point_in_interval(
     # downstream aggregate/join key stays UnsafeRow/HashAggregate-friendly)
     if interval_id is None:
         cols = [F.col(f"`{c}`") for c in intervals.columns]
-        ivl = intervals.withColumns({
-            _H1: F.xxhash64(F.lit(0), *cols),
-            _H2: F.xxhash64(F.lit(1), *cols)})
     else:
-        ivl = intervals.withColumns({
-            _H1: F.xxhash64(F.lit(0), F.col(f"`{interval_id}`")),
-            _H2: F.xxhash64(F.lit(1), F.col(f"`{interval_id}`"))})
+        # the id PLUS the equi-keys and endpoints, not the id alone: two
+        # DIFFERENT intervals sharing a user id would otherwise collapse
+        # into one (keys, id) group whose range pairs max(start
+        # positions) with max(stop positions) — a nonsense range that
+        # silently drops matches (caught by the find_containing property
+        # test: sweep returned -1 where direct matched).  The keys must
+        # be in the hash too: the payload join below joins ivl to ranges
+        # on the hash ALONE, so same-(id, endpoints) intervals in
+        # different groups would cross-attach each other's position
+        # ranges.  Hashing the full content keeps equal-content
+        # duplicates collapsing (they re-expand at the payload join)
+        # while distinct intervals stay distinct.
+        cols = ([F.col(f"`{interval_id}`")]
+                + [F.col(f"`{k}`") for k in ivl_keys]
+                + [F.col(f"`{c}`") for c in (iv_start, iv_stop)
+                   if c is not None])
+    ivl = intervals.withColumns({
+        _H1: F.xxhash64(F.lit(0), *cols),
+        _H2: F.xxhash64(F.lit(1), *cols)})
 
     # --- point numbering ----------------------------------------------
     if pts_keys:

@@ -610,3 +610,46 @@ def test_resample_eav_matches_pandas(spark, obs, wins, inc):
                 assert pd.isna(got), (col, k, ws, wp, got)
             else:
                 assert abs(got - exp) < 1e-9, (col, k, ws, wp, got, exp)
+
+
+@settings(max_examples=10, deadline=None)
+@given(pts=st.lists(st.tuples(_keys, _vals), min_size=1, max_size=10),
+       ivs=st.lists(st.tuples(_keys, _vals, _vals, st.integers(0, 50)),
+                    min_size=0, max_size=10),
+       inc=st.tuples(st.booleans(), st.booleans()),
+       strategy=st.sampled_from(["direct", "sweep"]))
+def test_find_containing_matches_bruteforce(spark, pts, ivs, inc,
+                                            strategy):
+    """find_containing_interval(which="both") vs a brute-force scan:
+    min/max interval id over the containment predicate under random
+    inclusion flags, -1 where nothing contains the point, on both the
+    direct and sweep strategies."""
+    incs, incp = inc
+    ivs = [(k, min(a, b), max(a, b), i) for k, a, b, i in ivs]
+    psdf = spark.createDataFrame([(int(k), float(p)) for k, p in pts],
+                                 "g long, p double")
+    isdf = spark.createDataFrame(
+        [(int(k), float(a), float(b), int(i)) for k, a, b, i in ivs],
+        "g long, start double, stop double, iid long")
+    from catabra_pandas_spark import find_containing_interval
+    out = (find_containing_interval(
+        psdf, isdf, point_cols="p", which="both", group_by="g",
+        interval_id="iid", include_start=incs, include_stop=incp,
+        strategy=strategy).toPandas()
+        .sort_values(["g", "p"]).reset_index(drop=True))
+
+    def contains(a, b, p):
+        lo = a <= p if incs else a < p
+        hi = p <= b if incp else p < b
+        return lo and hi
+
+    exp = []
+    for k, p in sorted(set(pts)):
+        ids = [i for g2, a, b, i in ivs if g2 == k and contains(a, b, p)]
+        exp.append((k, p, min(ids) if ids else -1,
+                    max(ids) if ids else -1))
+    got = [tuple(r) for r in
+           out[["g", "p", "p__first", "p__last"]]
+           .drop_duplicates().values.tolist()]
+    assert sorted(got) == sorted((float(k), float(p), float(f), float(l))
+                                 for k, p, f, l in exp), (pts, ivs, inc)
