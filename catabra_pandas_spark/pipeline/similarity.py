@@ -197,8 +197,19 @@ def _blocked_exact_topk(q: DataFrame, c: DataFrame, k: int,
         # (c) two full-slab == comparisons for boundary-tie detection ->
         # argpartition at (ks-1, ks) exposes the first EXCLUDED value,
         # and a tie crosses the boundary iff it equals the selected min.
+        # Finite positive norms are NOT sufficient on their own: with
+        # individually finite norms the dot product and the norm product
+        # can BOTH overflow to inf, and inf/inf = NaN.  Such a NaN never
+        # leaks (the isfinite keep drops it) but it would make the
+        # boundary-tie == comparison silently false, breaking the
+        # deterministic (sim desc, neighbor asc) contract — so the fast
+        # path also requires the worst-case norm product to stay finite
+        # (|dot| <= qn*cn by Cauchy-Schwarz, so a finite max product
+        # bounds every intermediate).
         norms_clean = (np.isfinite(qn).all() and np.isfinite(cn).all()
-                       and (qn > 0).all() and (cn > 0).all())
+                       and (qn > 0).all() and (cn > 0).all()
+                       and np.isfinite(qn.max(initial=0.0)
+                                       * cn.max(initial=0.0)))
         out = []
         for q0 in range(0, len(qids), q_tile):
             tq_ids = qids[q0:q0 + q_tile]

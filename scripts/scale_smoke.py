@@ -194,7 +194,10 @@ def compare_tol(name, a, b, keys, atol=1e-6):
             conds.append(~both_null &
                          (ca.isNull() | cb.isNull() | (F.abs(ca - cb) > atol)))
         else:
-            conds.append(~(both_null | (ca == cb)))
+            # null-safe: plain == yields SQL NULL when exactly one side is
+            # NULL, and the filter silently drops the row — a genuine
+            # null-vs-value divergence would read as "ok"
+            conds.append(~ca.eqNullSafe(cb))
     bad = j.filter(functools.reduce(operator.or_, conds)).count()
     nj = j.count()
     ok = bad == 0 and na == nb == nj and na > 0
@@ -508,7 +511,14 @@ def main():
         # of the float32 bytes") — >= 3x after parquet framing/vec_id
         # overhead at dim=32.  Disk carries scale_q8 too (pruned by the
         # scan), so its floor is softer.
-        if scan_ratio < 3.0 or disk_ratio < 2.5:
+        if scan_ratio is None:
+            # no parquet files matched / empty footer metadata: the scan
+            # certificate cannot be computed — that IS a failed
+            # certificate, not a crash
+            print("FAIL: q8 scan bytes are 0 (no parquet footers found) — "
+                  "scan certificate not computable")
+            ok = False
+        elif scan_ratio < 3.0 or disk_ratio < 2.5:
             print(f"WEAK: q8 byte savings below the design claim "
                   f"(disk {disk_ratio:.2f}x, scan {scan_ratio:.2f}x)")
             ok = False

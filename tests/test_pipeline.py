@@ -1000,3 +1000,52 @@ def test_cosine_topk_blocked_tie_storm(spark):
                        key=lambda i: (-sims[i], i))[:7]
         got = list(a[a.query_id == qid].neighbor_id)
         assert got == order, f"query {qid}: {got} != {order}"
+
+
+def test_cosine_topk_blocked_overflow_ties(spark):
+    """ADVICE r9: with individually FINITE norms the dot product and the
+    norm product can both overflow to inf, giving NaN sims the old
+    norms_clean fast path left un-scrubbed — correct output (isfinite
+    keep drops them) but the boundary-tie == comparison went silently
+    false, so tied finite sims could violate the (sim desc, neighbor asc)
+    contract.  Corpus mixes 1e170-scaled vectors (huge x huge pairs
+    overflow -> dropped) with unit-scale EXACT-tie vectors; queries are
+    huge, so every query row sees both NaN pairs and k-boundary ties in
+    the same slice.  Blocked grid must equal broadcast row-for-row and
+    both must equal brute force over the finite pairs only."""
+    import itertools
+
+    import numpy as np
+
+    from catabra_pandas_spark.pipeline import cosine_topk
+
+    dirs = [list(map(float, v))
+            for v in itertools.product([-1.0, 0.0, 1.0], repeat=3)
+            if any(v)]  # 26 directions, many exact cosine duplicates
+    big = [[x * 1e170 for x in v] for v in dirs[:8]]
+    vecs = dirs + big  # ids 0..25 normal, 26..33 huge
+    pdf = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": vecs})
+    sdf = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    q = sdf.filter(F.col("vec_id") >= 26)  # huge queries only
+
+    a = (cosine_topk(q, sdf, k=9, dim=3).toPandas()
+         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    b = (cosine_topk(q, sdf, k=9, dim=3, broadcast_queries=False,
+                     n_query_blocks=2, n_corpus_blocks=3).toPandas()
+         .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert list(a.neighbor_id) == list(b.neighbor_id)
+    assert np.allclose(a.cosine_sim, b.cosine_sim, atol=0)
+
+    # brute force over finite pairs: huge x huge overflows and is dropped
+    M = np.array(vecs)
+    with np.errstate(over="ignore", invalid="ignore"):
+        nrm = np.sqrt((M * M).sum(axis=1))
+    for qid in range(26, 34):
+        with np.errstate(over="ignore", invalid="ignore"):
+            sims = (M @ M[qid]) / (nrm * nrm[qid])
+        finite = [i for i in range(len(vecs))
+                  if i != qid and np.isfinite(sims[i])]
+        assert finite == list(range(26))  # all huge pairs overflowed
+        order = sorted(finite, key=lambda i: (-sims[i], i))[:9]
+        got = list(a[a.query_id == qid].neighbor_id)
+        assert got == order, f"query {qid}: {got} != {order}"
