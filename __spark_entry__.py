@@ -370,6 +370,60 @@ _Q_MERGE_TIMEDELTA_SQL = """
 """
 
 
+def q_merge_date_bucket(spark, sf):
+    """DATE interval join on the LARGE-LARGE path: same semantics as
+    q_merge_date_intervals, but strategy="bucket" (width = 10 days in
+    epoch seconds) routes through _bucket_join's shared numeric_double
+    epoch coercion (util.py) — the shuffled __bucket__ equi-join, NOT the
+    broadcast-nested-loop the direct plan uses for date endpoints.  This
+    certifies the only strategy that survives large x large at 100 TB on
+    the time-typed endpoints medical data actually uses (reference dtype
+    grid: tests/util.py:377-416)."""
+    orders = read_table(spark, sf, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("d"))
+    months = (orders.select(
+        F.to_date(F.date_trunc("month", F.col("d"))).alias("m_start"))
+        .distinct()
+        .withColumn("m_stop", F.last_day(F.col("m_start"))))
+    out = cps.merge_intervals(
+        orders, months, how="inner",
+        left_start="d", left_stop="d",
+        right_start="m_start", right_stop="m_stop",
+        strategy="bucket", bucket_width=10 * 86400.0)
+    return out.select(
+        "o_orderkey",
+        F.year("m_start").cast("int").alias("y"),
+        F.month("m_start").cast("int").alias("m"))
+
+
+def q_merge_timedelta_bucket(spark, sf):
+    """DAY-TIME INTERVAL endpoints on the bucket (large-large) path: same
+    semantics as q_merge_timedelta_intervals, strategy="bucket" with a
+    7-second width chosen to MISALIGN with the 5-second duration ranges,
+    so matches routinely span bucket boundaries and the single-anchor
+    dedup rule is exercised.  DayTimeIntervalType coerces via
+    CAST(.. AS BIGINT) total seconds (numeric_double, util.py) — monotone
+    truncation; the exact comparisons run on the original interval
+    columns as the residual predicate."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                           F.col("l_quantity")).alias("dur"))
+    buckets = spark.range(11).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                           (F.col("id") * 5).cast("double")).alias("b_start"),
+        F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                           ((F.col("id") + 1) * 5).cast("double")).alias("b_stop"))
+    out = cps.merge_intervals(
+        li, buckets, how="inner",
+        left_start="dur", left_stop="dur",
+        right_start="b_start", right_stop="b_stop",
+        include_right_stop=False,
+        strategy="bucket", bucket_width=7.0)
+    return out.select("l_orderkey", "l_linenumber", "bucket")
+
+
 # urgency-ASCENDING order — the REVERSE of the lexicographic string
 # order, so a lexicographic shortcut would produce different bands
 _PRIORITY_ORDER = ["5-LOW", "4-NOT SPECIFIED", "3-MEDIUM", "2-HIGH",
@@ -3732,23 +3786,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/rotation_check.py, run from finalize_round.py): any query
     # whose underlying module — or whose query-builder/oracle source —
     # changed since its last green driver row must sit inside the window.
-    # r9 window = (a) the 19 queries whose newest rows were r6 (two
-    # rounds stale, rotated back in on cadence); (b) the 13 queries whose
-    # symbol closure changed THIS round — similarity.py (self-match
-    # sentinel fix, dim<2 quantize), multimodal.py/codecs.py (VBR
-    # avg_bitrate_kbps + ID3v1 short-payload guard), streaming/__init__
-    # (decimal key guard); (c) backfill with the oldest (r7) remaining
-    # rows — the merge family plus resample_eav basic/irregular, and
-    # (third rotation) the resample_eav agg family + make_windows after
-    # the r9 sweep-kernel duplicate-id fix (their closures reach
-    # sweep_point_in_interval via the sweep join strategy), displacing
-    # the 9 lowest-risk r6-row queries (md5 sampling / packing / json —
-    # they keep r6 rows one more round; r10 MUST rotate them first), and
-    # the 8 tail queries the checker flagged after the r9
-    # merge_intervals self-join fix (fresh-alias re-projection touches
-    # every merge/sweep closure).  The tail holds r7/r8-green
-    # queries whose code is unchanged since their rows.
+    # r10 window = (a) the 2 NEW queries (merge_date_bucket /
+    # merge_timedelta_bucket — the bucket strategy certified on
+    # time-typed endpoints, VERDICT r9 #3); (b) the 20 queries the
+    # checker flags for THIS round's edits — merging.py (_bucket_numeric
+    # day-time-interval coercion for the bucket path) flags the whole
+    # merge/find_containing/resample_interval closure, similarity.py
+    # (norms_clean overflow guard) flags the cosine/q8/neardup closure —
+    # the resample_eav family does NOT flag because the lossy coercion
+    # was deliberately kept OUT of the shared util.numeric_double;
+    # (c) the 9 queries stuck on r6 rows since the r9 displacement
+    # (3 rounds stale — VERDICT r9 #1, rotated FIRST); (d) all 15
+    # r7-row queries; (e) 4 backfill slots from the oldest r8 rows
+    # (merge_asof, group_intervals, combine_union, dedup_clusters).
+    # The tail holds unflagged r8/r9-green queries only.
     return {
+        "merge_date_bucket": q_merge_date_bucket,
+        "merge_timedelta_bucket": q_merge_timedelta_bucket,
+        "merge_overlap": q_merge_overlap,
+        "merge_open_endpoints": q_merge_open_endpoints,
+        "merge_left_keep_first": q_merge_left_keep_first,
+        "merge_keep_both": q_merge_keep_both,
+        "merge_indexers": q_merge_indexers,
+        "merge_cat_intervals": q_merge_cat_intervals,
+        "merge_str_intervals": q_merge_str_intervals,
+        "merge_str_bucket": q_merge_str_bucket,
+        "merge_date_intervals": q_merge_date_intervals,
+        "merge_timedelta_intervals": q_merge_timedelta_intervals,
+        "merge_overlap_sweep": q_merge_overlap_sweep,
+        "find_containing": q_find_containing,
+        "find_containing_sweep": q_find_containing_sweep,
+        "resample_interval": q_resample_interval,
+        "resample_interval_sweep": q_resample_interval_sweep,
+        "bucket_range_join": q_bucket_range_join,
+        "cosine_topk": q_cosine_topk,
+        "cosine_topk_blocked": q_cosine_topk_blocked,
+        "q8_ann": q_q8_ann,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
+        "sample_stratified": q_sample_stratified,
+        "sample_split": q_sample_split,
+        "mix_corpora": q_mix_corpora,
+        "bloom_prejoin": q_bloom_prejoin,
+        "pack_sequences": q_pack_sequences,
+        "pack_bins": q_pack_bins,
+        "chunk_documents": q_chunk_documents,
+        "zorder": q_zorder,
+        "json_props": q_json_props,
+        "factorize": q_factorize,
+        "inner_or_cross": q_inner_or_cross,
+        "topk": q_topk,
+        "bpe_train": q_bpe_train,
+        "bpe_tokens": q_bpe_tokens,
+        "kmeans_ann": q_kmeans_ann,
+        "substring_dedup": q_substring_dedup,
+        "substring_removal": q_substring_removal,
+        "impute_ffill": q_impute_ffill,
+        "impute_bfill": q_impute_bfill,
+        "impute_afill": q_impute_afill,
+        "impute_lfill": q_impute_lfill,
+        "impute_linear": q_impute_linear,
+        "grouped_mode": q_grouped_mode,
+        "prev_next": q_prev_next,
+        "merge_asof": q_merge_asof,
+        "group_intervals": q_group_intervals,
+        "combine_union": q_combine_union,
+        "dedup_clusters": q_dedup_clusters,
+        # ---- driver window ends here (50) ----
         "cross_dedup": q_cross_dedup,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -3767,29 +3870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png": q_multimodal_png,
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_wav": q_multimodal_wav,
-        "embedding_neardup_exact": q_embedding_neardup_exact,
-        "cosine_topk": q_cosine_topk,
-        "cosine_topk_blocked": q_cosine_topk_blocked,
         "embedding_q8": q_embedding_q8,
-        "q8_ann": q_q8_ann,
-        "merge_overlap": q_merge_overlap,
-        "merge_open_endpoints": q_merge_open_endpoints,
-        "merge_left_keep_first": q_merge_left_keep_first,
-        "merge_keep_both": q_merge_keep_both,
-        "merge_indexers": q_merge_indexers,
-        "merge_cat_intervals": q_merge_cat_intervals,
-        "find_containing": q_find_containing,
         "resample_eav_basic": q_resample_eav_basic,
         "resample_eav_irregular": q_resample_eav_irregular,
-        "resample_interval": q_resample_interval,
-        "bucket_range_join": q_bucket_range_join,
-        "merge_str_intervals": q_merge_str_intervals,
-        "merge_str_bucket": q_merge_str_bucket,
-        "merge_date_intervals": q_merge_date_intervals,
-        "merge_timedelta_intervals": q_merge_timedelta_intervals,
-        "merge_overlap_sweep": q_merge_overlap_sweep,
-        "find_containing_sweep": q_find_containing_sweep,
-        "resample_interval_sweep": q_resample_interval_sweep,
         "resample_eav_quantiles": q_resample_eav_quantiles,
         "resample_eav_moments": q_resample_eav_moments,
         "resample_eav_ranks": q_resample_eav_ranks,
@@ -3799,16 +3882,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_eav_custom_multi": q_resample_eav_custom_multi,
         "resample_eav_custom_slope": q_resample_eav_custom_slope,
         "make_windows": q_make_windows,
-        # ---- driver window ends here (50) ----
-        "sample_stratified": q_sample_stratified,
-        "sample_split": q_sample_split,
-        "mix_corpora": q_mix_corpora,
-        "bloom_prejoin": q_bloom_prejoin,
-        "pack_sequences": q_pack_sequences,
-        "pack_bins": q_pack_bins,
-        "chunk_documents": q_chunk_documents,
-        "zorder": q_zorder,
-        "json_props": q_json_props,
         "rollup": q_rollup,
         "cube": q_cube,
         "dedup_exact": q_dedup_exact,
@@ -3828,31 +3901,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel": q_stream_funnel,
         "multimodal_mp4": q_multimodal_mp4,
         "multimodal_frames": q_multimodal_frames,
-        "group_intervals": q_group_intervals,
         "group_intervals_ts": q_group_intervals_ts,
         "group_intervals_keyless": q_group_intervals_keyless,
-        "combine_union": q_combine_union,
         "combine_k3": q_combine_k3,
         "combine_gaps": q_combine_gaps,
         "combine_attrs": q_combine_attrs,
-        "merge_asof": q_merge_asof,
         "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "factorize": q_factorize,
-        "inner_or_cross": q_inner_or_cross,
-        "topk": q_topk,
-        "bpe_train": q_bpe_train,
-        "bpe_tokens": q_bpe_tokens,
-        "kmeans_ann": q_kmeans_ann,
-        "substring_dedup": q_substring_dedup,
-        "substring_removal": q_substring_removal,
-        "impute_ffill": q_impute_ffill,
-        "impute_bfill": q_impute_bfill,
-        "impute_afill": q_impute_afill,
-        "impute_lfill": q_impute_lfill,
-        "impute_linear": q_impute_linear,
-        "grouped_mode": q_grouped_mode,
-        "prev_next": q_prev_next,
     }
 
 
@@ -3901,6 +3955,10 @@ def oracle_sql() -> dict[str, str]:
         "resample_interval_sweep": _Q_RESAMPLE_INTERVAL_SQL,
         "merge_date_intervals": _Q_MERGE_DATE_SQL,
         "merge_timedelta_intervals": _Q_MERGE_TIMEDELTA_SQL,
+        # bucket strategy = same semantics, different physical path, so the
+        # direct-path oracles apply verbatim (as merge_overlap_sweep does)
+        "merge_date_bucket": _Q_MERGE_DATE_SQL,
+        "merge_timedelta_bucket": _Q_MERGE_TIMEDELTA_SQL,
         "factorize": _Q_FACTORIZE_SQL,
         "inner_or_cross": _Q_INNER_CROSS_SQL,
         "dedup_exact": _Q_DEDUP_EXACT_SQL,

@@ -99,6 +99,9 @@ HEADLINE = [
     "multimodal_mp4",
     "embedding_q8",
     "q8_ann",
+    # r10 additions (bucket strategy on time-typed endpoints)
+    "merge_date_bucket",
+    "merge_timedelta_bucket",
 ]
 
 
@@ -190,6 +193,15 @@ def main():
     # merging.py had docstring-only changes in r8 and none since; the
     # PLANS.md plan is unchanged (0 exchanges, 1 broadcast hash join).
     # Verdict: in-band session-JIT placement, not a regression.
+    # r10 isolated re-runs of the three r9 >20% movers (3x
+    # SPARK_GRAFT_ONLY each at sf0.1): multimodal_png 0.55/0.55/0.57 s
+    # (r9 in-session 0.506); cosine_topk 0.68/0.81/0.87 s (in-session
+    # 0.468); merge_str_bucket 1.30/1.39/1.40 s (in-session 0.932).  All
+    # three isolated bands are tight and sit ABOVE their in-session
+    # numbers — own-codegen-dominated, the merge_overlap/grouped_mode
+    # signature — with zero plan-metric changes in PLANS.md and (for
+    # multimodal_png) an untouched module.  Verdict: session-JIT
+    # placement on a drifted host, not regressions; watch items closed.
     times: dict[str, float] = {}
     for name in headline:
         fn = qs[name]

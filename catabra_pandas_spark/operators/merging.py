@@ -129,6 +129,22 @@ def merge_intervals(
     * ``keep_order``/``copy`` of the reference are meaningless on Spark
       (no row order, immutable frames) and intentionally absent.
 
+    **Skewed keys** (one entity owning a large share of the rows — the
+    hot-patient/hot-session shape): measured at 10M observations with one
+    entity holding 50% (scripts/scale_smoke.py ``skew`` tier), direct and
+    sweep agree cell-exactly, and default AQE deliberately does NOT split
+    the hot partition (splitting would break the join→agg
+    co-partitioning; the measured imbalance was a benign 2.3x
+    max/median).  Above ~10x max/median task skew, set::
+
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+
+    which rewrites the join to ``SortMergeJoin(skew=true)`` (measured
+    median task 2143 -> 1507 ms on the certificate workload) at the cost
+    of an extra shuffle before the aggregation.  No salting knob is
+    built in: AQE's runtime split is the same mechanism without a manual
+    fan-out factor to mis-tune.
+
     A ``None`` start/stop column means that endpoint is +/- infinity
     (reference ``merging.py:67-78``); pass the same column as start and stop
     to express points.
@@ -528,6 +544,25 @@ def merge_intervals(
     return matched
 
 
+def _bucket_numeric(c: Column, dt) -> Column:
+    """Monotone double view for BUCKET arithmetic only.  Extends the
+    shared exact coercion with DayTimeIntervalType via
+    CAST(.. AS BIGINT) — total seconds, sub-second part truncated.
+    Truncation is monotone non-decreasing, which is the only property the
+    bucket explode/anchor needs (each interval's bucket span stays a
+    superset of the true span, and the anchor bucket — computed from the
+    same coercion on both sides — stays inside both spans); the exact
+    comparisons always run on the ORIGINAL interval columns as the
+    residual predicate.  Deliberately NOT in util.numeric_double:
+    tolerance/grid arithmetic (asof, resample) needs exact values, and a
+    truncating coercion there would silently move sub-second matches."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DayTimeIntervalType):
+        return c.cast("bigint").cast("double")
+    return _numeric(c, dt)
+
+
 def _bucket_join(
     lm: DataFrame,
     rm: DataFrame,
@@ -607,7 +642,7 @@ def _bucket_join(
     else:
         l_s, l_t, r_s, r_t = l_start, l_stop, r_start, r_stop
         code_cols = []
-        numeric = lambda frame, c: _numeric(  # noqa: E731
+        numeric = lambda frame, c: _bucket_numeric(  # noqa: E731
             frame[c], (lsch if c in lsch else rsch)[c])
 
     lb = F.explode(F.sequence(

@@ -213,6 +213,21 @@ def resample_eav(
     still wins (strictly cheaper).  Windows with a null endpoint value
     match no observation by the join contract and are filtered before the
     sweep; ±inf endpoint VALUES sort correctly and need no special case.
+
+    **Skewed entities** (one patient/session owning a large share of the
+    observations): measured at 10M observations with one entity holding
+    50% (scripts/scale_smoke.py ``skew`` tier), direct and sweep agree
+    within summation tolerance, and default AQE leaves the hot partition
+    alone on purpose — splitting it would break the join→agg
+    co-partitioning (measured imbalance a benign 2.3x max/median).  If a
+    workload measures above ~10x max/median task skew, enable::
+
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+
+    which yields ``SortMergeJoin(skew=true)`` (median task 2143 -> 1507 ms
+    on the certificate workload) at the cost of re-shuffling before the
+    aggregation; no built-in salting knob, by design (AQE's runtime split
+    is the same mechanism without a manual fan-out to mis-tune).
     """
     if join_strategy not in ("auto", "direct", "sweep"):
         raise ValueError(f"join_strategy must be auto/direct/sweep, got {join_strategy!r}")

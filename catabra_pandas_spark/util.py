@@ -24,7 +24,11 @@ def numeric_double(c: Column, dt) -> Column:
     """Double view of an orderable column for range-bucket / tolerance /
     distance arithmetic: timestamp-like types become epoch seconds, numerics
     cast directly.  THE single definition of time-to-double coercion — the
-    asof, merging, and resampling operators all share it."""
+    asof, merging, and resampling operators all share it.  (Lossy
+    monotone-only coercions — e.g. DayTimeIntervalType, whose cast
+    truncates sub-second parts — are deliberately NOT here: tolerance and
+    grid arithmetic needs exact values.  The bucket join, which only
+    needs monotonicity, carries its own widening wrapper in merging.py.)"""
     from pyspark.sql import types as T
 
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):

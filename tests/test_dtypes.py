@@ -30,8 +30,7 @@ def _pairs_oracle(left, right, on):
     return m[ok.fillna(False)]
 
 
-@pytest.mark.parametrize("kind", ["timestamp", "date", "string", "timedelta"])
-def test_merge_intervals_dtype_matrix(spark, kind):
+def _dtype_matrix_frames(kind):
     rng = np.random.default_rng(11)
     n_l, n_r = 200, 80
     if kind == "timestamp":
@@ -73,7 +72,12 @@ def test_merge_intervals_dtype_matrix(spark, kind):
         right = pd.DataFrame({"g": rng.integers(0, 8, n_r), "rstart": b,
                               "rstop": b + pd.to_timedelta(rng.integers(0, 600, n_r), unit="s"),
                               "ridx": np.arange(n_r)})
+    return left, right
 
+
+@pytest.mark.parametrize("kind", ["timestamp", "date", "string", "timedelta"])
+def test_merge_intervals_dtype_matrix(spark, kind):
+    left, right = _dtype_matrix_frames(kind)
     out = merge_intervals(
         to_sdf(spark, left), to_sdf(spark, right), on="g", how="inner",
         left_start="start", left_stop="stop",
@@ -84,6 +88,54 @@ def test_merge_intervals_dtype_matrix(spark, kind):
         for c in ("start", "stop"):
             out[c] = pd.to_timedelta(out[c])
         for c in ("rstart", "rstop"):
+            out[c] = pd.to_timedelta(out[c])
+    assert_pdf_equal(out, exp, sort_by=["idx", "ridx"])
+
+
+# adversarial widths per coerced unit (seconds / dict codes): "narrow" is
+# far below the typical span (many exploded buckets per interval, anchor
+# dedup constantly firing), "wide" exceeds the whole domain (one bucket —
+# degenerates to the equi-join + residual filter)
+_BUCKET_WIDTHS = {
+    "timestamp": (3600.0, 1e12),
+    "date": (3 * 86400.0, 1e12),
+    "string": (3.0, 1e9),
+    "timedelta": (7.0, 1e9),
+}
+
+
+@pytest.mark.parametrize("kind", ["timestamp", "date", "string", "timedelta"])
+@pytest.mark.parametrize("width_class", ["narrow", "wide"])
+def test_merge_intervals_bucket_dtype_matrix(spark, kind, width_class):
+    """The bucket (large-large) strategy over the full endpoint dtype grid
+    with ADVERSARIAL widths (VERDICT r9 #3/#4): date endpoints ride the
+    shared epoch coercion, day-time intervals the merging-local
+    CAST-to-seconds truncation (monotone only — the sub-second spans here
+    make truncated endpoints collide across bucket boundaries), strings
+    the order-preserving dictionary codes.  Must equal the plain pandas
+    oracle — i.e. the direct path — row-for-row."""
+    left, right = _dtype_matrix_frames(kind)
+    if kind == "timedelta":
+        # millisecond jitter so truncation to whole seconds is LOSSY and
+        # bucket assignment genuinely coarser than the exact predicate
+        rng = np.random.default_rng(99)
+        left["start"] = left["start"] + pd.to_timedelta(
+            rng.integers(0, 1000, len(left)), unit="ms")
+        left["stop"] = left["stop"] + pd.to_timedelta(
+            rng.integers(1000, 2000, len(left)), unit="ms")
+        right["rstart"] = right["rstart"] + pd.to_timedelta(
+            rng.integers(0, 1000, len(right)), unit="ms")
+        right["rstop"] = right["rstop"] + pd.to_timedelta(
+            rng.integers(1000, 2000, len(right)), unit="ms")
+    width = _BUCKET_WIDTHS[kind][0 if width_class == "narrow" else 1]
+    out = merge_intervals(
+        to_sdf(spark, left), to_sdf(spark, right), on="g", how="inner",
+        left_start="start", left_stop="stop",
+        right_start="rstart", right_stop="rstop",
+        strategy="bucket", bucket_width=width).toPandas()
+    exp = _pairs_oracle(left, right, "g")
+    if kind == "timedelta":
+        for c in ("start", "stop", "rstart", "rstop"):
             out[c] = pd.to_timedelta(out[c])
     assert_pdf_equal(out, exp, sort_by=["idx", "ridx"])
 

@@ -215,6 +215,79 @@ def test_merge_bucket_matches_direct(spark, left, right, inc, width):
         d[cols].sort_values(cols).reset_index(drop=True))
 
 
+def _keep_oracle(left_rows, right_rows, how, keep):
+    """Brute-force how x keep semantics (reference merging.py:728-787):
+    per LEFT row pick min/max/both matches by the keep_by order; invalid
+    or matchless left rows appear unmatched under left/outer; under outer
+    a right row appears unmatched iff it is invalid or NO left row kept
+    it (missing-row injection AFTER the keep reduction)."""
+    rows, kept_rids = [], set()
+    valid_r = [(k, c, d, i) for i, (k, c, d) in enumerate(right_rows)
+               if c <= d]
+    for (k, a, b) in left_rows:
+        ms = [(c, d, i) for (kk, c, d, i) in valid_r
+              if a <= b and kk == k and a <= d and c <= b]
+        if not ms:
+            rows.append((k, a, b, None, None, None))
+            continue
+        first = min(ms, key=lambda t: t[2])
+        last = max(ms, key=lambda t: t[2])
+        picked = ([first] if keep == "first" else [last] if keep == "last"
+                  else ([first] if first == last else [first, last]))
+        for (c, d, i) in picked:
+            kept_rids.add(i)
+            rows.append((k, a, b, c, d, float(i)))
+    if how == "outer":
+        for i, (k, c, d) in enumerate(right_rows):
+            if c <= d and i in kept_rids:
+                continue
+            rows.append((k, None, None, c, d, float(i)))
+    return rows
+
+
+_dup_vals = st.sampled_from([0.0, 1.0, 2.0, 3.5, 5.0])
+
+
+@pytest.mark.parametrize("keep", ["first", "last", "both"])
+@settings(max_examples=6, deadline=None)
+@given(left=st.lists(st.tuples(_keys, _dup_vals, _dup_vals),
+                     min_size=0, max_size=10),
+       right=st.lists(st.tuples(_keys, _dup_vals, _dup_vals),
+                      min_size=0, max_size=8),
+       how=st.sampled_from(["left", "outer"]))
+def test_merge_keep_matches_bruteforce(spark, keep, left, right, how):
+    """how=left/outer x keep=first/last/both under DUPLICATE-CONTENT rows
+    (the tiny value domain guarantees identical left rows, exercising the
+    content-hash id collapse + multiplicity restore) across ALL THREE
+    strategies — the adversarial-identity surface the r9 sweep bug proved
+    the registered oracle queries don't cover (VERDICT r9 #4).  keep_by
+    is a unique right ordinal so the pick is total and the pandas oracle
+    deterministic."""
+    lsdf = spark.createDataFrame(
+        [(int(k), float(a), float(b)) for k, a, b in left],
+        "k long, a double, b double")
+    rsdf = spark.createDataFrame(
+        [(int(k), float(c), float(d), i)
+         for i, (k, c, d) in enumerate(right)],
+        "k long, c double, d double, rid long")
+    nkey = lambda t: tuple((v is None, v if v is not None else 0.0)  # noqa: E731
+                           for v in t)
+    want = sorted(
+        (tuple(None if v is None else round(float(v), 6) for v in t)
+         for t in _keep_oracle(left, right, how, keep)), key=nkey)
+    kw = dict(on="k", how=how, keep=keep, keep_by="rid",
+              left_start="a", left_stop="b",
+              right_start="c", right_stop="d")
+    for strat in ({"strategy": "direct"}, {"strategy": "sweep"},
+                  {"strategy": "bucket", "bucket_width": 2.0}):
+        out = merge_intervals(lsdf, rsdf, **kw, **strat).toPandas()
+        got = sorted(
+            (tuple(None if pd.isna(v) else round(float(v), 6) for v in t)
+             for t in out[["k", "a", "b", "c", "d", "rid"]]
+             .itertuples(index=False, name=None)), key=nkey)
+        assert got == want, f"{strat}: {got} != {want}"
+
+
 @settings(max_examples=10, deadline=None)
 @given(rows=st.lists(st.tuples(st.integers(min_value=0, max_value=1),
                                _vals, _vals), min_size=1, max_size=14),
