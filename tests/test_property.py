@@ -288,6 +288,45 @@ def test_merge_keep_matches_bruteforce(spark, keep, left, right, how):
         assert got == want, f"{strat}: {got} != {want}"
 
 
+@settings(max_examples=6, deadline=None)
+@given(left=st.lists(st.tuples(_keys, _dup_vals, _dup_vals),
+                     min_size=0, max_size=8),
+       right=st.lists(st.tuples(_keys, _dup_vals, _dup_vals),
+                      min_size=0, max_size=10),
+       keep=st.sampled_from(["first", "last", "both"]))
+def test_merge_keep_right_matches_bruteforce(spark, left, right, keep):
+    """how="right" mirrors the keep reduction: the partition id is the
+    RIGHT row, the keep_by order ranks LEFT matches (a unique left
+    ordinal here), and unmatched/invalid right rows pass through.
+    Duplicate-content RIGHT rows exercise the content-hash collapse on
+    the mirrored side."""
+    lsdf = spark.createDataFrame(
+        [(int(k), float(a), float(b), i)
+         for i, (k, a, b) in enumerate(left)],
+        "k long, a double, b double, lid long")
+    rsdf = spark.createDataFrame(
+        [(int(k), float(c), float(d)) for k, c, d in right],
+        "k long, c double, d double")
+    # mirrored oracle: swap roles, then relabel columns back
+    mirrored = _keep_oracle(right, [(k, a, b) for k, a, b in left],
+                            "left", keep)
+    want = sorted(
+        (tuple(None if v is None else round(float(v), 6)
+               for v in (k, a, b, c, d, lid))
+         for (k, c, d, a, b, lid) in mirrored), key=lambda t: tuple(
+            (v is None, v if v is not None else 0.0) for v in t))
+    out = merge_intervals(
+        lsdf, rsdf, on="k", how="right", keep=keep, keep_by="lid",
+        left_start="a", left_stop="b",
+        right_start="c", right_stop="d").toPandas()
+    got = sorted(
+        (tuple(None if pd.isna(v) else round(float(v), 6) for v in t)
+         for t in out[["k", "a", "b", "c", "d", "lid"]]
+         .itertuples(index=False, name=None)), key=lambda t: tuple(
+            (v is None, v if v is not None else 0.0) for v in t))
+    assert got == want, f"{got} != {want}"
+
+
 @settings(max_examples=10, deadline=None)
 @given(rows=st.lists(st.tuples(st.integers(min_value=0, max_value=1),
                                _vals, _vals), min_size=1, max_size=14),
