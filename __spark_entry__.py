@@ -1004,6 +1004,36 @@ _Q_RESAMPLE_IRREGULAR_SQL = f"""
 """
 
 
+def q_resample_eav_bucket(spark, sf):
+    """resample_eav over the same irregular windows with the BUCKET scale
+    path (bucket_width=10 days, deliberately misaligned with the 30-day
+    windows so spans cross bucket boundaries): windows explode into time
+    buckets, observations map to their single bucket, the join runs on
+    (entity, bucket) with the exact endpoint predicate residual — the
+    large x large escape when per-entity window x observation products
+    blow up (resampling.py docstring; same design as
+    merge_intervals(strategy="bucket")).  Same oracle as the sweep/direct
+    variants: the three physical paths must agree cell-for-cell."""
+    li = _li(spark, sf)
+    ev = li.select(F.col("okey").alias("entity"),
+                   F.col("s_start").alias("t"),
+                   F.lit("price").alias("attribute"),
+                   F.col("price").alias("value"))
+    win = _ow(spark, sf).select(F.col("okey").alias("entity"),
+                                F.col("w_start").alias("t_start"),
+                                F.col("w_stop").alias("t_stop"))
+    out = cps.resample_eav(
+        ev, win, {"price": ["count", "mean", "sum", "max"]},
+        entity_col="entity", time_col="t", include_stop=True,
+        regular=False, bucket_width=float(10 * DAY),
+        assume_unique_windows=True)
+    return out.select(
+        "entity", "t_start", "t_stop", "price_count",
+        F.round("price_mean", 6).alias("price_mean"),
+        F.round("price_sum", 6).alias("price_sum"),
+        F.round("price_max", 6).alias("price_max"))
+
+
 def q_resample_eav_basic(spark, sf):
     """resample_eav standard aggs (SURVEY §2.1 #3) into weekly user windows.
     Windows half-open [start, stop) like typical tumbling windows."""
@@ -3797,9 +3827,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # was deliberately kept OUT of the shared util.numeric_double;
     # (c) the 9 queries stuck on r6 rows since the r9 displacement
     # (3 rounds stale — VERDICT r9 #1, rotated FIRST); (d) all 15
-    # r7-row queries; (e) 4 backfill slots from the oldest r8 rows
-    # (merge_asof, group_intervals, combine_union, dedup_clusters).
-    # The tail holds unflagged r8/r9-green queries only.
+    # r7-row queries; (e) the NEW resample_eav_bucket (the bucket scale
+    # path of resample_eav, previously test-proven only) plus 3 backfill
+    # slots from the oldest r8 rows (merge_asof, group_intervals,
+    # dedup_clusters).  The tail holds unflagged r8/r9-green queries
+    # only.
     return {
         "merge_date_bucket": q_merge_date_bucket,
         "merge_timedelta_bucket": q_merge_timedelta_bucket,
@@ -3849,9 +3881,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prev_next": q_prev_next,
         "merge_asof": q_merge_asof,
         "group_intervals": q_group_intervals,
-        "combine_union": q_combine_union,
+        "resample_eav_bucket": q_resample_eav_bucket,
         "dedup_clusters": q_dedup_clusters,
         # ---- driver window ends here (50) ----
+        "combine_union": q_combine_union,
         "cross_dedup": q_cross_dedup,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -3943,6 +3976,7 @@ def oracle_sql() -> dict[str, str]:
         "make_windows": _Q_MAKE_WINDOWS_SQL,
         "resample_eav_basic": _Q_RESAMPLE_BASIC_SQL,
         "resample_eav_irregular": _Q_RESAMPLE_IRREGULAR_SQL,
+        "resample_eav_bucket": _Q_RESAMPLE_IRREGULAR_SQL,
         "resample_eav_quantiles": _Q_RESAMPLE_QUANT_SQL,
         "resample_eav_moments": _Q_RESAMPLE_MOMENTS_SQL,
         "resample_eav_ranks": _Q_RESAMPLE_RANKS_SQL,

@@ -99,9 +99,11 @@ HEADLINE = [
     "multimodal_mp4",
     "embedding_q8",
     "q8_ann",
-    # r10 additions (bucket strategy on time-typed endpoints)
+    # r10 additions (bucket strategy on time-typed endpoints + the
+    # resample_eav bucket scale path)
     "merge_date_bucket",
     "merge_timedelta_bucket",
+    "resample_eav_bucket",
 ]
 
 
