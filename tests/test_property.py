@@ -85,6 +85,69 @@ def test_merge_asof_matches_pandas(spark, left, right, direction):
 
 @settings(max_examples=10, deadline=None)
 @given(left=_left_rows, right=_right_rows,
+       direction=st.sampled_from(["backward", "forward", "nearest"]),
+       tolerance=st.sampled_from([0.5, 1.5, 4.0]))
+def test_merge_asof_tolerance_matches_pandas(spark, left, right, direction,
+                                             tolerance):
+    """tolerance under every direction vs pandas: matches farther than
+    the tolerance null out AFTER the nearest-pick, not before (pandas
+    contract) — the small value domain makes exactly-at-tolerance ties
+    frequent."""
+    lpdf = pd.DataFrame([(k, a) for k, a, _ in left], columns=["k", "t"])
+    rpdf = (pd.DataFrame([(k, c, d) for k, c, d in right],
+                         columns=["k", "t", "y"])
+            .drop_duplicates(["k", "t"]))  # pandas tie-break is positional
+    assume(len(lpdf) and len(rpdf))
+
+    exp = pd.merge_asof(lpdf.sort_values("t", kind="stable"),
+                        rpdf.sort_values("t", kind="stable"),
+                        on="t", by="k", direction=direction,
+                        tolerance=tolerance)
+    out = merge_asof(to_sdf(spark, lpdf), to_sdf(spark, rpdf),
+                     on="t", by="k", direction=direction,
+                     tolerance=tolerance).toPandas()
+
+    def norm(df):
+        return sorted(map(tuple,
+                          df[["k", "t", "y"]].fillna(-999.0).values.tolist()))
+
+    assert norm(out) == norm(exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(obs=st.lists(st.tuples(_keys, _vals, _vals), min_size=0, max_size=14),
+       wins=st.lists(st.tuples(_keys, _vals, _vals), min_size=1, max_size=8),
+       width=st.sampled_from([0.5, 3.0, 50.0]))
+def test_resample_eav_bucket_matches_direct(spark, obs, wins, width):
+    """resample_eav's bucket_width scale path vs the direct join under
+    ADVERSARIAL widths (far below / near / far above the window spans) on
+    random irregular windows — same count/sum/min/max per window
+    required.  Windows with start > stop are empty by the join contract
+    and still emit (count 0)."""
+    from catabra_pandas_spark import resample_eav
+
+    osdf = spark.createDataFrame(
+        [(int(k), float(t), "x", float(v)) for k, t, v in obs],
+        "entity long, timestamp double, attribute string, value double")
+    wsdf = spark.createDataFrame(
+        [(int(k), float(a), float(b)) for k, a, b in wins],
+        "entity long, start double, stop double").distinct()
+    kw = dict(entity_col="entity", time_col="timestamp",
+              window_start_col="start", window_stop_col="stop",
+              include_start=True, include_stop=True, regular=False,
+              assume_unique_windows=True)
+    agg = {"x": ["count", "sum", "min", "max"]}
+    d = resample_eav(osdf, wsdf, agg, join_strategy="direct", **kw).toPandas()
+    b = resample_eav(osdf, wsdf, agg, bucket_width=width, **kw).toPandas()
+    cols = sorted(d.columns)
+    assert sorted(b.columns) == cols
+    pd.testing.assert_frame_equal(
+        b[cols].sort_values(cols).reset_index(drop=True),
+        d[cols].sort_values(cols).reset_index(drop=True))
+
+
+@settings(max_examples=10, deadline=None)
+@given(left=_left_rows, right=_right_rows,
        inc=st.tuples(st.booleans(), st.booleans(), st.booleans(), st.booleans()))
 def test_merge_sweep_matches_direct(spark, left, right, inc):
     """strategy="sweep" (two-sweep overlap decomposition) produces exactly
@@ -223,10 +286,11 @@ def _keep_oracle(left_rows, right_rows, how, keep):
     it (missing-row injection AFTER the keep reduction)."""
     rows, kept_rids = [], set()
     valid_r = [(k, c, d, i) for i, (k, c, d) in enumerate(right_rows)
-               if c <= d]
+               if c is not None and d is not None and c <= d]
     for (k, a, b) in left_rows:
+        lvalid = a is not None and b is not None and a <= b
         ms = [(c, d, i) for (kk, c, d, i) in valid_r
-              if a <= b and kk == k and a <= d and c <= b]
+              if lvalid and kk == k and a <= d and c <= b]
         if not ms:
             rows.append((k, a, b, None, None, None))
             continue
@@ -239,35 +303,42 @@ def _keep_oracle(left_rows, right_rows, how, keep):
             rows.append((k, a, b, c, d, float(i)))
     if how == "outer":
         for i, (k, c, d) in enumerate(right_rows):
-            if c <= d and i in kept_rids:
+            rvalid = c is not None and d is not None and c <= d
+            if rvalid and i in kept_rids:
                 continue
             rows.append((k, None, None, c, d, float(i)))
     return rows
 
 
 _dup_vals = st.sampled_from([0.0, 1.0, 2.0, 3.5, 5.0])
+# None = missing endpoint -> empty interval, never matches, but the row
+# still appears unmatched under its own side's how (reference
+# merging.py:138-139)
+_dup_vals_n = st.sampled_from([0.0, 1.0, 2.0, 3.5, 5.0, None])
 
 
 @pytest.mark.parametrize("keep", ["first", "last", "both"])
 @settings(max_examples=6, deadline=None)
-@given(left=st.lists(st.tuples(_keys, _dup_vals, _dup_vals),
+@given(left=st.lists(st.tuples(_keys, _dup_vals_n, _dup_vals_n),
                      min_size=0, max_size=10),
-       right=st.lists(st.tuples(_keys, _dup_vals, _dup_vals),
+       right=st.lists(st.tuples(_keys, _dup_vals_n, _dup_vals_n),
                       min_size=0, max_size=8),
        how=st.sampled_from(["left", "outer"]))
 def test_merge_keep_matches_bruteforce(spark, keep, left, right, how):
     """how=left/outer x keep=first/last/both under DUPLICATE-CONTENT rows
     (the tiny value domain guarantees identical left rows, exercising the
-    content-hash id collapse + multiplicity restore) across ALL THREE
+    content-hash id collapse + multiplicity restore) AND null endpoints
+    (empty intervals that must pass through unmatched) across ALL THREE
     strategies — the adversarial-identity surface the r9 sweep bug proved
     the registered oracle queries don't cover (VERDICT r9 #4).  keep_by
     is a unique right ordinal so the pick is total and the pandas oracle
     deterministic."""
+    fl = lambda v: None if v is None else float(v)  # noqa: E731
     lsdf = spark.createDataFrame(
-        [(int(k), float(a), float(b)) for k, a, b in left],
+        [(int(k), fl(a), fl(b)) for k, a, b in left],
         "k long, a double, b double")
     rsdf = spark.createDataFrame(
-        [(int(k), float(c), float(d), i)
+        [(int(k), fl(c), fl(d), i)
          for i, (k, c, d) in enumerate(right)],
         "k long, c double, d double, rid long")
     nkey = lambda t: tuple((v is None, v if v is not None else 0.0)  # noqa: E731
