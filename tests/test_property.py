@@ -138,12 +138,14 @@ def test_resample_eav_bucket_matches_direct(spark, obs, wins, width):
               assume_unique_windows=True)
     agg = {"x": ["count", "sum", "min", "max"]}
     d = resample_eav(osdf, wsdf, agg, join_strategy="direct", **kw).toPandas()
-    b = resample_eav(osdf, wsdf, agg, bucket_width=width, **kw).toPandas()
     cols = sorted(d.columns)
-    assert sorted(b.columns) == cols
-    pd.testing.assert_frame_equal(
-        b[cols].sort_values(cols).reset_index(drop=True),
-        d[cols].sort_values(cols).reset_index(drop=True))
+    dref = d[cols].sort_values(cols).reset_index(drop=True)
+    for alt in (dict(bucket_width=width), dict(join_strategy="sweep")):
+        b = resample_eav(osdf, wsdf, agg, **alt, **kw).toPandas()
+        assert sorted(b.columns) == cols
+        pd.testing.assert_frame_equal(
+            b[cols].sort_values(cols).reset_index(drop=True), dref,
+            obj=str(alt))
 
 
 @settings(max_examples=10, deadline=None)
@@ -488,6 +490,14 @@ def test_resample_interval_matches_bruteforce(spark, obs, wins):
                              window_start_col="start",
                              window_stop_col="stop")
            .toPandas().set_index(["entity", "start", "stop"]))
+    # the sweep kernel must reproduce the same duration weights exactly
+    # (it decomposes the overlap join differently, but the residual
+    # weighting arithmetic is shared)
+    out_sw = (resample_interval(osdf, wsdf, attributes=["x"],
+                                window_start_col="start",
+                                window_stop_col="stop",
+                                join_strategy="sweep")
+              .toPandas().set_index(["entity", "start", "stop"]))
 
     for k, ws, wp in wpdf.itertuples(index=False):
         total = 0.0
@@ -504,6 +514,9 @@ def test_resample_interval_matches_bruteforce(spark, obs, wins):
             total += v * frac
         got = float(out.loc[(k, ws, wp), "x"])
         assert abs(got - total) < 1e-9, (k, ws, wp, got, total)
+        got_sw = float(out_sw.loc[(k, ws, wp), "x"])
+        assert abs(got_sw - total) < 1e-9, ("sweep", k, ws, wp, got_sw,
+                                            total)
 
 
 @settings(max_examples=10, deadline=None)
