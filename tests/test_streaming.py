@@ -716,3 +716,92 @@ def test_stream_asof_rejects_wide_decimal_keys(spark, tmp_path):
     rs2 = spark.readStream.schema(
         "entity long, t decimal(12,2), value double").parquet(rsrc)
     stream_asof(ls2, rs2, on="t", by="entity", right_value="value")
+
+
+from hypothesis import given as _hyp_given, settings as _hyp_settings
+from hypothesis import strategies as _st
+
+_ab_keys = _st.integers(min_value=0, max_value=2)
+_ab_mins = _st.integers(min_value=0, max_value=9)
+
+
+@_hyp_given(
+    left=_st.lists(_st.tuples(_ab_keys, _ab_mins), min_size=0, max_size=8),
+    right=_st.lists(_st.tuples(_ab_keys, _ab_mins), min_size=0, max_size=6),
+    cut=_st.sampled_from([2, 5, 8]))
+@_hyp_settings(max_examples=4, deadline=None)
+def test_stream_asof_cross_batch_property(spark, left, right, cut):
+    """Randomized CROSS-BATCH state: random (entity, minute) events split
+    into two micro-batches at an event-time cut (every batch-1 event
+    strictly earlier than every batch-2 event — the regime the operator
+    documents as exactly batch-equivalent) must reproduce pandas
+    merge_asof on the full data.  Sentinel rows pad every file so the
+    two sources always deliver the same number of files and the
+    time-cut batch pairing holds."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    from catabra_pandas_spark.streaming import stream_asof
+
+    base = pd.Timestamp("2026-04-01")
+    mins = lambda m: base + pd.Timedelta(minutes=int(m))  # noqa: E731
+    SENT = 99  # sentinel entity, dropped from the comparison
+    lpdf = pd.DataFrame({
+        "entity": pd.Series([k for k, _ in left], dtype="int64"),
+        "timestamp": pd.Series([mins(m) for _, m in left],
+                               dtype="datetime64[ns]"),
+        "lid": pd.Series(range(len(left)), dtype="int64")})
+    rpdf = (pd.DataFrame({
+        "entity": pd.Series([k for k, _ in right], dtype="int64"),
+        "timestamp": pd.Series([mins(m) for _, m in right],
+                               dtype="datetime64[ns]"),
+        "value": pd.Series([float(10 * k + m) for k, m in right],
+                           dtype="float64")})
+        .drop_duplicates(["entity", "timestamp"]))  # key-tie nuance
+
+    def halves(df, pad_cols):
+        lo = df[df.timestamp < mins(cut)]
+        hi = df[df.timestamp >= mins(cut)]
+        pad_lo = pd.DataFrame([{**pad_cols, "entity": SENT,
+                                "timestamp": mins(0)}])
+        pad_hi = pd.DataFrame([{**pad_cols, "entity": SENT,
+                                "timestamp": mins(cut)}])
+        return (pd.concat([lo, pad_lo], ignore_index=True)[df.columns],
+                pd.concat([hi, pad_hi], ignore_index=True)[df.columns])
+
+    l1, l2 = halves(lpdf, {"lid": -1})
+    r1, r2 = halves(rpdf, {"value": -1.0})
+    root = tempfile.mkdtemp()
+    ldir, rdir = f"{root}/l", f"{root}/r"
+    to_sdf(spark, l1).coalesce(1).write.mode("overwrite").parquet(ldir)
+    to_sdf(spark, r1).coalesce(1).write.mode("overwrite").parquet(rdir)
+    _time.sleep(1.2)  # file mod-time orders the micro-batches
+    to_sdf(spark, l2).coalesce(1).write.mode("append").parquet(ldir)
+    to_sdf(spark, r2).coalesce(1).write.mode("append").parquet(rdir)
+
+    ls = (spark.readStream.schema(spark.read.parquet(ldir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(ldir))
+    rs = (spark.readStream.schema(spark.read.parquet(rdir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(rdir))
+    name = f"asof_prop_{uuid.uuid4().hex[:8]}"
+    q = (stream_asof(ls, rs, on="timestamp", by="entity",
+                     right_value="value")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql(f"SELECT * FROM {name}").toPandas()
+           .query("entity != @SENT")
+           .sort_values("lid").reset_index(drop=True))
+
+    if len(lpdf) and len(rpdf):
+        exp = pd.merge_asof(
+            lpdf.sort_values("timestamp", kind="stable"),
+            rpdf.sort_values("timestamp", kind="stable"),
+            on="timestamp", by="entity", direction="backward"
+        ).sort_values("lid").reset_index(drop=True)
+        exp_vals = list(exp.value.fillna(-999.0))
+    else:
+        exp_vals = [-999.0] * len(lpdf)
+    assert list(got.lid) == list(lpdf.sort_values("lid").lid)
+    assert list(got.value_asof.fillna(-999.0)) == exp_vals
