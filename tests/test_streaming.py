@@ -805,3 +805,58 @@ def test_stream_asof_cross_batch_property(spark, left, right, cut):
         exp_vals = [-999.0] * len(lpdf)
     assert list(got.lid) == list(lpdf.sort_values("lid").lid)
     assert list(got.value_asof.fillna(-999.0)) == exp_vals
+
+
+@_hyp_given(
+    rows=_st.lists(_st.tuples(_ab_keys, _ab_mins,
+                              _st.sampled_from([None, 1.0, 2.0, 5.0])),
+                   min_size=1, max_size=10),
+    cut=_st.sampled_from([2, 5, 8]))
+@_hyp_settings(max_examples=4, deadline=None)
+def test_stream_ffill_cross_batch_property(spark, rows, cut):
+    """Randomized cross-batch forward fill: random null patterns split
+    into two event-time-ordered micro-batches must equal the batch
+    impute(ffill) on the full data.  (entity, minute) pairs are deduped
+    so order_by ties cannot make either side's pick ambiguous."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    base = pd.Timestamp("2026-04-02")
+    mins = lambda m: base + pd.Timedelta(minutes=int(m))  # noqa: E731
+    SENT = 99
+    pdf = (pd.DataFrame({
+        "entity": pd.Series([k for k, _, _ in rows], dtype="int64"),
+        "timestamp": pd.Series([mins(m) for _, m, _ in rows],
+                               dtype="datetime64[ns]"),
+        "value": pd.Series([v for _, _, v in rows], dtype="float64")})
+        .drop_duplicates(["entity", "timestamp"]))
+
+    lo = pdf[pdf.timestamp < mins(cut)]
+    hi = pdf[pdf.timestamp >= mins(cut)]
+    pad = lambda m: pd.DataFrame(  # noqa: E731
+        [{"entity": SENT, "timestamp": mins(m), "value": 0.0}])
+    h1 = pd.concat([lo, pad(0)], ignore_index=True)[pdf.columns]
+    h2 = pd.concat([hi, pad(cut)], ignore_index=True)[pdf.columns]
+
+    src = tempfile.mkdtemp() + "/src"
+    to_sdf(spark, h1).coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.2)
+    to_sdf(spark, h2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    name = f"ffill_prop_{uuid.uuid4().hex[:8]}"
+    q = (stream_ffill(stream, value_col="value")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql(f"SELECT * FROM {name}").toPandas()
+           .query("entity != @SENT")
+           .set_index(["entity", "timestamp"]).value.sort_index())
+
+    exp = (impute(to_sdf(spark, pdf), method="ffill", columns="value",
+                  group_by="entity", order_by="timestamp").toPandas()
+           .set_index(["entity", "timestamp"]).value.sort_index())
+    assert list(got.index) == list(exp.index)
+    assert list(got.fillna(-999.0)) == list(exp.fillna(-999.0))
