@@ -365,3 +365,44 @@ def test_mp3_probe_short_payload_id3v1_guard():
     p[64:67] = b"TAG"
     info = mp3_probe(bytes(p))
     assert info["n_frames"] == 2 and info["bitrate_kbps"] == 8
+
+
+# --- hypothesis property roundtrips (pure python, no Spark) -----------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(h=st.integers(min_value=1, max_value=24),
+       w=st.integers(min_value=1, max_value=24),
+       ch=st.sampled_from([0, 1, 2, 3, 4]),  # 0 = 2-D greyscale array
+       seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_png_roundtrip_property(h, w, ch, seed):
+    """PNG encode->decode is byte-exact for EVERY raster shape the
+    encoder accepts: random dims (incl. 1-pixel edges) x channel counts
+    (2-D grey, 1/2/3/4-channel 3-D) x random content — odd strides make
+    the Paeth/Sub/Up filter predictions adversarial."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 0 else (h, w, ch)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    dec = png_decode(png_encode(img))
+    ref = img if img.ndim == 3 else img[:, :, None]
+    assert dec.shape == ref.shape
+    assert (dec == ref).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(n=st.integers(min_value=1, max_value=300),
+       nch=st.sampled_from([0, 1, 2]),  # 0 = 1-D mono array
+       rate=st.sampled_from([8000, 16000, 44100]),
+       seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_wav_roundtrip_property(n, nch, rate, seed):
+    """WAV PCM16 encode->decode is sample-exact for random lengths,
+    channel layouts and rates (odd byte counts exercise RIFF padding)."""
+    rng = np.random.default_rng(seed)
+    shape = (n,) if nch == 0 else (n, nch)
+    x = rng.integers(-32768, 32768, size=shape).astype(np.int16)
+    samples, got_rate, got_nch = wav_decode(wav_encode(x, sample_rate=rate))
+    ref = x if x.ndim == 2 else x[:, None]
+    assert got_rate == rate and got_nch == ref.shape[1]
+    assert (samples == ref).all()
