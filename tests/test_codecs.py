@@ -406,3 +406,26 @@ def test_wav_roundtrip_property(n, nch, rate, seed):
     ref = x if x.ndim == 2 else x[:, None]
     assert got_rate == rate and got_nch == ref.shape[1]
     assert (samples == ref).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(h=st.integers(min_value=8, max_value=40),
+       w=st.integers(min_value=8, max_value=40),
+       fx=st.sampled_from([5.0, 9.0, 16.0]),
+       fy=st.sampled_from([7.0, 11.0, 20.0]),
+       quality=st.sampled_from([85, 92, 95]),
+       seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_jpeg_roundtrip_property(h, w, fx, fy, quality, seed):
+    """JPEG gray encode->decode stays within quantization error for
+    random smooth images at random non-multiple-of-8 dims (edge-block
+    replication padding) and qualities — mean error bounded, shape
+    preserved exactly."""
+    rng = np.random.default_rng(seed)
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    ph_x, ph_y = rng.uniform(0, 6.28, 2)
+    img = np.clip(128 + 60 * np.sin(x / fx + ph_x) * np.cos(y / fy + ph_y)
+                  + rng.normal(0, 2, size=(h, w)), 0, 255).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode_gray(img, quality=quality))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(float) - img.astype(float))
+    assert err.mean() < 6.0, (h, w, quality, err.mean())
