@@ -107,3 +107,62 @@ def test_bloom_prejoin_inner(spark):
     out = bloom_prejoin(to_sdf(spark, probe), to_sdf(spark, build),
                         "k", "bk", how="inner").toPandas()
     assert sorted(zip(out.k, out.y)) == [(2, 20), (4, 40)]
+
+
+# --- hypothesis property tier ------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1),
+       min_share=st.sampled_from([0.02, 0.05, 0.10]),
+       cap_mult=st.sampled_from([None, 1.2, 3.0]),
+       zipf_a=st.sampled_from([1.3, 2.0, 3.5]))
+def test_heavy_hitters_property(spark, seed, min_share, cap_mult, zipf_a):
+    """Exact frequent items on random Zipf draws x random thresholds x a
+    Misra-Gries capacity sitting just above the 1/min_share validity
+    bound (maximal undercount — the adversarial corner of the
+    no-false-negative proof).  Must equal the pandas value_counts
+    threshold scan exactly, values AND counts."""
+    rng = np.random.default_rng(seed)
+    vals = np.minimum(rng.zipf(zipf_a, 2000), 500).astype(str)
+    pdf = pd.DataFrame({"val": vals})
+    capacity = None if cap_mult is None else int(cap_mult / min_share) + 1
+    out = heavy_hitters(to_sdf(spark, pdf), "val", min_share=min_share,
+                        capacity=capacity).toPandas()
+    counts = pdf["val"].value_counts()
+    expected = counts[counts >= np.ceil(min_share * len(pdf))]
+    assert sorted(out.val) == sorted(expected.index)
+    got = dict(zip(out.val, out.cnt))
+    for v, c in expected.items():
+        assert got[v] == c, (v, got[v], c)
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1),
+       dist=st.sampled_from(["lognormal", "uniform", "ints"]),
+       accuracy=st.sampled_from([200, 1000, 10000]))
+def test_quantile_certificate_property(spark, seed, dist, accuracy):
+    """The GK rank-error certificate must hold on random distributions
+    (heavy-tailed, flat, heavily-tied integers) at every accuracy —
+    within_bound true for all groups, exact quantiles matching pandas."""
+    rng = np.random.default_rng(seed)
+    n = 3000
+    if dist == "lognormal":
+        x = rng.lognormal(0, 1, n)
+    elif dist == "uniform":
+        x = rng.uniform(-5, 5, n)
+    else:
+        x = rng.integers(0, 10, n).astype(float)  # massive ties
+    pdf = pd.DataFrame({"g": rng.integers(0, 3, n), "x": x})
+    probs = [0.05, 0.5, 0.95]
+    out = quantile_certificate(to_sdf(spark, pdf), "g", "x", probs,
+                               accuracy=accuracy).toPandas()
+    assert len(out) == pdf.g.nunique()
+    for r in out.itertuples():
+        grp = pdf[pdf.g == r.g]["x"]
+        assert r.within_bound, (r.g, dist, accuracy)
+        np.testing.assert_allclose(r.q_05, grp.quantile(0.05), rtol=1e-9)
+        np.testing.assert_allclose(r.q_50, grp.quantile(0.5), rtol=1e-9)
+        np.testing.assert_allclose(r.q_95, grp.quantile(0.95), rtol=1e-9)
