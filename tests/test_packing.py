@@ -124,3 +124,48 @@ def test_chunk_documents_validation(spark):
         chunk_documents(docs, max_tokens=4, overlap=4)
     with pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=0)
+
+
+# --- hypothesis property tier ------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(weights=st.lists(st.sampled_from([1.0, 3.0, 50.0, 120.0, 255.0,
+                                         256.0, 300.0]),
+                        min_size=0, max_size=20),
+       budget=st.sampled_from([256.0, 257.5]),
+       groups=st.integers(min_value=1, max_value=3),
+       mode=st.sampled_from(["first_fit", "next_fit"]))
+def test_pack_bins_property(spark, weights, budget, groups, mode):
+    """Greedy packing vs the spec replay on random weight sequences: the
+    domain pins the adversarial cases — items exactly AT the budget
+    (x < budget is strict for the reuse scan), oversized singletons, and
+    many tiny items that first_fit backfills but next_fit cannot."""
+    def _next_fit(ws, b):
+        out, cur, used, m = [], -1, 0.0, 0
+        for x in ws:
+            if cur < 0 or used + x > b:
+                cur, used, m = m, 0.0, m + 1
+            used += x
+            out.append(cur)
+        return out
+
+    pdf = pd.DataFrame({
+        "g": [i % groups for i in range(len(weights))],
+        "id": range(len(weights)),
+        "w": weights})
+    sdf = spark.createDataFrame(
+        [(int(i % groups), int(i), float(w))
+         for i, w in enumerate(weights)],
+        "g long, id long, w double")  # explicit: empty lists infer nothing
+    out = (pack_bins(sdf, "w", budget, "id", group_by="g",
+                     mode=mode).toPandas()
+           .sort_values("id").reset_index(drop=True))
+    for g, grp in pdf.groupby("g"):
+        ws = grp.sort_values("id").w.tolist()
+        exp = (_reference_first_fit(ws, budget) if mode == "first_fit"
+               else _next_fit(ws, budget))
+        got = out[out.g == g].sort_values("id").bin_id.tolist()
+        assert got == exp, (g, mode, ws, got, exp)
