@@ -1049,3 +1049,64 @@ def test_cosine_topk_blocked_overflow_ties(spark):
         order = sorted(finite, key=lambda i: (-sims[i], i))[:9]
         got = list(a[a.query_id == qid].neighbor_id)
         assert got == order, f"query {qid}: {got} != {order}"
+
+
+from hypothesis import given as _hgiven, settings as _hsettings
+from hypothesis import strategies as _hst
+
+
+@_hsettings(max_examples=8, deadline=None)
+@_hgiven(n=_hst.integers(min_value=1, max_value=60),
+         n_per=_hst.integers(min_value=1, max_value=7),
+         n_strata=_hst.integers(min_value=1, max_value=4),
+         seed=_hst.integers(min_value=0, max_value=2**31 - 1),
+         frac=_hst.sampled_from([0.0, 0.25, 0.5, 1.0]),
+         grow=_hst.integers(min_value=0, max_value=10))
+def test_sampling_determinism_property(spark, n, n_per, n_strata, seed,
+                                       frac, grow):
+    """The reproducibility contracts every md5-keyed sampler promises,
+    on random inputs: (a) stratified_sample returns EXACTLY
+    min(n_per, |stratum|) rows per stratum and the identical set on a
+    re-partitioned input; (b) assign_splits is stable under corpus
+    GROWTH — a row's split never changes when new rows arrive (the
+    leak-proof property); (c) deterministic_sample keeps equal keys
+    together and is idempotent."""
+    from catabra_pandas_spark.pipeline import (assign_splits,
+                                               deterministic_sample,
+                                               stratified_sample)
+
+    rows = [(i, i % n_strata, float(i * 7 % 23)) for i in range(n)]
+    sdf = spark.createDataFrame(rows, "id long, s long, x double")
+
+    # (a) exact-N per stratum + partitioning invariance
+    got = stratified_sample(sdf, "s", n_per, on="id",
+                            seed=seed).toPandas()
+    sizes = got.groupby("s").size().to_dict()
+    for st_ in range(n_strata):
+        in_stratum = sum(1 for i in range(n) if i % n_strata == st_)
+        if in_stratum:
+            assert sizes.get(st_, 0) == min(n_per, in_stratum)
+    got2 = stratified_sample(sdf.repartition(7, "x"), "s", n_per, on="id",
+                             seed=seed).toPandas()
+    assert sorted(got.id) == sorted(got2.id)
+
+    # (b) split stability under growth
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    base = assign_splits(sdf, w, on="id", seed=seed).toPandas()
+    grown_rows = rows + [(n + j, (n + j) % n_strata, -1.0)
+                         for j in range(grow)]
+    gsdf = spark.createDataFrame(grown_rows, "id long, s long, x double")
+    grown = assign_splits(gsdf, w, on="id", seed=seed).toPandas()
+    m = base.merge(grown, on="id", suffixes=("_a", "_b"))
+    assert (m.split_a == m.split_b).all()
+
+    # (c) fraction filter: idempotent, key-coherent
+    samp = deterministic_sample(sdf, frac, on="s", seed=seed).toPandas()
+    samp2 = deterministic_sample(sdf, frac, on="s", seed=seed).toPandas()
+    assert sorted(samp.id) == sorted(samp2.id)
+    kept_strata = set(samp.s)
+    for st_ in kept_strata:  # equal keys kept together
+        in_stratum = sum(1 for i in range(n) if i % n_strata == st_)
+        assert (samp.s == st_).sum() == in_stratum
+    if frac >= 1.0:
+        assert len(samp) == n
