@@ -849,3 +849,66 @@ def test_find_containing_matches_bruteforce(spark, pts, ivs, inc,
            .drop_duplicates().values.tolist()]
     assert sorted(got) == sorted((float(k), float(p), float(f), float(l))
                                  for k, p, f, l in exp), (pts, ivs, inc)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(st.tuples(_keys, _vals, st.integers(0, 99)),
+                     min_size=1, max_size=16),
+       k=st.integers(min_value=1, max_value=4),
+       descending=st.booleans(),
+       prefilter=st.booleans())
+def test_grouped_topk_matches_pandas(spark, rows, k, descending,
+                                     prefilter):
+    """grouped_topk vs a pandas per-group sort on random inputs with
+    frequent order-key TIES (tiny value pool), for both the window base
+    plan and the Arrow map-side prefilter.  The tie-break column makes
+    the expected rows unique, so the prefilter's soundness claim (a row
+    beaten by >= k rows of its own group per batch is never global
+    top-k) is checked exactly, not just by count."""
+    from catabra_pandas_spark import grouped_topk
+
+    pdf = (pd.DataFrame(rows, columns=["g", "v", "tb"])
+           .drop_duplicates(["g", "v", "tb"]))
+    sdf = spark.createDataFrame(
+        [(int(g), float(v), int(t)) for g, v, t in
+         pdf.itertuples(index=False)], "g long, v double, tb long")
+    out = grouped_topk(sdf, "g", ["v", "tb"], k=k, descending=descending,
+                       prefilter=prefilter).toPandas()
+    exp_rows = []
+    for g, grp in pdf.groupby("g"):
+        s = grp.sort_values(["v", "tb"], ascending=not descending)
+        exp_rows.append(s.head(k))
+    exp = pd.concat(exp_rows, ignore_index=True)
+    key = ["g", "v", "tb"]
+    assert (sorted(map(tuple, out[key].values.tolist()))
+            == sorted(map(tuple, exp[key].values.tolist())))
+
+
+@settings(max_examples=8, deadline=None)
+@given(left=st.lists(st.tuples(_keys, _vals), min_size=1, max_size=14),
+       right=st.lists(st.tuples(_keys, _vals), min_size=0, max_size=10),
+       sort=st.booleans())
+def test_factorize_property(spark, left, right, sort):
+    """factorize over two frames on random composite keys: ids are dense
+    0..n-1, equal tuples share one id ACROSS frames, distinct tuples get
+    distinct ids, and sort=True makes id order == key order."""
+    from catabra_pandas_spark import factorize
+
+    lsdf = spark.createDataFrame([(int(k), float(v)) for k, v in left],
+                                 "a long, b double")
+    rsdf = spark.createDataFrame([(int(k), float(v)) for k, v in right],
+                                 "a long, b double") if right else None
+    lf, rf = factorize(lsdf, ["a", "b"], right=rsdf,
+                       right_columns=["a", "b"], sort=sort)
+    lp = lf.toPandas()
+    frames = [lp] + ([rf.toPandas()] if rf is not None else [])
+    allp = pd.concat(frames, ignore_index=True)
+    keys = sorted(set(map(tuple, allp[["a", "b"]].values.tolist())))
+    ids = allp.groupby(["a", "b"])["__key__"].agg(["min", "max"])
+    # one id per tuple, consistent across frames
+    assert (ids["min"] == ids["max"]).all()
+    # dense 0..n-1
+    assert sorted(ids["min"]) == list(range(len(keys)))
+    if sort:  # order-preserving: id order == key tuple order
+        assert [tuple(t) for t in
+                ids["min"].sort_values().index] == keys
