@@ -912,3 +912,82 @@ def test_factorize_property(spark, left, right, sort):
     if sort:  # order-preserving: id order == key tuple order
         assert [tuple(t) for t in
                 ids["min"].sort_values().index] == keys
+
+
+@settings(max_examples=8, deadline=None)
+@given(events=st.lists(st.tuples(st.integers(0, 4),
+                                 st.integers(0, 70)),  # (entity, day)
+                       min_size=1, max_size=20),
+       period=st.sampled_from(["week", "month"]))
+def test_retention_matches_bruteforce(spark, events, period):
+    """Cohort retention vs a python replay of the spec: cohort = period
+    of the entity's first event; (cohort, offset) counts distinct
+    entities active offset whole periods later.  Random day offsets land
+    on period boundaries constantly; month mode exercises the
+    variable-length calendar arithmetic."""
+    from catabra_pandas_spark import retention
+
+    base = pd.Timestamp("2024-01-15")
+    pdf = pd.DataFrame({
+        "entity": [e for e, _ in events],
+        "timestamp": pd.Series([base + pd.Timedelta(days=d)
+                                for _, d in events],
+                               dtype="datetime64[ns]")})
+    out = retention(to_sdf(spark, pdf), period=period).toPandas()
+    out["cohort"] = pd.to_datetime(out["cohort"])  # date -> Timestamp
+    out = out.set_index(["cohort", "period_offset"]).n_active.sort_index()
+
+    def trunc(ts):
+        if period == "month":
+            return ts.normalize().replace(day=1)
+        return (ts - pd.Timedelta(days=ts.dayofweek)).normalize()
+
+    def offset(c, p):
+        if period == "month":
+            return (p.year - c.year) * 12 + (p.month - c.month)
+        return (p - c).days // 7
+
+    per_entity = {}
+    for e, d in events:
+        per_entity.setdefault(e, set()).add(trunc(base + pd.Timedelta(days=d)))
+    cells = {}
+    for e, periods in per_entity.items():
+        c = min(periods)
+        for p in periods:
+            cells[(c, offset(c, p))] = cells.get((c, offset(c, p)), 0) + 1
+    exp = pd.Series(cells).sort_index()
+    assert list(out.index) == list(exp.index)
+    assert list(out) == list(exp)
+
+
+@settings(max_examples=10, deadline=None)
+@given(n_tokens=st.integers(min_value=0, max_value=40),
+       max_tokens=st.integers(min_value=1, max_value=12),
+       overlap=st.integers(min_value=0, max_value=11),
+       seed=st.integers(min_value=0, max_value=999))
+def test_chunk_documents_reconstruction(spark, n_tokens, max_tokens,
+                                        overlap, seed):
+    """Chunking invariants on random documents: chunk i covers tokens
+    [i*stride, i*stride+max_tokens); dropping each chunk's leading
+    ``overlap`` tokens (except chunk 0) and concatenating reconstructs
+    the document exactly; token counts match; empty docs emit nothing."""
+    from catabra_pandas_spark.pipeline import chunk_documents
+
+    assume(overlap < max_tokens)
+    toks = [f"w{seed}_{i}" for i in range(n_tokens)]
+    text = " ".join(toks)
+    sdf = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = (chunk_documents(sdf, max_tokens=max_tokens, overlap=overlap)
+           .toPandas().sort_values("chunk_idx").reset_index(drop=True))
+    if n_tokens == 0:
+        assert len(out) == 0
+        return
+    stride = max_tokens - overlap
+    rebuilt = []
+    for r in out.itertuples():
+        ctoks = r.chunk_text.split()
+        start = int(r.chunk_idx) * stride
+        assert ctoks == toks[start:start + max_tokens], r.chunk_idx
+        assert r.n_chunk_tokens == len(ctoks)
+        rebuilt.extend(ctoks if r.chunk_idx == 0 else ctoks[overlap:])
+    assert rebuilt == toks
