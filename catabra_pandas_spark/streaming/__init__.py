@@ -47,8 +47,11 @@ def stream_sessionize(
     agg: Optional[Mapping[str, Sequence[str]]] = None,
 ) -> DataFrame:
     """Streaming ``group_intervals``: cluster events of one entity whose
-    time gap is below ``gap`` into sessions (reference ``misc.py:125-257``
-    with ``point_col`` + ``distance`` — same single-linkage semantics).
+    time gap is within ``gap`` into sessions (INCLUSIVE — an event landing
+    exactly at the session end merges; probed in
+    tests/test_property.py::test_sessionize_matches_gap_scan).  Reference
+    ``misc.py:125-257`` with ``point_col`` + ``distance`` — the same
+    single-linkage semantics as ``group_intervals(inclusive=True)``.
 
     Returns one row per (entity, session): ``session_start``,
     ``session_stop``, ``n_events`` plus any extra ``agg`` columns

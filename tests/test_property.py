@@ -991,3 +991,48 @@ def test_chunk_documents_reconstruction(spark, n_tokens, max_tokens,
         assert r.n_chunk_tokens == len(ctoks)
         rebuilt.extend(ctoks if r.chunk_idx == 0 else ctoks[overlap:])
     assert rebuilt == toks
+
+
+@settings(max_examples=8, deadline=None)
+@given(events=st.lists(st.tuples(st.integers(0, 2),
+                                 st.integers(0, 40)),  # (entity, minute)
+                       min_size=1, max_size=18),
+       gap_min=st.sampled_from([1, 5, 10]))
+def test_sessionize_matches_gap_scan(spark, events, gap_min):
+    """session_window clustering vs a python gap scan on random event
+    times: session boundaries form wherever consecutive same-entity
+    events are STRICTLY MORE than gap apart — Spark's session_window
+    merges an event landing exactly at the session end (probed on this
+    Spark version; the gap is INCLUSIVE) — with exact start/stop/count
+    per session.  The minute domain makes exact-gap boundary events
+    constant traffic."""
+    from catabra_pandas_spark.streaming import stream_sessionize
+
+    base = pd.Timestamp("2024-06-01")
+    pdf = (pd.DataFrame({
+        "entity": pd.Series([e for e, _ in events], dtype="int64"),
+        "timestamp": pd.Series([base + pd.Timedelta(minutes=m)
+                                for _, m in events],
+                               dtype="datetime64[ns]"),
+        "value": pd.Series([float(m) for _, m in events],
+                           dtype="float64")})
+        .drop_duplicates(["entity", "timestamp"]))
+    out = (stream_sessionize(to_sdf(spark, pdf), f"{gap_min} minutes")
+           .toPandas()
+           .sort_values(["entity", "session_start"]).reset_index(drop=True))
+
+    exp = []
+    for e, grp in pdf.groupby("entity"):
+        ts = sorted(grp.timestamp)
+        cur = [ts[0]]
+        for t in ts[1:]:
+            if (t - cur[-1]) <= pd.Timedelta(minutes=gap_min):
+                cur.append(t)
+            else:
+                exp.append((e, cur[0], cur[-1], len(cur)))
+                cur = [t]
+        exp.append((e, cur[0], cur[-1], len(cur)))
+    exp = sorted(exp)
+    got = [(r.entity, r.session_start, r.session_stop, r.n_events)
+           for r in out.itertuples()]
+    assert got == exp

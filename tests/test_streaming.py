@@ -41,9 +41,11 @@ def test_sessionize_batch_matches_group_intervals(spark):
         .toPandas()
 
     # oracle 1: group_intervals with the same gap on the same points gives
-    # the same cluster structure (session_window gap is exclusive at the
-    # stop edge; distance on points with inclusive=True merges gap==dist,
-    # so use a hair under 10 minutes)
+    # the same cluster structure.  (session_window's gap is INCLUSIVE —
+    # an event exactly at the session end merges, probed in
+    # test_sessionize_matches_gap_scan — so distance=600.0 would match
+    # too; 599.9 also works because this fixture has no exact-10-minute
+    # gaps, and is kept as-is.)
     gi = group_intervals(sdf, group_by="entity", point_col="timestamp",
                          distance=599.9)
     gsess = (gi.groupBy("entity", "interval_group")
