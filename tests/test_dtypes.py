@@ -140,6 +140,49 @@ def test_merge_intervals_bucket_dtype_matrix(spark, kind, width_class):
     assert_pdf_equal(out, exp, sort_by=["idx", "ridx"])
 
 
+def test_merge_intervals_bucket_mixed_interval_endfields(spark):
+    """ADVICE r10: Spark's interval→bigint cast reports totals in the
+    interval's END FIELD unit (INTERVAL '3' DAY → 3, not 259200).  If the
+    two sides of a bucket join carry day-time intervals with DIFFERENT
+    end fields, an un-normalized cast computes bucket ids in different
+    units and silently drops matching pairs.  _bucket_numeric must
+    normalize both sides to the canonical DAY TO SECOND field range
+    first.  Left: whole-day intervals cast to INTERVAL DAY (end field
+    DAY — lossless since values are whole days); right: second-granular
+    INTERVAL DAY TO SECOND."""
+    from pyspark.sql import functions as F, types as T
+
+    rng = np.random.default_rng(41)
+    n_l, n_r = 120, 90
+    ld = pd.to_timedelta(rng.integers(0, 40, n_l), unit="D")
+    left = pd.DataFrame({"g": rng.integers(0, 6, n_l), "start": ld,
+                         "stop": ld + pd.to_timedelta(rng.integers(0, 10, n_l), unit="D"),
+                         "idx": np.arange(n_l)})
+    rd = pd.to_timedelta(rng.integers(0, 40 * 86400, n_r), unit="s")
+    right = pd.DataFrame({"g": rng.integers(0, 6, n_r), "rstart": rd,
+                          "rstop": rd + pd.to_timedelta(rng.integers(0, 10 * 86400, n_r), unit="s"),
+                          "ridx": np.arange(n_r)})
+
+    li = to_sdf(spark, left)
+    day_only = T.DayTimeIntervalType(T.DayTimeIntervalType.DAY,
+                                     T.DayTimeIntervalType.DAY)
+    li = li.withColumn("start", F.col("start").cast(day_only)) \
+           .withColumn("stop", F.col("stop").cast(day_only))
+    assert li.schema["start"].dataType == day_only  # end field really differs
+    ri = to_sdf(spark, right)
+
+    for width in (86400.0 * 3, 1e12):  # narrow (many buckets) and one-bucket
+        out = merge_intervals(
+            li, ri, on="g", how="inner",
+            left_start="start", left_stop="stop",
+            right_start="rstart", right_stop="rstop",
+            strategy="bucket", bucket_width=width).toPandas()
+        exp = _pairs_oracle(left, right, "g")
+        for c in ("start", "stop", "rstart", "rstop"):
+            out[c] = pd.to_timedelta(out[c])
+        assert_pdf_equal(out, exp, sort_by=["idx", "ridx"])
+
+
 def test_group_intervals_timestamp(spark):
     """Timestamp endpoints; distance is seconds (epoch-seconds comparison
     domain, documented in group_intervals)."""
