@@ -51,6 +51,98 @@ from ..util import (as_list, ensure_columns, interval_overlap_cond,
 LEFT_ID = "__left_row_id__"
 RIGHT_ID = "__right_row_id__"
 
+# --- cost-based strategy="auto" (few-large-groups detector) --------------
+# Inputs whose Catalyst-estimated size is below this on either side skip
+# the estimation jobs entirely: even a fully quadratic per-group residual
+# over a sub-256KB side is cheap, and tiny dims (region/nation-shaped)
+# should never pay a statistics pass.
+_AUTO_TINY_BYTES = 256 << 10
+# Pick sweep when the estimated residual comparisons of the direct join
+# (n*m/G under a uniform-groups assumption — an UNDERestimate when keys
+# are skewed, so the switch errs toward direct) exceed this multiple of
+# the sweep's linear event count (n+m).  At the measured crossover
+# workload (scripts/bench_baseline.py t4: 2M x 200k in 10 groups, direct
+# 100.3 s vs sweep 6.61 s) the ratio is ~1.8e4; in the healthy
+# many-small-groups regime it is O(avg group size), single digits.
+_AUTO_RATIO = 64.0
+_AUTO_CACHE: dict = {}
+_AUTO_CACHE_MAX = 256
+
+
+def _auto_few_large_groups(left: DataFrame, right: DataFrame,
+                           left_on, right_on) -> bool:
+    """Decide direct-vs-sweep for ``strategy="auto"`` with equi-keys.
+
+    The few-large-groups regime (10-ish hospitals/sites owning millions of
+    rows each) makes the direct equi-join's per-group n_g*m_g residual
+    quadratic; the reference ships a per-entity cost-based selector for
+    exactly this (reference resampling.py:1271-1281 + _analyze_windows
+    :1717-1816).  Here the decision is global and statistics-based: one
+    count + approx_count_distinct(keys) aggregation per side (map-side
+    partial agg, one-row result — two small jobs), then sweep iff
+    ``n*m/G > _AUTO_RATIO * (n+m)`` with G = min of the two sides'
+    distinct key counts.
+
+    Cost containment: the estimation jobs are skipped when Catalyst's
+    plan-time size estimate says either side is tiny
+    (``_AUTO_TINY_BYTES``), the decision is memoized on the
+    ``semanticHash`` of both inputs (re-building the same query — bench
+    warm runs, repeated notebook cells — pays once per process), and
+    ``spark.conf.set("spark.catabra.merge.costAuto", "false")`` disables
+    the detector (auto then always means direct, the pre-r11 behavior).
+    Callers with expensive non-persisted upstream pipelines should either
+    persist them or pin ``strategy=`` explicitly: the statistics pass
+    re-executes the input plan once.
+    """
+    try:
+        spark = left.sparkSession
+        if str(spark.conf.get("spark.catabra.merge.costAuto", "true")
+               ).lower() != "true":
+            return False
+    except Exception:
+        return False
+    try:
+        ck = (left.semanticHash(), right.semanticHash(),
+              tuple(left_on), tuple(right_on))
+    except Exception:
+        ck = None
+    if ck is not None and ck in _AUTO_CACHE:
+        return _AUTO_CACHE[ck]
+
+    def _plan_bytes(df):
+        try:
+            return int(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes().toString())
+        except Exception:
+            return None
+
+    bl, br = _plan_bytes(left), _plan_bytes(right)
+    decision = False
+    if not ((bl is not None and bl < _AUTO_TINY_BYTES)
+            or (br is not None and br < _AUTO_TINY_BYTES)):
+        def _stats(df, keys):
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct(
+                    F.struct(*[F.col(k) for k in keys])).alias("g"),
+            ).collect()[0]
+            return int(row["n"]), int(row["g"])
+
+        try:
+            n, gl = _stats(left, left_on)
+            m, gr = _stats(right, right_on)
+        except Exception:
+            n = m = 0
+            gl = gr = 1
+        g = max(1, min(gl, gr))
+        decision = (n > 0 and m > 0
+                    and float(n) * float(m) / g > _AUTO_RATIO * (n + m))
+    if ck is not None:
+        if len(_AUTO_CACHE) >= _AUTO_CACHE_MAX:
+            _AUTO_CACHE.clear()
+        _AUTO_CACHE[ck] = decision
+    return decision
+
 
 def _stamp_content_id(df: DataFrame, name: str) -> DataFrame:
     """Deterministic unique-per-row id: a struct of a 128-bit content hash
@@ -116,8 +208,17 @@ def merge_intervals(
       ``left_id``/``right_id`` (recommended; they must be unique) missing
       rows get id -1; generated ids are opaque content-hash structs and
       missing rows are null.
-    * ``strategy``: "direct", "bucket", "sweep", or "auto" (direct unless
-      ``bucket_width`` is given and no equi-keys are present).  "sweep" is
+    * ``strategy``: "direct", "bucket", "sweep", or "auto".  "auto" means
+      bucket when keyless with a ``bucket_width``; with equi-keys it runs
+      a cost-based few-large-groups detector (``_auto_few_large_groups``:
+      one count+approx_count_distinct pass per side, memoized, skipped
+      for tiny inputs) and picks the sweep when the direct join's
+      estimated per-group residual ``n*m/G`` exceeds ``64*(n+m)`` — the
+      regime where direct is a measured 15x slower
+      (scripts/bench_baseline.py t4, scripts/scale_smoke.py autostrat
+      tier); otherwise direct.  Disable the detector with
+      ``spark.conf.set("spark.catabra.merge.costAuto", "false")``.
+      "sweep" is
       the output-sensitive sort-sweep kernel (``operators/sweep.py``):
       a single point-in-interval sweep when one side is degenerate (same
       start/stop column), else a general overlap join decomposed into two
@@ -174,6 +275,17 @@ def merge_intervals(
     use_bucket = strategy == "bucket" or (
         strategy == "auto" and not has_eq and bucket_width is not None)
     use_sweep = strategy == "sweep"
+    if (strategy == "auto" and not use_bucket and has_eq
+            # sweep preconditions, checked here so auto never raises:
+            # four finite endpoints; a degenerate (point) side needs
+            # inclusive flags
+            and left_start is not None and left_stop is not None
+            and right_start is not None and right_stop is not None
+            and (left_start != left_stop
+                 or (include_left_start and include_left_stop))
+            and (right_start != right_stop
+                 or (include_right_start and include_right_stop))):
+        use_sweep = _auto_few_large_groups(left, right, left_on, right_on)
     if use_sweep:
         # the sort-sweep kernel (operators/sweep.py): output-sensitive
         # point-in-interval join, requires one degenerate (point) side and

@@ -38,8 +38,8 @@ stress runs.  Exit code 0 iff every comparison matches.
 Usage: python scripts/scale_smoke.py [n_obs] [tiers]
   n_obs  default 10_000_000
   tiers  comma list of {eav,interval,group,ann,text,exactsubstr,bpe16k,
-         cosinebig,skew,streamstate,bucketdt}; default = the five
-         original tiers
+         cosinebig,skew,streamstate,bucketdt,autostrat}; default = the
+         five original tiers
 """
 
 from __future__ import annotations
@@ -370,6 +370,61 @@ def main():
         # speed claim.
         ok &= compare("merge_intervals date direct==bucket", dt_direct,
                       dt_bucket, ["entity"])
+
+    # --- strategy="auto" few-large-groups certificate (opt-in) ---------
+    if "autostrat" in tiers:
+        # The t4 crossover workload (scripts/bench_baseline.py:162-183:
+        # n/5 x n/50 rows in 10 groups, narrow intervals) where the
+        # direct SMJ's per-group n*m residual is a measured 15x slower
+        # than the sweep (100.3 s vs 6.61 s at 10M).  Certifies that
+        # (a) strategy="auto" detects the regime and compiles to the
+        # sweep plan (sameSemantics), and (b) the auto pick returns the
+        # direct join's exact match multiset (per-group count + content-
+        # hash-sum fingerprint; sum of 64-bit hashes over a decimal
+        # accumulator is an order-free multiset digest).
+        nl4, nr4, g4 = n // 5, n // 50, 10
+        h4 = lambda k: F.xxhash64(F.col("id"), F.lit(k))  # noqa: E731
+        l4 = (spark.range(nl4, numPartitions=64)
+              .select(F.pmod(h4(0), F.lit(g4)).alias("group"),
+                      (F.pmod(h4(1), F.lit(2_000_000)) / 100_000.0 - 10.0
+                       ).alias("start"),
+                      (F.pmod(h4(2), F.lit(1000)) / 100_000.0).alias("__w__"))
+              .select("group", "start",
+                      (F.col("start") + F.col("__w__")).alias("stop"))
+              .localCheckpoint(eager=True))
+        r4 = (spark.range(nr4, numPartitions=64)
+              .select(F.pmod(h4(0), F.lit(g4)).alias("group"),
+                      (F.pmod(h4(3), F.lit(2_000_000)) / 100_000.0 - 10.0
+                       ).alias("p"))
+              .localCheckpoint(eager=True))
+        kw4 = dict(on="group", how="inner",
+                   left_start="start", left_stop="stop",
+                   right_start="p", right_stop="p")
+        auto4 = cps.merge_intervals(l4, r4, **kw4)
+        sweep_plan = auto4.sameSemantics(
+            cps.merge_intervals(l4, r4, strategy="sweep", **kw4))
+        print(f"autostrat: auto compiled to sweep plan: {sweep_plan}")
+
+        def fp4(df):
+            # hash columns in sorted-name order: the sweep and direct
+            # plans emit the same columns in different positions
+            cols = [F.col(c) for c in sorted(df.columns)]
+            return (df.groupBy("group")
+                    .agg(F.count(F.lit(1)).alias("n_rows"),
+                         F.sum(F.xxhash64(*cols).cast("decimal(38,0)"))
+                         .alias("content_sum"))
+                    .localCheckpoint(eager=True))
+        t0 = time.perf_counter()
+        fp_auto = fp4(auto4)
+        t_auto = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fp_direct = fp4(cps.merge_intervals(l4, r4, strategy="direct", **kw4))
+        t_direct = time.perf_counter() - t0
+        print(f"autostrat {nl4:,} x {nr4:,} in {g4} groups: "
+              f"auto(sweep)={t_auto:.1f}s direct={t_direct:.1f}s")
+        ok &= sweep_plan
+        ok &= compare("merge auto(sweep)==direct fingerprints",
+                      fp_auto, fp_direct, ["group"])
 
     # --- keyless group_intervals: chunked merge vs single-task ---------
     if "group" in tiers:

@@ -665,3 +665,67 @@ def test_merge_intervals_self_join_derived_frames(spark):
                               **kw).toPandas()
         assert len(out) == 4, strat  # every obs interval overlaps its span
         assert set(out["entity"]) == {1, 2}, strat
+
+
+def test_auto_strategy_cost_detector(spark):
+    """strategy="auto" with equi-keys runs the few-large-groups detector
+    (VERDICT r10 #3; reference precedent: the per-entity selector at
+    reference resampling.py:1271-1281): sweep when the direct join's
+    estimated per-group residual n*m/G blows past 64*(n+m), direct
+    otherwise.  Plan identity is checked via sameSemantics against the
+    explicitly pinned strategies, and the sweep pick is verified to
+    produce the direct join's exact rows."""
+    import numpy as np
+    import pandas as pd
+
+    from catabra_pandas_spark.operators import merging as M
+
+    rng = np.random.RandomState(3)
+    nl, nr = 60_000, 30_000
+    lp = pd.DataFrame({"group": rng.randint(0, 3, nl),
+                       "start": rng.uniform(-10, 10, nl)})
+    lp["stop"] = lp["start"] + rng.uniform(0, 0.01, nl)
+    rp = pd.DataFrame({"group": rng.randint(0, 3, nr),
+                       "p": rng.uniform(-10, 10, nr)})
+    l, r = spark.createDataFrame(lp), spark.createDataFrame(rp)
+    kw = dict(on="group", how="inner", left_start="start", left_stop="stop",
+              right_start="p", right_stop="p")
+
+    # few large groups -> sweep, and sweep's rows == direct's rows
+    auto = merge_intervals(l, r, **kw)
+    assert auto.sameSemantics(merge_intervals(l, r, strategy="sweep", **kw))
+    assert not auto.sameSemantics(merge_intervals(l, r, strategy="direct", **kw))
+    assert auto.count() == merge_intervals(l, r, strategy="direct", **kw).count()
+
+    # same sizes, many groups -> healthy regime, stays direct
+    l2 = spark.createDataFrame(lp.assign(group=rng.randint(0, 20_000, nl)))
+    r2 = spark.createDataFrame(rp.assign(group=rng.randint(0, 20_000, nr)))
+    assert merge_intervals(l2, r2, **kw).sameSemantics(
+        merge_intervals(l2, r2, strategy="direct", **kw))
+
+    # tiny inputs skip the estimation jobs entirely (plan-time size gate)
+    l3, r3 = spark.createDataFrame(lp.head(400)), spark.createDataFrame(rp.head(200))
+    assert merge_intervals(l3, r3, **kw).sameSemantics(
+        merge_intervals(l3, r3, strategy="direct", **kw))
+
+    # decision is memoized on the inputs' semanticHash
+    ck = (l.semanticHash(), r.semanticHash(), ("group",), ("group",))
+    assert M._AUTO_CACHE.get(ck) is True
+
+    # kill switch restores the pre-r11 auto (always direct)
+    spark.conf.set("spark.catabra.merge.costAuto", "false")
+    try:
+        assert merge_intervals(l, r, **kw).sameSemantics(
+            merge_intervals(l, r, strategy="direct", **kw))
+    finally:
+        spark.conf.set("spark.catabra.merge.costAuto", "true")
+
+    # half-infinite endpoints and degenerate sides with exclusive flags
+    # are outside the sweep preconditions: auto never raises, runs direct
+    assert merge_intervals(l, r, on="group", how="inner",
+                           left_start="start", right_start="p",
+                           right_stop="p").sameSemantics(
+        merge_intervals(l, r, on="group", how="inner", left_start="start",
+                        right_start="p", right_stop="p", strategy="direct"))
+    assert merge_intervals(l, r, include_right_start=False, **kw).sameSemantics(
+        merge_intervals(l, r, include_right_start=False, strategy="direct", **kw))
