@@ -214,6 +214,21 @@ def resample_eav(
     match no observation by the join contract and are filtered before the
     sweep; ±inf endpoint VALUES sort correctly and need no special case.
 
+    **Dtype note — DayTimeIntervalType time axis** (elapsed-time EAV
+    data): the direct and sweep legs support it natively — the sweep
+    kernel orders events by the column's natural ordering, no numeric
+    coercion on its path (property-tested against direct:
+    tests/test_dtypes.py::test_resample_eav_interval_time_col_sweep_vs_direct).
+    The ``bucket_width`` leg does NOT support it yet: bucket arithmetic
+    runs on the shared exact ``numeric_double`` coercion, which
+    deliberately excludes the truncating interval cast (tolerance/grid
+    arithmetic elsewhere needs exact values), so an interval time axis
+    fails at analysis time with a cannot-cast-INTERVAL-to-DOUBLE error —
+    loud, never silently wrong.  Until the bucket leg grows a
+    merging-style monotone wrapper (see ``merging._bucket_numeric``),
+    use ``join_strategy="sweep"`` for the large-scale escape with this
+    dtype, or resample on a timestamp axis (anchor + interval) instead.
+
     **Skewed entities** (one patient/session owning a large share of the
     observations): measured at 10M observations with one entity holding
     50% (scripts/scale_smoke.py ``skew`` tier), direct and sweep agree

@@ -399,3 +399,53 @@ def test_encode_ordered_categories_integer_levels(spark):
     enc = encode_ordered_categories(pts, "lvl", [99, 7, 10], out_col="code")
     got = {r.id: r.code for r in enc.collect()}
     assert got == {0: 3, 1: 1, 2: 2, 3: None}
+
+
+def test_resample_eav_interval_time_col_sweep_vs_direct(spark):
+    """DayTimeIntervalType time axis on the SWEEP escape leg (VERDICT r10
+    #4): the sort-sweep kernel orders events by the column's natural
+    ordering — no numeric coercion anywhere on its path — so day-time
+    intervals (elapsed-time EAV data: time since admission/first event)
+    must agree with the direct leg cell-for-cell.  Millisecond jitter
+    makes sub-second ordering load-bearing.  Exact aggregations compare
+    with ==; mean/sum reduce in non-deterministic order, so they get a
+    float tolerance.  (The bucket_width leg does NOT support this dtype
+    yet — see the resample_eav docstring; its loud analysis error is
+    pinned here so a silent behavior change cannot slip in.)"""
+    from catabra_pandas_spark import resample_eav
+
+    rng = np.random.default_rng(23)
+    n = 800
+    obs = pd.DataFrame({
+        "entity": rng.integers(0, 6, n),
+        "timestamp": pd.to_timedelta(
+            rng.integers(0, 86400 * 10, n) * 1000 + rng.integers(0, 1000, n),
+            unit="ms"),
+        "attribute": rng.choice(["hr", "bp"], n),
+        "value": rng.normal(50, 10, n).round(2)})
+    wins = []
+    for e in range(6):
+        for _ in range(4):
+            s = pd.Timedelta(seconds=int(rng.integers(0, 86400 * 8)))
+            wins.append((e, s, s + pd.Timedelta(days=1)))
+    win = pd.DataFrame(wins, columns=["entity", "timestamp_start",
+                                      "timestamp_stop"])
+    win["win_id"] = np.arange(len(win))
+    o, w = to_sdf(spark, obs), to_sdf(spark, win)
+    assert "DayTimeInterval" in str(o.schema["timestamp"].dataType)
+
+    spec = {"hr": ["count", "min", "max", "mean"], "bp": ["count", "sum"]}
+    d = resample_eav(o, w, spec, join_strategy="direct") \
+        .orderBy("win_id").toPandas()
+    s = resample_eav(o, w, spec, join_strategy="sweep") \
+        .orderBy("win_id").toPandas()
+    for c in ("hr_count", "hr_min", "hr_max", "bp_count"):
+        assert d[c].equals(s[c]), c
+    for c in ("hr_mean", "bp_sum"):
+        assert np.allclose(d[c].astype(float), s[c].astype(float),
+                           rtol=1e-9, equal_nan=True), c
+
+    # bucket leg: unsupported dtype fails at analysis time (loud), never
+    # silently wrong
+    with pytest.raises(Exception, match="INTERVAL|interval|cast"):
+        resample_eav(o, w, {"hr": ["count"]}, bucket_width=86400.0).collect()
