@@ -862,3 +862,201 @@ def test_stream_ffill_cross_batch_property(spark, rows, cut):
            .set_index(["entity", "timestamp"]).value.sort_index())
     assert list(got.index) == list(exp.index)
     assert list(got.fillna(-999.0)) == list(exp.fillna(-999.0))
+
+
+@_hyp_given(
+    events=_st.lists(_st.tuples(_ab_keys, _ab_mins,
+                                _st.sampled_from(["view", "cart", "purchase",
+                                                  "noise"])),
+                     min_size=0, max_size=14),
+    cut=_st.sampled_from([2, 5, 8]))
+@_hyp_settings(max_examples=4, deadline=None)
+def test_stream_funnel_cross_batch_property(spark, events, cut):
+    """Randomized cross-batch funnel state (VERDICT r10 #5): random
+    (entity, minute, step) events — including repeats, out-of-order
+    stages, and non-step noise — split into two event-time-ordered
+    micro-batches must end at exactly the batch operator's funnel row
+    per entity.  Greedy earliest-completion matching is prefix-stable
+    (state after a time prefix = greedy on that prefix), so the time-cut
+    split is the regime the operator documents as batch-equivalent."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    from catabra_pandas_spark.operators.events import funnel
+    from catabra_pandas_spark.streaming import stream_funnel
+
+    base = pd.Timestamp("2026-04-03")
+    mins = lambda m: base + pd.Timedelta(minutes=int(m))  # noqa: E731
+    pdf = pd.DataFrame({
+        "entity": pd.Series([k for k, _, _ in events], dtype="int64"),
+        "timestamp": pd.Series([mins(m) for _, m, _ in events],
+                               dtype="datetime64[ns]"),
+        "event_type": pd.Series([t for _, _, t in events], dtype="object")})
+
+    lo = pdf[pdf.timestamp < mins(cut)]
+    hi = pdf[pdf.timestamp >= mins(cut)]
+    SENT = 99
+    pad = lambda m: pd.DataFrame(  # noqa: E731
+        [{"entity": SENT, "timestamp": mins(m), "event_type": "view"}])
+    h1 = pd.concat([lo, pad(0)], ignore_index=True)[pdf.columns]
+    h2 = pd.concat([hi, pad(cut)], ignore_index=True)[pdf.columns]
+
+    src = tempfile.mkdtemp() + "/src"
+    to_sdf(spark, h1).coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.2)
+    to_sdf(spark, h2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    name = f"funnel_prop_{uuid.uuid4().hex[:8]}"
+    q = (stream_funnel(stream, ["view", "cart", "purchase"])
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql(f"SELECT * FROM {name}").toPandas()
+           .query("entity != @SENT"))
+    # update mode: the most-advanced row per entity is the final status
+    # (n_stages is monotone across updates; equal-stage refreshes are
+    # identical rows)
+    final = (got.sort_values("n_stages").groupby("entity").tail(1)
+             .reset_index(drop=True))
+
+    if len(pdf) == 0:
+        assert len(final) == 0
+        return
+    exp = funnel(to_sdf(spark, pdf),
+                 ["view", "cart", "purchase"]).toPandas()
+    assert_pdf_equal(final, exp, sort_by=["entity"])
+
+
+@_hyp_given(
+    rows=_st.lists(_st.tuples(_ab_keys, _ab_mins), min_size=0, max_size=12),
+    cut=_st.sampled_from([2, 5, 8]))
+@_hyp_settings(max_examples=4, deadline=None)
+def test_stream_dedup_cross_batch_property(spark, rows, cut):
+    """Randomized cross-batch dedup state: duplicate keys scattered across
+    the event-time cut must collapse to ONE row per key — a key first
+    seen in batch 1 suppresses its batch-2 duplicates through the
+    watermark state.  Every duplicate of a key carries an identical
+    payload (a function of the key), so the surviving row is unique and
+    the result must equal the batch dedup exactly, independent of
+    arrival order inside a micro-batch (which streaming does not
+    guarantee)."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    from catabra_pandas_spark.streaming import stream_dedup
+
+    base = pd.Timestamp("2026-04-04")
+    mins = lambda m: base + pd.Timedelta(minutes=int(m))  # noqa: E731
+    pdf = (pd.DataFrame({
+        "k": pd.Series([k for k, _ in rows], dtype="int64"),
+        "timestamp": pd.Series([mins(m) for _, m in rows],
+                               dtype="datetime64[ns]"),
+        "v": pd.Series([float(10 * k) for k, _ in rows], dtype="float64")})
+        # one row per (k, minute): the *surviving timestamp* is arrival-
+        # order-dependent only among same-key rows; keep payloads keyed
+        .drop_duplicates(["k", "timestamp"]))
+
+    lo = pdf[pdf.timestamp < mins(cut)]
+    hi = pdf[pdf.timestamp >= mins(cut)]
+    SENT = 99
+    pad = lambda m: pd.DataFrame(  # noqa: E731
+        [{"k": SENT, "timestamp": mins(m), "v": 0.0}])
+    h1 = pd.concat([lo, pad(0)], ignore_index=True)[pdf.columns]
+    h2 = pd.concat([hi, pad(cut)], ignore_index=True)[pdf.columns]
+
+    src = tempfile.mkdtemp() + "/src"
+    to_sdf(spark, h1).coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.2)
+    to_sdf(spark, h2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    name = f"dedup_prop_{uuid.uuid4().hex[:8]}"
+    q = (stream_dedup(stream, subset="k", watermark="1 hour")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql(f"SELECT k, v FROM {name}").toPandas()
+           .query("k != @SENT").sort_values("k").reset_index(drop=True))
+
+    # exactly one row per distinct key, carrying that key's payload
+    exp = (pdf[["k", "v"]].drop_duplicates("k")
+           .sort_values("k").reset_index(drop=True))
+    assert got.k.tolist() == exp.k.tolist()
+    assert got.v.tolist() == exp.v.tolist()
+
+
+@_hyp_given(
+    ivs=_st.lists(_st.tuples(_ab_keys, _ab_mins,
+                             _st.integers(min_value=0, max_value=5),
+                             _st.sampled_from([1.0, 2.0, 5.0, None])),
+                  min_size=0, max_size=10),
+    cut=_st.sampled_from([2, 5, 8]))
+@_hyp_settings(max_examples=4, deadline=None)
+def test_stream_resample_interval_cross_batch_property(spark, ivs, cut):
+    """Randomized cross-batch duration-weighted resampling: random
+    (entity, start-minute, span, value) intervals split at a start-time
+    cut must produce exactly the batch-path result for every window —
+    running (entity, window) sums accumulate across micro-batches, and a
+    far-future flush batch advances the watermark past every real
+    window so append mode emits them all (sentinel rows excluded from
+    the comparison)."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    from catabra_pandas_spark.streaming import stream_resample_interval
+
+    base = pd.Timestamp("2026-04-05")
+    mins = lambda m: base + pd.Timedelta(minutes=int(m))  # noqa: E731
+    pdf = pd.DataFrame({
+        "entity": pd.Series([k for k, _, _, _ in ivs], dtype="int64"),
+        "start": pd.Series([mins(m) for _, m, _, _ in ivs],
+                           dtype="datetime64[ns]"),
+        "stop": pd.Series([mins(m + s) for _, m, s, _ in ivs],
+                          dtype="datetime64[ns]"),
+        "attribute": pd.Series(["a"] * len(ivs), dtype="object"),
+        "value": pd.Series([v for _, _, _, v in ivs], dtype="float64")})
+
+    lo = pdf[pdf.start < mins(cut)]
+    hi = pdf[pdf.start >= mins(cut)]
+    SENT = 99
+    pad = lambda m: pd.DataFrame([{  # noqa: E731
+        "entity": SENT, "start": mins(m), "stop": mins(m),
+        "attribute": "a", "value": 1.0}])
+    h1 = pd.concat([lo, pad(0)], ignore_index=True)[pdf.columns]
+    h2 = pd.concat([hi, pad(cut)], ignore_index=True)[pdf.columns]
+    flush = pad(10_000)[pdf.columns]  # batch 3: watermark passes all real windows
+
+    src = tempfile.mkdtemp() + "/src"
+    to_sdf(spark, h1).coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.2)
+    to_sdf(spark, h2).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    to_sdf(spark, flush).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    name = f"sri_prop_{uuid.uuid4().hex[:8]}"
+    q = (stream_resample_interval(stream, ["a"], "2 minutes",
+                                  watermark="10 minutes")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql(f"SELECT * FROM {name}").toPandas()
+           .query("entity != @SENT")
+           .set_index(["entity", "window_start"]).a.sort_index())
+
+    if len(pdf) == 0:
+        assert len(got) == 0
+        return
+    exp = (stream_resample_interval(to_sdf(spark, pdf), ["a"], "2 minutes")
+           .toPandas()
+           .set_index(["entity", "window_start"]).a.sort_index())
+    import numpy as np
+    assert list(got.index) == list(exp.index)
+    assert np.allclose(got.values, exp.values, rtol=1e-9)
