@@ -127,6 +127,57 @@ def q_merge_overlap_sweep(spark, sf):
     return out.select("okey", "lineno", "s_start", "s_stop", "w_start", "w_stop")
 
 
+def q_merge_auto_sweep(spark, sf):
+    """Cost-based strategy="auto" on the FEW-LARGE-GROUPS shape (VERDICT
+    r10 #3; reference precedent: the per-entity selector at reference
+    resampling.py:1271-1281): lineitem ship intervals keyed by the
+    3-value return flag joined to a deterministic 20% point sample.  The
+    detector's n*m/G estimate blows past 64*(n+m) (the regime where the
+    direct SMJ is a measured 15x slower, scripts/bench_baseline.py t4),
+    so auto compiles to the output-sensitive sweep — and the oracle is
+    the plain join SQL, so the driver certifies the flipped plan's
+    RESULTS, not just its shape (operators/merging.py:_auto_few_large_groups;
+    plan identity vs strategy="sweep" is unit-tested in
+    tests/test_merge_intervals.py::test_auto_strategy_cost_detector)."""
+    li = read_table(spark, sf, "lineitem")
+    left = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.unix_timestamp(F.col("l_shipdate")).alias("i_start"),
+        (F.unix_timestamp(F.col("l_shipdate"))
+         + F.lit(600) * F.col("l_quantity").cast("long")).alias("i_stop"))
+    right = (li.filter(F.col("l_orderkey") % 5 == 0)
+             .select(F.col("l_returnflag").alias("flag"),
+                     F.col("l_orderkey").alias("pokey"),
+                     F.col("l_linenumber").alias("plineno"),
+                     F.unix_timestamp(F.col("l_shipdate")).alias("p")))
+    out = cps.merge_intervals(
+        left, right, on="flag", how="inner",
+        left_start="i_start", left_stop="i_stop",
+        right_start="p", right_stop="p")
+    return out.select("flag", "okey", "lineno", "pokey", "plineno", "p")
+
+
+_Q_MERGE_AUTO_SWEEP_SQL = """
+    WITH l AS (
+      SELECT l_returnflag AS flag, l_orderkey AS okey,
+             l_linenumber AS lineno,
+             epoch(l_shipdate)::BIGINT AS i_start,
+             epoch(l_shipdate)::BIGINT + 600 * l_quantity::BIGINT AS i_stop
+      FROM lineitem
+    ), r AS (
+      SELECT l_returnflag AS flag, l_orderkey AS pokey,
+             l_linenumber AS plineno,
+             epoch(l_shipdate)::BIGINT AS p
+      FROM lineitem WHERE l_orderkey % 5 = 0
+    )
+    SELECT l.flag, l.okey, l.lineno, r.pokey, r.plineno, r.p
+    FROM l JOIN r ON l.flag = r.flag
+                 AND l.i_start <= r.p AND r.p <= l.i_stop
+"""
+
+
 def q_merge_open_endpoints(spark, sf):
     """Open/closed endpoint flags -> strict comparisons (merging.py:434-455)."""
     out = cps.merge_intervals(
@@ -3816,22 +3867,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/rotation_check.py, run from finalize_round.py): any query
     # whose underlying module — or whose query-builder/oracle source —
     # changed since its last green driver row must sit inside the window.
-    # r10 window = (a) the 2 NEW queries (merge_date_bucket /
-    # merge_timedelta_bucket — the bucket strategy certified on
-    # time-typed endpoints, VERDICT r9 #3); (b) the 20 queries the
-    # checker flags for THIS round's edits — merging.py (_bucket_numeric
-    # day-time-interval coercion for the bucket path) flags the whole
-    # merge/find_containing/resample_interval closure, similarity.py
-    # (norms_clean overflow guard) flags the cosine/q8/neardup closure —
-    # the resample_eav family does NOT flag because the lossy coercion
-    # was deliberately kept OUT of the shared util.numeric_double;
-    # (c) the 9 queries stuck on r6 rows since the r9 displacement
-    # (3 rounds stale — VERDICT r9 #1, rotated FIRST); (d) all 15
-    # r7-row queries; (e) the NEW resample_eav_bucket (the bucket scale
-    # path of resample_eav, previously test-proven only) plus 3 backfill
-    # slots from the oldest r8 rows (merge_asof, group_intervals,
-    # dedup_clusters).  The tail holds unflagged r8/r9-green queries
-    # only.
+    # r11 window = (a) the 18 queries the checker flags for this round's
+    # merging.py edits (the ADVICE end-field normalization in
+    # _bucket_numeric + the cost-based auto selector inside
+    # merge_intervals flag the whole merge/find_containing/
+    # resample_interval closure); (b) the NEW merge_auto_sweep (the
+    # cost-based few-large-groups auto pick, certified against the plain
+    # join oracle); (c) ALL 26 queries sitting on r8 rows after r10 —
+    # the oldest in the registry (VERDICT r10 #1): combine_* x4,
+    # cube/rollup, the text tier (dedup_exact, decontam, text_stats,
+    # quality_gate, fingerprint, scrub_pii, repetition, langid,
+    # lm_perplexity, ngram_jaccard), sessionize, stream_* x5,
+    # group_intervals_ts/_keyless, multimodal_mp4/_frames; (d) 5
+    # backfill slots from the oldest r9 rows (cross_dedup, minhash_lsh,
+    # simhash, funnel, retention).  The resample_eav family does NOT
+    # flag: this round's resampling.py change is docstring-only (the
+    # checker strips docstrings), and the interval-time-axis sweep leg
+    # gained a property test, not a code change.  The tail holds
+    # unflagged r9/r10-green queries only.
     return {
         "merge_date_bucket": q_merge_date_bucket,
         "merge_timedelta_bucket": q_merge_timedelta_bucket,
@@ -3851,6 +3904,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_interval": q_resample_interval,
         "resample_interval_sweep": q_resample_interval_sweep,
         "bucket_range_join": q_bucket_range_join,
+        "merge_auto_sweep": q_merge_auto_sweep,
+        "combine_union": q_combine_union,
+        "combine_k3": q_combine_k3,
+        "combine_gaps": q_combine_gaps,
+        "combine_attrs": q_combine_attrs,
+        "cube": q_cube,
+        "rollup": q_rollup,
+        "dedup_exact": q_dedup_exact,
+        "decontam": q_decontam,
+        "text_stats": q_text_stats,
+        "quality_gate": q_quality_gate,
+        "fingerprint": q_fingerprint,
+        "scrub_pii": q_scrub_pii,
+        "repetition": q_repetition,
+        "langid": q_langid,
+        "lm_perplexity": q_lm_perplexity,
+        "ngram_jaccard": q_ngram_jaccard,
+        "sessionize": q_sessionize,
+        "stream_resample": q_stream_resample,
+        "stream_ffill": q_stream_ffill,
+        "stream_dedup": q_stream_dedup,
+        "stream_resample_interval": q_stream_resample_interval,
+        "stream_funnel": q_stream_funnel,
+        "group_intervals_ts": q_group_intervals_ts,
+        "group_intervals_keyless": q_group_intervals_keyless,
+        "multimodal_mp4": q_multimodal_mp4,
+        "multimodal_frames": q_multimodal_frames,
+        "cross_dedup": q_cross_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        # ---- driver window ends here (50) ----
         "cosine_topk": q_cosine_topk,
         "cosine_topk_blocked": q_cosine_topk_blocked,
         "q8_ann": q_q8_ann,
@@ -3883,13 +3969,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_intervals": q_group_intervals,
         "resample_eav_bucket": q_resample_eav_bucket,
         "dedup_clusters": q_dedup_clusters,
-        # ---- driver window ends here (50) ----
-        "combine_union": q_combine_union,
-        "cross_dedup": q_cross_dedup,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "funnel": q_funnel,
-        "retention": q_retention,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "hll_distinct": q_hll_distinct,
@@ -3915,31 +3994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_eav_custom_multi": q_resample_eav_custom_multi,
         "resample_eav_custom_slope": q_resample_eav_custom_slope,
         "make_windows": q_make_windows,
-        "rollup": q_rollup,
-        "cube": q_cube,
-        "dedup_exact": q_dedup_exact,
-        "decontam": q_decontam,
-        "text_stats": q_text_stats,
-        "quality_gate": q_quality_gate,
-        "fingerprint": q_fingerprint,
-        "scrub_pii": q_scrub_pii,
-        "repetition": q_repetition,
-        "langid": q_langid,
-        "lm_perplexity": q_lm_perplexity,
-        "sessionize": q_sessionize,
-        "stream_resample": q_stream_resample,
-        "stream_ffill": q_stream_ffill,
-        "stream_dedup": q_stream_dedup,
-        "stream_resample_interval": q_stream_resample_interval,
-        "stream_funnel": q_stream_funnel,
-        "multimodal_mp4": q_multimodal_mp4,
-        "multimodal_frames": q_multimodal_frames,
-        "group_intervals_ts": q_group_intervals_ts,
-        "group_intervals_keyless": q_group_intervals_keyless,
-        "combine_k3": q_combine_k3,
-        "combine_gaps": q_combine_gaps,
-        "combine_attrs": q_combine_attrs,
-        "ngram_jaccard": q_ngram_jaccard,
     }
 
 
@@ -3947,6 +4001,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "merge_overlap": _Q_MERGE_OVERLAP_SQL,
         "merge_overlap_sweep": _Q_MERGE_OVERLAP_SQL,
+        # auto = cost-based pick over the same semantics; the plain join
+        # SQL certifies the flipped (sweep) plan's results
+        "merge_auto_sweep": _Q_MERGE_AUTO_SWEEP_SQL,
         "merge_open_endpoints": _Q_MERGE_OPEN_SQL,
         "merge_left_keep_first": _Q_MERGE_LEFT_FIRST_SQL,
         "merge_keep_both": _Q_MERGE_KEEP_BOTH_SQL,

@@ -104,6 +104,8 @@ HEADLINE = [
     "merge_date_bucket",
     "merge_timedelta_bucket",
     "resample_eav_bucket",
+    # r11 addition (cost-based strategy="auto" few-large-groups pick)
+    "merge_auto_sweep",
 ]
 
 
