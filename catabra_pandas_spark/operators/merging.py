@@ -799,7 +799,7 @@ def find_containing_interval(
     include_start: bool = True,
     include_stop: bool = True,
     interval_id: Optional[str] = None,
-    strategy: str = "direct",
+    strategy: str = "auto",
 ) -> DataFrame:
     """For each point, the id of the first/last containing interval, -1 if
     none.  Reference: ``merging.py:511-649`` (delegates to merge_intervals at
@@ -808,6 +808,13 @@ def find_containing_interval(
     ``strategy`` forwards to ``merge_intervals`` — point-in-interval is
     exactly the sort-sweep kernel's shape, so ``strategy="sweep"`` is the
     scale path when interval groups are large (see ``operators/sweep.py``).
+    The default "auto" (r11) runs merge_intervals' cost-based
+    few-large-groups detector when ``group_by`` keys are present (points
+    are a degenerate inclusive side, so the sweep preconditions always
+    hold): sweep when the direct join's estimated per-group residual
+    blows past the linear bound, direct otherwise; keyless calls stay
+    direct.  ``spark.catabra.merge.costAuto=false`` restores the always-
+    direct behavior.
 
     "First"/"last" refer to interval ids: pass ``interval_id`` naming an
     existing id column in ``intervals`` for meaningful results (the reference

@@ -729,3 +729,47 @@ def test_auto_strategy_cost_detector(spark):
                         right_start="p", right_stop="p", strategy="direct"))
     assert merge_intervals(l, r, include_right_start=False, **kw).sameSemantics(
         merge_intervals(l, r, include_right_start=False, strategy="direct", **kw))
+
+
+def test_find_containing_auto_strategy(spark):
+    """find_containing_interval defaults to strategy="auto" (r11): on the
+    few-large-groups shape the cost detector routes the internal
+    point-in-interval join through the sweep, with values identical to
+    direct; keyless calls and the kill switch stay on the direct plan."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(9)
+    n_iv, n_pt = 50_000, 40_000
+    iv = pd.DataFrame({"g": rng.randint(0, 2, n_iv),
+                       "start": rng.uniform(0, 100, n_iv)})
+    iv["stop"] = iv["start"] + rng.uniform(0, 0.004, n_iv)
+    iv["iid"] = np.arange(n_iv)
+    pts = pd.DataFrame({"g": rng.randint(0, 2, n_pt),
+                        "p": rng.uniform(0, 100, n_pt)})
+    sivl, spts = spark.createDataFrame(iv), spark.createDataFrame(pts)
+
+    kw = dict(point_cols="p", group_by="g", which="first",
+              interval_id="iid")
+    auto = find_containing_interval(spts, sivl, **kw)
+    assert auto.sameSemantics(
+        find_containing_interval(spts, sivl, strategy="sweep", **kw))
+    direct = find_containing_interval(spts, sivl, strategy="direct", **kw)
+    assert not auto.sameSemantics(direct)
+    a = auto.toPandas().sort_values(["g", "p"]).reset_index(drop=True)
+    d = direct.toPandas().sort_values(["g", "p"]).reset_index(drop=True)
+    assert a["p__first"].tolist() == d["p__first"].tolist()
+
+    # keyless: no equi-keys -> auto stays direct (no estimation)
+    assert find_containing_interval(
+        spts.select("p"), sivl.select("start", "stop", "iid"),
+        point_cols="p", interval_id="iid").sameSemantics(
+        find_containing_interval(
+            spts.select("p"), sivl.select("start", "stop", "iid"),
+            point_cols="p", interval_id="iid", strategy="direct"))
+
+    spark.conf.set("spark.catabra.merge.costAuto", "false")
+    try:
+        assert find_containing_interval(spts, sivl, **kw).sameSemantics(direct)
+    finally:
+        spark.conf.set("spark.catabra.merge.costAuto", "true")
