@@ -132,7 +132,7 @@ def q_merge_auto_sweep(spark, sf):
     r10 #3; reference precedent: the per-entity selector at reference
     resampling.py:1271-1281): lineitem ship intervals keyed by the
     3-value return flag joined to a deterministic 20% point sample.  The
-    detector's n*m/G estimate blows past 64*(n+m) (the regime where the
+    detector's n*m/G estimate blows past 1024*(n+m) (the regime where the
     direct SMJ is a measured 15x slower, scripts/bench_baseline.py t4),
     so auto compiles to the output-sensitive sweep — and the oracle is
     the plain join SQL, so the driver certifies the flipped plan's

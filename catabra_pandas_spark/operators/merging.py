@@ -60,11 +60,18 @@ _AUTO_TINY_BYTES = 256 << 10
 # Pick sweep when the estimated residual comparisons of the direct join
 # (n*m/G under a uniform-groups assumption — an UNDERestimate when keys
 # are skewed, so the switch errs toward direct) exceed this multiple of
-# the sweep's linear event count (n+m).  At the measured crossover
-# workload (scripts/bench_baseline.py t4: 2M x 200k in 10 groups, direct
-# 100.3 s vs sweep 6.61 s) the ratio is ~1.8e4; in the healthy
-# many-small-groups regime it is O(avg group size), single digits.
-_AUTO_RATIO = 64.0
+# the sweep's linear event count (n+m).  Calibrated from two measured
+# anchor workloads on this hardware: BASELINE T1/T2 (10M x 1M in 10k
+# groups, ratio ~91) run 3-6x FASTER direct — a residual comparison is
+# one whole-stage-codegen predicate (~1.4 ns measured), while a sweep
+# event pays sorts and multiple exchanges (~400 ns/event measured), so
+# the true crossover sits near ratio ~300; scripts/bench_baseline.py t4
+# (2M x 200k in 10 groups, ratio ~1.8e4) runs 8-15x faster on the
+# sweep.  1024 splits the anchors with margin on the direct-favoring
+# side: mispicking direct is bounded by the ratio itself, while
+# mispicking sweep (as an earlier 64 threshold did on T1/T2) taxes
+# every healthy large join.
+_AUTO_RATIO = 1024.0
 _AUTO_CACHE: dict = {}
 _AUTO_CACHE_MAX = 256
 
@@ -213,7 +220,7 @@ def merge_intervals(
       a cost-based few-large-groups detector (``_auto_few_large_groups``:
       one count+approx_count_distinct pass per side, memoized, skipped
       for tiny inputs) and picks the sweep when the direct join's
-      estimated per-group residual ``n*m/G`` exceeds ``64*(n+m)`` — the
+      estimated per-group residual ``n*m/G`` exceeds ``1024*(n+m)`` — the
       regime where direct is a measured 15x slower
       (scripts/bench_baseline.py t4, scripts/scale_smoke.py autostrat
       tier); otherwise direct.  Disable the detector with

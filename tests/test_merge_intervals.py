@@ -671,7 +671,7 @@ def test_auto_strategy_cost_detector(spark):
     """strategy="auto" with equi-keys runs the few-large-groups detector
     (VERDICT r10 #3; reference precedent: the per-entity selector at
     reference resampling.py:1271-1281): sweep when the direct join's
-    estimated per-group residual n*m/G blows past 64*(n+m), direct
+    estimated per-group residual n*m/G blows past 1024*(n+m), direct
     otherwise.  Plan identity is checked via sameSemantics against the
     explicitly pinned strategies, and the sweep pick is verified to
     produce the direct join's exact rows."""
