@@ -1060,3 +1060,81 @@ def test_stream_resample_interval_cross_batch_property(spark, ivs, cut):
     import numpy as np
     assert list(got.index) == list(exp.index)
     assert np.allclose(got.values, exp.values, rtol=1e-9)
+
+
+@_hyp_given(
+    rows=_st.lists(_st.tuples(_ab_keys, _ab_mins,
+                              _st.sampled_from(["hr", "bp"]),
+                              _st.sampled_from([1.0, 2.0, 5.0, None])),
+                   min_size=0, max_size=12),
+    cut=_st.sampled_from([2, 5, 8]),
+    slide=_st.sampled_from([None, "2 minutes"]))
+@_hyp_settings(max_examples=4, deadline=None)
+def test_stream_resample_eav_cross_batch_property(spark, rows, cut, slide):
+    """Randomized cross-batch regular-window resampling, tumbling AND
+    sliding: per-(entity, window, attribute) aggregates accumulate
+    across the event-time cut, and the far-future flush batch advances
+    the watermark so append mode emits every real window — must equal
+    the batch dispatch of the same call exactly (counts/min/max exact;
+    mean under float tolerance)."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    import numpy as np
+
+    from catabra_pandas_spark.streaming import stream_resample_eav
+
+    base = pd.Timestamp("2026-04-06")
+    mins = lambda m: base + pd.Timedelta(minutes=int(m))  # noqa: E731
+    pdf = pd.DataFrame({
+        "entity": pd.Series([k for k, _, _, _ in rows], dtype="int64"),
+        "timestamp": pd.Series([mins(m) for _, m, _, _ in rows],
+                               dtype="datetime64[ns]"),
+        "attribute": pd.Series([a for _, _, a, _ in rows], dtype="object"),
+        "value": pd.Series([v for _, _, _, v in rows], dtype="float64")})
+
+    lo = pdf[pdf.timestamp < mins(cut)]
+    hi = pdf[pdf.timestamp >= mins(cut)]
+    SENT = 99
+    pad = lambda m: pd.DataFrame([{  # noqa: E731
+        "entity": SENT, "timestamp": mins(m), "attribute": "hr",
+        "value": 1.0}])
+    h1 = pd.concat([lo, pad(0)], ignore_index=True)[pdf.columns]
+    h2 = pd.concat([hi, pad(cut)], ignore_index=True)[pdf.columns]
+    flush = pad(10_000)[pdf.columns]
+
+    src = tempfile.mkdtemp() + "/src"
+    to_sdf(spark, h1).coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.2)
+    to_sdf(spark, h2).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    to_sdf(spark, flush).coalesce(1).write.mode("append").parquet(src)
+
+    agg = {"hr": ["count", "min", "mean"], "bp": ["max", "count"]}
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    name = f"sre_prop_{uuid.uuid4().hex[:8]}"
+    q = (stream_resample_eav(stream, agg, "2 minutes", slide=slide,
+                             watermark="10 minutes")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql(f"SELECT * FROM {name}").toPandas()
+           .query("entity != @SENT")
+           .set_index(["entity", "window_start"]).sort_index())
+
+    if len(pdf) == 0:
+        assert len(got) == 0
+        return
+    exp = (stream_resample_eav(to_sdf(spark, pdf), agg, "2 minutes",
+                               slide=slide).toPandas()
+           .set_index(["entity", "window_start"]).sort_index())
+    assert list(got.index) == list(exp.index)
+    for c in ("hr_count", "bp_count", "hr_min", "bp_max"):
+        a = got[c].astype(float).fillna(-999.0)
+        b = exp[c].astype(float).fillna(-999.0)
+        assert a.tolist() == b.tolist(), c
+    assert np.allclose(got["hr_mean"].astype(float).fillna(-999.0),
+                       exp["hr_mean"].astype(float).fillna(-999.0),
+                       rtol=1e-9), "hr_mean"
