@@ -72,6 +72,15 @@ _AUTO_TINY_BYTES = 256 << 10
 # mispicking sweep (as an earlier 64 threshold did on T1/T2) taxes
 # every healthy large join.
 _AUTO_RATIO = 1024.0
+# Keyless variant: without equi-keys the direct plan is a broadcast
+# nested-loop join — a tighter codegen loop than an SMJ residual (~3x
+# cheaper per comparison measured), so the crossover sits higher.
+# Measured anchors (narrow intervals, local[32]): ratio n*m/(n+m) 4.5k
+# -> direct 5.5x faster (0.26 s vs 1.44 s); 18k -> sweep 1.5x (1.33 s
+# vs 0.91 s); 45k -> sweep 6.7x; 91k -> sweep 16x (30.3 s vs 1.9 s).
+# 16384 splits the 4.5k/45k anchors; below it a mispicked direct is
+# bounded small, above it the BNLJ grows without bound.
+_AUTO_RATIO_KEYLESS = 16384.0
 _AUTO_CACHE: dict = {}
 _AUTO_CACHE_MAX = 256
 
@@ -89,6 +98,13 @@ def _auto_few_large_groups(left: DataFrame, right: DataFrame,
     partial agg, one-row result — two small jobs), then sweep iff
     ``n*m/G > _AUTO_RATIO * (n+m)`` with G = min of the two sides'
     distinct key counts.
+
+    KEYLESS inputs (no equi-keys, no bucket_width) use the same machinery
+    with G = 1, a count-only statistics pass, and the higher
+    ``_AUTO_RATIO_KEYLESS`` bound — rescuing the large×large
+    broadcast-nested-loop hazard without a user knob (the documented
+    manual escapes, ``strategy="bucket"``/``"sweep"``, remain available
+    and unchanged).
 
     Cost containment: the estimation jobs are skipped when Catalyst's
     plan-time size estimate says either side is tiny
@@ -128,12 +144,12 @@ def _auto_few_large_groups(left: DataFrame, right: DataFrame,
     if not ((bl is not None and bl < _AUTO_TINY_BYTES)
             or (br is not None and br < _AUTO_TINY_BYTES)):
         def _stats(df, keys):
-            row = df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.approx_count_distinct(
-                    F.struct(*[F.col(k) for k in keys])).alias("g"),
-            ).collect()[0]
-            return int(row["n"]), int(row["g"])
+            aggs = [F.count(F.lit(1)).alias("n")]
+            if keys:
+                aggs.append(F.approx_count_distinct(
+                    F.struct(*[F.col(k) for k in keys])).alias("g"))
+            row = df.agg(*aggs).collect()[0]
+            return int(row["n"]), (int(row["g"]) if keys else 1)
 
         try:
             n, gl = _stats(left, left_on)
@@ -142,8 +158,9 @@ def _auto_few_large_groups(left: DataFrame, right: DataFrame,
             n = m = 0
             gl = gr = 1
         g = max(1, min(gl, gr))
+        ratio = _AUTO_RATIO if left_on else _AUTO_RATIO_KEYLESS
         decision = (n > 0 and m > 0
-                    and float(n) * float(m) / g > _AUTO_RATIO * (n + m))
+                    and float(n) * float(m) / g > ratio * (n + m))
     if ck is not None:
         if len(_AUTO_CACHE) >= _AUTO_CACHE_MAX:
             _AUTO_CACHE.clear()
@@ -223,7 +240,13 @@ def merge_intervals(
       estimated per-group residual ``n*m/G`` exceeds ``1024*(n+m)`` — the
       regime where direct is a measured 15x slower
       (scripts/bench_baseline.py t4, scripts/scale_smoke.py autostrat
-      tier); otherwise direct.  Disable the detector with
+      tier); otherwise direct.  KEYLESS joins with four finite endpoints
+      and no ``bucket_width`` run the same detector with G=1 against the
+      higher keyless bound (16384: the direct plan is a broadcast
+      nested-loop whose comparisons are ~3x cheaper than SMJ residuals
+      but whose cost grows as n*m without a key to divide it; measured
+      16x slower than the sweep at 1M x 100k, while small keyless inputs
+      where the BNLJ wins stay direct).  Disable the detector with
       ``spark.conf.set("spark.catabra.merge.costAuto", "false")``.
       "sweep" is
       the output-sensitive sort-sweep kernel (``operators/sweep.py``):
@@ -282,7 +305,9 @@ def merge_intervals(
     use_bucket = strategy == "bucket" or (
         strategy == "auto" and not has_eq and bucket_width is not None)
     use_sweep = strategy == "sweep"
-    if (strategy == "auto" and not use_bucket and has_eq
+    if (strategy == "auto" and not use_bucket
+            # keyed: few-large-groups detector; keyless (bucket_width
+            # None, else use_bucket caught it): BNLJ-rescue detector
             # sweep preconditions, checked here so auto never raises:
             # four finite endpoints; a degenerate (point) side needs
             # inclusive flags
@@ -815,13 +840,14 @@ def find_containing_interval(
     ``strategy`` forwards to ``merge_intervals`` — point-in-interval is
     exactly the sort-sweep kernel's shape, so ``strategy="sweep"`` is the
     scale path when interval groups are large (see ``operators/sweep.py``).
-    The default "auto" (r11) runs merge_intervals' cost-based
-    few-large-groups detector when ``group_by`` keys are present (points
-    are a degenerate inclusive side, so the sweep preconditions always
-    hold): sweep when the direct join's estimated per-group residual
-    blows past the linear bound, direct otherwise; keyless calls stay
-    direct.  ``spark.catabra.merge.costAuto=false`` restores the always-
-    direct behavior.
+    The default "auto" (r11) runs merge_intervals' cost-based detector
+    (points are a degenerate inclusive side, so the sweep preconditions
+    always hold): with ``group_by`` keys, sweep when the direct join's
+    estimated per-group residual blows past the linear bound; keyless,
+    the same rule with G=1 against the higher keyless bound (rescuing
+    the large×large broadcast-nested-loop); small inputs stay direct.
+    ``spark.catabra.merge.costAuto=false`` restores the always-direct
+    behavior.
 
     "First"/"last" refer to interval ids: pass ``interval_id`` naming an
     existing id column in ``intervals`` for meaningful results (the reference

@@ -426,6 +426,43 @@ def main():
         ok &= compare("merge auto(sweep)==direct fingerprints",
                       fp_auto, fp_direct, ["group"])
 
+        # keyless leg (r11): the same shape WITHOUT the equi-key is the
+        # broadcast-nested-loop hazard; auto must rescue it through the
+        # keyless bound (n*m > 16384*(n+m)) — at n/10 x n/100 the BNLJ
+        # is minutes, so the ground truth here is the explicitly pinned
+        # sweep (itself certified against direct at smaller scale in
+        # tests/test_merge_intervals.py::test_auto_strategy_keyless_rescue)
+        # plus a direct leg at n/50 x n/500 where both run comfortably.
+        lk = l4.drop("group")
+        rk = r4.drop("group")
+        kwk = dict(how="inner", left_start="start", left_stop="stop",
+                   right_start="p", right_stop="p")
+        auto_k = cps.merge_intervals(lk, rk, **kwk)
+        k_plan = auto_k.sameSemantics(
+            cps.merge_intervals(lk, rk, strategy="sweep", **kwk))
+        print(f"autostrat keyless {nl4:,} x {nr4:,}: "
+              f"auto compiled to sweep plan: {k_plan}")
+        lk2 = lk.limit(nl4 // 10).localCheckpoint(eager=True)
+        rk2 = rk.limit(nr4 // 10).localCheckpoint(eager=True)
+
+        def fpk(df):
+            cols = [F.col(c) for c in sorted(df.columns)]
+            return (df.agg(F.count(F.lit(1)).alias("n_rows"),
+                           F.sum(F.xxhash64(*cols).cast("decimal(38,0)"))
+                           .alias("content_sum"))
+                    .withColumn("k", F.lit(1)).localCheckpoint(eager=True))
+        t0 = time.perf_counter()
+        fp_ka = fpk(cps.merge_intervals(lk2, rk2, **kwk))
+        t_ka = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fp_kd = fpk(cps.merge_intervals(lk2, rk2, strategy="direct", **kwk))
+        t_kd = time.perf_counter() - t0
+        print(f"autostrat keyless value-leg {nl4 // 10:,} x {nr4 // 10:,}: "
+              f"auto={t_ka:.1f}s direct(BNLJ)={t_kd:.1f}s")
+        ok &= k_plan
+        ok &= compare("keyless auto==direct fingerprints", fp_ka, fp_kd,
+                      ["k"])
+
     # --- keyless group_intervals: chunked merge vs single-task ---------
     if "group" in tiers:
         gi = (synth_eav(spark, m, n_attrs=1)

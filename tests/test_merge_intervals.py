@@ -760,12 +760,20 @@ def test_find_containing_auto_strategy(spark):
     d = direct.toPandas().sort_values(["g", "p"]).reset_index(drop=True)
     assert a["p__first"].tolist() == d["p__first"].tolist()
 
-    # keyless: no equi-keys -> auto stays direct (no estimation)
+    # keyless at this size (ratio ~22k > the 16384 keyless bound): the
+    # BNLJ-rescue detector routes the internal join through the sweep
     assert find_containing_interval(
         spts.select("p"), sivl.select("start", "stop", "iid"),
         point_cols="p", interval_id="iid").sameSemantics(
         find_containing_interval(
             spts.select("p"), sivl.select("start", "stop", "iid"),
+            point_cols="p", interval_id="iid", strategy="sweep"))
+    # keyless SMALL inputs stay on the direct (broadcast) plan
+    assert find_containing_interval(
+        spts.select("p").limit(500), sivl.select("start", "stop", "iid"),
+        point_cols="p", interval_id="iid").sameSemantics(
+        find_containing_interval(
+            spts.select("p").limit(500), sivl.select("start", "stop", "iid"),
             point_cols="p", interval_id="iid", strategy="direct"))
 
     spark.conf.set("spark.catabra.merge.costAuto", "false")
@@ -773,3 +781,46 @@ def test_find_containing_auto_strategy(spark):
         assert find_containing_interval(spts, sivl, **kw).sameSemantics(direct)
     finally:
         spark.conf.set("spark.catabra.merge.costAuto", "true")
+
+
+def test_auto_strategy_keyless_rescue(spark):
+    """Keyless strategy="auto" (r11): with four finite endpoints and no
+    bucket_width, the detector rescues the large-large broadcast-nested-
+    loop hazard — sweep when n*m > 16384*(n+m), direct otherwise
+    (measured crossover ~10k: BNLJ comparisons are ~3x cheaper than SMJ
+    residuals, so the keyless bound sits above the keyed 1024)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(17)
+
+    def mk(nl, nr):
+        lp = pd.DataFrame({"start": rng.uniform(0, 100, nl)})
+        lp["stop"] = lp["start"] + rng.uniform(0, 0.01, nl)
+        rp = pd.DataFrame({"p": rng.uniform(0, 100, nr)})
+        return spark.createDataFrame(lp), spark.createDataFrame(rp)
+
+    kw = dict(how="inner", left_start="start", left_stop="stop",
+              right_start="p", right_stop="p")
+
+    # ratio ~40k -> sweep, and the sweep returns the BNLJ's exact rows
+    l, r = mk(120_000, 60_000)
+    auto = merge_intervals(l, r, **kw)
+    assert auto.sameSemantics(merge_intervals(l, r, strategy="sweep", **kw))
+    assert auto.count() == merge_intervals(l, r, strategy="direct", **kw).count()
+
+    # ratio ~10k (below 16384) -> the BNLJ still wins, stays direct
+    l2, r2 = mk(30_000, 15_000)
+    assert merge_intervals(l2, r2, **kw).sameSemantics(
+        merge_intervals(l2, r2, strategy="direct", **kw))
+
+    # half-infinite endpoints are outside the sweep preconditions: direct
+    l3 = l.select("stop")
+    assert merge_intervals(l3, r, how="inner", left_start="stop",
+                           left_stop="stop", right_stop="p").sameSemantics(
+        merge_intervals(l3, r, how="inner", left_start="stop",
+                        left_stop="stop", right_stop="p", strategy="direct"))
+
+    # keyless + bucket_width keeps the bucket strategy
+    assert merge_intervals(l, r, bucket_width=1.0, **kw).sameSemantics(
+        merge_intervals(l, r, strategy="bucket", bucket_width=1.0, **kw))
