@@ -689,31 +689,14 @@ def merge_intervals(
 
 
 def _bucket_numeric(c: Column, dt) -> Column:
-    """Monotone double view for BUCKET arithmetic only.  Extends the
-    shared exact coercion with DayTimeIntervalType: the column is first
-    normalized to the canonical ``INTERVAL DAY TO SECOND`` field range,
-    then CAST(.. AS BIGINT) yields total seconds (sub-second part
-    truncated).  The normalization is essential: Spark's interval→bigint
-    cast reports totals in the interval's END FIELD unit (``INTERVAL '3'
-    DAY`` casts to 3, not 259200), so without it the two sides of a
-    bucket equi-join whose endpoint columns carry different end fields
-    would compute bucket ids in different units and silently drop
-    matching pairs.  Truncation to whole seconds is monotone
-    non-decreasing, which is the only property the bucket explode/anchor
-    needs (each interval's bucket span stays a superset of the true span,
-    and the anchor bucket — computed from the same coercion on both
-    sides — stays inside both spans); the exact comparisons always run
-    on the ORIGINAL interval columns as the residual predicate.
-    Deliberately NOT in util.numeric_double: tolerance/grid arithmetic
-    (asof, resample) needs exact values, and a truncating coercion there
-    would silently move sub-second matches."""
-    from pyspark.sql import types as T
+    """Monotone double view for BUCKET arithmetic only — the shared
+    ``util.bucket_numeric_double`` (DayTimeIntervalType normalizes to the
+    canonical DAY TO SECOND field range before the truncating bigint
+    cast; see that docstring for the monotonicity argument and why it is
+    deliberately separate from the exact ``numeric_double``)."""
+    from ..util import bucket_numeric_double
 
-    if isinstance(dt, T.DayTimeIntervalType):
-        canon = T.DayTimeIntervalType(
-            T.DayTimeIntervalType.DAY, T.DayTimeIntervalType.SECOND)
-        return c.cast(canon).cast("bigint").cast("double")
-    return _numeric(c, dt)
+    return bucket_numeric_double(c, dt)
 
 
 def _bucket_join(

@@ -50,7 +50,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 from .sweep import sweep_point_in_interval
-from ..util import as_list, ensure_columns, numeric_double
+from ..util import (as_list, bucket_numeric_double, ensure_columns,
+                    numeric_double)
 
 # internal content-key column names: entity / window start / window stop
 _KE, _KS, _KP = "__w_ent__", "__w_start__", "__w_stop__"
@@ -215,19 +216,19 @@ def resample_eav(
     sweep; ±inf endpoint VALUES sort correctly and need no special case.
 
     **Dtype note — DayTimeIntervalType time axis** (elapsed-time EAV
-    data): the direct and sweep legs support it natively — the sweep
-    kernel orders events by the column's natural ordering, no numeric
-    coercion on its path (property-tested against direct:
+    data): all three escape legs support it.  The sweep kernel orders
+    events by the column's natural ordering, no numeric coercion on its
+    path (property-tested against direct:
     tests/test_dtypes.py::test_resample_eav_interval_time_col_sweep_vs_direct).
-    The ``bucket_width`` leg does NOT support it yet: bucket arithmetic
-    runs on the shared exact ``numeric_double`` coercion, which
-    deliberately excludes the truncating interval cast (tolerance/grid
-    arithmetic elsewhere needs exact values), so an interval time axis
-    fails at analysis time with a cannot-cast-INTERVAL-to-DOUBLE error —
-    loud, never silently wrong.  Until the bucket leg grows a
-    merging-style monotone wrapper (see ``merging._bucket_numeric``),
-    use ``join_strategy="sweep"`` for the large-scale escape with this
-    dtype, or resample on a timestamp axis (anchor + interval) instead.
+    The ``bucket_width`` leg runs its bucket arithmetic on
+    ``util.bucket_numeric_double`` — intervals normalize to the canonical
+    DAY TO SECOND field range, then truncate to whole seconds, a
+    monotone coercion under which each window's bucket span stays a
+    superset of its true span (bucket ids are in SECONDS for this dtype,
+    so pick ``bucket_width`` in seconds); the exact endpoint predicate
+    runs on the original interval columns as the residual filter
+    (property-tested against direct:
+    tests/test_dtypes.py::test_resample_eav_interval_time_col_bucket_vs_direct).
 
     **Skewed entities** (one patient/session owning a large share of the
     observations): measured at 10M observations with one entity holding
@@ -387,7 +388,7 @@ def resample_eav(
     elif bucket_width is not None:
         if not (has_start and has_stop):
             raise ValueError("bucket_width requires both window endpoints")
-        bnum = numeric_double
+        bnum = bucket_numeric_double
         BKT = "__bucket__"
         wsch2 = {f.name: f.dataType for f in wjoin.schema.fields}
         # windows with a non-finite endpoint VALUE (inf in a double column)
@@ -870,7 +871,7 @@ def resample_interval(
     if bucket_width is not None:
         if not (has_start and has_stop):
             raise ValueError("bucket_width requires both window endpoints")
-        bnum = numeric_double
+        bnum = bucket_numeric_double
         BKT = "__bucket__"
         wsch2 = {f.name: f.dataType for f in wjoin.schema.fields}
         W = F.lit(bucket_width)

@@ -27,13 +27,43 @@ def numeric_double(c: Column, dt) -> Column:
     asof, merging, and resampling operators all share it.  (Lossy
     monotone-only coercions — e.g. DayTimeIntervalType, whose cast
     truncates sub-second parts — are deliberately NOT here: tolerance and
-    grid arithmetic needs exact values.  The bucket join, which only
-    needs monotonicity, carries its own widening wrapper in merging.py.)"""
+    grid arithmetic needs exact values.  Bucket arithmetic, which only
+    needs monotonicity, uses ``bucket_numeric_double`` below.)"""
     from pyspark.sql import types as T
 
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         return c.cast("timestamp").cast("double")
     return c.cast("double")
+
+
+def bucket_numeric_double(c: Column, dt) -> Column:
+    """Monotone double view for BUCKET arithmetic only.  Extends
+    ``numeric_double`` with DayTimeIntervalType: the column is first
+    normalized to the canonical ``INTERVAL DAY TO SECOND`` field range,
+    then CAST(.. AS BIGINT) yields total seconds (sub-second part
+    truncated).  The normalization is essential: Spark's interval→bigint
+    cast reports totals in the interval's END FIELD unit (``INTERVAL '3'
+    DAY`` casts to 3, not 259200), so without it two join sides whose
+    endpoint columns carry different end fields would compute bucket ids
+    in different units and silently drop matching pairs.  Truncation to
+    whole seconds is monotone non-decreasing, which is the only property
+    bucket explode/anchor arithmetic needs (each interval's bucket span
+    stays a superset of the true span, and the anchor bucket — computed
+    from the same coercion on both sides — stays inside both spans); the
+    exact comparisons always run on the ORIGINAL columns as the residual
+    predicate.  Deliberately separate from ``numeric_double``:
+    tolerance/grid arithmetic (asof, regular-grid resample) needs exact
+    values, and a truncating coercion there would silently move
+    sub-second matches.  Shared by ``merge_intervals(strategy="bucket")``
+    and the ``bucket_width`` legs of ``resample_eav`` /
+    ``resample_interval``."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DayTimeIntervalType):
+        canon = T.DayTimeIntervalType(
+            T.DayTimeIntervalType.DAY, T.DayTimeIntervalType.SECOND)
+        return c.cast(canon).cast("bigint").cast("double")
+    return numeric_double(c, dt)
 
 
 def ordered_dense_ids(df: DataFrame, cols: Sequence[str],
