@@ -3873,18 +3873,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # merge_intervals flag the whole merge/find_containing/
     # resample_interval closure); (b) the NEW merge_auto_sweep (the
     # cost-based few-large-groups auto pick, certified against the plain
-    # join oracle); (c) ALL 26 queries sitting on r8 rows after r10 —
-    # the oldest in the registry (VERDICT r10 #1): combine_* x4,
-    # cube/rollup, the text tier (dedup_exact, decontam, text_stats,
-    # quality_gate, fingerprint, scrub_pii, repetition, langid,
-    # lm_perplexity, ngram_jaccard), sessionize, stream_* x5,
-    # group_intervals_ts/_keyless, multimodal_mp4/_frames; (d) 5
-    # backfill slots from the oldest r9 rows (cross_dedup, minhash_lsh,
-    # simhash, funnel, retention).  The resample_eav family does NOT
-    # flag: this round's resampling.py change is docstring-only (the
-    # checker strips docstrings), and the interval-time-axis sweep leg
-    # gained a property test, not a code change.  The tail holds
-    # unflagged r9/r10-green queries only.
+    # join oracle); (c) the 12 resample_eav-family queries the checker
+    # flags for the interval-bucket-leg change (bnum ->
+    # bucket_numeric_double inside resample_eav flags the whole family
+    # incl. make_windows); (d) the 19 remaining slots go to the OLDEST
+    # green rows — 19 of the 26 r8-row queries (VERDICT r10 #1):
+    # combine_* x4, cube/rollup, the text tier (dedup_exact, decontam,
+    # text_stats, quality_gate, fingerprint, scrub_pii, repetition,
+    # langid, lm_perplexity, ngram_jaccard), sessionize, stream_resample,
+    # stream_ffill.  Deferred to the r12 window for lack of slots — each
+    # chosen for having the strongest independent protection on its r8/r9
+    # row (rotation_check proves their exercised code unchanged at
+    # AST-symbol level): stream_dedup / stream_funnel /
+    # stream_resample_interval (NEW r11 cross-batch stream==batch
+    # property tests), multimodal_mp4 / multimodal_frames (r10 random
+    # roundtrip property tests), group_intervals_ts / _keyless
+    # (coverage-scan property oracle), and the 5 r9-row backfills
+    # (cross_dedup, minhash_lsh, simhash, funnel, retention).  r12 MUST
+    # open with those 12.  The tail holds unflagged r9/r10-green
+    # queries only.
     return {
         "merge_date_bucket": q_merge_date_bucket,
         "merge_timedelta_bucket": q_merge_timedelta_bucket,
@@ -3905,6 +3912,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_interval_sweep": q_resample_interval_sweep,
         "bucket_range_join": q_bucket_range_join,
         "merge_auto_sweep": q_merge_auto_sweep,
+        "resample_eav_bucket": q_resample_eav_bucket,
+        "resample_eav_basic": q_resample_eav_basic,
+        "resample_eav_irregular": q_resample_eav_irregular,
+        "resample_eav_quantiles": q_resample_eav_quantiles,
+        "resample_eav_moments": q_resample_eav_moments,
+        "resample_eav_ranks": q_resample_eav_ranks,
+        "resample_eav_mode": q_resample_eav_mode,
+        "resample_eav_sliding": q_resample_eav_sliding,
+        "resample_eav_custom": q_resample_eav_custom,
+        "resample_eav_custom_multi": q_resample_eav_custom_multi,
+        "resample_eav_custom_slope": q_resample_eav_custom_slope,
+        "make_windows": q_make_windows,
         "combine_union": q_combine_union,
         "combine_k3": q_combine_k3,
         "combine_gaps": q_combine_gaps,
@@ -3924,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "stream_resample": q_stream_resample,
         "stream_ffill": q_stream_ffill,
+        # ---- driver window ends here (50) ----
         "stream_dedup": q_stream_dedup,
         "stream_resample_interval": q_stream_resample_interval,
         "stream_funnel": q_stream_funnel,
@@ -3936,7 +3956,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "funnel": q_funnel,
         "retention": q_retention,
-        # ---- driver window ends here (50) ----
         "cosine_topk": q_cosine_topk,
         "cosine_topk_blocked": q_cosine_topk_blocked,
         "q8_ann": q_q8_ann,
@@ -3967,7 +3986,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prev_next": q_prev_next,
         "merge_asof": q_merge_asof,
         "group_intervals": q_group_intervals,
-        "resample_eav_bucket": q_resample_eav_bucket,
         "dedup_clusters": q_dedup_clusters,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
@@ -3983,17 +4001,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_wav": q_multimodal_wav,
         "embedding_q8": q_embedding_q8,
-        "resample_eav_basic": q_resample_eav_basic,
-        "resample_eav_irregular": q_resample_eav_irregular,
-        "resample_eav_quantiles": q_resample_eav_quantiles,
-        "resample_eav_moments": q_resample_eav_moments,
-        "resample_eav_ranks": q_resample_eav_ranks,
-        "resample_eav_mode": q_resample_eav_mode,
-        "resample_eav_sliding": q_resample_eav_sliding,
-        "resample_eav_custom": q_resample_eav_custom,
-        "resample_eav_custom_multi": q_resample_eav_custom_multi,
-        "resample_eav_custom_slope": q_resample_eav_custom_slope,
-        "make_windows": q_make_windows,
     }
 
 
