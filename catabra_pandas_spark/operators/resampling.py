@@ -68,6 +68,26 @@ def _is_time_like(dt) -> bool:
     return isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType))
 
 
+def _cost_auto_sweep(obs: DataFrame, wjoin: DataFrame,
+                     obs_keys: list, win_keys: list) -> bool:
+    """``join_strategy="auto"``'s cost-based direct-vs-sweep pick — the same
+    few-large-entities detector as ``merge_intervals(strategy="auto")``
+    (``merging._auto_few_large_groups``: one count +
+    approx_count_distinct(entity) statistics pass per side, memoized on the
+    inputs' semanticHash, skipped for tiny inputs, disabled by
+    ``spark.catabra.merge.costAuto=false`` — that knob is THE global
+    cost-auto kill switch).  This is the reference's per-entity strategy
+    selector (reference resampling.py:1271-1281 + _analyze_windows
+    :1717-1816) re-expressed as a global statistics decision: when a few
+    entities own both many windows and many observations, the direct
+    entity equi-join's per-entity window x observation residual goes
+    quadratic (the t4 anchor measured 15x), and the output-sensitive
+    sweep is the plan a user should have picked."""
+    from .merging import _auto_few_large_groups
+
+    return _auto_few_large_groups(obs, wjoin, obs_keys, win_keys)
+
+
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
@@ -214,6 +234,17 @@ def resample_eav(
     still wins (strictly cheaper).  Windows with a null endpoint value
     match no observation by the join contract and are filtered before the
     sweep; ±inf endpoint VALUES sort correctly and need no special case.
+
+    ``join_strategy="auto"`` (default): when no regular grid is detected
+    and no ``bucket_width`` is given, a cost-based detector — the same
+    few-large-entities statistics pass as
+    ``merge_intervals(strategy="auto")``, see ``_cost_auto_sweep`` —
+    picks the sweep automatically when the direct entity equi-join's
+    estimated per-entity residual goes quadratic (the reference's
+    per-entity selector, reference resampling.py:1271-1281); healthy
+    many-entity workloads keep the direct plan and pay only a memoized
+    one-row statistics job.  ``spark.catabra.merge.costAuto=false``
+    restores the always-direct pre-r11 behavior.
 
     **Dtype note — DayTimeIntervalType time axis** (elapsed-time EAV
     data): all three escape legs support it.  The sweep kernel orders
@@ -419,7 +450,9 @@ def resample_eav(
         cond_i = cond_i & ((obs[time_col] <= winf[_KP]) if include_stop
                            else (obs[time_col] < winf[_KP]))
         pairs = pairs_b.unionByName(obs.join(winf, on=cond_i, how="inner"))
-    elif join_strategy == "sweep":
+    elif join_strategy == "sweep" or (
+            join_strategy == "auto"
+            and _cost_auto_sweep(obs, wjoin, [entity_col], [_KE])):
         # windows are the intervals, observations the points; null-valued
         # endpoints/keys match nothing under the join contract, so filter
         # them up front (the sweep's window partitioner would otherwise
@@ -806,6 +839,12 @@ def resample_interval(
     ``merge_intervals(strategy="sweep")`` — the output-sensitive kernel for
     the same many-windows-times-many-intervals regime when no bucket width
     fits.  Mutually exclusive with ``bucket_width``.
+
+    ``join_strategy="auto"`` (default): with no ``bucket_width``, the same
+    cost-based few-large-entities detector as ``resample_eav`` /
+    ``merge_intervals`` (``_cost_auto_sweep``) flips to the sweep when the
+    direct entity equi-join's estimated per-entity residual goes
+    quadratic; ``spark.catabra.merge.costAuto=false`` disables it.
     """
     if join_strategy not in ("auto", "direct", "sweep"):
         raise ValueError(f"join_strategy must be auto/direct/sweep, got {join_strategy!r}")
@@ -914,7 +953,9 @@ def resample_interval(
         pairs = (pairs_b
                  .unionByName(plain(obi, wjoin))
                  .unionByName(plain(obf, winf)))
-    elif join_strategy == "sweep":
+    elif join_strategy == "sweep" or (
+            join_strategy == "auto"
+            and _cost_auto_sweep(obs, wjoin, [entity_col], [_KE])):
         # the observation-window overlap IS a merge_intervals inner join
         # with closed endpoints and distinct key names on both sides —
         # delegate to the sweep strategy (its validity filters drop the

@@ -639,3 +639,104 @@ def test_resample_interval_sweep_join_strategy(spark):
     a2 = s[cols].sort_values(cols).reset_index(drop=True)
     b2 = d[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a2, b2, check_like=True, atol=1e-9)
+
+
+def test_resample_eav_auto_strategy(spark):
+    """join_strategy="auto" (r11): on the few-large-entities shape the
+    cost detector (shared with merge_intervals) routes the irregular
+    observation-window join through the sweep — the reference's
+    per-entity selector regime (reference resampling.py:1271-1281) —
+    while healthy many-entity workloads keep the direct plan.  Verified
+    by plan identity (sameSemantics against the explicit strategies) so
+    a silently dead detector cannot pass, plus a value check."""
+    rng = np.random.RandomState(31)
+    n, m = 40_000, 30_000
+    obs = pd.DataFrame({
+        "entity": rng.randint(0, 2, n),
+        "timestamp": rng.uniform(0, 1000, n),
+        "attribute": rng.choice(["hr", "bp"], n),
+        "value": rng.uniform(0, 100, n).round(2)})
+    win = pd.DataFrame({"entity": rng.randint(0, 2, m),
+                        "timestamp_start": rng.uniform(0, 995, m)})
+    win["timestamp_stop"] = win["timestamp_start"] + rng.uniform(0, 0.05, m)
+    o, w = spark.createDataFrame(obs), spark.createDataFrame(win)
+
+    spec = {"hr": ["count", "mean"], "bp": ["count"]}
+    kw = dict(regular=False, assume_unique_windows=True)
+    auto = resample_eav(o, w, spec, **kw)
+    assert auto.sameSemantics(
+        resample_eav(o, w, spec, join_strategy="sweep", **kw))
+    direct = resample_eav(o, w, spec, join_strategy="direct", **kw)
+    assert not auto.sameSemantics(direct)
+    a = auto.toPandas().sort_values(
+        ["entity", "timestamp_start"]).reset_index(drop=True)
+    d = direct.toPandas().sort_values(
+        ["entity", "timestamp_start"]).reset_index(drop=True)
+    assert a["hr_count"].tolist() == d["hr_count"].tolist()
+    assert np.allclose(a["hr_mean"].astype(float), d["hr_mean"].astype(float),
+                       rtol=1e-9, equal_nan=True)
+
+    # many entities -> healthy regime, auto stays direct
+    o2 = spark.createDataFrame(obs.assign(entity=rng.randint(0, 20_000, n)))
+    w2 = spark.createDataFrame(win.assign(entity=rng.randint(0, 20_000, m)))
+    assert resample_eav(o2, w2, spec, **kw).sameSemantics(
+        resample_eav(o2, w2, spec, join_strategy="direct", **kw))
+
+    # a detected regular grid still wins over the detector (strictly
+    # cheaper than either direct or sweep); integral axis — grid
+    # detection needs exact long arithmetic
+    og = spark.createDataFrame(obs.assign(
+        timestamp=rng.randint(0, 1000, n)))
+    wg = pd.DataFrame({"entity": rng.randint(0, 2, m)})
+    wg["timestamp_start"] = rng.randint(0, 100, m) * 10
+    wg["timestamp_stop"] = wg["timestamp_start"] + 10
+    sg = spark.createDataFrame(wg)
+    assert resample_eav(og, sg, spec, assume_unique_windows=True).sameSemantics(
+        resample_eav(og, sg, spec, assume_unique_windows=True,
+                     join_strategy="direct"))  # grid path on BOTH sides
+
+    # kill switch restores the pre-r11 auto (always direct)
+    spark.conf.set("spark.catabra.merge.costAuto", "false")
+    try:
+        assert resample_eav(o, w, spec, **kw).sameSemantics(direct)
+    finally:
+        spark.conf.set("spark.catabra.merge.costAuto", "true")
+
+
+def test_resample_interval_auto_strategy(spark):
+    """resample_interval join_strategy="auto" (r11): same cost detector;
+    few large entities flip the pair join to the merge_intervals sweep
+    delegate, many entities stay direct, and the duration-weighted sums
+    agree between the two plans."""
+    from catabra_pandas_spark import resample_interval
+
+    rng = np.random.RandomState(37)
+    n, m = 40_000, 30_000
+    obs = pd.DataFrame({
+        "entity": rng.randint(0, 2, n),
+        "start": rng.uniform(0, 1000, n),
+        "attribute": rng.choice(["x", "y"], n),
+        "value": rng.uniform(-5, 5, n).round(3)})
+    obs["stop"] = obs["start"] + rng.uniform(0, 0.05, n)
+    win = pd.DataFrame({"entity": rng.randint(0, 2, m),
+                        "t_start": rng.uniform(0, 995, m)})
+    win["t_stop"] = win["t_start"] + rng.uniform(0, 0.05, m)
+    o, w = spark.createDataFrame(obs), spark.createDataFrame(win)
+
+    kw = dict(attributes=["x", "y"], time_col="t",
+              window_start_col="t_start", window_stop_col="t_stop",
+              assume_unique_windows=True)
+    auto = resample_interval(o, w, **kw)
+    assert auto.sameSemantics(
+        resample_interval(o, w, join_strategy="sweep", **kw))
+    direct = resample_interval(o, w, join_strategy="direct", **kw)
+    assert not auto.sameSemantics(direct)
+    a = auto.toPandas().sort_values(["entity", "t_start"]).reset_index(drop=True)
+    d = direct.toPandas().sort_values(["entity", "t_start"]).reset_index(drop=True)
+    assert np.allclose(a["x"], d["x"], atol=1e-9)
+    assert np.allclose(a["y"], d["y"], atol=1e-9)
+
+    o2 = spark.createDataFrame(obs.assign(entity=rng.randint(0, 20_000, n)))
+    w2 = spark.createDataFrame(win.assign(entity=rng.randint(0, 20_000, m)))
+    assert resample_interval(o2, w2, **kw).sameSemantics(
+        resample_interval(o2, w2, join_strategy="direct", **kw))
