@@ -38,8 +38,8 @@ stress runs.  Exit code 0 iff every comparison matches.
 Usage: python scripts/scale_smoke.py [n_obs] [tiers]
   n_obs  default 10_000_000
   tiers  comma list of {eav,interval,group,ann,text,exactsubstr,bpe16k,
-         cosinebig,skew,streamstate,bucketdt,autostrat}; default = the
-         five original tiers
+         cosinebig,skew,streamstate,bucketdt,autostrat,resampauto};
+         default = the five original tiers
 """
 
 from __future__ import annotations
@@ -462,6 +462,49 @@ def main():
         ok &= k_plan
         ok &= compare("keyless auto==direct fingerprints", fp_ka, fp_kd,
                       ["k"])
+
+    # --- resample_eav join_strategy="auto" certificate (opt-in, r11) ---
+    if "resampauto" in tiers:
+        # The reference's per-entity selector regime transplanted to its
+        # home operator: few entities (10) own both many observations
+        # (n/5) and many irregular windows (n/50), so the direct entity
+        # equi-join's per-entity obs x window residual goes quadratic.
+        # Certifies (a) auto compiles to the sweep plan (sameSemantics)
+        # and (b) auto's per-entity aggregate table equals direct's
+        # cell-for-cell (the aggregates ARE the output — no fingerprint
+        # needed), plus wall-clock evidence of the gap.
+        n5, m5, g5 = n // 5, n // 50, 10
+        obs5 = synth_eav(spark, n5, n_entities=g5, n_attrs=2,
+                         span=1_000_000.0).localCheckpoint(eager=True)
+        h5 = lambda k: F.pmod(F.xxhash64(F.col("id"), F.lit(k)),  # noqa: E731
+                              F.lit(10**9))
+        win5 = (spark.range(m5, numPartitions=64)
+                .select(F.pmod(h5(1), F.lit(g5)).alias("entity"),
+                        (h5(2).cast("double") / 1e9 * 1_000_000.0
+                         ).alias("timestamp_start"),
+                        (h5(3).cast("double") / 1e9 * 10.0).alias("__w__"))
+                .select("entity", "timestamp_start",
+                        (F.col("timestamp_start") + F.col("__w__")
+                         ).alias("timestamp_stop"))
+                .localCheckpoint(eager=True))
+        spec5 = {"attr_1": ["count", "sum"], "attr_2": ["count"]}
+        kw5 = dict(assume_unique_windows=True)  # float axis: no grid probe
+        auto5 = cps.resample_eav(obs5, win5, spec5, **kw5)
+        plan5 = auto5.sameSemantics(
+            cps.resample_eav(obs5, win5, spec5, join_strategy="sweep", **kw5))
+        print(f"resampauto: auto compiled to sweep plan: {plan5}")
+        t0 = time.perf_counter()
+        ra = auto5.localCheckpoint(eager=True)
+        t_a5 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rd = cps.resample_eav(obs5, win5, spec5, join_strategy="direct",
+                              **kw5).localCheckpoint(eager=True)
+        t_d5 = time.perf_counter() - t0
+        print(f"resampauto {n5:,} obs x {m5:,} windows in {g5} entities: "
+              f"auto(sweep)={t_a5:.1f}s direct={t_d5:.1f}s")
+        ok &= plan5
+        ok &= compare_tol("resample_eav auto(sweep)==direct", ra, rd,
+                          ["entity", "timestamp_start", "timestamp_stop"])
 
     # --- keyless group_intervals: chunked merge vs single-task ---------
     if "group" in tiers:
