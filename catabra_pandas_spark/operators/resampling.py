@@ -845,6 +845,20 @@ def resample_interval(
     ``merge_intervals`` (``_cost_auto_sweep``) flips to the sweep when the
     direct entity equi-join's estimated per-entity residual goes
     quadratic; ``spark.catabra.merge.costAuto=false`` disables it.
+
+    **Dtype note — DayTimeIntervalType start/stop** (elapsed-time
+    observation intervals; reference dtype contract "float, int, time
+    delta, date time", reference resampling.py:473-476): the join and
+    residual predicates compare the original interval columns, and the
+    duration-weighted factor runs on ``util.interval_total_seconds`` — an
+    EXACT field-extraction sum (the truncating interval→bigint cast would
+    silently move sub-second overlap fractions).  The coercion family
+    follows the observation start column; windows must use the same
+    family (mixed end FIELDS are fine — both comparison coercion and the
+    extraction normalize to DAY TO SECOND).  ``epsilon`` stays in
+    seconds.  All three legs (direct/bucket/sweep) support the dtype;
+    bucket ids use the monotone truncating view with the exact residual,
+    so ``bucket_width`` is in seconds here too.
     """
     if join_strategy not in ("auto", "direct", "sweep"):
         raise ValueError(f"join_strategy must be auto/direct/sweep, got {join_strategy!r}")
@@ -893,8 +907,19 @@ def resample_interval(
 
     sch = {f.name: f.dataType for f in df.schema.fields}
     timey = _is_time_like(sch[start_col])
+    intervally = isinstance(sch[start_col], T.DayTimeIntervalType)
 
     def num(c: Column) -> Column:
+        # the factor math is a RATIO of durations, so this coercion must be
+        # exact — a truncating cast would silently move sub-second overlap
+        # fractions.  Day-time intervals (elapsed-time axes) go through the
+        # exact field-extraction sum; the coercion family follows the
+        # observation start column's dtype, as with `timey` (mismatched
+        # obs/window families fail loudly in the join's type coercion).
+        if intervally:
+            from ..util import interval_total_seconds
+
+            return interval_total_seconds(c)
         return c.cast("timestamp").cast("double") if timey else c.cast("double")
 
     obs = (

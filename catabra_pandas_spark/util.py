@@ -66,6 +66,32 @@ def bucket_numeric_double(c: Column, dt) -> Column:
     return numeric_double(c, dt)
 
 
+def interval_total_seconds(c: Column) -> Column:
+    """EXACT total seconds of a day-time interval column as a double.
+
+    ``CAST(interval AS BIGINT)`` truncates sub-second parts (and reports
+    totals in the END FIELD's unit — see ``bucket_numeric_double``), so it
+    cannot feed ratio/tolerance arithmetic.  This instead widens to the
+    canonical DAY TO SECOND field range and sums the extracted fields:
+    DAY/HOUR/MINUTE are integral, SECOND is a DECIMAL(8,6) carrying the
+    full microsecond fraction, and all fields are sign-consistent for
+    negative intervals (verified: INTERVAL '-1 02:03:04.500617' →
+    -93784.500617).  The decimal sum is exact; the final double is exact
+    to the microsecond for |interval| < 2^52 µs-quanta ≈ 142 years and
+    monotone (nearest-rounding) beyond — far past any elapsed-time axis,
+    and the same magnitude limit pandas' float64 timedelta views have."""
+    from pyspark.sql import types as T
+
+    canon = c.cast(T.DayTimeIntervalType(
+        T.DayTimeIntervalType.DAY, T.DayTimeIntervalType.SECOND))
+    return (
+        F.extract(F.lit("DAY"), canon).cast("decimal(18,0)") * 86400
+        + F.extract(F.lit("HOUR"), canon) * 3600
+        + F.extract(F.lit("MINUTE"), canon) * 60
+        + F.extract(F.lit("SECOND"), canon)
+    ).cast("double")
+
+
 def ordered_dense_ids(df: DataFrame, cols: Sequence[str],
                       out_col: str) -> DataFrame:
     """Order-preserving dense 0-based int64 ids over (assumed-distinct)

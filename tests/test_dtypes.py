@@ -518,3 +518,98 @@ def test_resample_eav_interval_time_col_bucket_vs_direct(spark):
         for c in approx:
             assert np.allclose(dd[c].astype(float), bd[c].astype(float),
                                rtol=1e-9, equal_nan=True), (width, c)
+
+
+def test_interval_total_seconds_exact(spark):
+    """util.interval_total_seconds: exact field-extraction sum — negative
+    intervals are sign-consistent across every field, sub-second parts
+    survive (the truncating bigint cast loses them), and day-only END
+    FIELDS widen to the canonical range first (extract needs the full
+    field range; an un-widened INTERVAL DAY would also report totals in
+    days — the ADVICE r10 unit hazard)."""
+    from pyspark.sql import functions as F, types as T
+    from catabra_pandas_spark.util import interval_total_seconds
+
+    df = spark.sql("""
+      SELECT * FROM VALUES
+        (INTERVAL '3' DAY),
+        (INTERVAL '-1 02:03:04.500617' DAY TO SECOND),
+        (INTERVAL '0 00:00:00.000001' DAY TO SECOND),
+        (INTERVAL '2 23:59:59.999999' DAY TO SECOND)
+      AS t(itv)
+    """)
+    got = [r[0] for r in df.select(interval_total_seconds(F.col("itv"))).collect()]
+    assert got == [259200.0, -93784.500617, 1e-06, 259199.999999]
+
+    day_only = T.DayTimeIntervalType(T.DayTimeIntervalType.DAY,
+                                     T.DayTimeIntervalType.DAY)
+    d2 = df.select(F.col("itv").cast(day_only).alias("d"))
+    assert d2.schema["d"].dataType == day_only
+    got2 = [r[0] for r in d2.select(interval_total_seconds(F.col("d"))).collect()]
+    # the day-only cast truncates toward zero to whole days first
+    assert got2 == [259200.0, -86400.0, 0.0, 172800.0]
+
+
+def test_resample_interval_interval_dtype_all_legs(spark):
+    """resample_interval on a DayTimeIntervalType axis (reference dtype
+    contract: "float, int, time delta, date time", reference
+    resampling.py:473-476) — previously failed at analysis time.  Oracle:
+    the SAME engine on the exact float-second representation of the same
+    data (timedeltas are integral microseconds, so total_seconds() is
+    exact and the duration-weighted factors must agree to float
+    round-off).  Millisecond jitter makes sub-second overlap fractions
+    load-bearing: a truncating coercion would move them.  All three legs
+    (direct / bucket / sweep) must agree with the float oracle; includes
+    zero-length intervals."""
+    from catabra_pandas_spark import resample_interval
+
+    rng = np.random.default_rng(43)
+    n, m = 600, 80
+    start_ms = rng.integers(0, 900_000, n)         # sub-second jitter
+    width_ms = rng.integers(0, 120_000, n)
+    width_ms[:10] = 0                              # zero-length intervals
+    obs = pd.DataFrame({
+        "entity": rng.integers(0, 5, n),
+        "start": pd.to_timedelta(start_ms, unit="ms"),
+        "attribute": rng.choice(["x", "y"], n),
+        "value": rng.uniform(-5, 5, n).round(3)})
+    obs["stop"] = obs["start"] + pd.to_timedelta(width_ms, unit="ms")
+    win = pd.DataFrame({
+        "entity": rng.integers(0, 5, m),
+        "t_start": pd.to_timedelta(rng.integers(0, 800_000, m), unit="ms")})
+    win["t_stop"] = win["t_start"] + pd.to_timedelta(
+        rng.integers(10_000, 300_000, m), unit="ms")
+
+    fobs = obs.assign(start=obs["start"].dt.total_seconds(),
+                      stop=obs["stop"].dt.total_seconds())
+    fwin = win.assign(t_start=win["t_start"].dt.total_seconds(),
+                      t_stop=win["t_stop"].dt.total_seconds())
+
+    kw = dict(attributes=["x", "y"], time_col="t",
+              window_start_col="t_start", window_stop_col="t_stop")
+    sobs, swin = to_sdf(spark, obs), to_sdf(spark, win)
+    assert "DayTimeInterval" in str(sobs.schema["start"].dataType)
+    oracle = resample_interval(to_sdf(spark, fobs), to_sdf(spark, fwin),
+                               **kw).toPandas()
+
+    def key(df):
+        d = df.copy()
+        for c in ("t_start", "t_stop"):
+            if not np.issubdtype(d[c].dtype, np.floating):
+                d[c] = pd.to_timedelta(d[c]).dt.total_seconds()
+        return d.sort_values(["entity", "t_start", "t_stop"],
+                             na_position="last").reset_index(drop=True)
+
+    exp = key(oracle)
+    legs = {
+        "direct": dict(join_strategy="direct"),
+        "sweep": dict(join_strategy="sweep"),
+        "bucket_narrow": dict(bucket_width=60.0),
+        "bucket_one": dict(bucket_width=1e9),
+    }
+    for name, extra in legs.items():
+        got = key(resample_interval(sobs, swin, **kw, **extra).toPandas())
+        assert len(got) == len(exp), name
+        for c in ("x", "y"):
+            assert np.allclose(got[c], exp[c], atol=1e-9), (
+                name, c, np.abs(got[c] - exp[c]).max())
