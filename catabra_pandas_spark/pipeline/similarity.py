@@ -877,6 +877,145 @@ def kmeans_codebook(
     return [(i, C[i].tolist()) for i in range(len(C))]
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    keep: str = "low_centroid_sim",
+    dim: int | None = None,
+    centroids: list | None = None,
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings with spherical k-means, then
+    inside each cluster mark items whose pairwise cosine exceeds
+    ``threshold`` as semantic duplicates and KEEP exactly one item per
+    duplicate group — by the paper's rule the one with the LOWEST cosine
+    to its cluster centroid (the "hardest" example; ties and
+    ``keep="min_id"`` fall back to the smallest id, so the output is
+    deterministic).
+
+    Returns ``df``'s id column plus ``cell`` (cluster id), ``group_rep``
+    (the kept representative's id for this item's duplicate group — its
+    own id when unique), and ``keep`` (boolean).  Filter ``keep`` to
+    materialize the deduplicated corpus; anti-join on ``~keep`` for an
+    audit trail.
+
+    Scale design (the paper's own shape): the codebook is
+    ``kmeans_codebook`` (O(k·dim) driver state, map-only assignment);
+    assignment + centroid-cosine is ONE Arrow-batched matmul over a
+    single corpus scan; the within-cluster pairwise step runs per cell
+    under ``applyInPandas`` — one shuffle on ``cell`` — with an
+    O(c²) in-memory similarity matrix and union-find per cluster, where
+    c ≈ n/k.  Pick ``n_centroids`` so clusters fit an executor
+    (the paper uses k ≈ sqrt-ish fractions of n; 50k clusters for LAION
+    at 233M).  This quadratic-inside-bounded-cells trade is the paper's;
+    for clusters too large even after raising k, pre-thin with the
+    LSH-bucketed ``embedding_near_dup_pairs`` + ``near_dup_dedup``
+    instead (no pairwise step at all).
+
+    ``centroids`` accepts a precomputed ``[(cell_id, vector), ...]``
+    codebook (skips the k-means); ``round_decimals`` forwards to
+    ``kmeans_codebook`` for bit-identical cross-engine replays."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if keep not in ("low_centroid_sim", "min_id"):
+        raise ValueError("keep must be 'low_centroid_sim' or 'min_id'")
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    if centroids is None:
+        centroids = kmeans_codebook(
+            df, n_centroids=n_centroids, n_iter=n_iter, corpus_id=id_col,
+            corpus_vec=vec_col, dim=dim, normalize=True,
+            round_decimals=round_decimals)
+    C = np.asarray([v for _, v in sorted(centroids)], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    cell_ids = np.asarray([c for c, _ in sorted(centroids)], dtype=np.int64)
+
+    base = df.select(F.col(id_col).alias("__id__"),
+                     F.col(vec_col).cast("array<double>").alias("__v__"))
+    id_type = base.schema["__id__"].dataType.simpleString()
+
+    out_schema = T.StructType.fromDDL(
+        f"__id__ {id_type}, cell bigint, group_rep {id_type}, keep boolean")
+
+    thr = float(threshold)
+    use_min_id = keep == "min_id"
+
+    def _assign(batches):
+        # map-only: one matmul per Arrow batch against the broadcast
+        # codebook; emits (id, cell, centroid_sim)
+        for pdf in batches:
+            m = np.asarray(pdf["__v__"].tolist(), dtype=np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                                1e-300)
+            sims = mn @ Cn.T
+            j = np.argmax(sims, axis=1)
+            yield pd.DataFrame({
+                "__id__": pdf["__id__"],
+                "__v__": pdf["__v__"],
+                "cell": cell_ids[j],
+                "__csim__": sims[np.arange(len(j)), j],
+            })
+
+    assigned = base.mapInPandas(
+        _assign,
+        schema=f"__id__ {id_type}, __v__ array<double>, cell bigint, "
+               f"__csim__ double")
+
+    def _dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        # deterministic processing order regardless of partition layout
+        pdf = pdf.sort_values("__id__", kind="stable").reset_index(drop=True)
+        m = np.asarray(pdf["__v__"].tolist(), dtype=np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        sims = mn @ mn.T
+        parent = np.arange(n)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ii, jj = np.where(np.triu(sims > thr, k=1))
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.asarray([find(i) for i in range(n)])
+        ids = pdf["__id__"].to_numpy()
+        csim = pdf["__csim__"].to_numpy()
+        rep = np.empty(n, dtype=np.int64)  # positional index of the keeper
+        for r in np.unique(roots):
+            members = np.where(roots == r)[0]
+            if use_min_id or len(members) == 1:
+                k_pos = members[0]  # ids are sorted: first member = min id
+            else:
+                # paper rule: keep the member FARTHEST from the centroid
+                # (lowest centroid cosine); ties -> smallest id (members
+                # are id-sorted and argmin takes the first minimum)
+                k_pos = members[int(np.argmin(csim[members]))]
+            rep[members] = k_pos
+        return pd.DataFrame({
+            "__id__": ids,
+            "cell": pdf["cell"].to_numpy(),
+            "group_rep": ids[rep],
+            "keep": rep == np.arange(n),
+        })
+
+    out = (assigned.groupBy("cell")
+           .applyInPandas(_dedup_cell, schema=out_schema)
+           .withColumnRenamed("__id__", id_col))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # int8 scalar quantization (compact embedding storage + fast scan)
 # ---------------------------------------------------------------------------

@@ -1110,3 +1110,94 @@ def test_sampling_determinism_property(spark, n, n_per, n_strata, seed,
         assert (samp.s == st_).sum() == in_stratum
     if frac >= 1.0:
         assert len(samp) == n
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup (Abbas et al. 2023): k-means cells, within-cell pairwise
+    cosine > threshold forms duplicate groups, one keeper per group —
+    the member with the LOWEST centroid cosine (paper rule), or min-id.
+    Oracle: an independent numpy replay of assignment + union-find +
+    keeper rule with an explicit codebook (both sides do the identical
+    float arithmetic, so equality is exact).  Data plants duplicate
+    bundles as tiny perturbations of base vectors, plus singletons."""
+    from catabra_pandas_spark.pipeline import semantic_dedup
+
+    rng = np.random.default_rng(51)
+    dim, n_cells = 8, 4
+    C = rng.normal(size=(n_cells, dim))
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    centroids = [(i, Cn[i].tolist()) for i in range(n_cells)]
+
+    vecs, planted = [], []
+    vid = 0
+    for b in range(30):                       # 30 bundles of 1-4 near-dups
+        base = rng.normal(size=dim)
+        sz = int(rng.integers(1, 5))
+        members = []
+        for _ in range(sz):
+            v = base + rng.normal(size=dim) * 1e-3   # cosine ~ 0.9999
+            vecs.append((vid, v.tolist()))
+            members.append(vid)
+            vid += 1
+        planted.append(members)
+    pdf = pd.DataFrame(vecs, columns=["vec_id", "embedding"])
+    sdf = spark.createDataFrame(pdf)
+
+    for keep in ("low_centroid_sim", "min_id"):
+        got = (semantic_dedup(sdf, threshold=0.995, centroids=centroids,
+                              dim=dim, keep=keep)
+               .toPandas().sort_values("vec_id").reset_index(drop=True))
+
+        # independent replay
+        M = np.asarray(pdf["embedding"].tolist())
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims_c = Mn @ Cn.T
+        cell = np.argmax(sims_c, axis=1)
+        csim = sims_c[np.arange(len(M)), cell]
+        exp_rep = np.empty(len(M), dtype=int)
+        for c in range(n_cells):
+            idx = np.where(cell == c)[0]          # vec_id order == id order
+            s = Mn[idx] @ Mn[idx].T
+            groups = {i: {i} for i in range(len(idx))}
+            lbl = list(range(len(idx)))
+            for i in range(len(idx)):
+                for j in range(i + 1, len(idx)):
+                    if s[i, j] > 0.995 and lbl[i] != lbl[j]:
+                        a, b = lbl[i], lbl[j]
+                        for m in groups[b]:
+                            lbl[m] = a
+                        groups[a] |= groups[b]
+                        del groups[b]
+            for g in groups.values():
+                mem = sorted(g)
+                if keep == "min_id" or len(mem) == 1:
+                    kpos = mem[0]
+                else:
+                    cs = csim[idx[mem]]
+                    kpos = mem[int(np.argmin(cs))]
+                for m in mem:
+                    exp_rep[idx[m]] = idx[kpos]
+
+        assert got["cell"].tolist() == cell.tolist(), keep
+        assert got["group_rep"].tolist() == exp_rep.tolist(), keep
+        assert got["keep"].tolist() == (exp_rep == np.arange(len(M))).tolist(), keep
+        # invariants: exactly one keeper per group; keeper is its own rep
+        per_group = got.groupby("group_rep")["keep"].sum()
+        assert (per_group == 1).all(), keep
+        # planted bundles that landed in ONE cell share one representative
+        for members in planted:
+            cells = {cell[m] for m in members}
+            if len(cells) == 1 and len(members) > 1:
+                assert got.loc[got.vec_id.isin(members), "group_rep"].nunique() == 1
+
+    # end-to-end with the trained codebook (no explicit centroids):
+    # deterministic, exactly one keeper per group, all ids present
+    e2e = semantic_dedup(sdf, threshold=0.995, n_centroids=4, n_iter=3,
+                         dim=dim).toPandas()
+    assert len(e2e) == len(pdf) and set(e2e.vec_id) == set(pdf.vec_id)
+    assert (e2e.groupby("group_rep")["keep"].sum() == 1).all()
+    e2e2 = semantic_dedup(sdf, threshold=0.995, n_centroids=4, n_iter=3,
+                          dim=dim).toPandas()
+    pd.testing.assert_frame_equal(
+        e2e.sort_values("vec_id").reset_index(drop=True),
+        e2e2.sort_values("vec_id").reset_index(drop=True))
