@@ -38,7 +38,8 @@ stress runs.  Exit code 0 iff every comparison matches.
 Usage: python scripts/scale_smoke.py [n_obs] [tiers]
   n_obs  default 10_000_000
   tiers  comma list of {eav,interval,group,ann,text,exactsubstr,bpe16k,
-         cosinebig,skew,streamstate,bucketdt,autostrat,resampauto};
+         cosinebig,skew,streamstate,bucketdt,autostrat,resampauto,
+         semdedup};
          default = the five original tiers
 """
 
@@ -505,6 +506,62 @@ def main():
         ok &= plan5
         ok &= compare_tol("resample_eav auto(sweep)==direct", ra, rd,
                           ["entity", "timestamp_start", "timestamp_stop"])
+
+    # --- semantic_dedup scale certificate (opt-in, r11) ----------------
+    if "semdedup" in tiers:
+        # n/10 synthetic 32-dim vectors with n/200 PLANTED exact duplicate
+        # pairs (vector j and j + n/20 share bits) — ground truth the
+        # pipeline must find: an exact duplicate is cosine 1 > any
+        # threshold, lands in the same k-means cell by identical argmax,
+        # and must collapse to one keeper.  k = 256 bounds each cell to
+        # ~n/2560 vectors so the per-cell pairwise matrix stays tens of MB
+        # (the SemDeDup paper's own k-vs-cell-size trade).
+        from catabra_pandas_spark.pipeline import semantic_dedup
+        n6 = n // 10
+        half = n6 // 2
+        dim6 = 32
+        # duplicate plant: ids in [half, half + n/200) reuse the vector of
+        # (id - half); everything else is hash-unique
+        src = F.when(
+            (F.col("id") >= half) & (F.col("id") < half + n // 200),
+            F.col("id") - half).otherwise(F.col("id"))
+        emb6 = (spark.range(n6, numPartitions=64)
+                .select(F.col("id").alias("vec_id"),
+                        F.array(*[
+                            ((F.pmod(F.xxhash64(src, F.lit(d)), F.lit(2001))
+                              - 1000) / 1000.0).alias(f"e{d}")
+                            for d in range(dim6)]).alias("embedding"))
+                .localCheckpoint(eager=True))
+        t0 = time.perf_counter()
+        sd = semantic_dedup(emb6, threshold=0.99, n_centroids=256,
+                            n_iter=2, dim=dim6).localCheckpoint(eager=True)
+        t_sd = time.perf_counter() - t0
+        n_all = sd.count()
+        n_kept = sd.filter("keep").count()
+        planted = n // 200
+        print(f"semdedup {n6:,} x {dim6}d, k=256: {t_sd:.1f}s, "
+              f"kept {n_kept:,}/{n_all:,} (planted dups {planted:,})")
+        ok &= n_all == n6
+        # every planted pair must collapse: the duplicate id's group_rep
+        # equals its source's group_rep, and only one of the two is kept
+        pairs = (sd.filter((F.col("vec_id") >= half)
+                           & (F.col("vec_id") < half + planted))
+                 .select(F.col("vec_id").alias("dup_id"),
+                         F.col("group_rep").alias("dup_rep"))
+                 .join(sd.select(F.col("vec_id").alias("src_id"),
+                                 F.col("group_rep").alias("src_rep")),
+                       on=F.col("dup_id") - half == F.col("src_id")))
+        miss = pairs.filter(~F.col("dup_rep").eqNullSafe(F.col("src_rep"))).count()
+        print(f"[{'ok' if miss == 0 else 'FAIL'}] semdedup planted pairs "
+              f"collapsed: {planted - miss}/{planted}")
+        ok &= miss == 0
+        one = (sd.groupBy("group_rep")
+               .agg(F.sum(F.col("keep").cast("int")).alias("k"))
+               .filter("k != 1").count())
+        print(f"[{'ok' if one == 0 else 'FAIL'}] semdedup one keeper per "
+              f"group: violations={one}")
+        ok &= one == 0
+        ok &= n_kept <= n6 - planted  # at least every planted dup dropped
 
     # --- keyless group_intervals: chunked merge vs single-task ---------
     if "group" in tiers:
