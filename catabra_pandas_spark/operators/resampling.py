@@ -93,12 +93,33 @@ _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 def _grid_long(c: Column, dt) -> Optional[Column]:
     """Exact long representation for grid arithmetic (timestamps -> epoch
-    micros, integrals -> long); None for types where floor-div/modulo
-    equality cannot be computed exactly (float/decimal/string)."""
+    micros, day-time intervals -> total micros, integrals -> long); None
+    for types where floor-div/modulo equality cannot be computed exactly
+    (float/decimal/string)."""
     if _is_time_like(dt):
         return F.unix_micros(c.cast("timestamp"))
+    if isinstance(dt, T.DayTimeIntervalType):
+        from ..util import interval_total_micros
+
+        return interval_total_micros(c)
     if isinstance(dt, _INTEGRAL):
         return c.cast("long")
+    return None
+
+
+def _grid_family(dt) -> Optional[str]:
+    """Unit family of ``_grid_long``'s output: a detected grid is only
+    valid when the observation axis and the window endpoints coerce to
+    the SAME unit (epoch micros / interval micros / raw integers) — a
+    mixed pair would compute window indexes in different units and
+    silently mis-assign (the direct join is saved by Spark's comparison
+    type coercion, but grid arithmetic bypasses the comparison)."""
+    if _is_time_like(dt):
+        return "time"
+    if isinstance(dt, T.DayTimeIntervalType):
+        return "interval"
+    if isinstance(dt, _INTEGRAL):
+        return "int"
     return None
 
 
@@ -200,7 +221,8 @@ def resample_eav(
     windows frame at call time; pass ``regular=False`` to skip it (e.g.
     when windows are known-irregular or the windows plan is expensive to
     evaluate twice), or ``regular=(origin, duration)`` (long units: epoch
-    micros for time-like endpoints, raw values for integral ones) to take
+    micros for time-like endpoints, total micros for day-time-interval
+    axes, raw values for integral ones) to take
     the fast path with NO probe when the grid is known a priori — results
     are wrong if the declared grid does not match the windows.
     ``regular=(origin, duration, stride)`` additionally covers SLIDING
@@ -340,16 +362,19 @@ def resample_eav(
             raise ValueError("regular=(origin, duration) needs both window endpoints")
         if obs_long is None:
             raise ValueError(
-                f"regular=(origin, duration) needs an integral or time-like "
-                f"{time_col!r}, got {df.schema[time_col].dataType.simpleString()}")
+                f"regular=(origin, duration) needs an integral, time-like, "
+                f"or day-time-interval {time_col!r}, "
+                f"got {df.schema[time_col].dataType.simpleString()}")
         grid = (int(regular[0]), int(regular[1]))
         stride = int(regular[2]) if len(regular) > 2 else int(regular[1])
         if stride <= 0 or stride > grid[1]:
             raise ValueError("stride must be in (0, duration]")
     elif regular in ("auto", True) and has_start and has_stop:
         wsch = {f.name: f.dataType for f in wjoin.schema.fields}
-        same_scale = (_is_time_like(wsch[_KS]) == _is_time_like(
-            df.schema[time_col].dataType))
+        fam = _grid_family(df.schema[time_col].dataType)
+        same_scale = (fam is not None
+                      and _grid_family(wsch[_KS]) == fam
+                      and _grid_family(wsch[_KP]) == fam)
         if obs_long is not None and same_scale:
             grid = _detect_regular_grid(wjoin)
             if grid is not None:

@@ -92,6 +92,26 @@ def interval_total_seconds(c: Column) -> Column:
     ).cast("double")
 
 
+def interval_total_micros(c: Column) -> Column:
+    """EXACT total microseconds of a day-time interval as a long — the
+    decimal field-extraction sum of ``interval_total_seconds`` scaled by
+    1e6 BEFORE the cast, so nothing is rounded: day-time intervals are
+    microsecond-quantized internally and the decimal intermediate carries
+    the full value.  This is the grid-arithmetic view (floor-div/modulo
+    equality must be exact), the interval analogue of ``unix_micros``."""
+    from pyspark.sql import types as T
+
+    canon = c.cast(T.DayTimeIntervalType(
+        T.DayTimeIntervalType.DAY, T.DayTimeIntervalType.SECOND))
+    secs = (
+        F.extract(F.lit("DAY"), canon).cast("decimal(18,0)") * 86400
+        + F.extract(F.lit("HOUR"), canon) * 3600
+        + F.extract(F.lit("MINUTE"), canon) * 60
+        + F.extract(F.lit("SECOND"), canon)
+    )
+    return (secs * F.lit(1_000_000)).cast("long")
+
+
 def ordered_dense_ids(df: DataFrame, cols: Sequence[str],
                       out_col: str) -> DataFrame:
     """Order-preserving dense 0-based int64 ids over (assumed-distinct)

@@ -613,3 +613,85 @@ def test_resample_interval_interval_dtype_all_legs(spark):
         for c in ("x", "y"):
             assert np.allclose(got[c], exp[c], atol=1e-9), (
                 name, c, np.abs(got[c] - exp[c]).max())
+
+
+def test_resample_eav_interval_regular_grid_fast_path(spark):
+    """Tumbling elapsed-time windows ("every 6 hours since admission") on
+    a DayTimeIntervalType axis now take the regular-grid fast path: grid
+    detection and window-index arithmetic run on exact total MICROSECONDS
+    (util.interval_total_micros — decimal field extraction scaled before
+    the long cast, nothing rounded).  Pinned three ways: (a) the auto
+    probe compiles to the same plan as the explicit regular=(origin,
+    duration) grid, (b) values equal the regular=False irregular join,
+    (c) a mixed-family pair (interval observations, integer-typed window
+    endpoints) must NOT detect a grid — indexes would be computed in
+    different units — and falls back to the direct join."""
+    from pyspark.sql import functions as F
+    from catabra_pandas_spark import resample_eav
+
+    rng = np.random.default_rng(61)
+    n = 2000
+    obs = pd.DataFrame({
+        "entity": rng.integers(0, 6, n),
+        "timestamp": pd.to_timedelta(
+            rng.integers(0, 4 * 86400_000, n), unit="ms"),
+        "attribute": rng.choice(["hr", "bp"], n),
+        "value": rng.normal(50, 10, n).round(2)})
+    six_h = 6 * 3600
+    wins = []
+    for e in range(6):
+        for k in range(16):  # aligned 6h tumbling grid over 4 days
+            wins.append((e, pd.Timedelta(seconds=k * six_h),
+                         pd.Timedelta(seconds=(k + 1) * six_h)))
+    win = pd.DataFrame(wins, columns=["entity", "timestamp_start",
+                                      "timestamp_stop"])
+    o, w = to_sdf(spark, obs), to_sdf(spark, win)
+    assert "DayTimeInterval" in str(o.schema["timestamp"].dataType)
+
+    spec = {"hr": ["count", "mean"], "bp": ["count", "sum"]}
+    auto = resample_eav(o, w, spec, assume_unique_windows=True)
+    explicit = resample_eav(o, w, spec, assume_unique_windows=True,
+                            regular=(0, six_h * 1_000_000))
+    assert auto.sameSemantics(explicit)  # probe found the micros grid
+    irr = resample_eav(o, w, spec, assume_unique_windows=True,
+                       regular=False)
+    assert not auto.sameSemantics(irr)
+
+    key = ["entity", "timestamp_start", "timestamp_stop"]
+    a = auto.toPandas().sort_values(key).reset_index(drop=True)
+    b = irr.toPandas().sort_values(key).reset_index(drop=True)
+    for c in ("hr_count", "bp_count"):
+        assert a[c].equals(b[c]), c
+    for c in ("hr_mean", "bp_sum"):
+        assert np.allclose(a[c].astype(float), b[c].astype(float),
+                           rtol=1e-9, equal_nan=True), c
+
+    # sliding elapsed-time grid: stride 3h inside 6h windows
+    slid = []
+    for e in range(6):
+        for k in range(30):
+            slid.append((e, pd.Timedelta(seconds=k * 3 * 3600),
+                         pd.Timedelta(seconds=k * 3 * 3600 + six_h)))
+    ws = to_sdf(spark, pd.DataFrame(
+        slid, columns=["entity", "timestamp_start", "timestamp_stop"]))
+    sl = resample_eav(o, ws, spec, assume_unique_windows=True,
+                      regular=(0, six_h * 1_000_000, 3 * 3600 * 1_000_000))
+    si = resample_eav(o, ws, spec, assume_unique_windows=True,
+                      regular=False)
+    a = sl.toPandas().sort_values(key).reset_index(drop=True)
+    b = si.toPandas().sort_values(key).reset_index(drop=True)
+    for c in ("hr_count", "bp_count"):
+        assert a[c].equals(b[c]), ("sliding", c)
+
+    # mixed family: integer window endpoints + interval observations must
+    # not silently grid (the units differ — raw seconds vs total micros).
+    # The family guard skips the probe, so the plan is the direct theta
+    # join, whose interval-vs-bigint comparison fails at ANALYSIS time —
+    # loud, never silently mis-assigned (before the guard, the detected
+    # "grid" would have equi-joined mismatched indexes and returned
+    # plausible wrong numbers)
+    wi = pd.DataFrame({"entity": [0, 1], "timestamp_start": [0, 0],
+                       "timestamp_stop": [six_h, six_h]})
+    with pytest.raises(Exception, match="INTERVAL|BINARY_OP_DIFF_TYPES"):
+        resample_eav(o, to_sdf(spark, wi), {"hr": ["count"]},
+                     assume_unique_windows=True).collect()
