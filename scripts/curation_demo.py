@@ -104,6 +104,19 @@ def main():
                .drop("text_deduped"))
     funnel.append(("substring_dedup", neardup.count()))
 
+    # 4c. SemDeDup: semantic near-dups the lexical stages cannot see
+    #     (paraphrases land far in shingle space but close in embedding
+    #     space).  The embeddings table is keyed by the same ids; one
+    #     keeper per semantic group, the paper's lowest-centroid-cosine
+    #     pick.
+    emb = read_table(spark, sf, "embeddings")
+    sem = P.semantic_dedup(
+        emb.join(neardup.select(F.col("doc_id").alias("vec_id")), "vec_id"),
+        threshold=0.97, n_centroids=16, n_iter=3)
+    neardup = neardup.join(
+        sem.filter("keep").select(F.col("vec_id").alias("doc_id")), "doc_id")
+    funnel.append(("semantic_dedup", neardup.count()))
+
     # 5. decontamination against the held-out slice (doc_id % 20 == 0)
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = neardup.filter(F.col("doc_id") % 20 != 0)
