@@ -28,7 +28,7 @@ from .dedup import (
 from .similarity import (cosine_topk, embedding_near_dup_pairs,
                          ivf_cosine_topk, kmeans_codebook, lsh_cosine_topk,
                          q8_cosine_topk, quantize_embeddings,
-                         semantic_dedup)
+                         semantic_decontaminate, semantic_dedup)
 from .text import (apply_filters, detect_language, fingerprint,
                    ngram_perplexity, repetition_stats, scrub_pii,
                    text_quality, token_count, token_count_bpe,
@@ -52,6 +52,7 @@ __all__ = [
     "cosine_topk", "lsh_cosine_topk",
     "ivf_cosine_topk", "embedding_near_dup_pairs", "kmeans_codebook",
     "quantize_embeddings", "q8_cosine_topk", "semantic_dedup",
+    "semantic_decontaminate",
     "detect_language", "fingerprint", "text_quality", "token_count",
     "train_ngram_lm", "ngram_perplexity",
     "token_count_bpe", "repetition_stats", "scrub_pii",

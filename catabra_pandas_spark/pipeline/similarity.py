@@ -1016,6 +1016,85 @@ def semantic_dedup(
     return out
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+    threshold: float = 0.95,
+    mode: str = "mark",
+    max_benchmark: int = 2_000_000,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic companion
+    of ``dedup.decontaminate``'s n-gram overlap: a corpus item is
+    contaminated when its cosine to ANY benchmark/eval vector reaches
+    ``threshold`` (paraphrased or re-formatted eval leakage that shares no
+    long n-gram with the original).
+
+    Plan shape (the scale path, same as ``decontaminate``): the benchmark
+    embedding matrix is collected once (eval sets are tiny next to the
+    corpus — capped at ``max_benchmark`` rows, loud error beyond) and
+    closure-captured into one Arrow-batched ``mapInPandas`` matmul over a
+    single corpus scan — ZERO shuffle of the corpus, no candidate join at
+    all.  Each batch computes its rows' max benchmark cosine and the
+    arg-max benchmark id (the audit trail).
+
+    ``mode="mark"`` returns ``corpus`` plus ``max_bench_sim``,
+    ``nearest_bench_id`` and ``contaminated``; ``mode="drop"`` returns
+    only clean rows (the extra columns dropped)."""
+    import numpy as np
+    import pandas as pd
+
+    if mode not in ("mark", "drop"):
+        raise ValueError(f"mode must be mark/drop, got {mode!r}")
+    bi = bench_id_col or id_col
+    bv = bench_vec_col or vec_col
+
+    rows = (benchmark.select(F.col(bi).alias("__bid__"),
+                             F.col(bv).cast("array<double>").alias("__bv__"))
+            .limit(max_benchmark + 1).collect())
+    if len(rows) > max_benchmark:
+        raise ValueError(
+            f"benchmark exceeds max_benchmark={max_benchmark} rows; a "
+            "benchmark this large should go through the bucketed "
+            "embedding_near_dup_pairs path instead of a broadcast matrix")
+    if not rows:
+        raise ValueError("benchmark is empty")
+    B = np.asarray([r["__bv__"] for r in rows], dtype=np.float64)
+    Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+    bids = np.asarray([r["__bid__"] for r in rows])
+
+    bench_id_type = benchmark.schema[bi].dataType.simpleString()
+    thr = float(threshold)
+    cols = corpus.columns
+    out_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in corpus.schema.fields)
+    out_ddl += (f", max_bench_sim double, nearest_bench_id {bench_id_type}"
+                f", contaminated boolean")
+
+    def _score(batches):
+        for pdf in batches:
+            m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                                1e-300)
+            sims = mn @ Bn.T
+            j = np.argmax(sims, axis=1)
+            mx = sims[np.arange(len(j)), j]
+            out = pdf[cols].copy()
+            out["max_bench_sim"] = mx
+            out["nearest_bench_id"] = bids[j]
+            out["contaminated"] = mx >= thr
+            yield out
+
+    scored = corpus.mapInPandas(_score, schema=out_ddl)
+    if mode == "drop":
+        return (scored.filter(~F.col("contaminated"))
+                .drop("max_bench_sim", "nearest_bench_id", "contaminated"))
+    return scored
+
+
 # ---------------------------------------------------------------------------
 # int8 scalar quantization (compact embedding storage + fast scan)
 # ---------------------------------------------------------------------------

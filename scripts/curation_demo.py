@@ -117,10 +117,16 @@ def main():
         sem.filter("keep").select(F.col("vec_id").alias("doc_id")), "doc_id")
     funnel.append(("semantic_dedup", neardup.count()))
 
-    # 5. decontamination against the held-out slice (doc_id % 20 == 0)
+    # 5. decontamination against the held-out slice (doc_id % 20 == 0):
+    #    lexical n-gram overlap AND embedding-space similarity — the
+    #    second catches paraphrased eval leakage the first cannot
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = neardup.filter(F.col("doc_id") % 20 != 0)
     clean = P.decontaminate(corpus, bench, n=8, min_hits=1, mode="drop")
+    bench_emb = emb.filter(F.col("vec_id") % 20 == 0)
+    clean = (P.semantic_decontaminate(
+        clean.join(emb, clean.doc_id == emb.vec_id).drop("vec_id", "label"),
+        bench_emb, threshold=0.95, mode="drop").drop("embedding"))
     funnel.append(("decontaminated", clean.count()))
 
     # 6. mixture at target language weights

@@ -1201,3 +1201,54 @@ def test_semantic_dedup(spark):
     pd.testing.assert_frame_equal(
         e2e.sort_values("vec_id").reset_index(drop=True),
         e2e2.sort_values("vec_id").reset_index(drop=True))
+
+
+def test_semantic_decontaminate(spark):
+    """Embedding-space decontamination: max benchmark cosine per corpus
+    row via one broadcast matmul scan.  Oracle: brute-force numpy on the
+    same matrices (identical float ops, exact equality).  Plants eval
+    leaks as perturbed copies of benchmark vectors; checks mark vs drop
+    modes, the argmax audit id, the empty-benchmark error, and the
+    max_benchmark cap."""
+    from catabra_pandas_spark.pipeline import semantic_decontaminate
+
+    rng = np.random.default_rng(67)
+    dim, nb, nc = 8, 20, 300
+    B = rng.normal(size=(nb, dim))
+    bench = pd.DataFrame({"vec_id": np.arange(nb),
+                          "embedding": [v.tolist() for v in B]})
+    C = rng.normal(size=(nc, dim))
+    leak_ids = rng.choice(nc, 25, replace=False)
+    for i, li in enumerate(leak_ids):                 # planted leaks
+        C[li] = B[i % nb] + rng.normal(size=dim) * 1e-3
+    corpus = pd.DataFrame({"vec_id": np.arange(nc) + 1000,
+                           "embedding": [v.tolist() for v in C],
+                           "extra": rng.integers(0, 9, nc)})
+    sb, sc = spark.createDataFrame(bench), spark.createDataFrame(corpus)
+
+    got = (semantic_decontaminate(sc, sb, threshold=0.99)
+           .toPandas().sort_values("vec_id").reset_index(drop=True))
+
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    sims = Cn @ Bn.T
+    j = np.argmax(sims, axis=1)
+    mx = sims[np.arange(nc), j]
+    # BLAS gemm blocking differs between the oracle's one 300x8 matmul and
+    # the executor's per-batch slices, so the dot products agree only to
+    # the ulp — compare with a tight tolerance, not ==
+    assert np.allclose(got["max_bench_sim"], mx, rtol=0, atol=1e-12)
+    assert got["nearest_bench_id"].tolist() == j.tolist()
+    assert got["contaminated"].tolist() == (mx >= 0.99).tolist()
+    assert set(np.where(mx >= 0.99)[0]) >= set(leak_ids.tolist())
+    assert list(got.columns[:3]) == ["vec_id", "embedding", "extra"]
+
+    dropped = semantic_decontaminate(sc, sb, threshold=0.99, mode="drop") \
+        .toPandas()
+    assert len(dropped) == int((mx < 0.99).sum())
+    assert "contaminated" not in dropped.columns
+
+    with pytest.raises(ValueError, match="empty"):
+        semantic_decontaminate(sc, sb.limit(0))
+    with pytest.raises(ValueError, match="max_benchmark"):
+        semantic_decontaminate(sc, sb, max_benchmark=5)
