@@ -3890,11 +3890,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # roundtrip property tests), group_intervals_ts / _keyless
     # (coverage-scan property oracle), and the 5 r9-row backfills
     # (cross_dedup, minhash_lsh, simhash, funnel, retention).  r12 MUST
-    # open with those 12, plus a first driver row for the r11
-    # `pipeline.similarity.semantic_dedup` operator (DuckDB oracle:
+    # open with those 12, plus first driver rows for the two r11
+    # `pipeline.similarity` operators: `semantic_dedup` (DuckDB oracle:
     # list_cosine_similarity pairwise join per cell + recursive-CTE
-    # min-label union, the connected_components oracle pattern).  The
-    # tail holds unflagged r9/r10-green queries only.
+    # min-label union, the connected_components oracle pattern) and
+    # `semantic_decontaminate` (oracle: corpus x benchmark
+    # list_cosine_similarity cross join + max/argmax per corpus row —
+    # tiny at sf0.01).  The tail holds unflagged r9/r10-green queries
+    # only.
     return {
         "merge_date_bucket": q_merge_date_bucket,
         "merge_timedelta_bucket": q_merge_timedelta_bucket,
