@@ -1138,3 +1138,97 @@ def test_stream_resample_eav_cross_batch_property(spark, rows, cut, slide):
     assert np.allclose(got["hr_mean"].astype(float).fillna(-999.0),
                        exp["hr_mean"].astype(float).fillna(-999.0),
                        rtol=1e-9), "hr_mean"
+
+
+@_hyp_given(
+    rows=_st.lists(_st.tuples(_ab_keys, _ab_mins,
+                              _st.sampled_from([1.0, 2.0, 5.0])),
+                   min_size=0, max_size=14),
+    cut=_st.sampled_from([2, 5, 8]))
+@_hyp_settings(max_examples=4, deadline=None)
+def test_stream_sessionize_cross_batch_property(spark, rows, cut):
+    """Randomized cross-batch session state (completes the tier: the
+    seventh and last stateful operator gets the deterministic
+    time-cut harness).  Random (entity, minute, value) events split into
+    two event-time-ordered micro-batches: sessions SPANNING the cut must
+    merge in session_window state across batches, and a far-future flush
+    batch advances the watermark past every real session so append mode
+    emits each exactly once.  Oracle: an independent pandas gap-scan
+    replay with the INCLUSIVE gap rule (an event exactly at session end
+    merges — the r10-documented session_window subtlety)."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    from catabra_pandas_spark.streaming import stream_sessionize
+
+    base = pd.Timestamp("2026-04-07")
+    mins = lambda m: base + pd.Timedelta(minutes=int(m))  # noqa: E731
+    pdf = (pd.DataFrame({
+        "entity": pd.Series([k for k, _, _ in rows], dtype="int64"),
+        "timestamp": pd.Series([mins(m) for _, m, _ in rows],
+                               dtype="datetime64[ns]"),
+        "value": pd.Series([v for _, _, v in rows], dtype="float64")})
+        .drop_duplicates(["entity", "timestamp"]))
+
+    lo = pdf[pdf.timestamp < mins(cut)]
+    hi = pdf[pdf.timestamp >= mins(cut)]
+    SENT = 99
+    pad = lambda m: pd.DataFrame([{  # noqa: E731
+        "entity": SENT, "timestamp": mins(m), "value": 0.0}])
+    h1 = pd.concat([lo, pad(0)], ignore_index=True)[pdf.columns]
+    h2 = pd.concat([hi, pad(cut)], ignore_index=True)[pdf.columns]
+    flush = pad(10_000)[pdf.columns]
+
+    src = tempfile.mkdtemp() + "/src"
+    to_sdf(spark, h1).coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.2)
+    to_sdf(spark, h2).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.2)
+    to_sdf(spark, flush).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    name = f"sess_prop_{uuid.uuid4().hex[:8]}"
+    q = (stream_sessionize(stream, "3 minutes", watermark="5 minutes",
+                           agg={"value": ["sum", "count"]})
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql(f"SELECT * FROM {name}").toPandas()
+           .query("entity != @SENT")
+           .drop(columns=["window_start", "window_stop"])
+           .sort_values(["entity", "session_start"])
+           .reset_index(drop=True))
+
+    # independent oracle: per-entity gap scan, INCLUSIVE 3-minute gap
+    exp_rows = []
+    for ent, sub in pdf.groupby("entity"):
+        sub = sub.sort_values("timestamp")
+        cur = []
+        for _, r in sub.iterrows():
+            if cur and (r.timestamp - cur[-1].timestamp
+                        ) > pd.Timedelta(minutes=3):
+                exp_rows.append((ent, cur))
+                cur = []
+            cur.append(r)
+        if cur:
+            exp_rows.append((ent, cur))
+    exp = pd.DataFrame([{
+        "entity": ent,
+        "session_start": evs[0].timestamp,
+        "session_stop": evs[-1].timestamp,
+        "n_events": len(evs),
+        "value_sum": float(sum(e.value for e in evs)),
+        "value_count": len(evs),
+    } for ent, evs in exp_rows]).sort_values(
+        ["entity", "session_start"]).reset_index(drop=True) \
+        if exp_rows else pd.DataFrame(columns=got.columns)
+
+    assert len(got) == len(exp)
+    if len(exp):
+        for c in ("entity", "session_start", "session_stop", "n_events",
+                  "value_count"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        import numpy as np
+        assert np.allclose(got["value_sum"], exp["value_sum"], rtol=1e-12)
