@@ -1252,3 +1252,81 @@ def test_semantic_decontaminate(spark):
         semantic_decontaminate(sc, sb.limit(0))
     with pytest.raises(ValueError, match="max_benchmark"):
         semantic_decontaminate(sc, sb, max_benchmark=5)
+
+
+def test_semantic_dedup_duckdb_oracle(spark):
+    """Cross-engine oracle for semantic_dedup — the exact SQL shape the
+    r12 driver row will use: DuckDB replays assignment (arg_max of
+    list_cosine_similarity over the broadcast codebook), within-cell
+    duplicate pairs, connected components (recursive CTE over symmetric
+    edges, min-label), and the paper's keeper rule (lowest centroid
+    cosine, ties by id) — all integer outputs, so the comparison is
+    exact as long as every float DECISION has margin (random data: no
+    near-ties at the 0.995 threshold or between centroids)."""
+    import duckdb
+
+    from catabra_pandas_spark.pipeline import semantic_dedup
+
+    rng = np.random.default_rng(73)
+    dim, n_cells = 8, 4
+    C = rng.normal(size=(n_cells, dim))
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    centroids = [(i, Cn[i].tolist()) for i in range(n_cells)]
+
+    vecs, vid = [], 0
+    for b in range(25):
+        base = rng.normal(size=dim)
+        for _ in range(int(rng.integers(1, 4))):
+            v = base + rng.normal(size=dim) * 1e-3
+            vecs.append((vid, v.tolist()))
+            vid += 1
+    pdf = pd.DataFrame(vecs, columns=["vec_id", "embedding"])
+
+    got = (semantic_dedup(spark.createDataFrame(pdf), threshold=0.995,
+                          centroids=centroids, dim=dim)
+           .toPandas().sort_values("vec_id").reset_index(drop=True))
+
+    cb = pd.DataFrame([(c, v) for c, v in centroids],
+                      columns=["cell", "centroid"])
+    con = duckdb.connect()
+    con.register("emb", pdf)
+    con.register("cb", cb)
+    oracle = con.sql("""
+      WITH RECURSIVE assigned AS (
+        SELECT e.vec_id,
+               arg_max(c.cell, list_cosine_similarity(e.embedding, c.centroid)) AS cell,
+               max(list_cosine_similarity(e.embedding, c.centroid)) AS csim
+        FROM emb e CROSS JOIN cb c
+        GROUP BY e.vec_id
+      ), edges AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM assigned a
+        JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        JOIN emb ea ON ea.vec_id = a.vec_id
+        JOIN emb eb ON eb.vec_id = b.vec_id
+        WHERE list_cosine_similarity(ea.embedding, eb.embedding) > 0.995
+      ), reach(id, lbl) AS (
+        SELECT vec_id, vec_id FROM assigned
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+      ), comp AS (
+        SELECT id AS vec_id, min(lbl) AS grp FROM reach GROUP BY id
+      ), keeper AS (
+        SELECT c.grp,
+               min(struct_pack(csim := a.csim, id := a.vec_id)).id AS rep
+        FROM comp c JOIN assigned a ON a.vec_id = c.vec_id
+        GROUP BY c.grp
+      )
+      SELECT a.vec_id, a.cell,
+             k.rep AS group_rep,
+             (k.rep = a.vec_id) AS keep
+      FROM assigned a
+      JOIN comp c ON c.vec_id = a.vec_id
+      JOIN keeper k ON k.grp = c.grp
+      ORDER BY a.vec_id
+    """).df()
+
+    assert got["vec_id"].tolist() == oracle["vec_id"].tolist()
+    assert got["cell"].tolist() == oracle["cell"].tolist()
+    assert got["group_rep"].tolist() == oracle["group_rep"].tolist()
+    assert got["keep"].tolist() == oracle["keep"].tolist()
