@@ -1330,3 +1330,51 @@ def test_semantic_dedup_duckdb_oracle(spark):
     assert got["cell"].tolist() == oracle["cell"].tolist()
     assert got["group_rep"].tolist() == oracle["group_rep"].tolist()
     assert got["keep"].tolist() == oracle["keep"].tolist()
+
+
+def test_semantic_decontaminate_duckdb_oracle(spark):
+    """Cross-engine oracle for semantic_decontaminate — the r12 driver
+    row's SQL: per corpus row, max and arg_max of
+    list_cosine_similarity over the benchmark cross join.  The threshold
+    verdict and argmax id are integers/booleans, exact under margins;
+    max_bench_sim itself is float and excluded (the driver hashes value
+    REPRESENTATION, and BLAS vs DuckDB summation differ in the ulp —
+    the r12 query should project the discrete columns only)."""
+    import duckdb
+
+    from catabra_pandas_spark.pipeline import semantic_decontaminate
+
+    rng = np.random.default_rng(79)
+    dim, nb, nc = 8, 15, 200
+    B = rng.normal(size=(nb, dim))
+    C = rng.normal(size=(nc, dim))
+    for i, li in enumerate(rng.choice(nc, 20, replace=False)):
+        C[li] = B[i % nb] + rng.normal(size=dim) * 1e-3
+    bench = pd.DataFrame({"vec_id": np.arange(nb),
+                          "embedding": [v.tolist() for v in B]})
+    corpus = pd.DataFrame({"vec_id": np.arange(nc) + 1000,
+                           "embedding": [v.tolist() for v in C]})
+
+    got = (semantic_decontaminate(spark.createDataFrame(corpus),
+                                  spark.createDataFrame(bench),
+                                  threshold=0.99)
+           .toPandas().sort_values("vec_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("corpus", corpus)
+    con.register("bench", bench)
+    oracle = con.sql("""
+      SELECT c.vec_id,
+             arg_max(b.vec_id,
+                     list_cosine_similarity(c.embedding, b.embedding))
+               AS nearest_bench_id,
+             max(list_cosine_similarity(c.embedding, b.embedding)) >= 0.99
+               AS contaminated
+      FROM corpus c CROSS JOIN bench b
+      GROUP BY c.vec_id
+      ORDER BY c.vec_id
+    """).df()
+
+    assert got["vec_id"].tolist() == oracle["vec_id"].tolist()
+    assert got["nearest_bench_id"].tolist() == oracle["nearest_bench_id"].tolist()
+    assert got["contaminated"].tolist() == oracle["contaminated"].tolist()
