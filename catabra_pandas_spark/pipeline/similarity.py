@@ -888,6 +888,7 @@ def semantic_dedup(
     dim: int | None = None,
     centroids: list | None = None,
     round_decimals: int | None = None,
+    max_cell_size: int = 200_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -920,7 +921,14 @@ def semantic_dedup(
 
     ``centroids`` accepts a precomputed ``[(cell_id, vector), ...]``
     codebook (skips the k-means); ``round_decimals`` forwards to
-    ``kmeans_codebook`` for bit-identical cross-engine replays."""
+    ``kmeans_codebook`` for bit-identical cross-engine replays.
+
+    ``max_cell_size`` is the hot-cell guard: a cluster larger than this
+    raises a LOUD executor-side error (naming the cell and its size)
+    instead of silently running an O(c²) task for hours / OOMing —
+    at 200k×64d the similarity matrix alone is ~320 GB-flops and 40 GB
+    of float64.  Raise ``n_centroids`` (cells shrink ~linearly) or
+    pre-thin the hot region with the LSH near-dup path, then retry."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -969,8 +977,16 @@ def semantic_dedup(
         schema=f"__id__ {id_type}, __v__ array<double>, cell bigint, "
                f"__csim__ double")
 
+    cell_cap = int(max_cell_size)
+
     def _dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
+        if n > cell_cap:
+            raise ValueError(
+                f"semantic_dedup: cell {int(pdf['cell'].iloc[0])} holds "
+                f"{n} vectors > max_cell_size={cell_cap}; the O(c^2) "
+                "pairwise step would dominate the job. Raise n_centroids "
+                "or pre-thin with embedding_near_dup_pairs/near_dup_dedup.")
         # deterministic processing order regardless of partition layout
         pdf = pdf.sort_values("__id__", kind="stable").reset_index(drop=True)
         m = np.asarray(pdf["__v__"].tolist(), dtype=np.float64)

@@ -1378,3 +1378,19 @@ def test_semantic_decontaminate_duckdb_oracle(spark):
     assert got["vec_id"].tolist() == oracle["vec_id"].tolist()
     assert got["nearest_bench_id"].tolist() == oracle["nearest_bench_id"].tolist()
     assert got["contaminated"].tolist() == oracle["contaminated"].tolist()
+
+
+def test_semantic_dedup_hot_cell_guard(spark):
+    """A cluster above max_cell_size must fail LOUDLY (naming the cell
+    and size) instead of silently running the O(c^2) pairwise task —
+    the 100 TB hot-cell hazard."""
+    from catabra_pandas_spark.pipeline import semantic_dedup
+
+    rng = np.random.default_rng(83)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(50),
+        "embedding": [v.tolist() for v in rng.normal(size=(50, 4))]})
+    one_cell = [(0, [1.0, 0.0, 0.0, 0.0])]   # everything lands in cell 0
+    with pytest.raises(Exception, match="max_cell_size"):
+        semantic_dedup(spark.createDataFrame(pdf), centroids=one_cell,
+                       dim=4, max_cell_size=10).collect()
