@@ -39,7 +39,7 @@ Usage: python scripts/scale_smoke.py [n_obs] [tiers]
   n_obs  default 10_000_000
   tiers  comma list of {eav,interval,group,ann,text,exactsubstr,bpe16k,
          cosinebig,skew,streamstate,bucketdt,autostrat,resampauto,
-         semdedup};
+         semdedup,semdecon};
          default = the five original tiers
 """
 
@@ -562,6 +562,52 @@ def main():
               f"group: violations={one}")
         ok &= one == 0
         ok &= n_kept <= n6 - planted  # at least every planted dup dropped
+
+    # --- semantic_decontaminate scale certificate (opt-in, r11) --------
+    if "semdecon" in tiers:
+        # n/10 corpus vectors vs a 10k-vector benchmark with n/500
+        # planted leaks (corpus id j < n/500 reuses benchmark vector
+        # j % 10k) — every leak is cosine 1 and must be marked; random
+        # vectors never reach the threshold, so marked == planted
+        # exactly.  The plan is ONE map-only corpus scan (broadcast
+        # benchmark matrix inside the Arrow batcher) — certified by
+        # asserting zero exchanges in the physical plan.
+        from catabra_pandas_spark.pipeline import semantic_decontaminate
+        n7 = n // 10
+        nb7 = 10_000
+        dim7 = 32
+        mkvec = lambda src: F.array(*[  # noqa: E731
+            ((F.pmod(F.xxhash64(src, F.lit(d)), F.lit(2001)) - 1000)
+             / 1000.0).alias(f"e{d}") for d in range(dim7)])
+        bench7 = (spark.range(nb7, numPartitions=8)
+                  .select(F.col("id").alias("vec_id"),
+                          mkvec(F.col("id")).alias("embedding"))
+                  .localCheckpoint(eager=True))
+        planted7 = n // 500
+        src7 = F.when(F.col("id") < planted7, F.pmod(F.col("id"), F.lit(nb7))) \
+            .otherwise(F.col("id") + 1_000_000_000)
+        corp7 = (spark.range(n7, numPartitions=64)
+                 .select(F.col("id").alias("vec_id"),
+                         mkvec(src7).alias("embedding"))
+                 .localCheckpoint(eager=True))
+        t0 = time.perf_counter()
+        marked = semantic_decontaminate(corp7, bench7, threshold=0.999999) \
+            .localCheckpoint(eager=True)
+        t_sd7 = time.perf_counter() - t0
+        hits = marked.filter("contaminated")
+        n_hits = hits.count()
+        right = hits.filter(
+            F.col("nearest_bench_id") == F.pmod(F.col("vec_id"), F.lit(nb7))
+        ).count()
+        print(f"semdecon {n7:,} x 32d vs {nb7:,} bench: {t_sd7:.1f}s, "
+              f"marked {n_hits:,} (planted {planted7:,}, argmax-right {right:,})")
+        ok &= n_hits == planted7 == right
+        expl = semantic_decontaminate(corp7, bench7, threshold=0.999999) \
+            ._jdf.queryExecution().executedPlan().toString()
+        n_exch = expl.count("Exchange")
+        print(f"[{'ok' if n_exch == 0 else 'FAIL'}] semdecon zero-shuffle "
+              f"plan: exchanges={n_exch}")
+        ok &= n_exch == 0
 
     # --- keyless group_intervals: chunked merge vs single-task ---------
     if "group" in tiers:
