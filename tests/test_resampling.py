@@ -740,3 +740,32 @@ def test_resample_interval_auto_strategy(spark):
     w2 = spark.createDataFrame(win.assign(entity=rng.randint(0, 20_000, m)))
     assert resample_interval(o2, w2, **kw).sameSemantics(
         resample_interval(o2, w2, join_strategy="direct", **kw))
+
+
+def test_resample_eav_auto_strategy_one_sided_windows(spark):
+    """The cost detector can route a windows frame with only ONE endpoint
+    column (half-infinite windows) into the sweep leg — pin that the
+    one-sided sweep agrees with direct under the auto pick."""
+    rng = np.random.RandomState(3)
+    n, m = 40_000, 30_000
+    obs = pd.DataFrame({
+        "entity": rng.randint(0, 2, n),
+        "timestamp": rng.uniform(0, 1000, n),
+        "attribute": np.where(rng.rand(n) < 0.5, "hr", "bp"),
+        "value": rng.uniform(0, 100, n).round(2)})
+    win = pd.DataFrame({"entity": rng.randint(0, 2, m),
+                        "timestamp_start": rng.uniform(0, 995, m)})
+    o, w = spark.createDataFrame(obs), spark.createDataFrame(win)
+    spec = {"hr": ["count"]}
+    kw = dict(regular=False, assume_unique_windows=True)
+    auto = resample_eav(o, w, spec, **kw)
+    assert auto.sameSemantics(
+        resample_eav(o, w, spec, join_strategy="sweep", **kw))
+    direct = resample_eav(o, w, spec, join_strategy="direct", **kw)
+    assert not auto.sameSemantics(direct)
+    a = auto.toPandas().sort_values(
+        ["entity", "timestamp_start"]).reset_index(drop=True)
+    d = direct.toPandas().sort_values(
+        ["entity", "timestamp_start"]).reset_index(drop=True)
+    assert len(a) == len(d) == m
+    assert a["hr_count"].tolist() == d["hr_count"].tolist()
