@@ -50,8 +50,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 from .sweep import sweep_point_in_interval
-from ..util import (as_list, bucket_numeric_double, ensure_columns,
-                    numeric_double)
+from ..util import as_list, bucket_numeric_double, ensure_columns
 
 # internal content-key column names: entity / window start / window stop
 _KE, _KS, _KP = "__w_ent__", "__w_start__", "__w_stop__"

@@ -888,7 +888,7 @@ def semantic_dedup(
     dim: int | None = None,
     centroids: list | None = None,
     round_decimals: int | None = None,
-    max_cell_size: int = 200_000,
+    max_cell_size: int = 20_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -897,8 +897,11 @@ def semantic_dedup(
     ``threshold`` as semantic duplicates and KEEP exactly one item per
     duplicate group — by the paper's rule the one with the LOWEST cosine
     to its cluster centroid (the "hardest" example; ties and
-    ``keep="min_id"`` fall back to the smallest id, so the output is
-    deterministic).
+    ``keep="min_id"`` fall back to the smallest id).  The centroid
+    cosines that drive the keeper choice are computed INSIDE the per-cell
+    task from the id-sorted cell matrix, so the output is deterministic
+    regardless of partition layout (scoring them during assignment would
+    let BLAS batch-summation order flip exact-duplicate ulp ties).
 
     Returns ``df``'s id column plus ``cell`` (cluster id), ``group_rep``
     (the kept representative's id for this item's duplicate group — its
@@ -908,8 +911,8 @@ def semantic_dedup(
 
     Scale design (the paper's own shape): the codebook is
     ``kmeans_codebook`` (O(k·dim) driver state, map-only assignment);
-    assignment + centroid-cosine is ONE Arrow-batched matmul over a
-    single corpus scan; the within-cluster pairwise step runs per cell
+    assignment is ONE Arrow-batched matmul over a single corpus scan;
+    the within-cluster pairwise step runs per cell
     under ``applyInPandas`` — one shuffle on ``cell`` — with an
     O(c²) in-memory similarity matrix and union-find per cluster, where
     c ≈ n/k.  Pick ``n_centroids`` so clusters fit an executor
@@ -925,10 +928,14 @@ def semantic_dedup(
 
     ``max_cell_size`` is the hot-cell guard: a cluster larger than this
     raises a LOUD executor-side error (naming the cell and its size)
-    instead of silently running an O(c²) task for hours / OOMing —
-    at 200k×64d the similarity matrix alone is ~320 GB-flops and 40 GB
-    of float64.  Raise ``n_centroids`` (cells shrink ~linearly) or
-    pre-thin the hot region with the LSH near-dup path, then retry."""
+    instead of silently running an O(c²) task for hours / OOMing.  The
+    per-cell footprint is ~``cap² x 9`` bytes (the float64 similarity
+    matrix plus a same-shape bool mask): at the 20k default that is
+    ~3.6 GB — sized for a typical executor; 200k would be ~360 GB and
+    OOM long before any guard fired.  Derive your own cap from the
+    executor memory budget when raising it.  For a genuinely hot cell,
+    raise ``n_centroids`` (cells shrink ~linearly) or pre-thin the hot
+    region with the LSH near-dup path, then retry."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -958,7 +965,11 @@ def semantic_dedup(
 
     def _assign(batches):
         # map-only: one matmul per Arrow batch against the broadcast
-        # codebook; emits (id, cell, centroid_sim)
+        # codebook; emits (id, cell).  Centroid cosines are NOT scored
+        # here: the keeper rule consumes them, and batch-dependent BLAS
+        # summation could flip exact-duplicate ulp ties with partition
+        # layout — _dedup_cell recomputes them from the id-sorted cell
+        # matrix instead (layout-independent).
         for pdf in batches:
             m = np.asarray(pdf["__v__"].tolist(), dtype=np.float64)
             mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
@@ -969,13 +980,11 @@ def semantic_dedup(
                 "__id__": pdf["__id__"],
                 "__v__": pdf["__v__"],
                 "cell": cell_ids[j],
-                "__csim__": sims[np.arange(len(j)), j],
             })
 
     assigned = base.mapInPandas(
         _assign,
-        schema=f"__id__ {id_type}, __v__ array<double>, cell bigint, "
-               f"__csim__ double")
+        schema=f"__id__ {id_type}, __v__ array<double>, cell bigint")
 
     cell_cap = int(max_cell_size)
 
@@ -991,6 +1000,11 @@ def semantic_dedup(
         pdf = pdf.sort_values("__id__", kind="stable").reset_index(drop=True)
         m = np.asarray(pdf["__v__"].tolist(), dtype=np.float64)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        # keeper-rule centroid cosines from the id-sorted matrix: one
+        # O(c·dim) vector product whose summation order never depends on
+        # how Arrow batched the assignment scan
+        ci = int(np.searchsorted(cell_ids, int(pdf["cell"].iloc[0])))
+        csim = mn @ Cn[ci]
         sims = mn @ mn.T
         parent = np.arange(n)
 
@@ -1000,14 +1014,17 @@ def semantic_dedup(
                 x = parent[x]
             return x
 
-        ii, jj = np.where(np.triu(sims > thr, k=1))
+        # one n² bool mask; restrict to the upper triangle by index
+        # comparison instead of materializing a second triu copy
+        ii, jj = np.where(sims > thr)
+        sel = ii < jj
+        ii, jj = ii[sel], jj[sel]
         for a, b in zip(ii.tolist(), jj.tolist()):
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         roots = np.asarray([find(i) for i in range(n)])
         ids = pdf["__id__"].to_numpy()
-        csim = pdf["__csim__"].to_numpy()
         rep = np.empty(n, dtype=np.int64)  # positional index of the keeper
         for r in np.unique(roots):
             members = np.where(roots == r)[0]
@@ -1065,6 +1082,15 @@ def semantic_decontaminate(
 
     if mode not in ("mark", "drop"):
         raise ValueError(f"mode must be mark/drop, got {mode!r}")
+    clash = [c for c in ("max_bench_sim", "nearest_bench_id", "contaminated")
+             if c in corpus.columns]
+    if clash:
+        # re-scoring mode='mark' output would otherwise produce duplicate
+        # column names and an ambiguous-reference failure downstream
+        raise ValueError(
+            f"corpus already has output column(s) {clash}; drop or rename "
+            "them before re-scoring (mode='mark' output naturally carries "
+            "them)")
     bi = bench_id_col or id_col
     bv = bench_vec_col or vec_col
 

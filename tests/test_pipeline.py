@@ -1252,6 +1252,11 @@ def test_semantic_decontaminate(spark):
         semantic_decontaminate(sc, sb.limit(0))
     with pytest.raises(ValueError, match="max_benchmark"):
         semantic_decontaminate(sc, sb, max_benchmark=5)
+    # re-scoring mode='mark' output must fail loudly, not produce
+    # duplicate column names
+    with pytest.raises(ValueError, match="output column"):
+        semantic_decontaminate(
+            semantic_decontaminate(sc, sb, threshold=0.99), sb)
 
 
 def test_semantic_dedup_duckdb_oracle(spark):
