@@ -889,6 +889,10 @@ def semantic_dedup(
     centroids: list | None = None,
     round_decimals: int | None = None,
     max_cell_size: int = 20_000,
+    on_hot_cell: str = "error",
+    subcluster_centroids: int = 16,
+    subcluster_iter: int = 2,
+    max_subcluster_rounds: int = 6,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -933,15 +937,34 @@ def semantic_dedup(
     matrix plus a same-shape bool mask): at the 20k default that is
     ~3.6 GB — sized for a typical executor; 200k would be ~360 GB and
     OOM long before any guard fired.  Derive your own cap from the
-    executor memory budget when raising it.  For a genuinely hot cell,
-    raise ``n_centroids`` (cells shrink ~linearly) or pre-thin the hot
-    region with the LSH near-dup path, then retry."""
+    executor memory budget when raising it.
+
+    ``on_hot_cell="subcluster"`` is the automatic recovery (at 100 TB a
+    natural corpus WILL have a hot semantic cell): cells over the cap are
+    recursively re-clustered — per over-cap cell, a fresh
+    ``kmeans_codebook`` (``subcluster_centroids`` sub-cells,
+    ``subcluster_iter`` Lloyd rounds) over just that cell's rows, one
+    map-only reassignment pass for all hot rows together, repeated up to
+    ``max_subcluster_rounds`` times until every cell fits.  Sub-cell
+    centroid cosines then drive the keeper rule, i.e. each item's
+    "centroid" is the finest cluster it landed in — the same semantics
+    as having started with a larger k.  Duplicate pairs whose members
+    land in different sub-cells stop being compared (the identical trade
+    raising ``n_centroids`` makes).  A cell that CANNOT split — an
+    over-cap group of near-identical vectors collapses every sub-centroid
+    onto one point — fails fast with a loud error naming the cell
+    (pre-thin that region with ``embedding_near_dup_pairs`` /
+    ``near_dup_dedup``; a >cap exact-duplicate group is cheaper to
+    collapse by hash anyway).  With the default ``on_hot_cell="error"``
+    the guard raises instead (prior behavior)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     if keep not in ("low_centroid_sim", "min_id"):
         raise ValueError("keep must be 'low_centroid_sim' or 'min_id'")
+    if on_hot_cell not in ("error", "subcluster"):
+        raise ValueError("on_hot_cell must be 'error' or 'subcluster'")
     if dim is None:
         dim = _infer_dim(df, vec_col)
     if centroids is None:
@@ -982,11 +1005,83 @@ def semantic_dedup(
                 "cell": cell_ids[j],
             })
 
-    assigned = base.mapInPandas(
-        _assign,
-        schema=f"__id__ {id_type}, __v__ array<double>, cell bigint")
+    assign_schema = f"__id__ {id_type}, __v__ array<double>, cell bigint"
+    assigned = base.mapInPandas(_assign, schema=assign_schema)
 
     cell_cap = int(max_cell_size)
+    # cell id -> NORMALIZED centroid; grows when sub-clustering splits
+    # hot cells, and feeds the keeper rule's centroid cosines below
+    cmap = {int(cell_ids[i]): Cn[i] for i in range(len(cell_ids))}
+
+    if on_hot_cell == "subcluster":
+        for _ in range(max(0, int(max_subcluster_rounds))):
+            hot = sorted(int(r["cell"]) for r in
+                         assigned.groupBy("cell")
+                         .agg(F.count(F.lit(1)).alias("__n__"))
+                         .filter(F.col("__n__") > cell_cap).collect())
+            if not hot:
+                break
+            next_id = max(cmap) + 1
+            sub: dict[int, tuple] = {}
+            for c in hot:
+                book = kmeans_codebook(
+                    assigned.filter(F.col("cell") == c),
+                    n_centroids=subcluster_centroids,
+                    n_iter=subcluster_iter, corpus_id="__id__",
+                    corpus_vec="__v__", dim=dim, normalize=True,
+                    round_decimals=round_decimals)
+                Cs = np.asarray([v for _, v in sorted(book)],
+                                dtype=np.float64)
+                Csn = Cs / np.maximum(
+                    np.linalg.norm(Cs, axis=1, keepdims=True), 1e-300)
+                # an over-cap group of near-identical vectors collapses
+                # every sub-centroid onto one point: splitting can never
+                # converge, so fail fast with the actionable message
+                if len(Csn) < 2 or np.allclose(Csn, Csn[0],
+                                               rtol=0.0, atol=1e-12):
+                    raise ValueError(
+                        f"semantic_dedup: hot cell {c} cannot be split — "
+                        f"its {subcluster_centroids} sub-centroids are "
+                        "identical (likely > max_cell_size near-identical "
+                        "vectors). Pre-thin the region with "
+                        "embedding_near_dup_pairs/near_dup_dedup (an "
+                        "exact-duplicate group that large is cheaper to "
+                        "collapse by hash).")
+                nids = np.arange(next_id, next_id + len(Csn),
+                                 dtype=np.int64)
+                sub[c] = (nids, Csn)
+                for i, nid in enumerate(nids):
+                    cmap[int(nid)] = Csn[i]
+                next_id += len(Csn)
+
+            def _reassign(batches, sub=sub):
+                # one map-only pass over ALL hot rows: per original cell,
+                # matmul against its own sub-codebook
+                for pdf in batches:
+                    m = np.asarray(pdf["__v__"].tolist(), dtype=np.float64)
+                    mn = m / np.maximum(
+                        np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+                    cells = pdf["cell"].to_numpy()
+                    out_cells = np.empty(len(pdf), dtype=np.int64)
+                    for c, (nids, Csn) in sub.items():
+                        mask = cells == c
+                        if mask.any():
+                            sims = mn[mask] @ Csn.T
+                            out_cells[mask] = nids[np.argmax(sims, axis=1)]
+                    yield pd.DataFrame({"__id__": pdf["__id__"],
+                                        "__v__": pdf["__v__"],
+                                        "cell": out_cells})
+
+            is_hot = F.col("cell").isin([int(c) for c in hot])
+            assigned = (assigned.filter(~is_hot).unionByName(
+                assigned.filter(is_hot).mapInPandas(
+                    _reassign, schema=assign_schema))
+                .localCheckpoint(eager=True))
+        # rounds exhausted with cells still hot -> the loud in-task
+        # guard below still fires (never a silent O(c^2) task)
+
+    keep_cell_ids = np.asarray(sorted(cmap), dtype=np.int64)
+    keep_Cn = np.stack([cmap[int(c)] for c in keep_cell_ids])
 
     def _dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -1003,8 +1098,8 @@ def semantic_dedup(
         # keeper-rule centroid cosines from the id-sorted matrix: one
         # O(c·dim) vector product whose summation order never depends on
         # how Arrow batched the assignment scan
-        ci = int(np.searchsorted(cell_ids, int(pdf["cell"].iloc[0])))
-        csim = mn @ Cn[ci]
+        ci = int(np.searchsorted(keep_cell_ids, int(pdf["cell"].iloc[0])))
+        csim = mn @ keep_Cn[ci]
         sims = mn @ mn.T
         parent = np.arange(n)
 

@@ -39,7 +39,7 @@ Usage: python scripts/scale_smoke.py [n_obs] [tiers]
   n_obs  default 10_000_000
   tiers  comma list of {eav,interval,group,ann,text,exactsubstr,bpe16k,
          cosinebig,skew,streamstate,bucketdt,autostrat,resampauto,
-         semdedup,semdecon};
+         semdedup,semdecon,semhot};
          default = the five original tiers
 """
 
@@ -608,6 +608,77 @@ def main():
         print(f"[{'ok' if n_exch == 0 else 'FAIL'}] semdecon zero-shuffle "
               f"plan: exchanges={n_exch}")
         ok &= n_exch == 0
+
+    # --- semantic_dedup hot-cell recovery certificate (opt-in, r12) ----
+    if "semhot" in tiers:
+        # one PLANTED hot semantic cell: half the corpus is a tight blob
+        # around a single direction (noise ~0.1 of the base norm), so the
+        # coarse k=16 codebook dumps ~n/80 vectors into one cell — far
+        # over max_cell_size.  on_hot_cell="subcluster" must recover
+        # WITHOUT manual intervention: recursive per-cell k-means splits
+        # until every cell fits, planted exact-duplicate pairs (cosine 1,
+        # never separable by an argmax split) still collapse, and the
+        # final cells all respect the cap.  threshold=0.999999 keeps
+        # merely-similar blob members apart (their pairwise cosine is
+        # ~0.99 at this noise scale).
+        from catabra_pandas_spark.pipeline import semantic_dedup
+        n8 = n // 40
+        half8 = n8 // 2
+        dim8 = 32
+        planted8 = n // 1000
+        # cap below the blob size at ANY n (blob = n8/2), bounded above
+        # so a near-cap subcell's O(cap^2) matrix stays executor-sized
+        cap8 = min(20_000, max(1_000, n8 // 8))
+        # duplicate plant: ids in [half8, half8 + planted8) reuse the
+        # (hot) vector of (id - half8); hot ids < half8 share one base
+        # direction plus small per-id noise, cold ids are hash-unique
+        src8 = F.when(
+            (F.col("id") >= half8) & (F.col("id") < half8 + planted8),
+            F.col("id") - half8).otherwise(F.col("id"))
+        is_hot8 = src8 < half8
+        noise = [((F.pmod(F.xxhash64(src8, F.lit(d)), F.lit(2001))
+                   - 1000) / 1000.0) for d in range(dim8)]
+        base8 = [F.lit(1.0 if d % 2 == 0 else -1.0) for d in range(dim8)]
+        emb8 = (spark.range(n8, numPartitions=64)
+                .select(F.col("id").alias("vec_id"),
+                        F.array(*[
+                            F.when(is_hot8, base8[d] + 0.1 * noise[d])
+                            .otherwise(noise[d]).alias(f"e{d}")
+                            for d in range(dim8)]).alias("embedding"))
+                .localCheckpoint(eager=True))
+        t0 = time.perf_counter()
+        sd8 = semantic_dedup(emb8, threshold=0.999999, n_centroids=16,
+                             n_iter=1, dim=dim8, max_cell_size=cap8,
+                             on_hot_cell="subcluster",
+                             subcluster_centroids=16) \
+            .localCheckpoint(eager=True)
+        t_sd8 = time.perf_counter() - t0
+        n_cells8 = sd8.select("cell").distinct().count()
+        max_cell8 = (sd8.groupBy("cell").count()
+                     .agg(F.max("count")).collect()[0][0])
+        print(f"semhot {n8:,} x {dim8}d, hot blob {half8:,} > cap {cap8:,}: "
+              f"{t_sd8:.1f}s, {n_cells8} final cells, largest {max_cell8:,}")
+        ok &= sd8.count() == n8
+        split_ok = n_cells8 > 16 and max_cell8 <= cap8
+        print(f"[{'ok' if split_ok else 'FAIL'}] semhot hot cell split "
+              f"under cap without intervention")
+        ok &= split_ok
+        pairs8 = (sd8.filter((F.col("vec_id") >= half8)
+                             & (F.col("vec_id") < half8 + planted8))
+                  .select(F.col("vec_id").alias("dup_id"),
+                          F.col("group_rep").alias("dup_rep"),
+                          F.col("keep").alias("dup_keep"))
+                  .join(sd8.select(F.col("vec_id").alias("src_id"),
+                                   F.col("group_rep").alias("src_rep"),
+                                   F.col("keep").alias("src_keep")),
+                        on=F.col("dup_id") - half8 == F.col("src_id")))
+        miss8 = pairs8.filter(
+            ~F.col("dup_rep").eqNullSafe(F.col("src_rep"))).count()
+        two8 = pairs8.filter(F.col("dup_keep") & F.col("src_keep")).count()
+        print(f"[{'ok' if miss8 == 0 and two8 == 0 else 'FAIL'}] semhot "
+              f"planted pairs collapsed post-split: "
+              f"{planted8 - miss8}/{planted8}, double-keeps {two8}")
+        ok &= miss8 == 0 and two8 == 0
 
     # --- keyless group_intervals: chunked merge vs single-task ---------
     if "group" in tiers:

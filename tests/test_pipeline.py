@@ -1385,6 +1385,48 @@ def test_semantic_decontaminate_duckdb_oracle(spark):
     assert got["contaminated"].tolist() == oracle["contaminated"].tolist()
 
 
+def test_semantic_dedup_subcluster_recovery(spark):
+    """on_hot_cell='subcluster': a deliberately hot cell (one coarse
+    centroid swallows everything, cap far below n) must complete without
+    manual intervention by recursive re-clustering, still collapse every
+    planted exact-duplicate pair (identical vectors share every argmax,
+    so they can never be separated by a split), and keep one item per
+    group."""
+    from catabra_pandas_spark.pipeline import semantic_dedup
+
+    rng = np.random.default_rng(89)
+    dim, n_base, n_dup = 8, 60, 20
+    base_vecs = rng.normal(size=(n_base, dim))
+    rows = [(i, base_vecs[i].tolist()) for i in range(n_base)]
+    # ids [100, 100+n_dup) duplicate vector (id-100) exactly
+    rows += [(100 + i, base_vecs[i].tolist()) for i in range(n_dup)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    one_cell = [(0, [1.0] + [0.0] * (dim - 1))]
+
+    got = (semantic_dedup(spark.createDataFrame(pdf), threshold=0.9999,
+                          centroids=one_cell, dim=dim, max_cell_size=25,
+                          on_hot_cell="subcluster", subcluster_centroids=4)
+           .toPandas().set_index("vec_id"))
+    assert len(got) == n_base + n_dup
+    # every planted pair collapsed to one group with exactly one keeper
+    for i in range(n_dup):
+        assert got.loc[100 + i, "group_rep"] == got.loc[i, "group_rep"]
+        assert int(got.loc[100 + i, "keep"]) + int(got.loc[i, "keep"]) == 1
+    # non-duplicated bases keep themselves
+    lone = [i for i in range(n_dup, n_base)]
+    assert got.loc[lone, "keep"].all()
+    # the hot cell was actually split
+    assert got["cell"].nunique() > 1
+
+    # an over-cap group of IDENTICAL vectors cannot split: loud fail-fast
+    same = pd.DataFrame({"vec_id": np.arange(30),
+                         "embedding": [base_vecs[0].tolist()] * 30})
+    with pytest.raises(Exception, match="cannot be split"):
+        semantic_dedup(spark.createDataFrame(same), centroids=one_cell,
+                       dim=dim, max_cell_size=10,
+                       on_hot_cell="subcluster").collect()
+
+
 def test_semantic_dedup_hot_cell_guard(spark):
     """A cluster above max_cell_size must fail LOUDLY (naming the cell
     and size) instead of silently running the O(c^2) pairwise task —
