@@ -545,6 +545,55 @@ _Q_MERGE_ASOF_SQL = f"""
 """
 
 
+def q_merge_asof_timedelta(spark, sf):
+    """As-of join on a DAY-TIME INTERVAL key (the r12 dtype leg:
+    reference contract 'anything comparable',
+    /root/reference/catabra_pandas/resampling.py:45-47): lineitem rows
+    become durations quantity + linenumber/10 SECONDS (sub-second
+    fractions exercise exact_numeric_double's field-extraction math —
+    the truncating bigint cast would move them), matched backward to a
+    2.5-second checkpoint grid per returnflag within a
+    datetime.timedelta(seconds=2.05) tolerance.  2.05 dodges the 0.1
+    quantized distance lattice by 0.05 on both sides, so the verdicts
+    are exact cross-engine; x.5 durations land exactly ON grid points
+    (both representable), exercising allow_exact ties bit-identically.
+    Output is all-integer."""
+    import datetime
+
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_returnflag").alias("flag"),
+        F.make_dt_interval(
+            F.lit(0), F.lit(0), F.lit(0),
+            F.col("l_quantity").cast("double")
+            + F.col("l_linenumber").cast("double") / 10).alias("dur"))
+    grid = spark.createDataFrame(
+        [(f, i) for f in ("A", "N", "R") for i in range(21)],
+        "flag string, chk int")
+    grid = grid.select(
+        "flag", "chk",
+        F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                           F.col("chk") * 2.5).alias("dur"))
+    out = cps.merge_asof(li, grid, on="dur", by="flag",
+                         direction="backward",
+                         tolerance=datetime.timedelta(seconds=2.05))
+    return out.select("l_orderkey", "l_linenumber", "flag", "chk")
+
+
+_Q_MERGE_ASOF_TIMEDELTA_SQL = """
+    WITH l AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag AS flag,
+             l_quantity::DOUBLE + l_linenumber::DOUBLE / 10 AS dur_s
+      FROM lineitem
+    ), g AS (
+      SELECT f.flag, r.range::INT AS chk, r.range * 2.5 AS chk_s
+      FROM (SELECT unnest(['A', 'N', 'R']) AS flag) f, range(21) r
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.flag,
+           CASE WHEN l.dur_s - g.chk_s <= 2.05 THEN g.chk END AS chk
+    FROM l ASOF LEFT JOIN g ON l.flag = g.flag AND l.dur_s >= g.chk_s
+"""
+
+
 def q_bucket_range_join(spark, sf):
     """T3 analogue (BASELINE.md: pure inequality, NO equi-keys): keyless
     interval-overlap join with strategy="bucket" — intervals explode into
@@ -2548,6 +2597,121 @@ def _kmeans_ann_sql(k_cells=8, iters=2, dim=64, n_queries=20, n_probe=2,
 _Q_KMEANS_ANN_SQL = _kmeans_ann_sql()
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic deduplication (pipeline/similarity.py
+    semantic_dedup; Abbas et al. 2023): corpus = embeddings plus an exact
+    duplicate of the 40 lowest-id vectors shifted to vec_id+1000 (the
+    raw table has no near-dup pairs — max pairwise cosine 0.51 — so the
+    query plants ground truth FROM the driver table itself, same move as
+    the recall-certificate queries).  Deterministic codebook = the 8
+    lowest-id vectors (IVF's reproducible init).  All outputs are
+    integers/booleans: assignment, within-cell pairwise edges at
+    threshold 0.9 (planted pairs are cosine 1, next real pair 0.51 —
+    huge decision margins), connected components, and the paper's
+    lowest-centroid-cosine keeper (exact duplicates tie bit-identically
+    in both engines and fall back to min id).  The DuckDB twin replays
+    assignment via arg-max over the same codebook, edges, a
+    recursive-CTE min-label union, and the keeper struct-min."""
+    emb = read_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    dup = (emb.filter(F.col("vec_id") < 40)
+           .select((F.col("vec_id") + 1000).alias("vec_id"), "embedding"))
+    corpus = emb.unionByName(dup)
+    cb_rows = emb.orderBy("vec_id").limit(8).collect()
+    centroids = [(i, [float(x) for x in r["embedding"]])
+                 for i, r in enumerate(cb_rows)]
+    out = P.semantic_dedup(corpus, threshold=0.9, centroids=centroids,
+                           dim=64)
+    return out.select("vec_id", "cell", "group_rep", "keep")
+
+
+_Q_SEMANTIC_DEDUP_SQL = """
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000, embedding::DOUBLE[] FROM embeddings
+      WHERE vec_id < 40
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             embedding::DOUBLE[] AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 8)
+    ),
+    ranked AS (
+      SELECT c.vec_id, b.cell,
+             list_cosine_similarity(c.v, b.cv) AS s,
+             row_number() OVER (PARTITION BY c.vec_id
+                                ORDER BY list_cosine_similarity(c.v, b.cv)
+                                         DESC, b.cell) AS rn
+      FROM corpus c CROSS JOIN cb b
+    ),
+    assigned AS (
+      SELECT vec_id, cell, s AS csim FROM ranked WHERE rn = 1
+    ),
+    edges AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM assigned a
+      JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      JOIN corpus ea ON ea.vec_id = a.vec_id
+      JOIN corpus eb ON eb.vec_id = b.vec_id
+      WHERE list_cosine_similarity(ea.v, eb.v) > 0.9
+    ),
+    reach(id, lbl) AS (
+      SELECT vec_id, vec_id FROM assigned
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS vec_id, min(lbl) AS grp FROM reach GROUP BY id),
+    keeper AS (
+      SELECT c.grp,
+             min(struct_pack(csim := a.csim, id := a.vec_id)).id AS rep
+      FROM comp c JOIN assigned a ON a.vec_id = c.vec_id
+      GROUP BY c.grp
+    )
+    SELECT a.vec_id, a.cell, k.rep AS group_rep,
+           (k.rep = a.vec_id) AS keep
+    FROM assigned a
+    JOIN comp c ON c.vec_id = a.vec_id
+    JOIN keeper k ON k.grp = c.grp
+"""
+
+
+def q_semantic_decontaminate(spark, sf):
+    """Embedding-space benchmark decontamination (pipeline/similarity.py
+    semantic_decontaminate): benchmark = the 25 lowest-id embeddings,
+    corpus = the whole table — the benchmark rows ARE in the corpus, so
+    exactly those 25 are contaminated (cosine 1 vs threshold 0.99; the
+    best non-identical pair is 0.51).  ZERO corpus shuffle: the
+    broadcast benchmark matrix scores each Arrow batch in one matmul.
+    Projects the discrete columns only (max_bench_sim is float and BLAS
+    vs DuckDB summation differ in the ulp; the argmax id and threshold
+    verdict are exact under the data's margins)."""
+    emb = read_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    bench = emb.filter(F.col("vec_id") < 25)
+    out = P.semantic_decontaminate(emb, bench, threshold=0.99)
+    return out.select("vec_id", "nearest_bench_id", "contaminated")
+
+
+_Q_SEMANTIC_DECONTAM_SQL = """
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+    bench AS (SELECT vec_id, embedding::DOUBLE[] AS bv FROM embeddings
+              WHERE vec_id < 25),
+    scored AS (
+      SELECT c.vec_id, b.vec_id AS bid,
+             list_cosine_similarity(c.v, b.bv) AS s,
+             row_number() OVER (PARTITION BY c.vec_id
+                                ORDER BY list_cosine_similarity(c.v, b.bv)
+                                         DESC, b.vec_id) AS rn
+      FROM corpus c CROSS JOIN bench b
+    )
+    SELECT vec_id,
+           max(CASE WHEN rn = 1 THEN bid END) AS nearest_bench_id,
+           max(s) >= 0.99 AS contaminated
+    FROM scored GROUP BY vec_id
+"""
+
+
 def q_funnel(spark, sf):
     """Event-funnel analysis (operators/events.py): per user, greedy
     earliest-completion matching of view -> click -> purchase within 7
@@ -3867,38 +4031,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/rotation_check.py, run from finalize_round.py): any query
     # whose underlying module — or whose query-builder/oracle source —
     # changed since its last green driver row must sit inside the window.
-    # r11 window = (a) the 18 queries the checker flags for this round's
-    # merging.py edits (the ADVICE end-field normalization in
-    # _bucket_numeric + the cost-based auto selector inside
-    # merge_intervals flag the whole merge/find_containing/
-    # resample_interval closure); (b) the NEW merge_auto_sweep (the
-    # cost-based few-large-groups auto pick, certified against the plain
-    # join oracle); (c) the 12 resample_eav-family queries the checker
-    # flags for the interval-bucket-leg change (bnum ->
-    # bucket_numeric_double inside resample_eav flags the whole family
-    # incl. make_windows); (d) the 19 remaining slots go to the OLDEST
-    # green rows — 19 of the 26 r8-row queries (VERDICT r10 #1):
-    # combine_* x4, cube/rollup, the text tier (dedup_exact, decontam,
-    # text_stats, quality_gate, fingerprint, scrub_pii, repetition,
-    # langid, lm_perplexity, ngram_jaccard), sessionize, stream_resample,
-    # stream_ffill.  Deferred to the r12 window for lack of slots — each
-    # chosen for having the strongest independent protection on its r8/r9
-    # row (rotation_check proves their exercised code unchanged at
-    # AST-symbol level): stream_dedup / stream_funnel /
-    # stream_resample_interval (NEW r11 cross-batch stream==batch
-    # property tests), multimodal_mp4 / multimodal_frames (r10 random
-    # roundtrip property tests), group_intervals_ts / _keyless
-    # (coverage-scan property oracle), and the 5 r9-row backfills
-    # (cross_dedup, minhash_lsh, simhash, funnel, retention).  r12 MUST
-    # open with those 12, plus first driver rows for the two r11
-    # `pipeline.similarity` operators: `semantic_dedup` (DuckDB oracle:
-    # list_cosine_similarity pairwise join per cell + recursive-CTE
-    # min-label union, the connected_components oracle pattern) and
-    # `semantic_decontaminate` (oracle: corpus x benchmark
-    # list_cosine_similarity cross join + max/argmax per corpus row —
-    # tiny at sf0.01).  The tail holds unflagged r9/r10-green queries
-    # only.
+    # r12 window = (a) FIRST driver rows for the two r11
+    # pipeline/similarity operators, semantic_dedup and
+    # semantic_decontaminate (oracle SQL pre-validated verbatim in
+    # tests/test_pipeline.py's duckdb-oracle tests since r11); (b) the 12
+    # rotation queries contractually deferred from r11 — the r8-row seven
+    # (stream_dedup, stream_funnel, stream_resample_interval,
+    # group_intervals_ts/_keyless, multimodal_mp4, multimodal_frames) and
+    # the r9-row five (cross_dedup, minhash_lsh, simhash, funnel,
+    # retention); (c) the 14 remaining r9-row queries, retiring every
+    # green row older than r10 (the repo's <=2-round freshness cadence);
+    # (d) merge_asof + stream_asof, flagged by this round's asof.py
+    # DayTimeIntervalType support, plus the NEW merge_asof_timedelta
+    # driver leg proving it; (e) the ~20 remaining slots hold the OLDEST
+    # r10 rows.  The tail holds only r10/r11-green queries whose
+    # exercised code is unchanged (rotation_check proves it at AST-symbol
+    # level); the 10 tail r10 rows are first in the r13 window, alongside
+    # the planned merging.py auto-detector plan-stats change (VERDICT r11
+    # #6), which flags the entire merge/find_containing/resample closure
+    # and therefore needs a window of its own.
     return {
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "stream_dedup": q_stream_dedup,
+        "stream_funnel": q_stream_funnel,
+        "stream_resample_interval": q_stream_resample_interval,
+        "group_intervals_ts": q_group_intervals_ts,
+        "group_intervals_keyless": q_group_intervals_keyless,
+        "multimodal_mp4": q_multimodal_mp4,
+        "multimodal_frames": q_multimodal_frames,
+        "cross_dedup": q_cross_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "embedding_q8": q_embedding_q8,
+        "heavy_hitters": q_heavy_hitters,
+        "hll_distinct": q_hll_distinct,
+        "ivf_ann": q_ivf_ann,
+        "lsh_ann": q_lsh_ann,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_mp3": q_multimodal_mp3,
+        "multimodal_png": q_multimodal_png,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_wav": q_multimodal_wav,
+        "quantile_sketch": q_quantile_sketch,
+        "stream_asof": q_stream_asof,
+        "merge_asof": q_merge_asof,
+        "merge_asof_timedelta": q_merge_asof_timedelta,
+        "bloom_prejoin": q_bloom_prejoin,
+        "bpe_tokens": q_bpe_tokens,
+        "bpe_train": q_bpe_train,
+        "chunk_documents": q_chunk_documents,
+        "cosine_topk": q_cosine_topk,
+        "cosine_topk_blocked": q_cosine_topk_blocked,
+        "dedup_clusters": q_dedup_clusters,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
+        "factorize": q_factorize,
+        "group_intervals": q_group_intervals,
+        "grouped_mode": q_grouped_mode,
+        "impute_afill": q_impute_afill,
+        "impute_bfill": q_impute_bfill,
+        "impute_ffill": q_impute_ffill,
+        "impute_lfill": q_impute_lfill,
+        "impute_linear": q_impute_linear,
+        "inner_or_cross": q_inner_or_cross,
+        "json_props": q_json_props,
+        "kmeans_ann": q_kmeans_ann,
+        "mix_corpora": q_mix_corpora,
+        # ---- driver window ends here (50) ----
+        "pack_bins": q_pack_bins,
+        "pack_sequences": q_pack_sequences,
+        "prev_next": q_prev_next,
+        "q8_ann": q_q8_ann,
+        "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
+        "substring_dedup": q_substring_dedup,
+        "substring_removal": q_substring_removal,
+        "topk": q_topk,
+        "zorder": q_zorder,
         "merge_date_bucket": q_merge_date_bucket,
         "merge_timedelta_bucket": q_merge_timedelta_bucket,
         "merge_overlap": q_merge_overlap,
@@ -3949,69 +4162,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "stream_resample": q_stream_resample,
         "stream_ffill": q_stream_ffill,
-        # ---- driver window ends here (50) ----
-        "stream_dedup": q_stream_dedup,
-        "stream_resample_interval": q_stream_resample_interval,
-        "stream_funnel": q_stream_funnel,
-        "group_intervals_ts": q_group_intervals_ts,
-        "group_intervals_keyless": q_group_intervals_keyless,
-        "multimodal_mp4": q_multimodal_mp4,
-        "multimodal_frames": q_multimodal_frames,
-        "cross_dedup": q_cross_dedup,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "cosine_topk": q_cosine_topk,
-        "cosine_topk_blocked": q_cosine_topk_blocked,
-        "q8_ann": q_q8_ann,
-        "embedding_neardup_exact": q_embedding_neardup_exact,
-        "sample_stratified": q_sample_stratified,
-        "sample_split": q_sample_split,
-        "mix_corpora": q_mix_corpora,
-        "bloom_prejoin": q_bloom_prejoin,
-        "pack_sequences": q_pack_sequences,
-        "pack_bins": q_pack_bins,
-        "chunk_documents": q_chunk_documents,
-        "zorder": q_zorder,
-        "json_props": q_json_props,
-        "factorize": q_factorize,
-        "inner_or_cross": q_inner_or_cross,
-        "topk": q_topk,
-        "bpe_train": q_bpe_train,
-        "bpe_tokens": q_bpe_tokens,
-        "kmeans_ann": q_kmeans_ann,
-        "substring_dedup": q_substring_dedup,
-        "substring_removal": q_substring_removal,
-        "impute_ffill": q_impute_ffill,
-        "impute_bfill": q_impute_bfill,
-        "impute_afill": q_impute_afill,
-        "impute_lfill": q_impute_lfill,
-        "impute_linear": q_impute_linear,
-        "grouped_mode": q_grouped_mode,
-        "prev_next": q_prev_next,
-        "merge_asof": q_merge_asof,
-        "group_intervals": q_group_intervals,
-        "dedup_clusters": q_dedup_clusters,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "hll_distinct": q_hll_distinct,
-        "heavy_hitters": q_heavy_hitters,
-        "quantile_sketch": q_quantile_sketch,
-        "stream_asof": q_stream_asof,
-        "multimodal_mp3": q_multimodal_mp3,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_png": q_multimodal_png,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_wav": q_multimodal_wav,
-        "embedding_q8": q_embedding_q8,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # SemDeDup over planted exact duplicates: assignment + pairwise
+        # edges + recursive-CTE components + keeper struct-min, all
+        # integer/boolean outputs (pre-validated verbatim in
+        # tests/test_pipeline.py::test_semantic_dedup_duckdb_oracle)
+        "semantic_dedup": _Q_SEMANTIC_DEDUP_SQL,
+        # corpus x benchmark max/argmax cosine; discrete columns only
+        # (::test_semantic_decontaminate_duckdb_oracle)
+        "semantic_decontaminate": _Q_SEMANTIC_DECONTAM_SQL,
         "merge_overlap": _Q_MERGE_OVERLAP_SQL,
         "merge_overlap_sweep": _Q_MERGE_OVERLAP_SQL,
         # auto = cost-based pick over the same semantics; the plain join
@@ -4025,6 +4188,9 @@ def oracle_sql() -> dict[str, str]:
         "merge_str_bucket": _Q_MERGE_STR_BUCKET_SQL,
         "merge_cat_intervals": _Q_MERGE_CAT_SQL,
         "merge_asof": _Q_MERGE_ASOF_SQL,
+        # interval-key as-of: DuckDB replays on the numeric seconds view
+        # of the same durations (the dtype leg's engine-neutral twin)
+        "merge_asof_timedelta": _Q_MERGE_ASOF_TIMEDELTA_SQL,
         "stream_asof": _Q_STREAM_ASOF_SQL,
         "bucket_range_join": _Q_BUCKET_RANGE_SQL,
         "find_containing": _Q_FIND_CONTAINING_SQL,

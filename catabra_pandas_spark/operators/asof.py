@@ -28,7 +28,7 @@ from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..util import as_list, ensure_columns, numeric_double as _num
+from ..util import as_list, ensure_columns, exact_numeric_double as _num
 
 _IS_L = "__asof_is_left__"
 _R = "__asof_right__"
@@ -54,7 +54,9 @@ def merge_asof(
     * ``direction="nearest"``: whichever of the two is closer in absolute
       distance; ties go backward (pandas semantics).
     * ``tolerance``: maximum allowed |left.on - right.on| as a NUMBER in the
-      key's units — for timestamp/date keys, SECONDS.  ``None`` = unbounded.
+      key's units — for timestamp/date and DAY-TIME INTERVAL keys, SECONDS.
+      A ``datetime.timedelta`` / ``pd.Timedelta`` is accepted and converted
+      via ``total_seconds()``.  ``None`` = unbounded.
     * ``suffixes[1]`` renames right payload columns that collide with left
       column names (``suffixes[0]`` is accepted for pandas signature parity
       but left columns are never renamed).
@@ -70,6 +72,8 @@ def merge_asof(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+    if tolerance is not None and hasattr(tolerance, "total_seconds"):
+        tolerance = tolerance.total_seconds()
     by = as_list(by)
     ensure_columns(left, [on] + by, "left column")
     ensure_columns(right, [on] + by, "right column")

@@ -1095,11 +1095,15 @@ def semantic_dedup(
         pdf = pdf.sort_values("__id__", kind="stable").reset_index(drop=True)
         m = np.asarray(pdf["__v__"].tolist(), dtype=np.float64)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-        # keeper-rule centroid cosines from the id-sorted matrix: one
-        # O(c·dim) vector product whose summation order never depends on
-        # how Arrow batched the assignment scan
+        # keeper-rule centroid cosines from the id-sorted matrix, summed
+        # ROW-WISE with numpy's pairwise reduction — NOT a BLAS matvec:
+        # BLAS kernels sum in row-POSITION-dependent order (block/tail
+        # micro-kernels), so two bit-identical duplicate rows can come
+        # back 1 ulp apart and flip the keeper tie; the row-wise sum
+        # depends only on dim, making identical rows exactly equal (and
+        # the min-id tie-break engine-replayable)
         ci = int(np.searchsorted(keep_cell_ids, int(pdf["cell"].iloc[0])))
-        csim = mn @ keep_Cn[ci]
+        csim = (mn * keep_Cn[ci]).sum(axis=1)
         sims = mn @ mn.T
         parent = np.arange(n)
 

@@ -461,10 +461,13 @@ def stream_asof(
     with ``direction="backward"``): every left row picks up the latest
     ``right_value`` whose ``on`` key is <= its own, within the same ``by``
     group, optionally no older than ``tolerance`` (in the key's units for
-    numeric keys, SECONDS for timestamps).  ``on`` must be a timestamp or
-    numeric column; fractional keys keep a float64 key space (and a
-    double state field) rather than truncating to int64, so batch and
-    stream agree on float keys too.
+    numeric keys, SECONDS for timestamps and day-time intervals).  ``on``
+    must be a timestamp, day-time-interval or numeric column; fractional
+    keys keep a float64 key space (and a double state field) rather than
+    truncating to int64, so batch and stream agree on float keys too;
+    interval keys ride the same int64-microsecond key space as
+    timestamps (they are microsecond-quantized internally), matching the
+    batch path's exact ``interval_total_seconds`` arithmetic.
 
     Structured Streaming's native stream-stream joins cannot express
     "latest right row per left row" (they emit ALL matches in a range),
@@ -503,6 +506,9 @@ def stream_asof(
 
     on_type = left.schema[on].dataType
     is_ts = isinstance(on_type, T.TimestampType)
+    # day-time intervals arrive in pandas as timedelta64[ns]: same
+    # ns -> us key extraction as timestamps, tolerance given in seconds
+    is_itv = isinstance(on_type, T.DayTimeIntervalType)
     # key space: int64 micros for timestamps, raw int64 for integral
     # keys, float64 for fractional keys (NOT truncated to int — a left
     # row at t=1.2 and a right row at t=1.9 are distinct keys, and
@@ -522,11 +528,11 @@ def stream_asof(
             "exceeds float64's exactly-representable precision (15 "
             "digits); cast to double explicitly if the loss is "
             "acceptable, or rescale to an integral key")
-    if not is_ts and not is_frac and not isinstance(
+    if not is_ts and not is_itv and not is_frac and not isinstance(
             on_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         raise ValueError(
-            f"stream_asof `on` key must be timestamp or numeric, got "
-            f"{on_type.simpleString()}")
+            f"stream_asof `on` key must be timestamp, day-time interval "
+            f"or numeric, got {on_type.simpleString()}")
     if watermark is not None and not is_ts:
         raise ValueError("watermark requires a timestamp `on` key")
     payload = [c for c in left.columns if c not in (by, on)]
@@ -554,7 +560,7 @@ def stream_asof(
     # tolerance compares in the state's key space: micros for timestamp
     # keys (tolerance given in seconds), raw units otherwise
     tol = None if tolerance is None else (
-        int(tolerance * 1e6) if is_ts else tolerance)
+        int(tolerance * 1e6) if is_ts or is_itv else tolerance)
     conv = float if is_frac else int
     timeout_ms = (int(pd.Timedelta(watermark).total_seconds() * 1000)
                   if watermark else None)
@@ -570,7 +576,7 @@ def stream_asof(
         # unmatched (batch merge_asof parity)
         nul = pdf[pdf[on].isna() & (pdf["__side__"] == 0)]
         pdf = pdf[pdf[on].notna()]
-        if is_ts:
+        if is_ts or is_itv:
             keys = pdf[on].astype("int64") // 1000  # ns -> us
         elif is_frac:
             keys = pdf[on].astype("float64")

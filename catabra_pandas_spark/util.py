@@ -66,6 +66,22 @@ def bucket_numeric_double(c: Column, dt) -> Column:
     return numeric_double(c, dt)
 
 
+def exact_numeric_double(c: Column, dt) -> Column:
+    """``numeric_double`` extended with DayTimeIntervalType via EXACT
+    field extraction (``interval_total_seconds`` — decimal sum, full
+    microsecond fraction): the coercion for TOLERANCE / DISTANCE
+    arithmetic on any orderable axis the engine's dtype contract admits
+    (reference ``catabra_pandas/resampling.py:45-47`` — "anything
+    comparable").  Deliberately separate from ``bucket_numeric_double``,
+    whose truncation is fine for bucket ids but would silently move
+    sub-second as-of matches."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DayTimeIntervalType):
+        return interval_total_seconds(c)
+    return numeric_double(c, dt)
+
+
 def interval_total_seconds(c: Column) -> Column:
     """EXACT total seconds of a day-time interval column as a double.
 

@@ -101,6 +101,51 @@ def test_asof_empty_right(spark):
     assert len(out) == 2 and out["y"].isna().all()
 
 
+def test_asof_daytime_interval_key_matches_numeric(spark):
+    """DayTimeIntervalType on-keys (reference dtype contract: 'anything
+    comparable', /root/reference/catabra_pandas/resampling.py:45-47): the
+    interval leg must produce EXACTLY the matches of the same data on a
+    numeric seconds axis — exact_numeric_double extracts the full
+    microsecond fraction (the truncating bigint cast would silently move
+    sub-second matches).  Covers all directions, exact ties (planted key
+    collisions), negative durations, numeric and datetime.timedelta
+    tolerances."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 300, 120
+    lmu = rng.integers(-5_000_000, 5_000_000, n_l)  # microsecond quanta
+    rmu = rng.integers(-5_000_000, 5_000_000, n_r)
+    lmu[:40] = rng.choice(rmu, 40)  # exact key ties
+    left = pd.DataFrame({"k": rng.integers(0, 5, n_l), "s": lmu / 1e6,
+                         "x": np.arange(n_l)})
+    right = pd.DataFrame({"k": rng.integers(0, 5, n_r), "s": rmu / 1e6,
+                          "y": rng.normal(size=n_r).round(3)})
+    right = right.drop_duplicates(["k", "s"]).reset_index(drop=True)
+
+    def as_itv(pdf):
+        # interval endpoints built Spark-side (NaT-free data; see
+        # conftest notes on timedelta64 schema merges)
+        return to_sdf(spark, pdf).withColumn(
+            "s", F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                                    F.col("s")))
+
+    for direction in ("backward", "forward", "nearest"):
+        for allow_exact in (True, False):
+            for tol in (None, 1.5, datetime.timedelta(seconds=1.5)):
+                kw = dict(on="s", by="k", direction=direction,
+                          allow_exact_matches=allow_exact, tolerance=tol)
+                base = merge_asof(to_sdf(spark, left), to_sdf(spark, right),
+                                  **kw).toPandas()
+                got = merge_asof(as_itv(left), as_itv(right), **kw).toPandas()
+                a = base.sort_values("x").reset_index(drop=True)["y"]
+                b = got.sort_values("x").reset_index(drop=True)["y"]
+                assert a.fillna(-1e18).tolist() == b.fillna(-1e18).tolist(), \
+                    (direction, allow_exact, tol)
+
+
 def test_asof_timestamp_key_tolerance_seconds(spark):
     """Timestamp on-keys: tolerance is interpreted in SECONDS."""
     base = pd.Timestamp("2026-01-01 00:00:00")

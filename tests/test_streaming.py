@@ -602,8 +602,58 @@ def test_stream_asof_rejects_nonnumeric_key(spark, tmp_path):
     to_sdf(spark, rpdf).write.mode("overwrite").parquet(rdir)
     ls = spark.readStream.schema(spark.read.parquet(ldir).schema).parquet(ldir)
     rs = spark.readStream.schema(spark.read.parquet(rdir).schema).parquet(rdir)
-    with pytest.raises(ValueError, match="timestamp or numeric"):
+    with pytest.raises(ValueError, match="day-time interval or numeric"):
         stream_asof(ls, rs, on="t", by="entity", right_value="value")
+
+
+def test_stream_asof_interval_key(spark, tmp_path):
+    """DayTimeIntervalType `on` keys on the STREAMING path: same int64
+    microsecond key space as timestamps (intervals are microsecond-
+    quantized internally), tolerance in seconds, state carried across
+    micro-batches.  Streaming result == exact batch merge_asof dispatch
+    on the same data."""
+    import time as _time
+
+    from catabra_pandas_spark.streaming import stream_asof
+
+    mk = lambda pdf: (to_sdf(spark, pdf).withColumn(  # noqa: E731
+        "t", F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.col("t"))))
+    # sub-second fractions: 1.2 must NOT join 1.9 (truncation hazard),
+    # and entity state must carry quote t=1.9 into batch 2
+    l1 = pd.DataFrame({"entity": [1], "t": [1.2], "lid": [0]})
+    r1 = pd.DataFrame({"entity": [1, 1], "t": [0.5, 1.9],
+                       "value": [1.0, 2.0]})
+    l2 = pd.DataFrame({"entity": [1, 1], "t": [2.0, 9.0], "lid": [1, 2]})
+    r2 = pd.DataFrame({"entity": [1], "t": [8.4], "value": [3.0]})
+    ldir, rdir = str(tmp_path / "asi_l"), str(tmp_path / "asi_r")
+    for i, (lpdf, rpdf) in enumerate([(l1, r1), (l2, r2)]):
+        mode = "overwrite" if i == 0 else "append"
+        mk(lpdf).coalesce(1).write.mode(mode).parquet(ldir)
+        mk(rpdf).coalesce(1).write.mode(mode).parquet(rdir)
+        _time.sleep(1.2)
+
+    ls = (spark.readStream.schema(spark.read.parquet(ldir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(ldir))
+    rs = (spark.readStream.schema(spark.read.parquet(rdir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(rdir))
+    out = stream_asof(ls, rs, on="t", by="entity", right_value="value",
+                      tolerance=0.7)
+    q = (out.writeStream.format("memory").queryName("asof_itv")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql("SELECT * FROM asof_itv").toPandas()
+           .set_index("lid").sort_index())
+
+    assert got.loc[0, "value_asof"] == 1.0    # 1.2s joins 0.5s, NOT 1.9s
+    assert got.loc[1, "value_asof"] == 2.0    # 2.0 - 1.9 = 0.1 <= 0.7
+    assert got.loc[2, "value_asof"] == 3.0    # 9.0 - 8.4 = 0.6 <= 0.7
+
+    lb, rb = pd.concat([l1, l2], ignore_index=True), \
+        pd.concat([r1, r2], ignore_index=True)
+    exp = (stream_asof(mk(lb), mk(rb), on="t", by="entity",
+                       right_value="value", tolerance=0.7)
+           .toPandas().set_index("lid").sort_index())
+    pd.testing.assert_series_equal(got.value_asof, exp.value_asof)
 
 
 def test_stream_funnel_state_timeout(spark, tmp_path):
