@@ -228,6 +228,21 @@ def main():
     # NOT inflate measured numbers: its decision is memoized on
     # semanticHash, so the warm-up pass pays it and the measured best-of-3
     # reuses the cached pick.
+    # r12 same-day A/B of the T3 baseline replication (the r11 close's
+    # 1.84x vs_ref was the nearest number to the 2x bar, on a plan
+    # unchanged since r10): full bench_baseline.py at the r12 working
+    # tree gave t3=0.196 s (1.17x) and the EXACT r10 commit (01e9d6f9,
+    # pre-cost-auto) in a worktree the same hour gave t3=0.165 s
+    # (0.99x).  Everything moved together between the two sessions —
+    # t1 +22%, t2 +13%, and the strategy-EXPLICIT t4 sweep +11%
+    # (auto-free in both, i.e. pure session noise) — so the r11-close
+    # 1.84x/0.307 s reading was host drift (that session's whole
+    # replication ran elevated: t1 4.05 s vs today's 1.83 s on
+    # near-identical code), and the residual r10->r12 t3 delta beyond
+    # the ~11% noise band is a few percent at most, consistent with the
+    # memoized auto-detector stats pass being off the timed path.
+    # Verdict: in-band; BASELINE_REPLICATION.json refreshed from the r12
+    # run; watch item closed.
     times: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
