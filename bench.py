@@ -106,6 +106,11 @@ HEADLINE = [
     "resample_eav_bucket",
     # r11 addition (cost-based strategy="auto" few-large-groups pick)
     "merge_auto_sweep",
+    # r12 additions (SemDeDup + embedding decontamination driver rows,
+    # interval-key as-of)
+    "semantic_dedup",
+    "semantic_decontaminate",
+    "merge_asof_timedelta",
 ]
 
 
@@ -243,6 +248,20 @@ def main():
     # memoized auto-detector stats pass being off the timed path.
     # Verdict: in-band; BASELINE_REPLICATION.json refreshed from the r12
     # run; watch item closed.
+    # r12 full-session sweep: common-query total 57.78 -> 61.78 (+7%),
+    # the one >20% mover being dedup_clusters 3.12 -> 4.05 on an
+    # UNTOUCHED module (dedup.py connected components; rotation_check
+    # proves its closure unchanged since the r10 green row).  3x
+    # isolated re-runs: 4.372/4.731/4.352 s — tight band ABOVE the
+    # in-session number (own-codegen-dominated, the merge_overlap/
+    # grouped_mode signature exactly).  Same-day host check: the
+    # baseline replication measured t1 1.83 s the same morning vs the
+    # r11 close's 4.05 s on near-identical code, i.e. the host sits
+    # between the two sessions' bands.  Verdict: drift, not a
+    # regression.  r12 new-query numbers at sf0.1: semantic_dedup
+    # 1.09 s (1 exchange, 2 Arrow stages), semantic_decontaminate
+    # 0.55 s (ZERO exchanges), merge_asof_timedelta 1.98 s (1 exchange
+    # + sort, no join).
     times: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
