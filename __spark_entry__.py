@@ -2879,6 +2879,107 @@ _Q_LM_PERPLEXITY_SQL = """
 """
 
 
+def q_weighted_sample(spark, sf):
+    """Exact-N weighted sampling without replacement (pipeline/sampling.py
+    weighted_sample — Efraimidis & Spirakis 2006 A-Res): 25 documents
+    drawn proportionally to n_chars via deterministic md5-uniform keys
+    ln(u)/w, selected by Spark's TakeOrdered (per-partition top-n, no
+    full sort shuffle).  The DuckDB twin replays the digest, the 60-bit
+    uniform, the key and the (key desc, digest asc) order exactly —
+    selection ids match bit-for-bit because every arithmetic step is
+    engine-neutral (md5, exact 60-bit-int-to-double, one ln whose
+    cross-engine ulp is far under the rank margins)."""
+    docs = read_table(spark, sf, "documents")
+    out = P.weighted_sample(docs, 25, "n_chars", on="doc_id", seed=5)
+    return out.select("doc_id", "lang")
+
+
+_Q_WEIGHTED_SAMPLE_SQL = """
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             md5(concat_ws('|', '5', doc_id::VARCHAR)) AS dig
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang FROM keyed
+    ORDER BY ln((('0x' || substr(dig, 1, 15))::BIGINT + 0.5)
+                / power(16.0, 15))
+             / (SELECT n_chars::DOUBLE FROM documents d
+                WHERE d.doc_id = keyed.doc_id) DESC,
+             dig ASC
+    LIMIT 25
+"""
+
+
+def q_dsir(spark, sf):
+    """DSIR importance log-weights (pipeline/text.py dsir_logratio — Xie
+    et al. 2023): target model = the capped bigram LM of the ENGLISH
+    slice, raw model = the whole corpus; each document's weight is the
+    per-bigram mean add-1 log-prob difference, scored for both models in
+    ONE broadcast Arrow pass (zero shuffle, one corpus scan).  The
+    DuckDB twin replays shared tokenization, all four capped count
+    tables with the same deterministic ordering, and the clamped smoothed
+    log-prob difference."""
+    docs = read_table(spark, sf, "documents")
+    raw = P.train_ngram_lm(docs)
+    target = P.train_ngram_lm(docs.filter(F.col("lang") == "en"))
+    out = P.dsir_logratio(docs, target, raw)
+    return out.select("doc_id", "n_bigrams",
+                      F.round("dsir_logratio", 6).alias("dsir_logratio"))
+
+
+_Q_DSIR_SQL = """
+    WITH toks0 AS (
+      SELECT doc_id, unnest(l) AS tok,
+             unnest(range(1, len(l) + 1)) AS ord
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM documents)
+    ),
+    toks AS (SELECT * FROM toks0 WHERE tok != ''),
+    en_ids AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    uni_r AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+      ORDER BY n DESC, tok LIMIT 50000
+    ),
+    uni_t AS (
+      SELECT tok, count(*) AS n FROM toks
+      WHERE doc_id IN (SELECT doc_id FROM en_ids)
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 50000
+    ),
+    pairs AS (
+      SELECT doc_id, tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+      FROM toks
+    ),
+    big_r AS (
+      SELECT w1, w2, count(*) AS n FROM pairs WHERE w2 IS NOT NULL
+      GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 200000
+    ),
+    big_t AS (
+      SELECT w1, w2, count(*) AS n FROM pairs
+      WHERE w2 IS NOT NULL AND doc_id IN (SELECT doc_id FROM en_ids)
+      GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 200000
+    ),
+    vr AS (SELECT count(*) + 1 AS v FROM uni_r),
+    vt AS (SELECT count(*) + 1 AS v FROM uni_t),
+    scored AS (
+      SELECT p.doc_id,
+             least(0.0, ln((coalesce(bt.n, 0) + 1.0)
+                           / (coalesce(ut.n, 0) + vt.v)))
+             - least(0.0, ln((coalesce(br.n, 0) + 1.0)
+                             / (coalesce(ur.n, 0) + vr.v))) AS lp
+      FROM pairs p CROSS JOIN vt CROSS JOIN vr
+      LEFT JOIN big_t bt ON bt.w1 = p.w1 AND bt.w2 = p.w2
+      LEFT JOIN uni_t ut ON ut.tok = p.w1
+      LEFT JOIN big_r br ON br.w1 = p.w1 AND br.w2 = p.w2
+      LEFT JOIN uni_r ur ON ur.tok = p.w1
+      WHERE p.w2 IS NOT NULL
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(lp), 6) AS dsir_logratio
+    FROM scored GROUP BY doc_id
+"""
+
+
 def q_substring_dedup(spark, sf):
     """ExactSubstr duplication stats (pipeline/dedup.py
     exact_substring_stats — Lee et al. 2021): per document, the fraction
@@ -4043,8 +4144,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row older than r10 (the repo's <=2-round freshness cadence);
     # (d) merge_asof + stream_asof, flagged by this round's asof.py
     # DayTimeIntervalType support, plus the NEW merge_asof_timedelta
-    # driver leg proving it; (e) the ~20 remaining slots hold the OLDEST
-    # r10 rows.  The tail holds only r10/r11-green queries whose
+    # driver leg proving it; (e) NEW r12 operators weighted_sample
+    # (Efraimidis-Spirakis A-Res, exact md5-key replay oracle) and dsir
+    # (DSIR importance log-weights, double-LM DuckDB replay); (f) the
+    # remaining slots hold the OLDEST r10 rows (kmeans_ann and
+    # mix_corpora yielded their fill slots to the two new operators —
+    # they head the r13 window with the other r10 rows).  The tail holds
+    # only r10/r11-green queries whose
     # exercised code is unchanged (rotation_check proves it at AST-symbol
     # level); the 10 tail r10 rows are first in the r13 window, alongside
     # the planned merging.py auto-detector plan-stats change (VERDICT r11
@@ -4099,9 +4205,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_linear": q_impute_linear,
         "inner_or_cross": q_inner_or_cross,
         "json_props": q_json_props,
+        "weighted_sample": q_weighted_sample,
+        "dsir": q_dsir,
+        # ---- driver window ends here (50) ----
         "kmeans_ann": q_kmeans_ann,
         "mix_corpora": q_mix_corpora,
-        # ---- driver window ends here (50) ----
         "pack_bins": q_pack_bins,
         "pack_sequences": q_pack_sequences,
         "prev_next": q_prev_next,
@@ -4175,6 +4283,10 @@ def oracle_sql() -> dict[str, str]:
         # corpus x benchmark max/argmax cosine; discrete columns only
         # (::test_semantic_decontaminate_duckdb_oracle)
         "semantic_decontaminate": _Q_SEMANTIC_DECONTAM_SQL,
+        # A-Res weighted sampling: full md5-key + ln(u)/w + order replay
+        "weighted_sample": _Q_WEIGHTED_SAMPLE_SQL,
+        # DSIR: both capped bigram LMs replayed, clamped logprob diff
+        "dsir": _Q_DSIR_SQL,
         "merge_overlap": _Q_MERGE_OVERLAP_SQL,
         "merge_overlap_sweep": _Q_MERGE_OVERLAP_SQL,
         # auto = cost-based pick over the same semantics; the plain join

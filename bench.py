@@ -107,10 +107,12 @@ HEADLINE = [
     # r11 addition (cost-based strategy="auto" few-large-groups pick)
     "merge_auto_sweep",
     # r12 additions (SemDeDup + embedding decontamination driver rows,
-    # interval-key as-of)
+    # interval-key as-of, A-Res weighted sampling, DSIR log-weights)
     "semantic_dedup",
     "semantic_decontaminate",
     "merge_asof_timedelta",
+    "weighted_sample",
+    "dsir",
 ]
 
 

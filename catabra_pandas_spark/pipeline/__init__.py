@@ -29,15 +29,15 @@ from .similarity import (cosine_topk, embedding_near_dup_pairs,
                          ivf_cosine_topk, kmeans_codebook, lsh_cosine_topk,
                          q8_cosine_topk, quantize_embeddings,
                          semantic_decontaminate, semantic_dedup)
-from .text import (apply_filters, detect_language, fingerprint,
-                   ngram_perplexity, repetition_stats, scrub_pii,
-                   text_quality, token_count, token_count_bpe,
+from .text import (apply_filters, detect_language, dsir_logratio,
+                   fingerprint, ngram_perplexity, repetition_stats,
+                   scrub_pii, text_quality, token_count, token_count_bpe,
                    train_ngram_lm)
 from .multimodal import (attach_binary_metadata, decode_binary,
                          mp3_metadata, mp4_metadata, resize_image,
                          sample_frames)
 from .sampling import (assign_splits, deterministic_sample, mix_corpora,
-                       stratified_sample)
+                       stratified_sample, weighted_sample)
 from .packing import chunk_documents, pack_bins, pack_sequences
 from .bpe import bpe_decode_tokens, bpe_tokenize, train_bpe
 from .sketches import (approx_distinct, bloom_filter_words, bloom_prejoin,
@@ -54,10 +54,11 @@ __all__ = [
     "quantize_embeddings", "q8_cosine_topk", "semantic_dedup",
     "semantic_decontaminate",
     "detect_language", "fingerprint", "text_quality", "token_count",
-    "train_ngram_lm", "ngram_perplexity",
+    "train_ngram_lm", "ngram_perplexity", "dsir_logratio",
     "token_count_bpe", "repetition_stats", "scrub_pii",
     "attach_binary_metadata", "decode_binary", "mp3_metadata", "mp4_metadata",
     "resize_image", "sample_frames",
     "assign_splits", "deterministic_sample", "stratified_sample",
+    "weighted_sample",
     "train_bpe", "bpe_tokenize", "bpe_decode_tokens",
 ]

@@ -121,6 +121,59 @@ def assign_splits(
     return df.withColumn(split_col, expr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    on: Union[str, Sequence[str], None] = None,
+    seed: int = 42,
+    strata: Union[str, Sequence[str], None] = None,
+) -> DataFrame:
+    """Exact-``n`` WEIGHTED sampling without replacement (Efraimidis &
+    Spirakis 2006, algorithm A-Res): each row draws the key
+    ``ln(u) / w`` from its weight ``w`` and a deterministic md5-uniform
+    ``u``; the ``n`` largest keys are exactly a weight-proportional draw
+    without replacement — the primitive behind importance RESAMPLING of
+    a scored corpus (e.g. DSIR weights from :func:`text.dsir_logratio`,
+    quality-score-proportional subsets).  Rows with null or
+    non-positive weight carry zero mass and are excluded.
+
+    Deterministic like everything in this module: ``u`` comes from the
+    top 60 bits of ``md5(seed | key-cols)`` (``on``, default the whole
+    row), so the same row draws the same key on every engine, retry and
+    partitioning; digest ties (identical key columns) are broken by the
+    digest itself.
+
+    Plan shape at 100 TB: the key is a map-side expression inside the
+    scan stage; the global selection is ``orderBy(key).limit(n)`` —
+    Spark's TakeOrdered, a per-partition top-``n`` + driver merge of
+    ``n`` rows per partition, NO full sort shuffle.  With ``strata``,
+    selection is exact-``n`` per stratum via one hash-shuffle window
+    (same cost note as :func:`stratified_sample`).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if weight_col not in df.columns:
+        raise ValueError(f"weight column {weight_col!r} not in DataFrame")
+    w = F.col(weight_col).cast("double")
+    d = _key_digest(df, on, seed)
+    # u in (0, 1): top 15 hex digits = 60 uniform bits; +0.5 dodges the
+    # measure-zero u=0 (ln would be -inf) without biasing the draw
+    u = ((F.conv(F.substring(d, 1, 15), 16, 10).cast("double") + 0.5)
+         / F.lit(float(16 ** 15)))
+    base = (df.filter(w.isNotNull() & (w > 0) & ~F.isnan(w))
+            .withColumn("__wkey__", F.log(u) / w)
+            .withColumn("__wdig__", d))
+    order = [F.col("__wkey__").desc(), F.col("__wdig__").asc()]
+    if strata is not None:
+        win = Window.partitionBy(*as_list(strata)).orderBy(*order)
+        out = (base.withColumn("__rn__", F.row_number().over(win))
+               .filter(F.col("__rn__") <= n).drop("__rn__"))
+    else:
+        out = base.orderBy(*order).limit(n)
+    return out.drop("__wkey__", "__wdig__")
+
+
 def mix_corpora(
     corpora: Mapping[str, DataFrame],
     weights: Mapping[str, float],

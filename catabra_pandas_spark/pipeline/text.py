@@ -452,3 +452,81 @@ def ngram_perplexity(
             yield out[out["n_bigrams"].notna()]
 
     return src.mapInPandas(mapper, schema=schema)
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target_model: dict,
+    raw_model: dict,
+    text_col: str = "text",
+    id_cols=("doc_id",),
+    out_col: str = "dsir_logratio",
+    k: float = 1.0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling log-weights (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"), re-expressed on this engine's capped bigram LMs: each
+    document's importance log-weight is its per-bigram MEAN add-``k``
+    log-probability under the TARGET model minus under the RAW model —
+    positive means "looks more like the target distribution than like
+    the raw pool".  DSIR's hashed-n-gram features become the two
+    :func:`train_ngram_lm` count tables (the same capped sufficient
+    statistics, already engine-replayable); resample the corpus by
+    feeding ``exp(logratio)``-proportional weights (or the logratio
+    rank) to :func:`sampling.weighted_sample`.
+
+    MAP-ONLY: BOTH count tables are broadcast and one Arrow pass scores
+    each document under the two models simultaneously — zero shuffle,
+    one corpus scan, however large the corpus (training the two models
+    costs the usual two capped count shuffles each).  The per-bigram
+    log-probs are clamped at 0 exactly like :func:`ngram_perplexity`
+    (capped-table artifacts can push a "probability" above 1), so
+    ``logratio == ln(perplexity_raw) - ln(perplexity_target)`` on shared
+    tokenization — the property the cross-engine oracle replays.
+    Documents with fewer than two tokens are omitted (no bigram to
+    score — same contract as ``ngram_perplexity``).  Output: the
+    ``id_cols`` plus ``n_bigrams`` and ``out_col``."""
+    import math
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    id_cols = list(id_cols)
+    bc = df.sparkSession.sparkContext.broadcast((
+        (target_model["unigrams"], target_model["bigrams"],
+         float(target_model["v"])),
+        (raw_model["unigrams"], raw_model["bigrams"],
+         float(raw_model["v"])),
+    ))
+    schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in id_cols]
+        + ["n_bigrams long", f"`{out_col}` double"])
+    src = df.select(*id_cols, text_col)
+
+    def mapper(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        (t_uni, t_big, t_v), (r_uni, r_big, r_v) = bc.value
+
+        def score(text):
+            if text is None:
+                return None, None
+            toks = [t for t in text.lower().split(" ") if t]
+            if len(toks) < 2:
+                return None, None
+            st = sr = 0.0
+            for w1, w2 in zip(toks, toks[1:]):
+                st += min(0.0, math.log((t_big.get((w1, w2), 0) + k)
+                                        / (t_uni.get(w1, 0) + k * t_v)))
+                sr += min(0.0, math.log((r_big.get((w1, w2), 0) + k)
+                                        / (r_uni.get(w1, 0) + k * r_v)))
+            nb = len(toks) - 1
+            return nb, (st - sr) / nb
+
+        for pdf in batches:
+            scored = pdf[text_col].map(score)
+            out = pdf[id_cols].copy()
+            out["n_bigrams"] = [x[0] for x in scored]
+            out[out_col] = [x[1] for x in scored]
+            yield out[out["n_bigrams"].notna()]
+
+    return src.mapInPandas(mapper, schema=schema)

@@ -43,6 +43,8 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
     spark = (SparkSession.builder.master(f"local[{cpus}]")
              .appName("curation-demo")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
              .config("spark.sql.shuffle.partitions", cpus)
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.sql.adaptive.enabled", "true")
@@ -128,6 +130,26 @@ def main():
         clean.join(emb, clean.doc_id == emb.vec_id).drop("vec_id", "label"),
         bench_emb, threshold=0.95, mode="drop").drop("embedding"))
     funnel.append(("decontaminated", clean.count()))
+
+    # 5b. DSIR importance resampling toward the English slice (Xie et
+    #     al. 2023): score every survivor's bigram log-likelihood ratio
+    #     target-vs-raw in one broadcast Arrow pass, then draw a
+    #     weight-proportional exact-N subset WITHOUT replacement
+    #     (Efraimidis-Spirakis A-Res, md5-deterministic)
+    raw_lm = P.train_ngram_lm(clean)
+    tgt_lm = P.train_ngram_lm(clean.filter(F.col("lang") == "en"))
+    lr = P.dsir_logratio(clean, tgt_lm, raw_lm)
+    weighted = (clean.join(lr.select("doc_id", "dsir_logratio"), "doc_id")
+                .withColumn("dsir_w", F.exp(F.col("dsir_logratio"))))
+    n_keep = int(weighted.count() * 0.9)
+    clean = P.weighted_sample(weighted, n_keep, "dsir_w", on="doc_id",
+                              seed=13).drop("dsir_logratio", "dsir_w")
+    # the funnel counts re-execute the lineage per stage; ten operator
+    # stages deep the recompute tree outgrows a demo-sized driver heap,
+    # so cut it once here (the resample is also the natural checkpoint:
+    # everything after consumes the fixed curated subset)
+    clean = clean.localCheckpoint(eager=True)
+    funnel.append(("dsir_resample", clean.count()))
 
     # 6. mixture at target language weights
     langs = [r[0] for r in clean.select("lang").distinct().collect()]

@@ -499,6 +499,115 @@ def test_deterministic_sampling_and_splits(spark, docs):
     assert agg["train"] > agg.get("val", 0) and agg["train"] > agg.get("test", 0)
 
 
+def test_weighted_sample_matches_replay_oracle(spark, docs):
+    """Efraimidis-Spirakis A-Res weighted sampling: the selection must
+    equal an independent pure-python replay of the same md5-key
+    arithmetic (u from the digest's top 60 bits, key = ln(u)/w, top-n) —
+    exact ids, not just statistics.  Also: exact n, top-5 nests inside
+    top-20 (same keys, larger cut), null/zero/negative weights excluded,
+    per-stratum variant exact per stratum, deterministic across reruns."""
+    import hashlib
+    import math
+
+    from catabra_pandas_spark.pipeline import weighted_sample
+
+    pdf = docs.select("doc_id", "lang", "n_chars").toPandas()
+
+    def replay(n, seed):
+        keys = {}
+        for _, r in pdf.iterrows():
+            w = float(r["n_chars"])
+            if not w > 0:
+                continue
+            dig = hashlib.md5(f"{seed}|{int(r['doc_id'])}".encode()).hexdigest()
+            u = (int(dig[:15], 16) + 0.5) / 16 ** 15
+            keys[int(r["doc_id"])] = (math.log(u) / w, dig)
+        top = sorted(keys.items(), key=lambda kv: (-kv[1][0], kv[1][1]))
+        return [d for d, _ in top[:n]]
+
+    got = weighted_sample(docs, 20, "n_chars", on="doc_id", seed=5)
+    ids = sorted(r.doc_id for r in got.select("doc_id").collect())
+    assert ids == sorted(replay(20, 5))
+    assert len(ids) == 20
+    # reruns identical; top-5 is a subset of top-20 (keys don't change)
+    ids2 = sorted(r.doc_id for r in
+                  weighted_sample(docs, 20, "n_chars", on="doc_id", seed=5)
+                  .select("doc_id").collect())
+    assert ids == ids2
+    top5 = {r.doc_id for r in
+            weighted_sample(docs, 5, "n_chars", on="doc_id", seed=5)
+            .select("doc_id").collect()}
+    assert top5 <= set(ids)
+
+    # weight proportionality: two classes, heavy 50x — the heavy class
+    # must dominate the sample (deterministic given the seed)
+    two = docs.selectExpr(
+        "doc_id", "CASE WHEN doc_id % 2 = 0 THEN 50.0 ELSE 1.0 END AS w")
+    heavy = (weighted_sample(two, 30, "w", on="doc_id", seed=11)
+             .filter("doc_id % 2 = 0").count())
+    assert heavy >= 24
+
+    # null / zero / negative weights carry no mass
+    bad = docs.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 3 = 0 THEN NULL "
+        "WHEN doc_id % 3 = 1 THEN -1.0 ELSE 0.0 END AS w")
+    assert weighted_sample(bad, 10, "w", on="doc_id").count() == 0
+
+    # strata: exact min(n, |stratum|) per stratum
+    per = (weighted_sample(docs, 7, "n_chars", on="doc_id", seed=3,
+                           strata="lang")
+           .groupBy("lang").count().collect())
+    full = dict(docs.groupBy("lang").count().collect())
+    assert {r.lang: r["count"] for r in per} == \
+        {k: min(7, v) for k, v in full.items()}
+
+
+def test_dsir_logratio(spark, docs):
+    """DSIR importance log-weights: (a) target == raw model -> exactly 0
+    for every document; (b) the identity logratio == ln(ppl_raw) -
+    ln(ppl_target) vs two ngram_perplexity runs on shared tokenization;
+    (c) on a corpus with two disjoint vocabularies, documents from the
+    target-like half score strictly higher than the others."""
+    import numpy as np
+
+    from catabra_pandas_spark.pipeline import (dsir_logratio,
+                                               ngram_perplexity,
+                                               train_ngram_lm)
+
+    model = train_ngram_lm(docs)
+    same = dsir_logratio(docs, model, model).toPandas()
+    assert len(same) > 0
+    assert np.allclose(same["dsir_logratio"], 0.0, atol=0.0)
+
+    target = docs.filter("lang = 'en'")
+    tm = train_ngram_lm(target)
+    lr = (dsir_logratio(docs, tm, model).toPandas()
+          .set_index("doc_id")["dsir_logratio"])
+    pt = (ngram_perplexity(docs, tm).toPandas()
+          .set_index("doc_id")["perplexity"])
+    pr = (ngram_perplexity(docs, model).toPandas()
+          .set_index("doc_id")["perplexity"])
+    want = np.log(pr.loc[lr.index]) - np.log(pt.loc[lr.index])
+    assert np.allclose(lr.to_numpy(), want.to_numpy(), atol=1e-9)
+
+    # two-vocabulary corpus: target trained on the "aa bb" half
+    rows = [(i, "aa bb aa bb aa") for i in range(30)] + \
+           [(100 + i, "xx yy xx yy xx") for i in range(30)]
+    corp = spark.createDataFrame(rows, "doc_id long, text string")
+    tm2 = train_ngram_lm(corp.filter("doc_id < 100"))
+    rm2 = train_ngram_lm(corp)
+    out = (dsir_logratio(corp, tm2, rm2).toPandas()
+           .set_index("doc_id")["dsir_logratio"])
+    assert out[out.index < 100].min() > out[out.index >= 100].max()
+
+    # <2-token docs omitted (ngram_perplexity contract)
+    tiny = spark.createDataFrame([(1, "one"), (2, "two words")],
+                                 "doc_id long, text string")
+    got = dsir_logratio(tiny, tm2, rm2).toPandas()
+    assert got["doc_id"].tolist() == [2]
+
+
 def test_connected_components_long_chain_converges(spark):
     """Pointer jumping must converge in O(log d) rounds: a 1024-node path
     graph (diameter 1023) finishes well inside the 30-iteration default —
