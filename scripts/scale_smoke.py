@@ -39,7 +39,7 @@ Usage: python scripts/scale_smoke.py [n_obs] [tiers]
   n_obs  default 10_000_000
   tiers  comma list of {eav,interval,group,ann,text,exactsubstr,bpe16k,
          cosinebig,skew,streamstate,bucketdt,autostrat,resampauto,
-         semdedup,semdecon,semhot};
+         semdedup,semdecon,semhot,wsample};
          default = the five original tiers
 """
 
@@ -886,6 +886,47 @@ def main():
                   f"(disk {disk_ratio:.2f}x, scan {scan_ratio:.2f}x)")
             ok = False
         shutil.rmtree(root, ignore_errors=True)
+
+    # --- weighted sampling certificate (opt-in, r12) --------------------
+    if "wsample" in tiers:
+        # n rows, 1% planted HEAVY (weight 1000 vs 1): the A-Res draw of
+        # n/1000 rows must (a) be identical across two full runs AND
+        # across a repartition (determinism is md5-keyed, not
+        # partition-keyed); (b) give the heavy 1% ~the weight-mass share
+        # (0.910 = 0.01*1000 / (0.01*1000 + 0.99); k is 10x smaller than
+        # the heavy pool so without-replacement exhaustion stays small —
+        # drawing the whole pool would dilute the share to ~0.83);
+        # (c) run as TakeOrdered with ZERO exchanges — the 100 TB plan
+        # is per-partition top-n + merge, never a full sort shuffle.
+        from catabra_pandas_spark.pipeline import weighted_sample
+        n9 = n
+        k9 = max(n // 1000, 500)
+        rows9 = (spark.range(n9, numPartitions=64)
+                 .select(F.col("id"),
+                         F.when(F.pmod(F.xxhash64("id"), F.lit(100)) == 0,
+                                1000.0).otherwise(1.0).alias("w"))
+                 .localCheckpoint(eager=True))
+        t0 = time.perf_counter()
+        s1 = [r["id"] for r in
+              weighted_sample(rows9, k9, "w", on="id", seed=3)
+              .select("id").collect()]
+        t_ws = time.perf_counter() - t0
+        s2 = [r["id"] for r in
+              weighted_sample(rows9.repartition(17), k9, "w", on="id",
+                              seed=3).select("id").collect()]
+        same9 = sorted(s1) == sorted(s2) and len(s1) == k9
+        heavy9 = rows9.filter(F.col("id").isin(s1)).filter("w > 1").count()
+        frac9 = heavy9 / k9
+        expl9 = weighted_sample(rows9, k9, "w", on="id", seed=3) \
+            ._jdf.queryExecution().executedPlan().toString()
+        n_ex9 = expl9.count("Exchange")
+        plan9 = "TakeOrdered" in expl9 and n_ex9 == 0
+        print(f"wsample {n9:,} rows -> {k9:,} drawn in {t_ws:.1f}s: "
+              f"heavy-1% share {frac9:.3f} (weight mass 0.910), "
+              f"repartition-stable={same9}, exchanges={n_ex9}")
+        ok &= same9 and plan9 and 0.85 < frac9 < 0.97
+        if not (same9 and plan9 and 0.85 < frac9 < 0.97):
+            print(f"FAIL wsample: same={same9} plan={plan9} frac={frac9}")
 
     # --- text tier at n/10 documents -----------------------------------
     if "text" in tiers:
