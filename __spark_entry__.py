@@ -2879,6 +2879,56 @@ _Q_LM_PERPLEXITY_SQL = """
 """
 
 
+def q_line_dedup(spark, sf):
+    """C4-style line-frequency filtering (pipeline/dedup.py
+    line_frequency_filter — Raffel et al. 2020 §2.2): the query plants
+    boilerplate FROM the driver table (each document gains one of 5
+    shared footer lines plus a unique tail line), then removes every
+    line occurring >= 10 times corpus-wide and reassembles documents in
+    order.  Footers (>= docs/5 occurrences) must vanish, unique bodies
+    and tails survive (max body multiplicity in the table is 2).  Spark
+    counts xxhash64(line) — 8 shuffled bytes per line; the DuckDB twin
+    counts the exact STRINGS, so the hash-match doubles as a collision
+    canary (the ExactSubstr design)."""
+    docs = read_table(spark, sf, "documents").select("doc_id", "text")
+    docs2 = docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n", F.col("text"),
+            F.concat(F.lit("shared footer "),
+                     (F.col("doc_id") % 5).cast("string")),
+            F.concat(F.lit("tail "), F.col("doc_id").cast("string"))))
+    out = P.line_frequency_filter(docs2, min_count=10)
+    return out.select("doc_id", "text", "n_lines_removed")
+
+
+_Q_LINE_DEDUP_SQL = """
+    WITH d2 AS (
+      SELECT doc_id,
+             text || chr(10) || 'shared footer ' || (doc_id % 5)::VARCHAR
+                  || chr(10) || 'tail ' || doc_id::VARCHAR AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      FROM d2
+    ),
+    dup AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 10),
+    kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+             LEFT JOIN dup d USING (line) WHERE d.line IS NULL),
+    agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             count(*) AS n
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d2.doc_id, coalesce(a.text, '') AS text,
+           (len(string_split(d2.text, chr(10)))
+            - coalesce(a.n, 0))::BIGINT AS n_lines_removed
+    FROM d2 LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_weighted_sample(spark, sf):
     """Exact-N weighted sampling without replacement (pipeline/sampling.py
     weighted_sample — Efraimidis & Spirakis 2006 A-Res): 25 documents
@@ -4146,10 +4196,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DayTimeIntervalType support, plus the NEW merge_asof_timedelta
     # driver leg proving it; (e) NEW r12 operators weighted_sample
     # (Efraimidis-Spirakis A-Res, exact md5-key replay oracle) and dsir
-    # (DSIR importance log-weights, double-LM DuckDB replay); (f) the
-    # remaining slots hold the OLDEST r10 rows (kmeans_ann and
-    # mix_corpora yielded their fill slots to the two new operators —
-    # they head the r13 window with the other r10 rows).  The tail holds
+    # (DSIR importance log-weights, double-LM DuckDB replay) and
+    # line_dedup (C4 line-frequency filtering, exact-string oracle as
+    # xxhash64 collision canary); (f) the remaining slots hold the
+    # OLDEST r10 rows (kmeans_ann, mix_corpora and json_props yielded
+    # their fill slots to the three new operators — they head the r13
+    # window with the other r10 rows).  The tail holds
     # only r10/r11-green queries whose
     # exercised code is unchanged (rotation_check proves it at AST-symbol
     # level); the 10 tail r10 rows are first in the r13 window, alongside
@@ -4204,10 +4256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_lfill": q_impute_lfill,
         "impute_linear": q_impute_linear,
         "inner_or_cross": q_inner_or_cross,
-        "json_props": q_json_props,
         "weighted_sample": q_weighted_sample,
         "dsir": q_dsir,
+        "line_dedup": q_line_dedup,
         # ---- driver window ends here (50) ----
+        "json_props": q_json_props,
         "kmeans_ann": q_kmeans_ann,
         "mix_corpora": q_mix_corpora,
         "pack_bins": q_pack_bins,
@@ -4287,6 +4340,9 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _Q_WEIGHTED_SAMPLE_SQL,
         # DSIR: both capped bigram LMs replayed, clamped logprob diff
         "dsir": _Q_DSIR_SQL,
+        # C4 line dedup: oracle counts exact strings vs Spark's xxhash64
+        # (collision canary)
+        "line_dedup": _Q_LINE_DEDUP_SQL,
         "merge_overlap": _Q_MERGE_OVERLAP_SQL,
         "merge_overlap_sweep": _Q_MERGE_OVERLAP_SQL,
         # auto = cost-based pick over the same semantics; the plain join

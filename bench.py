@@ -113,6 +113,7 @@ HEADLINE = [
     "merge_asof_timedelta",
     "weighted_sample",
     "dsir",
+    "line_dedup",
 ]
 
 

@@ -15,6 +15,7 @@ from .dedup import (
     exact_dedup,
     exact_substring_dedup,
     exact_substring_stats,
+    line_frequency_filter,
     minhash_cross_dup_pairs,
     minhash_near_dup_pairs,
     minhash_signatures,
@@ -45,7 +46,9 @@ from .sketches import (approx_distinct, bloom_filter_words, bloom_prejoin,
                        quantile_certificate, quantile_sketch)
 
 __all__ = [
-    "exact_dedup", "exact_substring_dedup", "exact_substring_stats", "shingles", "shingle_rows", "minhash_signatures", "minhash_near_dup_pairs",
+    "exact_dedup", "exact_substring_dedup", "exact_substring_stats",
+    "line_frequency_filter",
+    "shingles", "shingle_rows", "minhash_signatures", "minhash_near_dup_pairs",
     "simhash", "simhash_near_dup_pairs", "ngram_jaccard_pairs",
     "minhash_cross_dup_pairs",
     "connected_components", "near_dup_dedup", "decontaminate",

@@ -893,3 +893,80 @@ def exact_substring_dedup(
                                 "n_kept": n_kept, out_col: texts})
 
     return joined.mapInPandas(rebuild, schema=schema)
+
+
+def line_frequency_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+    sep: str = "\n",
+    min_line_chars: int = 0,
+) -> DataFrame:
+    """C4-style LINE-level deduplication (Raffel et al. 2020 §2.2; the
+    same rule RefinedWeb and Gopher's repetition filters apply): remove
+    every line that occurs at least ``min_count`` times across the WHOLE
+    corpus — navigation bars, cookie banners, footer boilerplate — and
+    reassemble each document from its surviving lines in order.
+    Document-level dedup cannot see these (each document is unique);
+    ``exact_substring_stats`` works on token windows, this on the
+    natural line unit web text actually repeats.
+
+    Lines shorter than ``min_line_chars`` (after the split; length in
+    characters) are exempt from removal — C4 exempts short lines so
+    legitimately common fragments (single words, numbers) survive.
+
+    Plan shape at 100 TB: one ``posexplode`` of the line split inside
+    the scan (map-only), ONE map-side-combinable count shuffle on the
+    64-bit line hash, one equi-join of the lines against the over-count
+    hashes (the duplicated-line set can be corpus-sized, so it is a
+    shuffle join, never a broadcast), and one ``groupBy(id)``
+    reassembly via ``sort_array(collect_list(struct(pos, line)))`` —
+    bounded by document length, the same reassembly contract as
+    ``exact_substring_dedup``.  Counting happens on ``xxhash64`` of the
+    line (8 bytes shuffled per line instead of the line itself); a hash
+    collision could drop an innocent line — the cross-engine driver
+    oracle counts exact STRINGS, so it doubles as the collision canary
+    (same design as the ExactSubstr queries).
+
+    Output: ``id_col``, the other input columns untouched, ``text_col``
+    rewritten from the kept lines (empty string when every line was
+    boilerplate), plus ``n_lines_removed``.  Rows with a null text pass
+    through with ``n_lines_removed = 0``."""
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 would drop everything)")
+    for reserved in ("__pos__", "__line__", "__h__", "n_lines_removed"):
+        if reserved in df.columns:
+            raise ValueError(f"column {reserved!r} is reserved")
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep))
+        .alias("__pos__", "__line__"))
+    h = F.xxhash64("__line__")
+    eligible = F.length("__line__") >= int(min_line_chars)
+    over = (lines.filter(eligible)
+            .groupBy(h.alias("__h__"))
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .filter(F.col("__n__") >= int(min_count))
+            .select("__h__"))
+    kept = (lines.join(over, eligible & (h == F.col("__h__")), "left_anti"))
+    rebuilt = (kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(
+                    F.col("__pos__"), F.col("__line__")))),
+                lambda s: s["__line__"]),
+            sep).alias("__new_text__"),
+        F.count(F.lit(1)).alias("__n_kept__")))
+    n_lines = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), sep))
+    out_cols = [c for c in df.columns if c != text_col]
+    return (df.join(rebuilt, id_col, "left")
+            .select(
+                *out_cols,
+                F.when(F.col(text_col).isNull(), None)
+                 .otherwise(F.coalesce(F.col("__new_text__"), F.lit("")))
+                 .alias(text_col),
+                F.when(F.col(text_col).isNull(), F.lit(0))
+                 .otherwise(n_lines - F.coalesce(F.col("__n_kept__"),
+                                                 F.lit(0)))
+                 .cast("long").alias("n_lines_removed")))

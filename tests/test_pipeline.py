@@ -499,6 +499,58 @@ def test_deterministic_sampling_and_splits(spark, docs):
     assert agg["train"] > agg.get("val", 0) and agg["train"] > agg.get("test", 0)
 
 
+def test_line_frequency_filter(spark):
+    """C4-style line dedup: lines occurring >= min_count corpus-wide are
+    removed, documents reassembled in order, short lines exempt via
+    min_line_chars, all-boilerplate docs come back empty, null text
+    passes through.  Verified against a pure-pandas replay."""
+    import pandas as pd
+
+    from catabra_pandas_spark.pipeline import line_frequency_filter
+
+    footer = "subscribe to our newsletter"
+    nav = "home | about | contact"
+    rows = []
+    for i in range(10):
+        body = f"unique body text {i}"
+        parts = [nav, body, footer] if i % 2 == 0 else [body, footer, "ok"]
+        rows.append((i, "\n".join(parts)))
+    rows.append((100, footer))             # all-boilerplate doc
+    rows.append((101, None))               # null text
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf.astype({"doc_id": "int64"}))
+
+    got = (line_frequency_filter(sdf, min_count=3, min_line_chars=3)
+           .toPandas().set_index("doc_id").sort_index())
+
+    # pandas replay
+    from collections import Counter
+    cnt = Counter()
+    for t in pdf["text"].dropna():
+        for ln in t.split("\n"):
+            if len(ln) >= 3:
+                cnt[ln] += 1
+    drop = {ln for ln, c in cnt.items() if c >= 3}
+    for i, t in pdf.set_index("doc_id")["text"].items():
+        if t is None:
+            assert pd.isna(got.loc[i, "text"])
+            assert got.loc[i, "n_lines_removed"] == 0
+            continue
+        keep = [ln for ln in t.split("\n") if ln not in drop or len(ln) < 3]
+        assert got.loc[i, "text"] == "\n".join(keep)
+        assert got.loc[i, "n_lines_removed"] == \
+            len(t.split("\n")) - len(keep)
+    # the boilerplate really was removed, bodies survived
+    assert footer in drop and nav in drop
+    assert got.loc[100, "text"] == "" and got.loc[100, "n_lines_removed"] == 1
+    assert "unique body text 3" in got.loc[3, "text"]
+    # 'ok' (2 chars) is exempt despite occurring 5 times
+    assert got.loc[1, "text"].endswith("ok")
+
+    with pytest.raises(ValueError, match="min_count"):
+        line_frequency_filter(sdf, min_count=1)
+
+
 def test_weighted_sample_matches_replay_oracle(spark, docs):
     """Efraimidis-Spirakis A-Res weighted sampling: the selection must
     equal an independent pure-python replay of the same md5-key
