@@ -10,6 +10,9 @@ corpus — every stage is an operator from this repo, chained the way a real
            near_dup_dedup)                     keep one doc per cluster
        -> benchmark decontamination            drop docs overlapping the
           (decontaminate)                      held-out eval slice
+       -> DSIR importance resampling           bigram log-likelihood-ratio
+          (dsir_logratio + weighted_sample)    weights toward the target
+                                               slice, A-Res exact-N draw
        -> mixture composition (mix_corpora)    per-language target weights
        -> sequence packing (pack_sequences)    256-token training bins
        -> z-ordered parquet (zorder_layout +   multi-column min-max
