@@ -889,6 +889,7 @@ def semantic_dedup(
     centroids: list | None = None,
     round_decimals: int | None = None,
     max_cell_size: int = 20_000,
+    memory_budget_bytes: int | None = None,
     on_hot_cell: str = "error",
     subcluster_centroids: int = 16,
     subcluster_iter: int = 2,
@@ -936,8 +937,10 @@ def semantic_dedup(
     per-cell footprint is ~``cap² x 9`` bytes (the float64 similarity
     matrix plus a same-shape bool mask): at the 20k default that is
     ~3.6 GB — sized for a typical executor; 200k would be ~360 GB and
-    OOM long before any guard fired.  Derive your own cap from the
-    executor memory budget when raising it.
+    OOM long before any guard fired.  Pass ``memory_budget_bytes`` (the
+    per-task memory you are willing to spend on the pairwise step) to
+    DERIVE the cap instead: ``cap = sqrt(budget / 9)``, overriding
+    ``max_cell_size`` — e.g. 8 GiB -> ~30.9k, 1 GiB -> ~10.9k.
 
     ``on_hot_cell="subcluster"`` is the automatic recovery (at 100 TB a
     natural corpus WILL have a hot semantic cell): cells over the cap are
@@ -965,6 +968,12 @@ def semantic_dedup(
         raise ValueError("keep must be 'low_centroid_sim' or 'min_id'")
     if on_hot_cell not in ("error", "subcluster"):
         raise ValueError("on_hot_cell must be 'error' or 'subcluster'")
+    if memory_budget_bytes is not None:
+        if memory_budget_bytes < 9_000_000:  # cap 1000 -> 9 MB floor
+            raise ValueError(
+                "memory_budget_bytes too small: the pairwise step needs "
+                "~cap^2 x 9 bytes; give at least 9e6 (cap 1000)")
+        max_cell_size = int((memory_budget_bytes / 9) ** 0.5)
     if dim is None:
         dim = _infer_dim(df, vec_col)
     if centroids is None:

@@ -1588,6 +1588,33 @@ def test_semantic_dedup_subcluster_recovery(spark):
                        on_hot_cell="subcluster").collect()
 
 
+def test_semantic_dedup_memory_budget_cap(spark):
+    """memory_budget_bytes derives the hot-cell cap (cap = sqrt(budget/9),
+    overriding max_cell_size): a budget implying cap < the cell size must
+    trip the guard even when max_cell_size would allow it, and a too-small
+    budget errors up front."""
+    from catabra_pandas_spark.pipeline import semantic_dedup
+
+    rng = np.random.default_rng(97)
+    n = 1200
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n),
+        "embedding": [v.tolist() for v in rng.normal(size=(n, 4))]})
+    one_cell = [(0, [1.0, 0.0, 0.0, 0.0])]
+    # 9e6 bytes -> cap 1000 < 1200: the guard trips even though the
+    # 20k max_cell_size default would allow the cell
+    with pytest.raises(Exception, match="max_cell_size"):
+        semantic_dedup(spark.createDataFrame(pdf), centroids=one_cell,
+                       dim=4, memory_budget_bytes=9_000_000).collect()
+    # 16 MB -> cap ~1333 >= 1200: passes
+    ok = semantic_dedup(spark.createDataFrame(pdf), centroids=one_cell,
+                        dim=4, memory_budget_bytes=16_000_000)
+    assert ok.count() == n
+    with pytest.raises(ValueError, match="memory_budget_bytes too small"):
+        semantic_dedup(spark.createDataFrame(pdf), centroids=one_cell,
+                       dim=4, memory_budget_bytes=1000)
+
+
 def test_semantic_dedup_hot_cell_guard(spark):
     """A cluster above max_cell_size must fail LOUDLY (naming the cell
     and size) instead of silently running the O(c^2) pairwise task —
