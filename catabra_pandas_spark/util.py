@@ -66,6 +66,28 @@ def bucket_numeric_double(c: Column, dt) -> Column:
     return numeric_double(c, dt)
 
 
+def plan_stats(df) -> tuple:
+    """Catalyst optimizer statistics of a DataFrame's plan WITHOUT
+    executing it: ``(row_count | None, size_in_bytes)``.
+
+    ``row_count`` is the optimizer's exact/CBO estimate when available
+    (``spark.range``, in-memory relations, ANALYZEd tables) and ``None``
+    otherwise — plain parquet scans only carry ``size_in_bytes`` (file
+    size based, always present, may over-estimate post-filter).  Meant
+    for cost gates that want to SKIP a statistics job when the plan
+    already proves the input tiny or known-sized (the r13 plan for
+    ``merge_intervals``' auto-detector: consult these before paying the
+    count jobs); callers must treat ``row_count=None`` as "unknown",
+    never as zero, and remember ``size_in_bytes`` ignores filters on
+    file scans."""
+    st = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = st.rowCount()
+    # py4j may hand back the scala BigInt as a java object OR an int —
+    # str() round-trip covers both
+    row_count = int(str(rc.get())) if rc.isDefined() else None
+    return row_count, int(st.sizeInBytes())
+
+
 def exact_numeric_double(c: Column, dt) -> Column:
     """``numeric_double`` extended with DayTimeIntervalType via EXACT
     field extraction (``interval_total_seconds`` — decimal sum, full

@@ -192,3 +192,23 @@ def test_retention_cohorts(spark):
     # monthly cohorts go through calendar (not fixed-width) arithmetic
     out_m = retention(to_sdf(spark, pdf), period="month").toPandas()
     assert set(out_m.period_offset) == {0}
+
+
+def test_plan_stats(spark, tmp_path):
+    """Optimizer stats without execution: exact rowCount for known-sized
+    plans, None (never zero) for parquet scans, sizeInBytes always
+    present — the r13 auto-detector's skip-the-count-job gate."""
+    from catabra_pandas_spark.util import plan_stats
+
+    rc, sz = plan_stats(spark.range(12345))
+    assert rc == 12345 and sz > 0
+
+    p = str(tmp_path / "ps")
+    spark.range(100).write.mode("overwrite").parquet(p)
+    scan = spark.read.parquet(p)
+    rc2, sz2 = plan_stats(scan)
+    assert rc2 is None and sz2 > 0
+    # filters don't shrink file-scan size stats: callers must treat the
+    # number as an upper bound, not a post-filter estimate
+    rc3, sz3 = plan_stats(scan.filter("id < 3"))
+    assert rc3 is None and sz3 >= sz2 // 2
