@@ -2914,7 +2914,8 @@ _Q_LINE_DEDUP_SQL = """
              unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
       FROM d2
     ),
-    dup AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 10),
+    dup AS (SELECT line FROM lines WHERE length(line) >= 1
+            GROUP BY line HAVING count(*) >= 10),
     kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
              LEFT JOIN dup d USING (line) WHERE d.line IS NULL),
     agg AS (

@@ -901,7 +901,7 @@ def line_frequency_filter(
     id_col: str = "doc_id",
     min_count: int = 3,
     sep: str = "\n",
-    min_line_chars: int = 0,
+    min_line_chars: int = 1,
 ) -> DataFrame:
     """C4-style LINE-level deduplication (Raffel et al. 2020 §2.2; the
     same rule RefinedWeb and Gopher's repetition filters apply): remove
@@ -914,7 +914,15 @@ def line_frequency_filter(
 
     Lines shorter than ``min_line_chars`` (after the split; length in
     characters) are exempt from removal — C4 exempts short lines so
-    legitimately common fragments (single words, numbers) survive.
+    legitimately common fragments (single words, numbers) survive.  The
+    default of 1 exempts exactly the EMPTY line: in any real corpus the
+    blank paragraph separator exceeds ``min_count``, and removing it
+    would silently collapse paragraph structure corpus-wide.  Pass 0 to
+    opt in to removing over-counted empty lines too.
+
+    ``sep`` is treated as a LITERAL separator on both the split and the
+    reassembly side (regex metacharacters in it are quoted before the
+    split, which is regex-based underneath).
 
     Plan shape at 100 TB: one ``posexplode`` of the line split inside
     the scan (map-only), ONE map-side-combinable count shuffle on the
@@ -938,9 +946,14 @@ def line_frequency_filter(
     for reserved in ("__pos__", "__line__", "__h__", "n_lines_removed"):
         if reserved in df.columns:
             raise ValueError(f"column {reserved!r} is reserved")
+    # F.split takes a Java regex while F.array_join (the reassembly) is
+    # literal — quote the separator (Pattern.quote semantics, incl. an
+    # embedded \E) so both sides agree on any sep, not just "\n"
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = df.select(
         id_col,
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep))
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             sep_rx))
         .alias("__pos__", "__line__"))
     h = F.xxhash64("__line__")
     eligible = F.length("__line__") >= int(min_line_chars)
@@ -958,7 +971,8 @@ def line_frequency_filter(
                 lambda s: s["__line__"]),
             sep).alias("__new_text__"),
         F.count(F.lit(1)).alias("__n_kept__")))
-    n_lines = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), sep))
+    n_lines = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             sep_rx))
     out_cols = [c for c in df.columns if c != text_col]
     return (df.join(rebuilt, id_col, "left")
             .select(

@@ -141,8 +141,12 @@ def weighted_sample(
     Deterministic like everything in this module: ``u`` comes from the
     top 60 bits of ``md5(seed | key-cols)`` (``on``, default the whole
     row), so the same row draws the same key on every engine, retry and
-    partitioning; digest ties (identical key columns) are broken by the
-    digest itself.
+    partitioning; key ties between DIFFERENT rows are broken by the
+    digest itself.  Caveat: the guarantee requires ``on`` to uniquely
+    key rows (or duplicates to be full-row identical) — rows sharing
+    the same ``on`` values have identical digest AND key, so which copy
+    the cut keeps among them is arbitrary when their other columns
+    differ.  The default (``on=None`` = the whole row) is always safe.
 
     Plan shape at 100 TB: the key is a map-side expression inside the
     scan stage; the global selection is ``orderBy(key).limit(n)`` —

@@ -1071,7 +1071,11 @@ def semantic_dedup(
                     mn = m / np.maximum(
                         np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
                     cells = pdf["cell"].to_numpy()
-                    out_cells = np.empty(len(pdf), dtype=np.int64)
+                    # initialize from the INPUT cells, not np.empty: a
+                    # row whose cell misses `sub` keeps its id (and the
+                    # hot-filter invariant makes that unreachable today)
+                    # instead of emitting uninitialized garbage silently
+                    out_cells = cells.astype(np.int64, copy=True)
                     for c, (nids, Csn) in sub.items():
                         mask = cells == c
                         if mask.any():

@@ -83,9 +83,10 @@ def plan_stats(df) -> tuple:
     st = df._jdf.queryExecution().optimizedPlan().stats()
     rc = st.rowCount()
     # py4j may hand back the scala BigInt as a java object OR an int —
-    # str() round-trip covers both
+    # str() round-trip covers both (applied to BOTH stats: sizeInBytes
+    # is the same scala BigInt type as rowCount's payload)
     row_count = int(str(rc.get())) if rc.isDefined() else None
-    return row_count, int(st.sizeInBytes())
+    return row_count, int(str(st.sizeInBytes()))
 
 
 def exact_numeric_double(c: Column, dt) -> Column:
