@@ -3031,6 +3031,93 @@ _Q_DSIR_SQL = """
 """
 
 
+def q_dsir_resample(spark, sf):
+    """The full published DSIR recipe end-to-end (Xie et al. 2023 §3),
+    chaining the two individually-green operators exactly as
+    scripts/curation_demo.py wires them: dsir_logratio scores every
+    document against the English-slice target LM vs the whole-corpus raw
+    LM (one broadcast Arrow pass, zero shuffle), the weight is
+    exp(logratio), and weighted_sample (A-Res) draws an exact-30
+    importance-proportional subset via TakeOrdered — the resample-toward-
+    target funnel stage.  The DuckDB twin replays BOTH stages: all four
+    capped LM count tables, the clamped per-bigram log-prob difference,
+    the unrounded per-doc mean, exp(), the md5 60-bit uniform, the
+    ln(u)/w key and the (key desc, digest asc) cut.  Rank margins at
+    this corpus size are ~12 orders of magnitude above the cross-engine
+    ulp of the weight arithmetic, so the selected ids match exactly."""
+    docs = read_table(spark, sf, "documents")
+    raw = P.train_ngram_lm(docs)
+    target = P.train_ngram_lm(docs.filter(F.col("lang") == "en"))
+    lr = P.dsir_logratio(docs, target, raw)
+    weighted = (docs.join(lr.select("doc_id", "dsir_logratio"), "doc_id")
+                .withColumn("dsir_w", F.exp(F.col("dsir_logratio"))))
+    out = P.weighted_sample(weighted, 30, "dsir_w", on="doc_id", seed=13)
+    return out.select("doc_id", "lang",
+                      F.round("dsir_logratio", 6).alias("dsir_logratio"))
+
+
+_Q_DSIR_RESAMPLE_SQL = """
+    WITH toks0 AS (
+      SELECT doc_id, unnest(l) AS tok,
+             unnest(range(1, len(l) + 1)) AS ord
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM documents)
+    ),
+    toks AS (SELECT * FROM toks0 WHERE tok != ''),
+    en_ids AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    uni_r AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+      ORDER BY n DESC, tok LIMIT 50000
+    ),
+    uni_t AS (
+      SELECT tok, count(*) AS n FROM toks
+      WHERE doc_id IN (SELECT doc_id FROM en_ids)
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 50000
+    ),
+    pairs AS (
+      SELECT doc_id, tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+      FROM toks
+    ),
+    big_r AS (
+      SELECT w1, w2, count(*) AS n FROM pairs WHERE w2 IS NOT NULL
+      GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 200000
+    ),
+    big_t AS (
+      SELECT w1, w2, count(*) AS n FROM pairs
+      WHERE w2 IS NOT NULL AND doc_id IN (SELECT doc_id FROM en_ids)
+      GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 200000
+    ),
+    vr AS (SELECT count(*) + 1 AS v FROM uni_r),
+    vt AS (SELECT count(*) + 1 AS v FROM uni_t),
+    scored AS (
+      SELECT p.doc_id,
+             least(0.0, ln((coalesce(bt.n, 0) + 1.0)
+                           / (coalesce(ut.n, 0) + vt.v)))
+             - least(0.0, ln((coalesce(br.n, 0) + 1.0)
+                             / (coalesce(ur.n, 0) + vr.v))) AS lp
+      FROM pairs p CROSS JOIN vt CROSS JOIN vr
+      LEFT JOIN big_t bt ON bt.w1 = p.w1 AND bt.w2 = p.w2
+      LEFT JOIN uni_t ut ON ut.tok = p.w1
+      LEFT JOIN big_r br ON br.w1 = p.w1 AND br.w2 = p.w2
+      LEFT JOIN uni_r ur ON ur.tok = p.w1
+      WHERE p.w2 IS NOT NULL
+    ),
+    lr AS (SELECT doc_id, avg(lp) AS logratio FROM scored GROUP BY doc_id),
+    keyed AS (
+      SELECT d.doc_id, d.lang, lr.logratio,
+             md5(concat_ws('|', '13', d.doc_id::VARCHAR)) AS dig
+      FROM documents d JOIN lr ON lr.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, round(logratio, 6) AS dsir_logratio FROM keyed
+    ORDER BY ln((('0x' || substr(dig, 1, 15))::BIGINT + 0.5)
+                / power(16.0, 15))
+             / exp(logratio) DESC,
+             dig ASC
+    LIMIT 30
+"""
+
+
 def q_substring_dedup(spark, sf):
     """ExactSubstr duplication stats (pipeline/dedup.py
     exact_substring_stats — Lee et al. 2021): per document, the fraction
@@ -4183,35 +4270,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/rotation_check.py, run from finalize_round.py): any query
     # whose underlying module — or whose query-builder/oracle source —
     # changed since its last green driver row must sit inside the window.
-    # r12 window = (a) FIRST driver rows for the two r11
-    # pipeline/similarity operators, semantic_dedup and
-    # semantic_decontaminate (oracle SQL pre-validated verbatim in
-    # tests/test_pipeline.py's duckdb-oracle tests since r11); (b) the 12
-    # rotation queries contractually deferred from r11 — the r8-row seven
-    # (stream_dedup, stream_funnel, stream_resample_interval,
-    # group_intervals_ts/_keyless, multimodal_mp4, multimodal_frames) and
-    # the r9-row five (cross_dedup, minhash_lsh, simhash, funnel,
-    # retention); (c) the 14 remaining r9-row queries, retiring every
-    # green row older than r10 (the repo's <=2-round freshness cadence);
-    # (d) merge_asof + stream_asof, flagged by this round's asof.py
-    # DayTimeIntervalType support, plus the NEW merge_asof_timedelta
-    # driver leg proving it; (e) NEW r12 operators weighted_sample
-    # (Efraimidis-Spirakis A-Res, exact md5-key replay oracle) and dsir
-    # (DSIR importance log-weights, double-LM DuckDB replay) and
-    # line_dedup (C4 line-frequency filtering, exact-string oracle as
-    # xxhash64 collision canary); (f) the remaining slots hold the
-    # OLDEST r10 rows (kmeans_ann, mix_corpora and json_props yielded
-    # their fill slots to the three new operators — they head the r13
-    # window with the other r10 rows).  The tail holds
-    # only r10/r11-green queries whose
-    # exercised code is unchanged (rotation_check proves it at AST-symbol
-    # level); the 10 tail r10 rows are first in the r13 window, alongside
-    # the planned merging.py auto-detector plan-stats change (VERDICT r11
-    # #6), which flags the entire merge/find_containing/resample closure
-    # and therefore needs a window of its own.
+    # r13 window, exactly as the r12 VERDICT budgeted (31 + 13 + extras
+    # = 50): (a) the 31-query merge/find_containing/resample closure
+    # flagged by the merging.py auto-detector plan_stats integration
+    # (VERDICT r11 #6 / r12 #1 — optimizer row counts consulted before
+    # the two measured stats jobs, which now run concurrently when still
+    # needed); the oracles are unchanged, so re-greening certifies the
+    # detector change preserved every pick's RESULTS; (b) semantic_dedup
+    # (similarity.py _reassign loud-fail init) and line_dedup
+    # (dedup.py literal-separator quoting + the min_line_chars=1 blank-
+    # line exemption default, oracle updated to match) — the two r12
+    # ADVICE behavioral fixes; (c) dsir + lm_perplexity, flagged by the
+    # text.py vectorized bigram scoring (VERDICT r12 #5 — Series-map
+    # lookups + numpy log replacing the per-token Python loop; same
+    # summation order, bit-identical values); (d) NEW dsir_resample —
+    # the chained dsir_logratio -> exp -> weighted_sample recipe (Xie
+    # 2023 §3, VERDICT r12 #4) with a full two-stage DuckDB replay;
+    # (e) the 13 r10-row queries hitting the repo's 3-round age limit
+    # (VERDICT r12 #2); (f) dedup_exact fills the last slot to freshen
+    # the oldest untouched r11 row.  The 63-query tail holds only
+    # r11/r12-green queries whose exercised code is unchanged
+    # (rotation_check proves it at AST-symbol level).
     return {
+        "merge_overlap": q_merge_overlap,
+        "merge_open_endpoints": q_merge_open_endpoints,
+        "merge_left_keep_first": q_merge_left_keep_first,
+        "merge_keep_both": q_merge_keep_both,
+        "merge_indexers": q_merge_indexers,
+        "merge_cat_intervals": q_merge_cat_intervals,
+        "merge_str_intervals": q_merge_str_intervals,
+        "merge_str_bucket": q_merge_str_bucket,
+        "merge_date_intervals": q_merge_date_intervals,
+        "merge_date_bucket": q_merge_date_bucket,
+        "merge_timedelta_intervals": q_merge_timedelta_intervals,
+        "merge_timedelta_bucket": q_merge_timedelta_bucket,
+        "merge_overlap_sweep": q_merge_overlap_sweep,
+        "merge_auto_sweep": q_merge_auto_sweep,
+        "bucket_range_join": q_bucket_range_join,
+        "find_containing": q_find_containing,
+        "find_containing_sweep": q_find_containing_sweep,
+        "resample_eav_basic": q_resample_eav_basic,
+        "resample_eav_irregular": q_resample_eav_irregular,
+        "resample_eav_bucket": q_resample_eav_bucket,
+        "resample_eav_quantiles": q_resample_eav_quantiles,
+        "resample_eav_moments": q_resample_eav_moments,
+        "resample_eav_ranks": q_resample_eav_ranks,
+        "resample_eav_mode": q_resample_eav_mode,
+        "resample_eav_sliding": q_resample_eav_sliding,
+        "resample_eav_custom": q_resample_eav_custom,
+        "resample_eav_custom_multi": q_resample_eav_custom_multi,
+        "resample_eav_custom_slope": q_resample_eav_custom_slope,
+        "resample_interval": q_resample_interval,
+        "resample_interval_sweep": q_resample_interval_sweep,
+        "make_windows": q_make_windows,
         "semantic_dedup": q_semantic_dedup,
+        "line_dedup": q_line_dedup,
+        "dsir": q_dsir,
+        "dsir_resample": q_dsir_resample,
+        "lm_perplexity": q_lm_perplexity,
+        "prev_next": q_prev_next,
+        "pack_bins": q_pack_bins,
+        "topk": q_topk,
+        "substring_dedup": q_substring_dedup,
+        "substring_removal": q_substring_removal,
+        "kmeans_ann": q_kmeans_ann,
+        "q8_ann": q_q8_ann,
+        "sample_stratified": q_sample_stratified,
+        "sample_split": q_sample_split,
+        "mix_corpora": q_mix_corpora,
+        "pack_sequences": q_pack_sequences,
+        "zorder": q_zorder,
+        "json_props": q_json_props,
+        "dedup_exact": q_dedup_exact,
+        # ---- driver window ends here (50) ----
         "semantic_decontaminate": q_semantic_decontaminate,
+        "weighted_sample": q_weighted_sample,
         "stream_dedup": q_stream_dedup,
         "stream_funnel": q_stream_funnel,
         "stream_resample_interval": q_stream_resample_interval,
@@ -4219,6 +4352,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_intervals_keyless": q_group_intervals_keyless,
         "multimodal_mp4": q_multimodal_mp4,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_mp3": q_multimodal_mp3,
+        "multimodal_png": q_multimodal_png,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_wav": q_multimodal_wav,
         "cross_dedup": q_cross_dedup,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -4229,13 +4369,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "ivf_ann": q_ivf_ann,
         "lsh_ann": q_lsh_ann,
-        "multimodal_audio": q_multimodal_audio,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_mp3": q_multimodal_mp3,
-        "multimodal_png": q_multimodal_png,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_wav": q_multimodal_wav,
         "quantile_sketch": q_quantile_sketch,
         "stream_asof": q_stream_asof,
         "merge_asof": q_merge_asof,
@@ -4257,61 +4390,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_lfill": q_impute_lfill,
         "impute_linear": q_impute_linear,
         "inner_or_cross": q_inner_or_cross,
-        "weighted_sample": q_weighted_sample,
-        "dsir": q_dsir,
-        "line_dedup": q_line_dedup,
-        # ---- driver window ends here (50) ----
-        "json_props": q_json_props,
-        "kmeans_ann": q_kmeans_ann,
-        "mix_corpora": q_mix_corpora,
-        "pack_bins": q_pack_bins,
-        "pack_sequences": q_pack_sequences,
-        "prev_next": q_prev_next,
-        "q8_ann": q_q8_ann,
-        "sample_split": q_sample_split,
-        "sample_stratified": q_sample_stratified,
-        "substring_dedup": q_substring_dedup,
-        "substring_removal": q_substring_removal,
-        "topk": q_topk,
-        "zorder": q_zorder,
-        "merge_date_bucket": q_merge_date_bucket,
-        "merge_timedelta_bucket": q_merge_timedelta_bucket,
-        "merge_overlap": q_merge_overlap,
-        "merge_open_endpoints": q_merge_open_endpoints,
-        "merge_left_keep_first": q_merge_left_keep_first,
-        "merge_keep_both": q_merge_keep_both,
-        "merge_indexers": q_merge_indexers,
-        "merge_cat_intervals": q_merge_cat_intervals,
-        "merge_str_intervals": q_merge_str_intervals,
-        "merge_str_bucket": q_merge_str_bucket,
-        "merge_date_intervals": q_merge_date_intervals,
-        "merge_timedelta_intervals": q_merge_timedelta_intervals,
-        "merge_overlap_sweep": q_merge_overlap_sweep,
-        "find_containing": q_find_containing,
-        "find_containing_sweep": q_find_containing_sweep,
-        "resample_interval": q_resample_interval,
-        "resample_interval_sweep": q_resample_interval_sweep,
-        "bucket_range_join": q_bucket_range_join,
-        "merge_auto_sweep": q_merge_auto_sweep,
-        "resample_eav_bucket": q_resample_eav_bucket,
-        "resample_eav_basic": q_resample_eav_basic,
-        "resample_eav_irregular": q_resample_eav_irregular,
-        "resample_eav_quantiles": q_resample_eav_quantiles,
-        "resample_eav_moments": q_resample_eav_moments,
-        "resample_eav_ranks": q_resample_eav_ranks,
-        "resample_eav_mode": q_resample_eav_mode,
-        "resample_eav_sliding": q_resample_eav_sliding,
-        "resample_eav_custom": q_resample_eav_custom,
-        "resample_eav_custom_multi": q_resample_eav_custom_multi,
-        "resample_eav_custom_slope": q_resample_eav_custom_slope,
-        "make_windows": q_make_windows,
         "combine_union": q_combine_union,
         "combine_k3": q_combine_k3,
         "combine_gaps": q_combine_gaps,
         "combine_attrs": q_combine_attrs,
         "cube": q_cube,
         "rollup": q_rollup,
-        "dedup_exact": q_dedup_exact,
         "decontam": q_decontam,
         "text_stats": q_text_stats,
         "quality_gate": q_quality_gate,
@@ -4319,7 +4403,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "repetition": q_repetition,
         "langid": q_langid,
-        "lm_perplexity": q_lm_perplexity,
         "ngram_jaccard": q_ngram_jaccard,
         "sessionize": q_sessionize,
         "stream_resample": q_stream_resample,
@@ -4341,6 +4424,9 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _Q_WEIGHTED_SAMPLE_SQL,
         # DSIR: both capped bigram LMs replayed, clamped logprob diff
         "dsir": _Q_DSIR_SQL,
+        # the chained published recipe: DSIR log-weights -> exp ->
+        # A-Res draw, both stages replayed in one SQL program
+        "dsir_resample": _Q_DSIR_RESAMPLE_SQL,
         # C4 line dedup: oracle counts exact strings vs Spark's xxhash64
         # (collision canary)
         "line_dedup": _Q_LINE_DEDUP_SQL,

@@ -387,6 +387,69 @@ def train_ngram_lm(
             "v": len(unigrams) + 1}
 
 
+def _prep_model(model: dict):
+    """Hash-indexed pandas views of a :func:`train_ngram_lm` model, built
+    ONCE per scoring task (never per Arrow batch): a token-keyed unigram
+    count Series, a ``w1\\x00w2``-keyed bigram count Series, and V.  The
+    NUL joint is safe — tokens come from splitting text on spaces, and a
+    NUL inside a token cannot collide two distinct pairs because the
+    join is positional."""
+    import pandas as pd
+
+    uni = pd.Series(model["unigrams"], dtype="float64")
+    big = pd.Series(
+        {w1 + "\x00" + w2: float(n)
+         for (w1, w2), n in model["bigrams"].items()}, dtype="float64")
+    return uni, big, float(model["v"])
+
+
+def _bigram_logprob_sums(tok_lists, models, k):
+    """Per-document clamped add-``k`` bigram log-prob sums for one Arrow
+    batch, vectorized: replaces the r12 per-bigram Python dict-lookup
+    loop with hash-indexed ``Series.map`` lookups (C-speed reindex) and
+    one numpy log/clamp expression per model; per-document sums use
+    ``np.bincount``, which accumulates in array order — the same
+    left-to-right summation as the old loop, and ``np.log`` is the same
+    libm call as ``math.log``, so results are bit-identical.
+
+    ``tok_lists``: per row a token list or None; rows with < 2 tokens
+    get ``nb = 0``.  ``models``: sequence of :func:`_prep_model` tuples.
+    Returns ``(nb, [sums_per_model])`` as float64 arrays of batch
+    length."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(tok_lists)
+    nb = np.zeros(n, dtype=np.int64)
+    for i, tl in enumerate(tok_lists):
+        if tl is not None and len(tl) >= 2:
+            nb[i] = len(tl) - 1
+    idx = np.repeat(np.arange(n), nb)
+    w1 = [t for tl in tok_lists if tl is not None and len(tl) >= 2
+          for t in tl[:-1]]
+    w2 = [t for tl in tok_lists if tl is not None and len(tl) >= 2
+          for t in tl[1:]]
+    s1 = pd.Series(w1, dtype=object)
+    sb = pd.Series([a + "\x00" + b for a, b in zip(w1, w2)], dtype=object)
+    sums = []
+    for uni, big, v in models:
+        cu = s1.map(uni).to_numpy(dtype="float64", na_value=0.0)
+        cb = sb.map(big).to_numpy(dtype="float64", na_value=0.0)
+        # clamp at ln(1)=0: when the bigram cap retains a pair whose
+        # first token fell OUTSIDE the unigram cap, (c(w1w2)+k)/(0+k*V)
+        # can exceed 1 — not a probability
+        lp = np.minimum(0.0, np.log((cb + k) / (cu + k * v)))
+        sums.append(np.bincount(idx, weights=lp, minlength=n))
+    return nb, sums
+
+
+def _tokenize_batch(texts):
+    """The shared-tokenization rule (lower, split on single spaces, drop
+    empties) applied to one Arrow batch's text column; None stays None."""
+    return [None if t is None
+            else [x for x in t.lower().split(" ") if x] for t in texts]
+
+
 def ngram_perplexity(
     df: DataFrame,
     model: dict,
@@ -403,14 +466,14 @@ def ngram_perplexity(
     "probability" above 1 or a perplexity below 1.
 
     MAP-ONLY: the count tables are broadcast (they are the whole model)
-    and each Arrow batch scores its rows in Python — no shuffle at any
+    and each Arrow batch scores its rows with vectorized count lookups
+    (:func:`_bigram_logprob_sums` — hash-indexed Series maps + one numpy
+    log expression, not a per-token Python loop) — no shuffle at any
     corpus size, the same recipe as ``bpe_tokenize``.  Output: the
     ``id_cols`` plus ``n_bigrams`` and ``out_col``; documents with fewer
     than two tokens are omitted (no bigram to score — filter them with
     the quality gate instead).
     """
-    import math
-
     from typing import Iterator
 
     import pandas as pd
@@ -424,32 +487,18 @@ def ngram_perplexity(
     src = df.select(*id_cols, text_col)
 
     def mapper(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        uni, big, v = bc.value
+        import numpy as np
 
-        def score(text):
-            if text is None:
-                return None, None
-            toks = [t for t in text.lower().split(" ") if t]
-            if len(toks) < 2:
-                return None, None
-            s = 0.0
-            for w1, w2 in zip(toks, toks[1:]):
-                # clamp at ln(1)=0: when the bigram cap retains a pair
-                # whose first token fell OUTSIDE the unigram cap,
-                # (c(w1w2)+k)/(0+k·V) can exceed 1 — not a probability;
-                # without the clamp such pairs would push perplexity
-                # below 1
-                s += min(0.0, math.log((big.get((w1, w2), 0) + k)
-                                       / (uni.get(w1, 0) + k * v)))
-            nb = len(toks) - 1
-            return nb, math.exp(-s / nb)
-
+        prepped = [_prep_model({"unigrams": bc.value[0],
+                                "bigrams": bc.value[1], "v": bc.value[2]})]
         for pdf in batches:
-            scored = pdf[text_col].map(score)
-            out = pdf[id_cols].copy()
-            out["n_bigrams"] = [x[0] for x in scored]
-            out[out_col] = [x[1] for x in scored]
-            yield out[out["n_bigrams"].notna()]
+            nb, (s,) = _bigram_logprob_sums(
+                _tokenize_batch(pdf[text_col]), prepped, k)
+            valid = nb > 0
+            out = pdf[id_cols].copy()[valid]
+            out["n_bigrams"] = nb[valid]
+            out[out_col] = np.exp(-s[valid] / nb[valid])
+            yield out
 
     return src.mapInPandas(mapper, schema=schema)
 
@@ -478,7 +527,9 @@ def dsir_logratio(
     MAP-ONLY: BOTH count tables are broadcast and one Arrow pass scores
     each document under the two models simultaneously — zero shuffle,
     one corpus scan, however large the corpus (training the two models
-    costs the usual two capped count shuffles each).  The per-bigram
+    costs the usual two capped count shuffles each).  Scoring is
+    vectorized (:func:`_bigram_logprob_sums` — hash-indexed Series maps
+    + numpy log, shared with ``ngram_perplexity``).  The per-bigram
     log-probs are clamped at 0 exactly like :func:`ngram_perplexity`
     (capped-table artifacts can push a "probability" above 1), so
     ``logratio == ln(perplexity_raw) - ln(perplexity_target)`` on shared
@@ -486,8 +537,6 @@ def dsir_logratio(
     Documents with fewer than two tokens are omitted (no bigram to
     score — same contract as ``ngram_perplexity``).  Output: the
     ``id_cols`` plus ``n_bigrams`` and ``out_col``."""
-    import math
-
     from typing import Iterator
 
     import pandas as pd
@@ -505,28 +554,16 @@ def dsir_logratio(
     src = df.select(*id_cols, text_col)
 
     def mapper(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        (t_uni, t_big, t_v), (r_uni, r_big, r_v) = bc.value
-
-        def score(text):
-            if text is None:
-                return None, None
-            toks = [t for t in text.lower().split(" ") if t]
-            if len(toks) < 2:
-                return None, None
-            st = sr = 0.0
-            for w1, w2 in zip(toks, toks[1:]):
-                st += min(0.0, math.log((t_big.get((w1, w2), 0) + k)
-                                        / (t_uni.get(w1, 0) + k * t_v)))
-                sr += min(0.0, math.log((r_big.get((w1, w2), 0) + k)
-                                        / (r_uni.get(w1, 0) + k * r_v)))
-            nb = len(toks) - 1
-            return nb, (st - sr) / nb
-
+        prepped = [
+            _prep_model({"unigrams": u, "bigrams": b, "v": v})
+            for (u, b, v) in bc.value]
         for pdf in batches:
-            scored = pdf[text_col].map(score)
-            out = pdf[id_cols].copy()
-            out["n_bigrams"] = [x[0] for x in scored]
-            out[out_col] = [x[1] for x in scored]
-            yield out[out["n_bigrams"].notna()]
+            nb, (st, sr) = _bigram_logprob_sums(
+                _tokenize_batch(pdf[text_col]), prepped, k)
+            valid = nb > 0
+            out = pdf[id_cols].copy()[valid]
+            out["n_bigrams"] = nb[valid]
+            out[out_col] = (st[valid] - sr[valid]) / nb[valid]
+            yield out
 
     return src.mapInPandas(mapper, schema=schema)
