@@ -387,54 +387,92 @@ def train_ngram_lm(
             "v": len(unigrams) + 1}
 
 
-def _prep_model(model: dict):
-    """Hash-indexed pandas views of a :func:`train_ngram_lm` model, built
-    ONCE per scoring task (never per Arrow batch): a token-keyed unigram
-    count Series, a ``w1\\x00w2``-keyed bigram count Series, and V.  The
-    NUL joint is safe — tokens come from splitting text on spaces, and a
-    NUL inside a token cannot collide two distinct pairs because the
-    join is positional."""
-    import pandas as pd
+def _prep_models(models):
+    """Integer-keyed lookup structures for a set of
+    :func:`train_ngram_lm` models, built ONCE per scoring task (never
+    per Arrow batch).  Returns ``(vocab, prepped)`` where ``vocab`` is a
+    ``pd.Index`` over every token any model knows (the SHARED id space —
+    one string hash per batch token, however many models score it) and
+    ``prepped[m] = (uni_arr, big_index, big_counts, v)``:
 
-    uni = pd.Series(model["unigrams"], dtype="float64")
-    big = pd.Series(
-        {w1 + "\x00" + w2: float(n)
-         for (w1, w2), n in model["bigrams"].items()}, dtype="float64")
-    return uni, big, float(model["v"])
-
-
-def _bigram_logprob_sums(tok_lists, models, k):
-    """Per-document clamped add-``k`` bigram log-prob sums for one Arrow
-    batch, vectorized: replaces the r12 per-bigram Python dict-lookup
-    loop with hash-indexed ``Series.map`` lookups (C-speed reindex) and
-    one numpy log/clamp expression per model; per-document sums use
-    ``np.bincount``, which accumulates in array order — the same
-    left-to-right summation as the old loop, and ``np.log`` is the same
-    libm call as ``math.log``, so results are bit-identical.
-
-    ``tok_lists``: per row a token list or None; rows with < 2 tokens
-    get ``nb = 0``.  ``models``: sequence of :func:`_prep_model` tuples.
-    Returns ``(nb, [sums_per_model])`` as float64 arrays of batch
-    length."""
+    * ``uni_arr`` — float64 unigram counts addressed by vocab id, with
+      one extra trailing 0.0 slot so ``get_indexer``'s -1 (OOV) lands on
+      count 0 via plain negative indexing;
+    * ``big_index`` — int64 ``pd.Index`` of ``(id1+1)*(V+1)+(id2+1)``
+      bigram keys (the +1 shift keeps OOV ids at key part 0, which no
+      model bigram can occupy, so collisions are impossible);
+    * ``big_counts`` — float64 counts aligned with ``big_index``."""
     import numpy as np
     import pandas as pd
 
+    toks = set()
+    for m in models:
+        toks.update(m["unigrams"])
+        for w1, w2 in m["bigrams"]:
+            toks.add(w1)
+            toks.add(w2)
+    vocab = pd.Index(sorted(toks), dtype=object)
+    vs = len(vocab)
+    prepped = []
+    for m in models:
+        uni_arr = np.zeros(vs + 1, dtype=np.float64)
+        if m["unigrams"]:
+            pos = vocab.get_indexer(pd.Index(list(m["unigrams"])))
+            uni_arr[pos] = np.fromiter(m["unigrams"].values(), "float64",
+                                       len(m["unigrams"]))
+        keys = np.fromiter(
+            ((vocab.get_loc(w1) + 1) * (vs + 1) + vocab.get_loc(w2) + 1
+             for w1, w2 in m["bigrams"]), "int64", len(m["bigrams"]))
+        big_counts = np.fromiter(m["bigrams"].values(), "float64",
+                                 len(m["bigrams"]))
+        prepped.append((uni_arr, pd.Index(keys), big_counts,
+                        float(m["v"])))
+    return vocab, prepped
+
+
+def _bigram_logprob_sums(tok_lists, vocab, prepped, k):
+    """Per-document clamped add-``k`` bigram log-prob sums for one Arrow
+    batch, vectorized: replaces the r12 per-bigram Python dict-lookup
+    loop with ONE C-speed string ``get_indexer`` over the batch's flat
+    token array (vocab ids) and one int64 ``get_indexer`` per model for
+    the bigram counts, then a single numpy log/clamp expression;
+    per-document sums use ``np.bincount``, which accumulates in array
+    order — the same left-to-right summation as the old loop (``np.log``
+    can differ from ``math.log`` by an ulp on SIMD builds; the scores
+    are means of hundreds of such terms and every consumer — the
+    6-decimal driver oracles, the perplexity ranks, the DSIR resample
+    margins — sits many orders of magnitude above it).
+
+    ``tok_lists``: per row a token list or None; rows with < 2 tokens
+    get ``nb = 0``.  ``vocab``/``prepped``: from :func:`_prep_models`.
+    Returns ``(nb, [sums_per_model])`` as arrays of batch length."""
+    import numpy as np
+
     n = len(tok_lists)
     nb = np.zeros(n, dtype=np.int64)
+    flat = []
+    tc = []
     for i, tl in enumerate(tok_lists):
         if tl is not None and len(tl) >= 2:
             nb[i] = len(tl) - 1
+            flat.extend(tl)
+            tc.append(len(tl))
     idx = np.repeat(np.arange(n), nb)
-    w1 = [t for tl in tok_lists if tl is not None and len(tl) >= 2
-          for t in tl[:-1]]
-    w2 = [t for tl in tok_lists if tl is not None and len(tl) >= 2
-          for t in tl[1:]]
-    s1 = pd.Series(w1, dtype=object)
-    sb = pd.Series([a + "\x00" + b for a, b in zip(w1, w2)], dtype=object)
+    if not flat:
+        zero = np.zeros(n, dtype=np.float64)
+        return nb, [zero.copy() for _ in prepped]
+    ids = vocab.get_indexer(np.asarray(flat, dtype=object))
+    # drop the token pairs that straddle two documents
+    keep = np.ones(len(flat) - 1, dtype=bool)
+    keep[np.cumsum(tc)[:-1] - 1] = False
+    vs1 = len(vocab) + 1
+    i1, i2 = ids[:-1][keep], ids[1:][keep]
+    bkeys = (i1 + 1).astype(np.int64) * vs1 + (i2 + 1)
     sums = []
-    for uni, big, v in models:
-        cu = s1.map(uni).to_numpy(dtype="float64", na_value=0.0)
-        cb = sb.map(big).to_numpy(dtype="float64", na_value=0.0)
+    for uni_arr, big_index, big_counts, v in prepped:
+        cu = uni_arr[i1]  # OOV id -1 -> the trailing 0.0 slot
+        pos = big_index.get_indexer(bkeys)
+        cb = np.where(pos >= 0, big_counts[np.maximum(pos, 0)], 0.0)
         # clamp at ln(1)=0: when the bigram cap retains a pair whose
         # first token fell OUTSIDE the unigram cap, (c(w1w2)+k)/(0+k*V)
         # can exceed 1 — not a probability
@@ -467,8 +505,8 @@ def ngram_perplexity(
 
     MAP-ONLY: the count tables are broadcast (they are the whole model)
     and each Arrow batch scores its rows with vectorized count lookups
-    (:func:`_bigram_logprob_sums` — hash-indexed Series maps + one numpy
-    log expression, not a per-token Python loop) — no shuffle at any
+    (:func:`_bigram_logprob_sums` — one C-speed vocab-id ``get_indexer``
+    over the flat token array + numpy log, not a per-token Python loop) — no shuffle at any
     corpus size, the same recipe as ``bpe_tokenize``.  Output: the
     ``id_cols`` plus ``n_bigrams`` and ``out_col``; documents with fewer
     than two tokens are omitted (no bigram to score — filter them with
@@ -489,11 +527,12 @@ def ngram_perplexity(
     def mapper(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
 
-        prepped = [_prep_model({"unigrams": bc.value[0],
-                                "bigrams": bc.value[1], "v": bc.value[2]})]
+        vocab, prepped = _prep_models([{
+            "unigrams": bc.value[0], "bigrams": bc.value[1],
+            "v": bc.value[2]}])
         for pdf in batches:
             nb, (s,) = _bigram_logprob_sums(
-                _tokenize_batch(pdf[text_col]), prepped, k)
+                _tokenize_batch(pdf[text_col]), vocab, prepped, k)
             valid = nb > 0
             out = pdf[id_cols].copy()[valid]
             out["n_bigrams"] = nb[valid]
@@ -528,8 +567,8 @@ def dsir_logratio(
     each document under the two models simultaneously — zero shuffle,
     one corpus scan, however large the corpus (training the two models
     costs the usual two capped count shuffles each).  Scoring is
-    vectorized (:func:`_bigram_logprob_sums` — hash-indexed Series maps
-    + numpy log, shared with ``ngram_perplexity``).  The per-bigram
+    vectorized (:func:`_bigram_logprob_sums` — shared vocab-id
+    ``get_indexer`` lookups + numpy log, shared with ``ngram_perplexity``).  The per-bigram
     log-probs are clamped at 0 exactly like :func:`ngram_perplexity`
     (capped-table artifacts can push a "probability" above 1), so
     ``logratio == ln(perplexity_raw) - ln(perplexity_target)`` on shared
@@ -554,12 +593,11 @@ def dsir_logratio(
     src = df.select(*id_cols, text_col)
 
     def mapper(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        prepped = [
-            _prep_model({"unigrams": u, "bigrams": b, "v": v})
-            for (u, b, v) in bc.value]
+        vocab, prepped = _prep_models([
+            {"unigrams": u, "bigrams": b, "v": v} for (u, b, v) in bc.value])
         for pdf in batches:
             nb, (st, sr) = _bigram_logprob_sums(
-                _tokenize_batch(pdf[text_col]), prepped, k)
+                _tokenize_batch(pdf[text_col]), vocab, prepped, k)
             valid = nb > 0
             out = pdf[id_cols].copy()[valid]
             out["n_bigrams"] = nb[valid]
