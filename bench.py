@@ -114,6 +114,8 @@ HEADLINE = [
     "weighted_sample",
     "dsir",
     "line_dedup",
+    # r13 addition (chained DSIR importance-resampling funnel)
+    "dsir_resample",
 ]
 
 

@@ -39,7 +39,7 @@ Usage: python scripts/scale_smoke.py [n_obs] [tiers]
   n_obs  default 10_000_000
   tiers  comma list of {eav,interval,group,ann,text,exactsubstr,bpe16k,
          cosinebig,skew,streamstate,bucketdt,autostrat,resampauto,
-         semdedup,semdecon,semhot,wsample};
+         semdedup,semdecon,semhot,semhot3,wsample};
          default = the five original tiers
 """
 
@@ -678,6 +678,102 @@ def main():
         print(f"[{'ok' if miss8 == 0 and two8 == 0 else 'FAIL'}] semhot "
               f"planted pairs collapsed post-split: "
               f"{planted8 - miss8}/{planted8}, double-keeps {two8}")
+        ok &= miss8 == 0 and two8 == 0
+
+    # --- semantic_dedup MULTI hot-cell recovery certificate (r13) ------
+    if "semhot3" in tiers:
+        # THREE simultaneous hot blobs (VERDICT r12 #7: a 100 TB corpus
+        # hits many hot cells at once, the single-blob tier only proved
+        # one).  Blob b's direction is Hadamard row b+1 (sign =
+        # (-1)^popcount(d & (b+1))) — mutually orthogonal, so blobs land
+        # in distinct coarse cells and stay separable.  Each blob is
+        # ~n8/5 vectors > cap, so round 1 sees >= 3 hot cells AT ONCE.
+        # max_subcluster_rounds=2 is the teeth: the recovery loop
+        # subclusters EVERY hot cell per round and reassigns all hot
+        # rows in one map-only pass, so 2 rounds suffice however many
+        # blobs are hot — a per-cell-sequential implementation would
+        # exhaust the budget and raise the loud in-task error.  Each
+        # blob also carries planted exact-duplicate pairs that must
+        # still collapse to one keeper after the splits.
+        from catabra_pandas_spark.pipeline import semantic_dedup
+        n8 = n // 40
+        blob8 = n8 // 5                      # 3 blobs = 60% of corpus
+        planted8 = max(1, n // 2000)         # dup plants per blob
+        plant_lo = 3 * blob8                 # plants live in cold id space
+        cap8 = min(20_000, max(1_000, n8 // 12))
+        dim8 = 32
+        p8 = F.col("id") - plant_lo
+        in_plant = (F.col("id") >= plant_lo) & \
+            (F.col("id") < plant_lo + 3 * planted8)
+        # plant p duplicates the (p//3)-th vector of blob p%3
+        src8 = F.when(in_plant,
+                      F.pmod(p8, F.lit(3)) * blob8 + (p8 / 3).cast("long")
+                      ).otherwise(F.col("id"))
+        blob_of = (src8 / blob8).cast("long")  # 0,1,2 = blobs; >=3 cold
+        is_blob8 = src8 < 3 * blob8
+        had = [[1.0 if bin(d & (b + 1)).count("1") % 2 == 0 else -1.0
+                for d in range(dim8)] for b in range(3)]
+        noise = [((F.pmod(F.xxhash64(src8, F.lit(d)), F.lit(2001))
+                   - 1000) / 1000.0) for d in range(dim8)]
+        emb8 = (spark.range(n8, numPartitions=64)
+                .select(F.col("id").alias("vec_id"),
+                        blob_of.alias("blob"),
+                        F.array(*[
+                            F.when(is_blob8,
+                                   F.when(blob_of == 0, F.lit(had[0][d]))
+                                   .when(blob_of == 1, F.lit(had[1][d]))
+                                   .otherwise(F.lit(had[2][d]))
+                                   + 0.1 * noise[d])
+                            .otherwise(noise[d]).alias(f"e{d}")
+                            for d in range(dim8)]).alias("embedding"))
+                .localCheckpoint(eager=True))
+        t0 = time.perf_counter()
+        sd8 = (semantic_dedup(
+                   emb8.select("vec_id", "embedding"),
+                   threshold=0.999999, n_centroids=16, n_iter=1,
+                   dim=dim8, max_cell_size=cap8,
+                   on_hot_cell="subcluster", subcluster_centroids=16,
+                   max_subcluster_rounds=2)
+               .localCheckpoint(eager=True))
+        t_sd8 = time.perf_counter() - t0
+        n_cells8 = sd8.select("cell").distinct().count()
+        max_cell8 = (sd8.groupBy("cell").count()
+                     .agg(F.max("count")).collect()[0][0])
+        print(f"semhot3 {n8:,} x {dim8}d, 3 blobs of {blob8:,} > cap "
+              f"{cap8:,}: {t_sd8:.1f}s, {n_cells8} final cells, "
+              f"largest {max_cell8:,}")
+        ok &= sd8.count() == n8
+        split_ok = n_cells8 > 16 and max_cell8 <= cap8
+        print(f"[{'ok' if split_ok else 'FAIL'}] semhot3 ALL hot cells "
+              f"split under cap within 2 simultaneous rounds")
+        ok &= split_ok
+        # orthogonal blobs never share a final cell
+        mixed8 = (sd8.join(emb8.select("vec_id", "blob"), "vec_id")
+                  .filter(F.col("blob") < 3)
+                  .groupBy("cell")
+                  .agg(F.count_distinct("blob").alias("nb"))
+                  .filter(F.col("nb") > 1).count())
+        print(f"[{'ok' if mixed8 == 0 else 'FAIL'}] semhot3 no final "
+              f"cell mixes two blobs: mixed={mixed8}")
+        ok &= mixed8 == 0
+        pairs8 = (sd8.filter((F.col("vec_id") >= plant_lo)
+                             & (F.col("vec_id") < plant_lo + 3 * planted8))
+                  .select(F.col("vec_id").alias("dup_id"),
+                          F.col("group_rep").alias("dup_rep"),
+                          F.col("keep").alias("dup_keep"))
+                  .join(sd8.select(F.col("vec_id").alias("src_id"),
+                                   F.col("group_rep").alias("src_rep"),
+                                   F.col("keep").alias("src_keep")),
+                        on=(F.pmod(F.col("dup_id") - plant_lo, F.lit(3))
+                            * blob8
+                            + ((F.col("dup_id") - plant_lo) / 3)
+                            .cast("long")) == F.col("src_id")))
+        miss8 = pairs8.filter(
+            ~F.col("dup_rep").eqNullSafe(F.col("src_rep"))).count()
+        two8 = pairs8.filter(F.col("dup_keep") & F.col("src_keep")).count()
+        print(f"[{'ok' if miss8 == 0 and two8 == 0 else 'FAIL'}] semhot3 "
+              f"planted pairs collapsed across all 3 blobs: "
+              f"{3 * planted8 - miss8}/{3 * planted8}, double-keeps {two8}")
         ok &= miss8 == 0 and two8 == 0
 
     # --- keyless group_intervals: chunked merge vs single-task ---------
