@@ -824,3 +824,68 @@ def test_auto_strategy_keyless_rescue(spark):
     # keyless + bucket_width keeps the bucket strategy
     assert merge_intervals(l, r, bucket_width=1.0, **kw).sameSemantics(
         merge_intervals(l, r, strategy="bucket", bucket_width=1.0, **kw))
+
+
+def test_auto_detector_plan_time_short_circuit(spark, monkeypatch):
+    """r13 (VERDICT r11 #6): _auto_few_large_groups consults optimizer
+    plan statistics (util.plan_stats) BEFORE paying the measured stats
+    jobs.  Inputs whose optimized plans carry exact row counts (here
+    GlobalLimit on top of range — the notebook `.limit(n)` shape) are
+    decided with ZERO executed jobs: the keyless pair in full (G == 1
+    exactly), the keyed case through the one-sided min(n,m) <= ratio
+    bound; a keyed pair that still needs the distinct-key count falls
+    through to the measured pass.  Jobs are counted by intercepting
+    DataFrame.collect (the measured pass's only action), which is also
+    safe against its concurrent two-thread submission."""
+    from pyspark.sql import functions as F
+
+    from catabra_pandas_spark.operators import merging as M
+
+    def mk(n, groups=97):
+        return (spark.range(n * 2)
+                .select((F.col("id") % groups).alias("g"),
+                        (F.col("id") * 0.001).alias("start"),
+                        (F.col("id") * 0.001 + 0.0005).alias("stop"))
+                .limit(n))
+
+    calls = []
+    # patch the CONCRETE DataFrame class (instances override the abstract
+    # base's collect on this pyspark build)
+    cdf = type(mk(10))
+    orig_collect = cdf.collect
+    monkeypatch.setattr(
+        cdf, "collect",
+        lambda self: (calls.append(1), orig_collect(self))[1])
+    # the plan-bytes tiny gate would mask the row-count algebra for the
+    # small keyed side; disable it so the new path is what's under test
+    monkeypatch.setattr(M, "_AUTO_TINY_BYTES", 1)
+
+    def probe(l, r, keyed):
+        M._AUTO_CACHE.clear()
+        del calls[:]
+        on = ["g"] if keyed else []
+        dec = M._auto_few_large_groups(l, r, on, on)
+        return dec, len(calls)
+
+    # keyless, both counts known, n*m/(n+m) ~ 40k > 16384: sweep, 0 jobs
+    assert probe(mk(120_000), mk(60_000), keyed=False) == (True, 0)
+    # keyless, ratio ~6.7k < 16384: direct, 0 jobs
+    assert probe(mk(20_000), mk(10_000), keyed=False) == (False, 0)
+    # keyed, one known side <= 1024: min-bound proves direct, 0 jobs
+    assert probe(mk(50_000), mk(800), keyed=True) == (False, 0)
+    # keyed, both known and large: G still unknown -> measured pass
+    # (2 one-row agg jobs), healthy 97-group regime stays direct
+    assert probe(mk(200_000), mk(100_000), keyed=True) == (False, 2)
+    # ... and the same shape with 3 groups flips to sweep via measurement
+    assert probe(mk(200_000, groups=3), mk(100_000, groups=3),
+                 keyed=True) == (True, 2)
+    # consistency: hiding the row counts must reproduce the plan-time
+    # keyless decision through the measured pass.  localCheckpoint does
+    # NOT hide them (LogicalRDD keeps the origin plan's stats — verified
+    # here), so the stats-less source is an arrow-converted local frame.
+    lc = mk(120_000).localCheckpoint()
+    rc = mk(60_000).localCheckpoint()
+    assert probe(lc, rc, keyed=False) == (True, 0)
+    la = spark.createDataFrame(mk(120_000).toPandas())
+    ra = spark.createDataFrame(mk(60_000).toPandas())
+    assert probe(la, ra, keyed=False) == (True, 2)

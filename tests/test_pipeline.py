@@ -1629,3 +1629,88 @@ def test_semantic_dedup_hot_cell_guard(spark):
     with pytest.raises(Exception, match="max_cell_size"):
         semantic_dedup(spark.createDataFrame(pdf), centroids=one_cell,
                        dim=4, max_cell_size=10).collect()
+
+
+def test_bigram_logprob_sums_matches_reference_loop():
+    """The r13 vectorized scorer (_prep_models + _bigram_logprob_sums:
+    shared vocab ids, int64 bigram keys, numpy log/bincount) must
+    reproduce the r12 per-token dict-lookup loop on every edge shape:
+    None text, empty, single-token, all-OOV tokens, tokens known to one
+    model but not the other, and multi-model scoring.  Tolerance covers
+    only np.log-vs-math.log SIMD ulp (relative ~1e-15)."""
+    import math
+    import random
+
+    import numpy as np
+
+    from catabra_pandas_spark.pipeline.text import (_bigram_logprob_sums,
+                                                    _prep_models,
+                                                    _tokenize_batch)
+
+    rng = random.Random(7)
+    voc = [f"w{i}" for i in range(200)]
+    models = []
+    for seed in (1, 2):
+        r = random.Random(seed)
+        uni = {w: r.randint(1, 500) for w in r.sample(voc, 150)}
+        big = {(r.choice(voc), r.choice(voc)): r.randint(1, 40)
+               for _ in range(3000)}
+        models.append({"unigrams": uni, "bigrams": big,
+                       "v": float(len(uni) + 1)})
+    texts = [None, "", "solo", "oovA oovB oovC",
+             " ".join(rng.choice(voc) for _ in range(50))]
+    texts += [" ".join(rng.choice(voc + ["zzz-oov"])
+                       for _ in range(rng.randint(2, 80)))
+              for _ in range(200)]
+    k = 1.0
+    tok_lists = _tokenize_batch(texts)
+    vocab, prepped = _prep_models(models)
+    nb, sums = _bigram_logprob_sums(tok_lists, vocab, prepped, k)
+
+    for m, s in zip(models, sums):
+        uni, big, v = m["unigrams"], m["bigrams"], m["v"]
+        for i, t in enumerate(texts):
+            toks = [x for x in t.lower().split(" ") if x] if t else []
+            if len(toks) < 2:
+                assert nb[i] == 0 and s[i] == 0.0
+                continue
+            ref = 0.0
+            for w1, w2 in zip(toks, toks[1:]):
+                ref += min(0.0, math.log((big.get((w1, w2), 0) + k)
+                                         / (uni.get(w1, 0) + k * v)))
+            assert nb[i] == len(toks) - 1
+            assert np.isclose(s[i], ref, rtol=1e-12, atol=1e-12)
+
+
+def test_line_frequency_filter_literal_sep_and_blank_default(spark):
+    """r13 ADVICE fixes: (a) the separator is treated literally on BOTH
+    the split and reassembly sides — a regex-metachar sep like '|' must
+    round-trip instead of splitting per character; (b) the default
+    min_line_chars=1 exempts empty lines, so blank paragraph separators
+    survive corpus-wide boilerplate removal unless min_line_chars=0 is
+    passed explicitly."""
+    import pandas as pd
+
+    from catabra_pandas_spark.pipeline import line_frequency_filter
+
+    rows = [(i, f"body {i}|shared footer|tail {i}") for i in range(8)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf.astype({"doc_id": "int64"}))
+    got = (line_frequency_filter(sdf, min_count=5, sep="|")
+           .toPandas().set_index("doc_id").sort_index())
+    for i in range(8):
+        assert got.loc[i, "text"] == f"body {i}|tail {i}"
+        assert got.loc[i, "n_lines_removed"] == 1
+
+    rows2 = [(i, f"body {i}\n\nshared footer") for i in range(8)]
+    sdf2 = spark.createDataFrame(
+        pd.DataFrame(rows2, columns=["doc_id", "text"])
+        .astype({"doc_id": "int64"}))
+    # default: the footer goes, the blank line stays
+    d = (line_frequency_filter(sdf2, min_count=5)
+         .toPandas().set_index("doc_id").sort_index())
+    assert d.loc[0, "text"] == "body 0\n" and d.loc[0, "n_lines_removed"] == 1
+    # opt-in min_line_chars=0: the over-counted blank goes too
+    z = (line_frequency_filter(sdf2, min_count=5, min_line_chars=0)
+         .toPandas().set_index("doc_id").sort_index())
+    assert z.loc[0, "text"] == "body 0" and z.loc[0, "n_lines_removed"] == 2
