@@ -3048,9 +3048,11 @@ def q_dsir_resample(spark, sf):
     docs = read_table(spark, sf, "documents")
     raw = P.train_ngram_lm(docs)
     target = P.train_ngram_lm(docs.filter(F.col("lang") == "en"))
-    lr = P.dsir_logratio(docs, target, raw)
-    weighted = (docs.join(lr.select("doc_id", "dsir_logratio"), "doc_id")
-                .withColumn("dsir_w", F.exp(F.col("dsir_logratio"))))
+    # id_cols passthrough keeps the payload column on the scored rows:
+    # ONE corpus scan feeds scoring AND selection, zero joins (plan =
+    # scan -> MapInPandas -> TakeOrderedAndProject)
+    lr = P.dsir_logratio(docs, target, raw, id_cols=("doc_id", "lang"))
+    weighted = lr.withColumn("dsir_w", F.exp(F.col("dsir_logratio")))
     out = P.weighted_sample(weighted, 30, "dsir_w", on="doc_id", seed=13)
     return out.select("doc_id", "lang",
                       F.round("dsir_logratio", 6).alias("dsir_logratio"))

@@ -273,8 +273,10 @@ def merge_intervals(
     * ``strategy``: "direct", "bucket", "sweep", or "auto".  "auto" means
       bucket when keyless with a ``bucket_width``; with equi-keys it runs
       a cost-based few-large-groups detector (``_auto_few_large_groups``:
-      one count+approx_count_distinct pass per side, memoized, skipped
-      for tiny inputs) and picks the sweep when the direct join's
+      optimizer plan statistics first — known row counts often decide
+      with zero jobs — then one concurrent count+approx_count_distinct
+      pass per side, memoized, skipped for tiny inputs) and picks the
+      sweep when the direct join's
       estimated per-group residual ``n*m/G`` exceeds ``1024*(n+m)`` — the
       regime where direct is a measured 15x slower
       (scripts/bench_baseline.py t4, scripts/scale_smoke.py autostrat

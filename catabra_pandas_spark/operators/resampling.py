@@ -71,8 +71,9 @@ def _cost_auto_sweep(obs: DataFrame, wjoin: DataFrame,
                      obs_keys: list, win_keys: list) -> bool:
     """``join_strategy="auto"``'s cost-based direct-vs-sweep pick — the same
     few-large-entities detector as ``merge_intervals(strategy="auto")``
-    (``merging._auto_few_large_groups``: one count +
-    approx_count_distinct(entity) statistics pass per side, memoized on the
+    (``merging._auto_few_large_groups``: optimizer plan statistics first
+    — known row counts often decide with zero jobs — then one concurrent
+    count + approx_count_distinct(entity) pass per side, memoized on the
     inputs' semanticHash, skipped for tiny inputs, disabled by
     ``spark.catabra.merge.costAuto=false`` — that knob is THE global
     cost-auto kill switch).  This is the reference's per-entity strategy
