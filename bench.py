@@ -267,6 +267,21 @@ def main():
     # 1.09 s (1 exchange, 2 Arrow stages), semantic_decontaminate
     # 0.55 s (ZERO exchanges), merge_asof_timedelta 1.98 s (1 exchange
     # + sort, no join).
+    # r13 same-session A/B (this tree vs the r12 commit in a worktree,
+    # back-to-back full bench runs in the same hour): 65.7 s vs 69.4 s
+    # on the 75 common queries — no isolation-surviving regressions;
+    # every >20% mover appears on BOTH sides of zero and lands on
+    # modules the rotation checker proves unchanged.  Detector
+    # micro-A/B (cache cleared per call, same shapes, same session
+    # pattern): cost-auto stats pass best 0.527 s (r12, sequential
+    # jobs) -> 0.270 s (r13, plan-stats consult + concurrent jobs).
+    # Cold ppl_scan readings swung 13.6 s <-> 37.9 s between single-run
+    # sessions; the SAME-session interleaved A/B (old loop inlined as a
+    # custom mapper vs the vectorized scorer, 3 alternations) showed
+    # warm parity at the 1M-doc tier shape (2.5 s vs 2.4-2.5 s) — the
+    # scan is Arrow/tokenize-bound there; the scoring fraction itself
+    # is 2-4x faster vectorized (controlled in-process micro).  Never
+    # cite cross-session singles.
     times: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
