@@ -38,7 +38,8 @@ from .multimodal import (attach_binary_metadata, decode_binary,
                          mp3_metadata, mp4_metadata, resize_image,
                          sample_frames)
 from .sampling import (assign_splits, deterministic_sample, mix_corpora,
-                       stratified_sample, weighted_sample)
+                       stratified_sample, temperature_weights,
+                       weighted_sample)
 from .packing import chunk_documents, pack_bins, pack_sequences
 from .bpe import bpe_decode_tokens, bpe_tokenize, train_bpe
 from .sketches import (approx_distinct, bloom_filter_words, bloom_prejoin,
@@ -62,6 +63,6 @@ __all__ = [
     "attach_binary_metadata", "decode_binary", "mp3_metadata", "mp4_metadata",
     "resize_image", "sample_frames",
     "assign_splits", "deterministic_sample", "stratified_sample",
-    "weighted_sample",
+    "temperature_weights", "weighted_sample",
     "train_bpe", "bpe_tokenize", "bpe_decode_tokens",
 ]

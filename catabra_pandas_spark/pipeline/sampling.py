@@ -178,13 +178,40 @@ def weighted_sample(
     return out.drop("__wkey__", "__wdig__")
 
 
+def temperature_weights(
+    sizes: Mapping[str, int],
+    temperature: float = 1.0,
+) -> dict:
+    """Temperature-scaled mixture weights from corpus sizes:
+    ``p_c ∝ n_c^(1/temperature)``, normalized to sum to 1 — the standard
+    multilingual/multi-source sampling rule (T5/mT5 state it as a
+    sampling temperature; Gopher/PaLM as ``p ∝ n^α`` with
+    ``α = 1/temperature``, e.g. α=0.7 ≡ T≈1.43, mT5's α=0.3 ≡ T≈3.33).
+    ``temperature=1`` reproduces natural proportions; larger temperatures
+    flatten toward uniform, boosting low-resource corpora.  Pure driver
+    arithmetic over O(#corpora) scalars; feed the result to
+    :func:`mix_corpora`."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    if not sizes:
+        raise ValueError("sizes must be non-empty")
+    if any(n < 0 for n in sizes.values()):
+        raise ValueError("corpus sizes must be >= 0")
+    raw = {c: float(n) ** (1.0 / temperature) for c, n in sizes.items()}
+    total = sum(raw.values())
+    if total <= 0:
+        raise ValueError("at least one corpus must be non-empty")
+    return {c: r / total for c, r in raw.items()}
+
+
 def mix_corpora(
     corpora: Mapping[str, DataFrame],
-    weights: Mapping[str, float],
+    weights: Union[Mapping[str, float], None],
     n_total: int,
     on: Union[str, Sequence[str], None] = None,
     seed: int = 42,
     source_col: str = "source",
+    temperature: Union[float, None] = None,
 ) -> DataFrame:
     """Compose a training mixture: draw ``round(weight_c * n_total)`` rows
     from each corpus (less if the corpus is smaller), tagged with
@@ -196,6 +223,12 @@ def mix_corpora(
     is a pure function of (data, seed), so the identical mixture can be
     recomputed by any engine and is stable under corpus re-partitioning.
 
+    Pass ``temperature=`` INSTEAD of ``weights`` to derive the weights
+    from the corpus sizes via :func:`temperature_weights`
+    (``p_c ∝ n_c^(1/T)`` — the multilingual low-resource-boosting rule);
+    the sizes come from one map-side-combinable count over the tagged
+    union (a single extra job, one row per corpus of driver state).
+
     Plan shape: the corpora are unioned with their source tag FIRST, so the
     per-corpus top-n runs as ONE window over the union, partitioned by the
     tag — a single hash-shuffle on ``source_col`` regardless of corpus
@@ -205,17 +238,26 @@ def mix_corpora(
     """
     if n_total < 1:
         raise ValueError("n_total must be >= 1")
+    if (weights is None) == (temperature is None):
+        raise ValueError("pass exactly one of weights / temperature")
+    tagged = None
+    for name, df in corpora.items():
+        t = df.withColumn(source_col, F.lit(name))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    if temperature is not None:
+        sizes = {name: 0 for name in corpora}
+        sizes.update({r[source_col]: int(r["__n__"]) for r in
+                      tagged.groupBy(source_col)
+                      .agg(F.count(F.lit(1)).alias("__n__")).collect()})
+        weights = temperature_weights(sizes, temperature)
     if set(corpora) != set(weights):
         raise ValueError("corpora and weights must have identical keys")
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
-    tagged = None
     quotas = {}
-    for name, df in corpora.items():
+    for name in corpora:
         quotas[name] = int(round(weights[name] / total * n_total))
-        t = df.withColumn(source_col, F.lit(name))
-        tagged = t if tagged is None else tagged.unionByName(t)
     d = _key_digest(tagged, as_list(on) + [source_col] if on else None, seed)
     w = Window.partitionBy(source_col).orderBy(d.asc())
     quota = None

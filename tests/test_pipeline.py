@@ -1714,3 +1714,57 @@ def test_line_frequency_filter_literal_sep_and_blank_default(spark):
     z = (line_frequency_filter(sdf2, min_count=5, min_line_chars=0)
          .toPandas().set_index("doc_id").sort_index())
     assert z.loc[0, "text"] == "body 0" and z.loc[0, "n_lines_removed"] == 2
+
+
+def test_temperature_weights_and_mix(spark):
+    """r13 (lands a driver row in r14): temperature-scaled mixture
+    weights p_c ∝ n_c^(1/T) — T=1 reproduces natural proportions, large
+    T flattens toward uniform — and mix_corpora(temperature=) derives
+    them from one count over the tagged union, with the same
+    deterministic md5-order draw as explicit weights."""
+    import math
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from catabra_pandas_spark.pipeline import mix_corpora, temperature_weights
+
+    sizes = {"en": 8000, "de": 800, "zh": 80}
+    w1 = temperature_weights(sizes, 1.0)
+    assert math.isclose(w1["en"], 8000 / 8880)
+    whot = temperature_weights(sizes, 100.0)
+    assert abs(whot["en"] - 1 / 3) < 0.02 and abs(whot["zh"] - 1 / 3) < 0.02
+    w07 = temperature_weights(sizes, 1 / 0.7)  # Gopher-style alpha=0.7
+    assert w1["en"] > w07["en"] > whot["en"]
+    with _pytest.raises(ValueError):
+        temperature_weights(sizes, 0.0)
+    with _pytest.raises(ValueError):
+        temperature_weights({"a": 0, "b": 0}, 1.0)
+
+    pdf = pd.DataFrame({"doc_id": range(900),
+                        "lang": ["en"] * 600 + ["de"] * 240 + ["zh"] * 60})
+    docs = spark.createDataFrame(pdf.astype({"doc_id": "int64"}))
+    corpora = {lang: docs.filter(docs.lang == lang).select("doc_id")
+               for lang in ("en", "de", "zh")}
+    # T=1: natural proportions of 300 = 200/80/20
+    nat = (mix_corpora(corpora, None, 300, on="doc_id", temperature=1.0)
+           .groupBy("source").count().toPandas()
+           .set_index("source")["count"].to_dict())
+    assert nat == {"en": 200, "de": 80, "zh": 20}
+    # explicit weights equal to the derived ones -> identical draw
+    w = temperature_weights({"en": 600, "de": 240, "zh": 60}, 2.0)
+    a = mix_corpora(corpora, w, 300, on="doc_id").toPandas()
+    b = (mix_corpora(corpora, None, 300, on="doc_id", temperature=2.0)
+         .toPandas())
+    assert sorted(map(tuple, a.values.tolist())) == \
+        sorted(map(tuple, b.values.tolist()))
+    # hot temperature boosts the low-resource corpus above natural share
+    hot = (mix_corpora(corpora, None, 300, on="doc_id", temperature=8.0)
+           .groupBy("source").count().toPandas()
+           .set_index("source")["count"].to_dict())
+    assert hot["zh"] > 20 and hot["en"] < 200
+    # exactly one of weights/temperature
+    with _pytest.raises(ValueError):
+        mix_corpora(corpora, w, 300, temperature=2.0)
+    with _pytest.raises(ValueError):
+        mix_corpora(corpora, None, 300)
