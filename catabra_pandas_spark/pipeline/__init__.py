@@ -42,6 +42,7 @@ from .sampling import (assign_splits, deterministic_sample, mix_corpora,
                        weighted_sample)
 from .packing import chunk_documents, pack_bins, pack_sequences
 from .bpe import bpe_decode_tokens, bpe_tokenize, train_bpe
+from .classifier import score_quality_classifier, train_quality_classifier
 from .sketches import (approx_distinct, bloom_filter_words, bloom_prejoin,
                        distinct_certificate, heavy_hitters,
                        quantile_certificate, quantile_sketch)
@@ -65,4 +66,5 @@ __all__ = [
     "assign_splits", "deterministic_sample", "stratified_sample",
     "temperature_weights", "weighted_sample",
     "train_bpe", "bpe_tokenize", "bpe_decode_tokens",
+    "train_quality_classifier", "score_quality_classifier",
 ]

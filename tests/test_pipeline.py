@@ -1768,3 +1768,176 @@ def test_temperature_weights_and_mix(spark):
         mix_corpora(corpora, w, 300, temperature=2.0)
     with _pytest.raises(ValueError):
         mix_corpora(corpora, None, 300)
+
+
+def test_quality_classifier_matches_numpy_replay(spark):
+    """r13 (driver row lands r14): train_quality_classifier's
+    decimal-summed full-batch GD must equal an independent numpy replay
+    of the same arithmetic (same rounding, same update grouping) — and
+    because the sums are exact decimals, retraining on ANY repartition
+    of the same rows reproduces the coefficients BIT-identically."""
+    import numpy as np
+    import pandas as pd
+
+    from catabra_pandas_spark.pipeline import (score_quality_classifier,
+                                               train_quality_classifier)
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    x1 = rng.normal(0, 2, n)
+    x2 = rng.normal(5, 3, n)
+    logit = 0.8 * x1 - 0.4 * (x2 - 5) - 0.2
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-logit))).astype(int)
+    pdf = pd.DataFrame({"doc_id": np.arange(n), "x1": x1, "x2": x2,
+                        "label": y})
+    sdf = spark.createDataFrame(pdf)
+    model = train_quality_classifier(sdf, "label", ["x1", "x2"],
+                                     n_iter=8, lr=1.0)
+
+    # numpy replay with the same decimal-rounded exact sums
+    def dsum(v):
+        from decimal import Decimal
+        return float(sum(Decimal(str(round(t, 12))) for t in v))
+
+    m = [dsum(x1) / n, dsum(x2) / n]
+    sc = [np.sqrt(dsum(x1 * x1) / n - m[0] ** 2),
+          np.sqrt(dsum(x2 * x2) / n - m[1] ** 2)]
+    xs = np.stack([(x1 - m[0]) / sc[0], (x2 - m[1]) / sc[1]], axis=1)
+    w = np.zeros(2)
+    b = 0.0
+    for _ in range(8):
+        z = b + xs @ w
+        r = 1 / (1 + np.exp(-z)) - y
+        b -= 1.0 * (dsum(r) / n)
+        gw = [dsum(r * xs[:, j]) for j in range(2)]
+        for j in range(2):
+            w[j] -= 1.0 * (gw[j] / n + 0.0 * w[j])
+    assert np.allclose(model["mean"], m, rtol=0, atol=1e-12)
+    assert np.allclose(model["coef"], w, rtol=1e-9, atol=1e-12)
+    assert np.isclose(model["intercept"], b, rtol=1e-9, atol=1e-12)
+
+    # bit-identical under repartitioning (the decimal-sum guarantee)
+    model2 = train_quality_classifier(sdf.repartition(17, "x2"),
+                                      "label", ["x1", "x2"],
+                                      n_iter=8, lr=1.0)
+    assert model2["coef"] == model["coef"]
+    assert model2["intercept"] == model["intercept"]
+    assert model2["mean"] == model["mean"]
+
+    # it learned the separation: signs recovered, AUC clearly > 0.5
+    assert model["coef"][0] > 0.3 and model["coef"][1] < -0.3
+    scored = (score_quality_classifier(sdf, model)
+              .select("doc_id", "quality_prob").toPandas()
+              .sort_values("doc_id"))
+    p = scored["quality_prob"].to_numpy()
+    pos, neg = p[y == 1], p[y == 0]
+    auc = (pos[:, None] > neg[None, :]).mean()
+    assert auc > 0.75
+
+    # scoring is map-only: zero exchanges in the executed plan
+    plan = (score_quality_classifier(sdf, model)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 0 and "MapInPandas" not in plan
+
+    # null/NaN features mean-impute (standardized 0), null labels drop
+    pdf2 = pdf.copy()
+    pdf2.loc[0, "x1"] = np.nan
+    sdf2 = spark.createDataFrame(pdf2)
+    row = (score_quality_classifier(sdf2, model)
+           .filter(F.col("doc_id") == 0).select("quality_prob").first())
+    zs = model["intercept"] + model["coef"][1] * \
+        (pdf.loc[0, "x2"] - model["mean"][1]) / model["scale"][1]
+    assert abs(row[0] - 1 / (1 + np.exp(-zs))) < 1e-12
+
+
+def _quality_classifier_sql(n_iter: int, lr: float = 1.0) -> str:
+    """Unrolled-iteration DuckDB twin of train_quality_classifier +
+    score_quality_classifier on the documents table (features n_chars /
+    length(text), label lang='en'): the decimal-rounded exact gradient
+    sums, the float op GROUPINGS of the update rule, and the left-assoc
+    dot product all mirror the Spark implementation term for term.
+    Pre-validated here so the r14 driver row can use it verbatim."""
+    sig = "1.0/(1.0+exp(-({z})))"
+
+    def z(b, w1, w2):
+        return f"{b} + {w1}*xs1 + {w2}*xs2"
+
+    ctes = ["""d AS (
+      SELECT doc_id,
+             (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS y,
+             n_chars::DOUBLE AS x1, length(text)::DOUBLE AS x2
+      FROM documents
+      WHERE lang IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL
+    )""", """mom AS (
+      SELECT count(*) AS n,
+             (sum(round(x1,12)::DECIMAL(38,12)))::DOUBLE AS s1x1,
+             (sum(round(x1*x1,12)::DECIMAL(38,12)))::DOUBLE AS s2x1,
+             (sum(round(x2,12)::DECIMAL(38,12)))::DOUBLE AS s1x2,
+             (sum(round(x2*x2,12)::DECIMAL(38,12)))::DOUBLE AS s2x2
+      FROM d
+    )""", """st AS (
+      SELECT n, s1x1/n AS m1,
+             sqrt(greatest(s2x1/n - (s1x1/n)*(s1x1/n), 0)) AS sc1,
+             s1x2/n AS m2,
+             sqrt(greatest(s2x2/n - (s1x2/n)*(s1x2/n), 0)) AS sc2
+      FROM mom
+    )""", """sd AS (
+      SELECT doc_id, y, (x1 - m1)/sc1 AS xs1, (x2 - m2)/sc2 AS xs2
+      FROM d CROSS JOIN st
+    )""", "w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)"]
+    for i in range(n_iter):
+        p = sig.format(z=z(f"w{i}.b", f"w{i}.w1", f"w{i}.w2"))
+        ctes.append(f"""g{i + 1} AS (
+          SELECT (sum(round(({p} - y),12)::DECIMAL(38,12)))::DOUBLE AS g0,
+                 (sum(round(({p} - y)*xs1,12)::DECIMAL(38,12)))::DOUBLE AS gx1,
+                 (sum(round(({p} - y)*xs2,12)::DECIMAL(38,12)))::DOUBLE AS gx2
+          FROM sd CROSS JOIN w{i}
+        )""")
+        ctes.append(f"""w{i + 1} AS (
+          SELECT w{i}.b - {lr}*(g{i + 1}.g0/st.n) AS b,
+                 w{i}.w1 - {lr}*(g{i + 1}.gx1/st.n) AS w1,
+                 w{i}.w2 - {lr}*(g{i + 1}.gx2/st.n) AS w2
+          FROM w{i} CROSS JOIN g{i + 1} CROSS JOIN st
+        )""")
+    pfin = sig.format(z=z(f"w{n_iter}.b", f"w{n_iter}.w1", f"w{n_iter}.w2"))
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+    SELECT doc_id, round({pfin}, 6) AS quality_prob
+    FROM sd CROSS JOIN w{n_iter}""")
+
+
+def test_quality_classifier_duckdb_oracle(spark):
+    """Cross-engine rehearsal of the r14 quality_classifier driver row:
+    Spark trains 3 GD iterations on the real documents table (label
+    lang='en', features n_chars / length(text)) and scores the corpus;
+    the DuckDB twin replays the moments, the standardization, every
+    unrolled iteration's decimal gradient sums and the final sigmoid —
+    doc-for-doc equal at the 6-decimal output rounding."""
+    import duckdb
+
+    from catabra_pandas_spark.pipeline import (score_quality_classifier,
+                                               train_quality_classifier)
+    from catabra_pandas_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = (read_table(spark, sf, "documents")
+            .filter(F.col("lang").isNotNull() & F.col("text").isNotNull()
+                    & F.col("n_chars").isNotNull())
+            .withColumn("is_en", (F.col("lang") == "en").cast("int"))
+            .withColumn("text_len", F.length("text")))
+    model = train_quality_classifier(docs, "is_en",
+                                     ["n_chars", "text_len"],
+                                     n_iter=3, lr=1.0)
+    got = (score_quality_classifier(docs, model)
+           .select("doc_id", F.round("quality_prob", 6)
+                   .alias("quality_prob"))
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    exp = (con.execute(_quality_classifier_sql(3)).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == len(exp) and len(got) > 0
+    assert (got["doc_id"] == exp["doc_id"]).all()
+    assert (got["quality_prob"] == exp["quality_prob"]).all()
