@@ -39,7 +39,7 @@ Usage: python scripts/scale_smoke.py [n_obs] [tiers]
   n_obs  default 10_000_000
   tiers  comma list of {eav,interval,group,ann,text,exactsubstr,bpe16k,
          cosinebig,skew,streamstate,bucketdt,autostrat,resampauto,
-         semdedup,semdecon,semhot,semhot3,wsample};
+         semdedup,semdecon,semhot,semhot3,wsample,qualclf};
          default = the five original tiers
 """
 
@@ -982,6 +982,76 @@ def main():
                   f"(disk {disk_ratio:.2f}x, scan {scan_ratio:.2f}x)")
             ok = False
         shutil.rmtree(root, ignore_errors=True)
+
+    # --- quality classifier certificate (opt-in, r13) -------------------
+    if "qualclf" in tiers:
+        # n/2 synthetic rows with a planted linear separation: training
+        # must (a) recover the separation (AUC >> 0.5 on the scored
+        # corpus), (b) be BIT-identical across two different
+        # partitionings of the same rows (the decimal-gradient-sum
+        # determinism claim at scale), and (c) cost exactly one
+        # aggregation job per iteration + one moments job (job-count
+        # evidence from the status tracker), with map-only scoring
+        # (zero exchanges, plan-asserted).
+        from catabra_pandas_spark.pipeline import (
+            score_quality_classifier, train_quality_classifier)
+        n9 = n // 2
+        h9 = lambda k: F.xxhash64(F.col("id"), F.lit(k))  # noqa: E731
+        u9 = lambda k: (F.pmod(h9(k), F.lit(10**9)).cast("double")  # noqa: E731
+                        / 1e9)
+        base9 = (spark.range(n9, numPartitions=64)
+                 .select(F.col("id").alias("doc_id"),
+                         (u9(1) * 4 - 2).alias("f1"),
+                         (u9(2) * 6).alias("f2"),
+                         u9(3).alias("u")))
+        logit9 = 1.5 * F.col("f1") - 0.8 * (F.col("f2") - 3.0)
+        data9 = (base9.select(
+            "doc_id", "f1", "f2",
+            (F.col("u") < F.lit(1.0) / (F.lit(1.0) + F.exp(-logit9)))
+            .cast("int").alias("y")).localCheckpoint(eager=True))
+        # job-count evidence: the trainer's only actions are .agg(...)
+        # .collect() — intercept agg on the concrete DataFrame class
+        _cdf = type(data9)
+        _agg_calls = []
+        _orig_agg = _cdf.agg
+
+        def _counting_agg(self, *a, **kw):
+            _agg_calls.append(1)
+            return _orig_agg(self, *a, **kw)
+
+        _cdf.agg = _counting_agg
+        try:
+            t0 = time.perf_counter()
+            m9 = train_quality_classifier(data9, "y", ["f1", "f2"],
+                                          n_iter=6, lr=1.0)
+            t_train9 = time.perf_counter() - t0
+        finally:
+            _cdf.agg = _orig_agg
+        print(f"qualclf {n9:,} rows: train 6 iters in {t_train9:.1f}s, "
+              f"agg jobs={len(_agg_calls)} (1 moments + 6 iterations), "
+              f"coef={[round(c, 4) for c in m9['coef']]}")
+        ok &= len(_agg_calls) == 7
+        m9b = train_quality_classifier(
+            data9.repartition(13, "f2"), "y", ["f1", "f2"],
+            n_iter=6, lr=1.0)
+        det9 = (m9["coef"] == m9b["coef"]
+                and m9["intercept"] == m9b["intercept"]
+                and m9["mean"] == m9b["mean"])
+        print(f"[{'ok' if det9 else 'FAIL'}] qualclf coefficients "
+              f"BIT-identical across partitionings")
+        ok &= det9
+        scored9 = score_quality_classifier(data9, m9)
+        plan9 = scored9._jdf.queryExecution().executedPlan().toString()
+        n_exch9 = plan9.count("Exchange")
+        agg9 = (scored9.groupBy("y")
+                .agg(F.avg("quality_prob").alias("p")).collect())
+        pmap9 = {int(r["y"]): float(r["p"]) for r in agg9}
+        sep9 = pmap9[1] - pmap9[0]
+        print(f"[{'ok' if n_exch9 == 0 and sep9 > 0.2 else 'FAIL'}] "
+              f"qualclf map-only scoring (exchanges={n_exch9}), mean "
+              f"prob separation {sep9:.3f} (pos {pmap9[1]:.3f} vs neg "
+              f"{pmap9[0]:.3f})")
+        ok &= n_exch9 == 0 and sep9 > 0.2
 
     # --- weighted sampling certificate (opt-in, r12) --------------------
     if "wsample" in tiers:
