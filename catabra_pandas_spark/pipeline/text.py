@@ -605,3 +605,73 @@ def dsir_logratio(
             yield out
 
     return src.mapInPandas(mapper, schema=schema)
+
+
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_by=None,
+    cuts=(1 / 3, 2 / 3),
+    labels=("head", "middle", "tail"),
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Split a scored corpus into quality buckets at per-group score
+    quantiles — CCNet's head/middle/tail perplexity split (Wenzek et al.
+    2020 §4.3: thresholds from the per-LANGUAGE perplexity distribution,
+    lower perplexity = head), usable on any numeric score.
+
+    Thresholds are EXACT type-1 (inverse-ECDF) quantiles: the score at
+    rank ``ceil(cut * n)`` within each group, so every engine that can
+    rank reproduces them bit-for-bit — no interpolation, no sketch.
+    Rows whose score is null/NaN get a null bucket; ties at a threshold
+    all land in the lower bucket (``score <= t``).
+
+    Plan shape at 100 TB: ONE distributed sort shuffle (two window
+    functions over the same ``group_by`` partition spec: rank + group
+    count — Spark's external sort spills, so no task ever buffers a
+    group in memory, unlike ``percentile()``'s exact aggregation
+    buffer), a conditional aggregation down to one row per group, and a
+    broadcast join of that O(#groups) threshold table back onto the
+    corpus (map-only).  KEYLESS input is one global group, which funnels
+    the ranked scores through a single sort task — the inherent cost of
+    an exact global quantile; pass ``group_by`` on large corpora (the
+    per-language split is the published use anyway) or take approximate
+    global thresholds from ``sketches.quantile_sketch`` first."""
+    from pyspark.sql import Window
+
+    from ..util import as_list
+
+    cuts = list(cuts)
+    labels = list(labels)
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need exactly len(cuts)+1 labels")
+    if any(not (0.0 < c < 1.0) for c in cuts) or \
+            sorted(set(cuts)) != cuts:
+        raise ValueError("cuts must be strictly increasing in (0, 1)")
+    if out_col in df.columns:
+        raise ValueError(f"column {out_col!r} already exists")
+    groups = as_list(group_by) if group_by is not None else []
+    s = F.col(score_col).cast("double")
+    valid = s.isNotNull() & ~F.isnan(s)
+    w = (Window.partitionBy(*[F.col(g) for g in groups])
+         if groups else Window.partitionBy())
+    ranked = (df.select(*groups, s.alias("__s__"))
+              .filter(valid)
+              .withColumn("__rn__",
+                          F.row_number().over(w.orderBy(F.col("__s__"))))
+              .withColumn("__n__", F.count(F.lit(1)).over(w)))
+    thr_aggs = [
+        F.max(F.when(F.col("__rn__")
+                     == F.ceil(F.lit(float(c)) * F.col("__n__")),
+                     F.col("__s__"))).alias(f"__t{i}__")
+        for i, c in enumerate(cuts)]
+    thr = (ranked.groupBy(*groups).agg(*thr_aggs) if groups
+           else ranked.agg(*thr_aggs))
+    joined = (df.join(F.broadcast(thr), on=groups, how="left") if groups
+              else df.crossJoin(F.broadcast(thr)))
+    bucket = F.when(~valid, F.lit(None).cast("string"))
+    for i, lab in enumerate(labels[:-1]):
+        bucket = bucket.when(s <= F.col(f"__t{i}__"), F.lit(lab))
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    return joined.withColumn(out_col, bucket) \
+        .drop(*[f"__t{i}__" for i in range(len(cuts))])

@@ -1941,3 +1941,153 @@ def test_quality_classifier_duckdb_oracle(spark):
     assert len(got) == len(exp) and len(got) > 0
     assert (got["doc_id"] == exp["doc_id"]).all()
     assert (got["quality_prob"] == exp["quality_prob"]).all()
+
+
+def test_quantile_buckets(spark):
+    """r13 (driver row lands r14): CCNet head/middle/tail quantile
+    bucketing — exact type-1 per-group thresholds (score at rank
+    ceil(cut*n)), ties land in the lower bucket, null/NaN scores get a
+    null bucket, and the keyed threshold join is a broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    from catabra_pandas_spark.pipeline import quantile_buckets
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for g, n in (("en", 200), ("de", 31), ("zh", 2)):
+        for i in range(n):
+            rows.append((g, float(rng.randint(0, 40))))  # many ties
+    pdf = pd.DataFrame(rows, columns=["lang", "ppl"])
+    pdf.loc[0, "ppl"] = float("nan")
+    sdf = spark.createDataFrame(pdf)
+    got = (quantile_buckets(sdf, "ppl", group_by="lang")
+           .toPandas())
+
+    # pandas replay of the exact rank rule
+    import math
+    for g, sub in pdf.dropna().groupby("lang"):
+        s = np.sort(sub["ppl"].to_numpy())
+        n = len(s)
+        t1 = s[math.ceil((1 / 3) * n) - 1]
+        t2 = s[math.ceil((2 / 3) * n) - 1]
+        gg = got[(got["lang"] == g) & got["ppl"].notna()]
+        exp = np.where(gg["ppl"] <= t1, "head",
+                       np.where(gg["ppl"] <= t2, "middle", "tail"))
+        assert (gg["bucket"] == exp).all(), g
+    assert got.loc[got["ppl"].isna(), "bucket"].isna().all()
+    # every non-empty group uses every bucket it can reach
+    en = got[got["lang"] == "en"]["bucket"]
+    assert set(en.dropna()) == {"head", "middle", "tail"}
+
+    # threshold join is a broadcast; one sort shuffle feeds the ranks
+    plan = (quantile_buckets(sdf, "ppl", group_by="lang")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        quantile_buckets(sdf, "ppl", labels=("a", "b"))
+    with _pytest.raises(ValueError):
+        quantile_buckets(sdf, "ppl", cuts=(0.5, 0.2),
+                         labels=("a", "b", "c"))
+    with _pytest.raises(ValueError):
+        quantile_buckets(sdf.withColumnRenamed("lang", "bucket"), "ppl")
+
+
+_CCNET_BUCKETS_SQL = """
+    WITH toks0 AS (
+      SELECT doc_id, unnest(l) AS tok,
+             unnest(range(1, len(l) + 1)) AS ord
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM documents)
+    ),
+    toks AS (SELECT * FROM toks0 WHERE tok != ''),
+    uni AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+      ORDER BY n DESC, tok LIMIT 50000
+    ),
+    pairs AS (
+      SELECT doc_id, tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+      FROM toks
+    ),
+    big AS (
+      SELECT w1, w2, count(*) AS n FROM pairs WHERE w2 IS NOT NULL
+      GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 200000
+    ),
+    vv AS (SELECT count(*) + 1 AS v FROM uni),
+    scored AS (
+      SELECT p.doc_id,
+             least(0.0, ln((coalesce(b.n, 0) + 1.0)
+                           / (coalesce(u.n, 0) + vv.v))) AS lp
+      FROM pairs p CROSS JOIN vv
+      LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+      LEFT JOIN uni u ON u.tok = p.w1
+      WHERE p.w2 IS NOT NULL
+    ),
+    ppl AS (
+      SELECT s.doc_id, d.lang, round(exp(-avg(s.lp)), 6) AS perplexity
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+      GROUP BY s.doc_id, d.lang
+    ),
+    rk AS (
+      SELECT doc_id, lang, perplexity,
+             row_number() OVER (PARTITION BY lang ORDER BY perplexity)
+               AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM ppl
+    ),
+    thr AS (
+      SELECT lang,
+             max(CASE WHEN rn = ceil(0.3333333333333333 * n)
+                 THEN perplexity END) AS t0,
+             max(CASE WHEN rn = ceil(0.6666666666666666 * n)
+                 THEN perplexity END) AS t1
+      FROM rk GROUP BY lang
+    )
+    SELECT p.doc_id, p.lang, p.perplexity,
+           CASE WHEN p.perplexity <= thr.t0 THEN 'head'
+                WHEN p.perplexity <= thr.t1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ppl p JOIN thr USING (lang)
+"""
+
+
+def test_ccnet_buckets_duckdb_oracle(spark):
+    """Cross-engine rehearsal of the r14 ccnet_buckets driver row: the
+    chained CCNet recipe — bigram-LM perplexity scoring, then per-
+    LANGUAGE head/middle/tail bucketing at exact 1/3, 2/3 rank
+    thresholds (Wenzek 2020 §4.3) — replayed end-to-end by DuckDB.
+    Buckets are computed from the 6-decimal-rounded perplexities in
+    BOTH engines, so the rank thresholds operate on identical doubles
+    (the same rounding contract the green lm_perplexity row proves)."""
+    import duckdb
+
+    from catabra_pandas_spark.pipeline import (ngram_perplexity,
+                                               quantile_buckets,
+                                               train_ngram_lm)
+    from catabra_pandas_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents")
+    model = train_ngram_lm(docs)
+    ppl = (ngram_perplexity(docs, model, id_cols=("doc_id", "lang"))
+           .select("doc_id", "lang",
+                   F.round("perplexity", 6).alias("perplexity")))
+    got = (quantile_buckets(ppl, "perplexity", group_by="lang")
+           .select("doc_id", "lang", "perplexity", "bucket")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    exp = (con.execute(_CCNET_BUCKETS_SQL).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == len(exp) and len(got) > 0
+    for c in ("doc_id", "lang", "perplexity", "bucket"):
+        assert (got[c] == exp[c]).all(), c
+    # every language fills all three buckets at this corpus size
+    counts = got.groupby(["lang", "bucket"]).size()
+    assert set(counts.index.get_level_values("bucket")) == \
+        {"head", "middle", "tail"}
