@@ -2091,3 +2091,52 @@ def test_ccnet_buckets_duckdb_oracle(spark):
     counts = got.groupby(["lang", "bucket"]).size()
     assert set(counts.index.get_level_values("bucket")) == \
         {"head", "middle", "tail"}
+
+
+_MIX_TEMPERATURE_SQL = """
+    WITH sizes AS (SELECT lang, count(*) AS n FROM documents
+                   GROUP BY lang),
+    wts AS (SELECT lang, pow(n::DOUBLE, 1.0/2.0) AS r FROM sizes),
+    tot AS (SELECT sum(r) AS t FROM wts),
+    quota AS (SELECT lang, round(r / t * 200) AS q
+              FROM wts CROSS JOIN tot),
+    ranked AS (
+      SELECT doc_id, lang, row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5(concat_ws('|', '7', doc_id::VARCHAR, lang))) AS rn
+      FROM documents)
+    SELECT doc_id, lang AS source FROM ranked JOIN quota USING (lang)
+    WHERE rn <= q
+"""
+
+
+def test_mix_corpora_temperature_duckdb_oracle(spark):
+    """Cross-engine rehearsal of the r14 mix_temperature driver row:
+    mix_corpora(temperature=2) — per-language quotas round(n_l^(1/2) /
+    Σ n_k^(1/2) * 200) derived from one count over the tagged union,
+    then the deterministic md5-order draw — replayed by DuckDB.  (The
+    only cross-engine hazard is Python's round-half-even vs SQL's
+    round-half-away on a quota landing exactly on .5 — impossible for
+    irrational sqrt weights.)"""
+    import duckdb
+
+    from catabra_pandas_spark.pipeline import mix_corpora
+    from catabra_pandas_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf, "documents").select("doc_id", "lang")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    corpora = {l: docs.filter(F.col("lang") == l) for l in sorted(langs)}
+    got = (mix_corpora(corpora, None, 200, on="doc_id", seed=7,
+                       temperature=2.0)
+           .select("doc_id", "source")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    exp = (con.execute(_MIX_TEMPERATURE_SQL).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == len(exp) and len(got) > 0
+    assert (got["doc_id"] == exp["doc_id"]).all()
+    assert (got["source"] == exp["source"]).all()
