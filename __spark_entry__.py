@@ -4293,6 +4293,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the oldest untouched r11 row.  The 63-query tail holds only
     # r11/r12-green queries whose exercised code is unchanged
     # (rotation_check proves it at AST-symbol level).
+    #
+    # r14 window plan (so the next round starts from arithmetic, not
+    # archaeology): (a) the 17 r11 rows that hit the 3-round limit at
+    # r14 — combine_attrs/gaps/k3/union, cube, rollup, decontam,
+    # fingerprint, langid, ngram_jaccard, quality_gate, repetition,
+    # scrub_pii, sessionize, stream_ffill, stream_resample, text_stats;
+    # (b) THREE new rows whose oracles are already pre-validated
+    # verbatim in tests/test_pipeline.py: quality_classifier
+    # (test_quality_classifier_duckdb_oracle + _quality_classifier_sql
+    # generator), ccnet_buckets (_CCNET_BUCKETS_SQL), mix_temperature
+    # (_MIX_TEMPERATURE_SQL); (c) ~30 spare slots — fill with the OLDEST
+    # r12 rows to flatten r15's otherwise-47-row bulge.
     return {
         "merge_overlap": q_merge_overlap,
         "merge_open_endpoints": q_merge_open_endpoints,
