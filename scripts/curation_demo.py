@@ -3,6 +3,12 @@ corpus — every stage is an operator from this repo, chained the way a real
 100 TB curation run chains them, with a printed yield funnel:
 
   read -> quality gate (apply_filters)         reject low-quality docs
+       -> CCNet perplexity buckets             per-language head/middle/
+          (ngram_perplexity +                  tail split at exact rank
+           quantile_buckets)                   quantiles; drop the tail
+       -> learned quality gate                 LR on the rule features
+          (train/score_quality_classifier)     against a target source;
+                                               drop the lowest 5%
        -> PII scrub (scrub_pii)                redact, keep counts
        -> exact dedup (exact_dedup)            drop byte-identical dups
        -> near-dup clustering                  MinHash-LSH pairs ->
@@ -13,7 +19,9 @@ corpus — every stage is an operator from this repo, chained the way a real
        -> DSIR importance resampling           bigram log-likelihood-ratio
           (dsir_logratio + weighted_sample)    weights toward the target
                                                slice, A-Res exact-N draw
-       -> mixture composition (mix_corpora)    per-language target weights
+       -> mixture composition                  temperature-derived weights
+          (mix_corpora(temperature=2))         p ∝ n^(1/T) low-resource
+                                               boost
        -> sequence packing (pack_sequences)    256-token training bins
        -> z-ordered parquet (zorder_layout +   multi-column min-max
           write_table)                         pruning for consumers
@@ -71,17 +79,39 @@ def main():
     kept = gated.filter("kept").drop("filter_flags", "filter_reasons", "kept")
     funnel.append(("quality_gate", kept.count()))
 
-    # 1b. LM-perplexity filter (CCNet-style): train the capped bigram
-    #     model on the gate survivors, drop the most perplexing tail
+    # 1b. LM-perplexity filter, the published CCNet shape (Wenzek 2020
+    #     §4.3): train the capped bigram model on the gate survivors,
+    #     split per LANGUAGE at the exact 1/3-2/3 perplexity rank
+    #     quantiles, drop the 'tail' bucket.  Anti-join against the
+    #     dropped bucket (NOT semi-join against survivors):
+    #     ngram_perplexity omits <2-token docs, and unscored docs must
+    #     pass through, not be silently dropped.
     lm = P.train_ngram_lm(kept)
-    ppl = P.ngram_perplexity(kept, lm)
-    cut = ppl.approxQuantile("perplexity", [0.98], 0.001)[0]
-    # anti-join against the over-cut tail (NOT semi-join against the
-    # survivors): ngram_perplexity omits <2-token docs from its output,
-    # and unscored docs must pass through, not be silently dropped
-    kept = (kept.join(ppl.filter(F.col("perplexity") > cut)
+    ppl = P.ngram_perplexity(kept, lm, id_cols=("doc_id", "lang"))
+    buckets = P.quantile_buckets(ppl, "perplexity", group_by="lang")
+    kept = (kept.join(buckets.filter(F.col("bucket") == "tail")
                       .select("doc_id"), "doc_id", "left_anti"))
-    funnel.append(("lm_ppl_filter", kept.count()))
+    funnel.append(("ccnet_ppl_buckets", kept.count()))
+
+    # 1c. LEARNED quality gate: logistic regression on the rule-based
+    #     quality features against the dominant source as the
+    #     looks-like-target label (CCNet trains fasttext against
+    #     Wikipedia — same shape, engine-native and deterministic),
+    #     then drop the lowest 5% of classifier probability
+    target_src = (docs.groupBy("source").count()
+                  .orderBy(F.desc("count"), "source").first()["source"])
+    labeled = kept.withColumn(
+        "__y__", (F.col("source") == target_src).cast("int"))
+    qc = P.train_quality_classifier(
+        labeled, "__y__",
+        ["n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio",
+         "digit_ratio"], n_iter=5)
+    scored = P.score_quality_classifier(labeled, qc).drop("__y__")
+    kept = (P.quantile_buckets(scored, "quality_prob", cuts=(0.05,),
+                               labels=("reject", "keep"))
+            .filter(F.col("bucket") != "reject")
+            .drop("quality_prob", "bucket"))
+    funnel.append(("learned_quality", kept.count()))
 
     # 2. PII scrub (in place; counts kept for audit)
     scrubbed = (P.scrub_pii(kept)
@@ -154,13 +184,15 @@ def main():
     clean = clean.localCheckpoint(eager=True)
     funnel.append(("dsir_resample", clean.count()))
 
-    # 6. mixture at target language weights
+    # 6. mixture at temperature-derived weights: p ∝ n^(1/T) with T=2
+    #    (the T5/mT5 sampling-temperature rule — boosts low-resource
+    #    languages toward uniform; sizes come from one count over the
+    #    tagged union)
     langs = [r[0] for r in clean.select("lang").distinct().collect()]
-    w = {lang: 1.0 for lang in langs}
-    w[langs[0]] = 2.0  # overweight one source to make the mixture visible
     total = min(clean.count(), 300)
     mixed = P.mix_corpora({l: clean.filter(F.col("lang") == l) for l in langs},
-                          w, n_total=total, on="doc_id", seed=7)
+                          None, n_total=total, on="doc_id", seed=7,
+                          temperature=2.0)
     funnel.append(("mixture", mixed.count()))
 
     # 7. tokenizer training on the CURATED mixture (word-count shuffle +
