@@ -3120,6 +3120,88 @@ _Q_DSIR_RESAMPLE_SQL = """
 """
 
 
+def q_ccnet_buckets(spark, sf):
+    """The chained CCNet quality split (Wenzek et al. 2020 §4.3;
+    pipeline/text.py quantile_buckets): bigram-LM perplexity scoring
+    (broadcast map-only Arrow pass), then per-LANGUAGE head/middle/tail
+    buckets at the EXACT 1/3, 2/3 rank quantiles — threshold = score at
+    rank ceil(cut*n), computed by one distributed external sort (two
+    windows over the lang partition — never percentile()'s exact
+    in-memory aggregation buffer), reduced to an O(#langs) table and
+    broadcast-joined back map-only.  Buckets operate on the 6-decimal-
+    rounded perplexities in BOTH engines, so the rank thresholds see
+    identical doubles (the rounding contract the green lm_perplexity
+    row proves); ties at a threshold land in the lower bucket, making
+    the assignment fully deterministic.  Oracle pre-validated verbatim
+    in tests/test_pipeline.py::test_ccnet_buckets_duckdb_oracle."""
+    docs = read_table(spark, sf, "documents")
+    model = P.train_ngram_lm(docs)
+    ppl = (P.ngram_perplexity(docs, model, id_cols=("doc_id", "lang"))
+           .select("doc_id", "lang",
+                   F.round("perplexity", 6).alias("perplexity")))
+    return (P.quantile_buckets(ppl, "perplexity", group_by="lang")
+            .select("doc_id", "lang", "perplexity", "bucket"))
+
+
+_Q_CCNET_BUCKETS_SQL = """
+    WITH toks0 AS (
+      SELECT doc_id, unnest(l) AS tok,
+             unnest(range(1, len(l) + 1)) AS ord
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM documents)
+    ),
+    toks AS (SELECT * FROM toks0 WHERE tok != ''),
+    uni AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+      ORDER BY n DESC, tok LIMIT 50000
+    ),
+    pairs AS (
+      SELECT doc_id, tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+      FROM toks
+    ),
+    big AS (
+      SELECT w1, w2, count(*) AS n FROM pairs WHERE w2 IS NOT NULL
+      GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 200000
+    ),
+    vv AS (SELECT count(*) + 1 AS v FROM uni),
+    scored AS (
+      SELECT p.doc_id,
+             least(0.0, ln((coalesce(b.n, 0) + 1.0)
+                           / (coalesce(u.n, 0) + vv.v))) AS lp
+      FROM pairs p CROSS JOIN vv
+      LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+      LEFT JOIN uni u ON u.tok = p.w1
+      WHERE p.w2 IS NOT NULL
+    ),
+    ppl AS (
+      SELECT s.doc_id, d.lang, round(exp(-avg(s.lp)), 6) AS perplexity
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+      GROUP BY s.doc_id, d.lang
+    ),
+    rk AS (
+      SELECT doc_id, lang, perplexity,
+             row_number() OVER (PARTITION BY lang ORDER BY perplexity)
+               AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM ppl
+    ),
+    thr AS (
+      SELECT lang,
+             max(CASE WHEN rn = ceil(0.3333333333333333 * n)
+                 THEN perplexity END) AS t0,
+             max(CASE WHEN rn = ceil(0.6666666666666666 * n)
+                 THEN perplexity END) AS t1
+      FROM rk GROUP BY lang
+    )
+    SELECT p.doc_id, p.lang, p.perplexity,
+           CASE WHEN p.perplexity <= thr.t0 THEN 'head'
+                WHEN p.perplexity <= thr.t1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ppl p JOIN thr USING (lang)
+"""
+
+
 def q_substring_dedup(spark, sf):
     """ExactSubstr duplication stats (pipeline/dedup.py
     exact_substring_stats — Lee et al. 2021): per document, the fraction
@@ -4289,22 +4371,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the chained dsir_logratio -> exp -> weighted_sample recipe (Xie
     # 2023 §3, VERDICT r12 #4) with a full two-stage DuckDB replay;
     # (e) the 13 r10-row queries hitting the repo's 3-round age limit
-    # (VERDICT r12 #2); (f) dedup_exact fills the last slot to freshen
-    # the oldest untouched r11 row.  The 63-query tail holds only
-    # r11/r12-green queries whose exercised code is unchanged
-    # (rotation_check proves it at AST-symbol level).
+    # (VERDICT r12 #2); (f) the NEW ccnet_buckets row fills the last
+    # slot — the chained CCNet perplexity head/middle/tail split over
+    # the new quantile_buckets operator, its oracle pre-validated
+    # verbatim in tests/test_pipeline.py and re-verified at sf0.01
+    # before registration.  The 64-query tail holds only r11/r12-green
+    # queries whose exercised code is unchanged (rotation_check proves
+    # it at AST-symbol level).
     #
     # r14 window plan (so the next round starts from arithmetic, not
-    # archaeology): (a) the 17 r11 rows that hit the 3-round limit at
+    # archaeology): (a) the 18 r11 rows that hit the 3-round limit at
     # r14 — combine_attrs/gaps/k3/union, cube, rollup, decontam,
-    # fingerprint, langid, ngram_jaccard, quality_gate, repetition,
-    # scrub_pii, sessionize, stream_ffill, stream_resample, text_stats;
-    # (b) THREE new rows whose oracles are already pre-validated
-    # verbatim in tests/test_pipeline.py: quality_classifier
-    # (test_quality_classifier_duckdb_oracle + _quality_classifier_sql
-    # generator), ccnet_buckets (_CCNET_BUCKETS_SQL), mix_temperature
-    # (_MIX_TEMPERATURE_SQL); (c) ~30 spare slots — fill with the OLDEST
-    # r12 rows to flatten r15's otherwise-47-row bulge.
+    # dedup_exact, fingerprint, langid, ngram_jaccard, quality_gate,
+    # repetition, scrub_pii, sessionize, stream_ffill, stream_resample,
+    # text_stats; (b) TWO new rows whose oracles are already
+    # pre-validated verbatim in tests/test_pipeline.py:
+    # quality_classifier (test_quality_classifier_duckdb_oracle +
+    # _quality_classifier_sql generator) and mix_temperature
+    # (_MIX_TEMPERATURE_SQL); (c) ~30 spare slots — fill with the
+    # OLDEST r12 rows to flatten r15's otherwise-47-row bulge.
     return {
         "merge_overlap": q_merge_overlap,
         "merge_open_endpoints": q_merge_open_endpoints,
@@ -4355,8 +4440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "zorder": q_zorder,
         "json_props": q_json_props,
-        "dedup_exact": q_dedup_exact,
+        "ccnet_buckets": q_ccnet_buckets,
         # ---- driver window ends here (50) ----
+        "dedup_exact": q_dedup_exact,
         "semantic_decontaminate": q_semantic_decontaminate,
         "weighted_sample": q_weighted_sample,
         "stream_dedup": q_stream_dedup,
@@ -4441,6 +4527,9 @@ def oracle_sql() -> dict[str, str]:
         # the chained published recipe: DSIR log-weights -> exp ->
         # A-Res draw, both stages replayed in one SQL program
         "dsir_resample": _Q_DSIR_RESAMPLE_SQL,
+        # CCNet head/middle/tail: LM perplexity + exact rank-quantile
+        # thresholds per language, replayed end-to-end
+        "ccnet_buckets": _Q_CCNET_BUCKETS_SQL,
         # C4 line dedup: oracle counts exact strings vs Spark's xxhash64
         # (collision canary)
         "line_dedup": _Q_LINE_DEDUP_SQL,

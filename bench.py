@@ -114,8 +114,10 @@ HEADLINE = [
     "weighted_sample",
     "dsir",
     "line_dedup",
-    # r13 addition (chained DSIR importance-resampling funnel)
+    # r13 additions (chained DSIR importance-resampling funnel; CCNet
+    # per-language perplexity quality buckets)
     "dsir_resample",
+    "ccnet_buckets",
 ]
 
 
