@@ -1036,3 +1036,46 @@ def test_sessionize_matches_gap_scan(spark, events, gap_min):
     got = [(r.entity, r.session_start, r.session_stop, r.n_events)
            for r in out.itertuples()]
     assert got == exp
+
+
+_scores = st.sampled_from([0.0, 1.0, 1.0, 2.5, 2.5, 2.5, 4.0, 7.5, 10.0])
+_bucket_rows = st.lists(st.tuples(st.integers(0, 2), _scores),
+                        min_size=1, max_size=40)
+_cut_sets = st.sampled_from([(1 / 3, 2 / 3), (0.05,), (0.25, 0.5, 0.75),
+                             (0.5,)])
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=_bucket_rows, cuts=_cut_sets)
+def test_quantile_buckets_matches_rank_rule(spark, rows, cuts):
+    """quantile_buckets (r13) against a brute-force pandas replay of the
+    type-1 rank rule on random group sizes, heavy tie densities and
+    several cut lists: threshold = sorted group scores at index
+    ceil(cut*n)-1, assignment by score <= threshold with ties in the
+    lower bucket."""
+    import math
+
+    import numpy as np
+
+    from catabra_pandas_spark.pipeline import quantile_buckets
+
+    labels = [f"b{i}" for i in range(len(cuts) + 1)]
+    pdf = pd.DataFrame(rows, columns=["g", "s"])
+    sdf = spark.createDataFrame(
+        [(int(g), float(s)) for g, s in rows], "g long, s double")
+    got = (quantile_buckets(sdf, "s", group_by="g", cuts=cuts,
+                            labels=labels)
+           .toPandas().sort_values(["g", "s"]).reset_index(drop=True))
+
+    for g, sub in pdf.groupby("g"):
+        srt = np.sort(sub["s"].to_numpy())
+        n = len(srt)
+        thr = [srt[math.ceil(c * n) - 1] for c in cuts]
+        gg = got[got["g"] == g]
+        for _, row in gg.iterrows():
+            exp = labels[-1]
+            for i, t in enumerate(thr):
+                if row["s"] <= t:
+                    exp = labels[i]
+                    break
+            assert row["bucket"] == exp, (g, row["s"], thr)
