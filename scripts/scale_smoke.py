@@ -39,7 +39,7 @@ Usage: python scripts/scale_smoke.py [n_obs] [tiers]
   n_obs  default 10_000_000
   tiers  comma list of {eav,interval,group,ann,text,exactsubstr,bpe16k,
          cosinebig,skew,streamstate,bucketdt,autostrat,resampauto,
-         semdedup,semdecon,semhot,semhot3,wsample,qualclf};
+         semdedup,semdecon,semhot,semhot3,wsample,qualclf,qbuckets};
          default = the five original tiers
 """
 
@@ -1052,6 +1052,55 @@ def main():
               f"prob separation {sep9:.3f} (pos {pmap9[1]:.3f} vs neg "
               f"{pmap9[0]:.3f})")
         ok &= n_exch9 == 0 and sep9 > 0.2
+
+    # --- quantile_buckets certificate (opt-in, r13) ----------------------
+    if "qbuckets" in tiers:
+        # n rows of hash-unique scores in 5 skewed groups (one group owns
+        # half the corpus): per-group head/middle/tail counts must hit
+        # the EXACT type-1 rank arithmetic — head = ceil(n_g/3),
+        # middle = ceil(2*n_g/3) - ceil(n_g/3) — because unique scores
+        # leave no tie slack; the threshold table is broadcast-joined
+        # (plan-asserted) and the rank pass is ONE sort exchange.
+        from catabra_pandas_spark.pipeline import quantile_buckets
+        import math as _math
+        n10 = n
+        g10 = (F.when(F.pmod(F.xxhash64("id"), F.lit(10)) < 5, F.lit(0))
+               .otherwise(F.pmod(F.xxhash64("id"), F.lit(5))))
+        data10 = (spark.range(n10, numPartitions=64)
+                  .select(F.col("id").alias("rid"), g10.alias("g"),
+                          # PROVABLY unique, exactly-representable
+                          # scores: hash*n + id is a bijection of
+                          # (hash mod 1e6, id) and stays < 2^53
+                          (F.pmod(F.xxhash64("id", F.lit(7)),
+                                  F.lit(10**6)) * F.lit(n10)
+                           + F.col("id")).cast("double").alias("s"))
+                  .localCheckpoint(eager=True))
+        t0 = time.perf_counter()
+        b10 = quantile_buckets(data10, "s", group_by="g")
+        counts10 = {(int(r["g"]), r["bucket"]): int(r["n"]) for r in
+                    b10.groupBy("g", "bucket")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+        t_b10 = time.perf_counter() - t0
+        sizes10 = {int(r["g"]): int(r["n"]) for r in
+                   data10.groupBy("g")
+                   .agg(F.count(F.lit(1)).alias("n")).collect()}
+        bad10 = []
+        for g, ng in sizes10.items():
+            head = _math.ceil(ng / 3)
+            middle = _math.ceil(2 * ng / 3) - head
+            tail = ng - head - middle
+            exp = {"head": head, "middle": middle, "tail": tail}
+            for lab, cnt in exp.items():
+                if counts10.get((g, lab), 0) != cnt:
+                    bad10.append((g, lab, counts10.get((g, lab), 0), cnt))
+        plan10 = b10._jdf.queryExecution().executedPlan().toString()
+        bcast10 = "BroadcastHashJoin" in plan10
+        print(f"qbuckets {n10:,} rows in {len(sizes10)} skewed groups: "
+              f"{t_b10:.1f}s, broadcast threshold join={bcast10}")
+        print(f"[{'ok' if not bad10 and bcast10 else 'FAIL'}] qbuckets "
+              f"exact rank arithmetic per group "
+              f"(mismatches={bad10[:3]})")
+        ok &= not bad10 and bcast10
 
     # --- weighted sampling certificate (opt-in, r12) --------------------
     if "wsample" in tiers:
