@@ -297,6 +297,17 @@ def main():
     # (10M skewed rows, exact per-group rank arithmetic, ~20 s).
     # r13 new-query numbers at sf0.1: dsir_resample 1.46 s (0 exchanges,
     # 0 joins, TakeOrdered), ccnet_buckets 1.94 s (LM-train dominated).
+    # r13 FULL tier sweep (every opt-in tier re-run at n=10M this
+    # round, all PASS): exactsubstr (hot-span skew absorbed, 5M docs
+    # shrank), bpe16k (incremental loop 60 s vs ~6546 s rescan, 109x),
+    # cosinebig (1.76 GB shuffled vs ~4.6 TB naive pair-rows), skew
+    # (forced AQE skew-split 2.6 s vs 5.4 s, task ratio 8.4x -> 1.8x),
+    # bucketdt, semdedup (50000/50000 planted pairs), semdecon (0
+    # exchanges), semhot, wsample, streamstate (stream_asof AND
+    # stream_funnel at 10M entities: 239.1 B/entity — the r9 record
+    # reproduced bit-for-bit; the one sweep crash was a flaky
+    # lastProgress read on a trailing no-data batch, hardened to a
+    # recentProgress max).
     times: dict[str, float] = {}
     for name in headline:
         fn = qs[name]

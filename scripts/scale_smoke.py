@@ -1514,15 +1514,27 @@ def main():
                  .trigger(availableNow=True).start())
             q.awaitTermination(1800)
             wall = time.perf_counter() - t0
-            so = ((q.lastProgress or {}).get("stateOperators") or [{}])[0]
-            return wall, so.get("numRowsTotal"), so.get("memoryUsedBytes")
+            # the LAST progress can be a trailing no-data batch with an
+            # empty stateOperators list (observed in a long-session full
+            # sweep — the r13 crash); take the max-state progress from
+            # recentProgress instead of trusting lastProgress alone
+            best = {}
+            for pr in (q.recentProgress or []) + \
+                    ([q.lastProgress] if q.lastProgress else []):
+                for so in (pr or {}).get("stateOperators") or []:
+                    if (so.get("numRowsTotal") or 0) >= \
+                            (best.get("numRowsTotal") or 0):
+                        best = so
+            return (wall, best.get("numRowsTotal"),
+                    best.get("memoryUsedBytes"))
 
         w1, rows1, mem1 = run_stream(
             stream_asof(ls, rs, on="t", by="entity", right_value="value"),
             "append", "ck_asof")
         bpe1 = mem1 / rows1 if rows1 else None
         print(f"streamstate stream_asof {n_ent:,} entities: wall={w1:.1f}s "
-              f"state_rows={rows1:,} state_mem={mem1 and mem1 >> 20}MB "
+              f"state_rows={rows1 and format(rows1, ',')} "
+              f"state_mem={mem1 and mem1 >> 20}MB "
               f"({bpe1 and round(bpe1, 1)} B/entity)")
 
         ev = spark.range(n_ent, numPartitions=64).select(
@@ -1539,7 +1551,7 @@ def main():
             stream_funnel(es, steps=["A", "B"]), "update", "ck_funnel")
         bpe2 = mem2 / rows2 if rows2 else None
         print(f"streamstate stream_funnel {n_ent:,} entities (2 steps): "
-              f"wall={w2:.1f}s state_rows={rows2:,} "
+              f"wall={w2:.1f}s state_rows={rows2 and format(rows2, ',')} "
               f"state_mem={mem2 and mem2 >> 20}MB "
               f"({bpe2 and round(bpe2, 1)} B/entity)")
         # the O(1)/O(k) claim: state rows == entities, and per-entity
