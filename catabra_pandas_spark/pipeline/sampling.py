@@ -267,3 +267,46 @@ def mix_corpora(
             else quota.when(F.col(source_col) == name, lit)
     return (tagged.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") <= quota).drop("__rn__"))
+
+
+def assign_shards(
+    df: DataFrame,
+    on: Union[str, Sequence[str]],
+    n_shards: int,
+    seed: int = 42,
+    shard_col: str = "shard",
+    order_col: str = "shard_order",
+) -> DataFrame:
+    """Deterministic balanced shard assignment + within-shard order key —
+    the write-path primitive for materializing a curated corpus as N
+    training shards whose membership AND document order never depend on
+    partitioning, retries, or cluster size (a non-deterministic shard
+    layout silently changes every data-parallel training run that maps
+    shards to workers).
+
+    ``shard`` = the first 8 md5 hex digits of (seed | key) as uint32 mod
+    ``n_shards`` — uniform, so shards balance to within sampling noise
+    of ``|df| / n_shards`` each; ``order_col`` = the NEXT 16 hex digits
+    (an independent uniform: non-overlapping digest substrings), giving
+    a reproducible pseudo-random document order inside each shard — the
+    standard "shuffle your corpus once, globally, deterministically"
+    recipe for LLM training data.  Both are pure map-side projections
+    (zero shuffle, zero state); the actual write is
+    ``out.repartition(n_shards, "shard").sortWithinPartitions(order_col)
+    .write...``, whose single hash exchange is the unavoidable minimum
+    for co-locating each shard.  md5 keying follows this module's
+    contract: any engine replays the assignment bit-for-bit.
+
+    ``on`` must uniquely key rows (the :func:`weighted_sample` contract)
+    — duplicate keys land in the same shard at the same order position,
+    with their relative order engine-dependent.
+    """
+    for c in (shard_col, order_col):
+        if c in df.columns:
+            raise ValueError(f"column {c!r} already exists")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    d = _key_digest(df, on, seed)
+    shard = F.conv(F.substring(d, 1, 8), 16, 10).cast("long") % n_shards
+    return (df.withColumn(shard_col, shard)
+            .withColumn(order_col, F.substring(d, 9, 16)))

@@ -2140,3 +2140,290 @@ def test_mix_corpora_temperature_duckdb_oracle(spark):
     assert len(got) == len(exp) and len(got) > 0
     assert (got["doc_id"] == exp["doc_id"]).all()
     assert (got["source"] == exp["source"]).all()
+
+
+# ---------------------------------------------------------------------------
+# retrieval: doc_frequencies / tfidf_top_terms / bm25_search /
+# hashed_tf_embedding — and sampling.assign_shards.
+# The SQL strings below are the r14 driver-row oracles, pre-validated here
+# verbatim (the quality_classifier / mix_temperature cadence).
+
+_DOC_FREQ_CTES = """
+    toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) AS w
+      FROM documents),
+    dfreq AS (
+      SELECT w, count(DISTINCT doc_id) AS n FROM toks GROUP BY w
+      ORDER BY n DESC, w ASC LIMIT {max_vocab}),
+    corp AS (
+      SELECT count(*) AS c,
+             coalesce(sum(len(list_filter(string_split(lower(text), ' '),
+                                          t -> t <> ''))), 0) AS tt
+      FROM documents)
+"""
+
+_TFIDF_SQL = """
+    WITH """ + _DOC_FREQ_CTES + """,
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+    scored AS (
+      SELECT doc_id, w AS term,
+             tf * (ln((1.0 + c) / (1.0 + n)) + 1.0) AS score,
+             row_number() OVER (PARTITION BY doc_id
+                ORDER BY tf * (ln((1.0 + c) / (1.0 + n)) + 1.0) DESC,
+                         w ASC) AS rank
+      FROM tf JOIN dfreq USING (w) CROSS JOIN corp)
+    SELECT doc_id, term, round(score, 6) AS tfidf, rank
+    FROM scored WHERE rank <= {k}
+"""
+
+_BM25_SQL = """
+    WITH """ + _DOC_FREQ_CTES + """,
+    dl AS (SELECT doc_id, len(list_filter(string_split(lower(text), ' '),
+                                          t -> t <> '')) AS dl
+           FROM documents),
+    qterms AS (SELECT DISTINCT unnest(list_filter(
+                 string_split(lower('{query}'), ' '), t -> t <> '')) AS w),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+           WHERE w IN (SELECT w FROM qterms) GROUP BY doc_id, w),
+    contrib AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (c - n + 0.5) / (n + 0.5)) * tf * ({k1} + 1.0)
+               / (tf + {k1} * (1.0 - {b} + {b} * dl / (tt::DOUBLE / c))) AS s
+      FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id) CROSS JOIN corp),
+    scored AS (SELECT doc_id, sum(s) AS bm25, count(*) AS n_hits
+               FROM contrib GROUP BY doc_id)
+    SELECT doc_id, round(bm25, 6) AS bm25, n_hits FROM scored
+    ORDER BY bm25 DESC, doc_id ASC LIMIT {k}
+"""
+
+_HASHED_TF_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) AS w
+      FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % {dim} AS b,
+             CASE WHEN ('0x' || substr(md5(w), 9, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM toks),
+    acc AS (SELECT doc_id, b, sum(s)::DOUBLE AS v
+            FROM hashed GROUP BY doc_id, b),
+    grid AS (SELECT doc_id, gs.b FROM documents,
+             (SELECT unnest(generate_series(0, {dim} - 1)) AS b) gs),
+    dense AS (SELECT g.doc_id, g.b, coalesce(a.v, 0.0) AS v
+              FROM grid g LEFT JOIN acc a
+                ON a.doc_id = g.doc_id AND a.b = g.b),
+    norm AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm
+             FROM dense GROUP BY doc_id),
+    outv AS (SELECT d.doc_id, d.b,
+                    round(CASE WHEN nrm > 0
+                          THEN (d.v / nrm)::FLOAT::DOUBLE
+                          ELSE 0.0 END, 6) AS v
+             FROM dense d JOIN norm USING (doc_id))
+    SELECT doc_id, list(v ORDER BY b) AS vec FROM outv GROUP BY doc_id
+"""
+
+_ASSIGN_SHARDS_SQL = """
+    SELECT doc_id,
+           ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8))::BIGINT
+             % {n} AS shard,
+           substr(md5('42|' || doc_id::VARCHAR), 9, 16) AS shard_order
+    FROM documents
+"""
+
+
+def test_doc_frequencies_duckdb_oracle(spark, docs):
+    import duckdb
+
+    from catabra_pandas_spark.pipeline import doc_frequencies
+
+    stats = doc_frequencies(docs, max_vocab=20)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = dict(con.execute(
+        "WITH" + _DOC_FREQ_CTES.format(max_vocab=20)
+        + "SELECT w, n FROM dfreq").fetchall())
+    assert stats["df"] == exp and len(stats["df"]) == 20
+    c, tt = con.execute(
+        "WITH" + _DOC_FREQ_CTES.format(max_vocab=20)
+        + "SELECT c, tt FROM corp").fetchone()
+    assert (stats["n_docs"], stats["total_tokens"]) == (c, tt)
+    # cap determinism: same table from a reshuffled input
+    stats2 = doc_frequencies(docs.repartition(13), max_vocab=20)
+    assert stats2 == stats
+
+
+def test_tfidf_top_terms_duckdb_oracle(spark, docs):
+    import duckdb
+
+    from catabra_pandas_spark.pipeline import doc_frequencies, tfidf_top_terms
+
+    stats = doc_frequencies(docs, max_vocab=500)
+    got = (tfidf_top_terms(docs, stats, k=3)
+           .withColumn("tfidf", F.round("tfidf", 6)).toPandas()
+           .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = (con.execute(_TFIDF_SQL.format(max_vocab=500, k=3)).df()
+           .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    assert len(got) == len(exp) and len(got) > 0
+    assert (got["doc_id"] == exp["doc_id"]).all()
+    assert (got["term"] == exp["term"]).all()
+    assert (got["rank"] == exp["rank"]).all()
+    assert np.allclose(got["tfidf"], exp["tfidf"], atol=1e-9)
+    # partitioning-independent (content-defined scores and ranks)
+    got2 = (tfidf_top_terms(docs.repartition(17), stats, k=3)
+            .withColumn("tfidf", F.round("tfidf", 6)).toPandas()
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    assert (got2["term"] == got["term"]).all()
+
+
+def test_tfidf_skips_out_of_vocab_docs(spark):
+    from catabra_pandas_spark.pipeline import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "zzz qqq"), (3, None), (4, "")],
+        "doc_id long, text string")
+    stats = {"df": {"alpha": 1, "beta": 1}, "n_docs": 4, "total_tokens": 5}
+    out = tfidf_top_terms(df, stats, k=5).toPandas()
+    # docs 2 (all OOV), 3 (null), 4 (empty) are omitted
+    assert sorted(out.doc_id.unique()) == [1]
+    assert list(out.sort_values("rank").term) == ["beta", "alpha"]
+
+
+def test_bm25_search_duckdb_oracle(spark, docs):
+    import duckdb
+
+    from catabra_pandas_spark.pipeline import bm25_search, doc_frequencies
+
+    stats = doc_frequencies(docs, max_vocab=500)
+    # three real corpus tokens of middling frequency + one OOV term
+    terms = sorted(stats["df"], key=lambda w: (-stats["df"][w], w))
+    query = " ".join(terms[2:5] + ["notaword9x"])
+    got = (bm25_search(docs, stats, query, k=10)
+           .withColumn("bm25", F.round("bm25", 6)).toPandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = con.execute(_BM25_SQL.format(
+        max_vocab=500, query=" ".join(terms[2:5]), k1=1.2, b=0.75,
+        k=10)).df()
+    assert len(got) == 10
+    assert (got["doc_id"] == exp["doc_id"]).all()
+    assert (got["n_hits"] == exp["n_hits"]).all()
+    assert np.allclose(got["bm25"], exp["bm25"], atol=1e-9)
+    # global top-k is TakeOrdered (no full sort shuffle)
+    plan = bm25_search(docs, stats, query, k=10)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_no_match_and_empty_corpus(spark):
+    import pytest as _pytest
+
+    from catabra_pandas_spark.pipeline import bm25_search
+
+    df = spark.createDataFrame([(1, "alpha beta")],
+                               "doc_id long, text string")
+    stats = {"df": {"alpha": 1}, "n_docs": 1, "total_tokens": 2}
+    assert bm25_search(df, stats, "zzz", k=5).count() == 0
+    with _pytest.raises(ValueError, match="empty corpus"):
+        bm25_search(df, {"df": {}, "n_docs": 0, "total_tokens": 0}, "x")
+
+
+def test_hashed_tf_embedding_duckdb_oracle(spark, docs):
+    import duckdb
+
+    from catabra_pandas_spark.pipeline import hashed_tf_embedding
+
+    got = {r["doc_id"]: [round(float(x), 6) for x in r["embedding"]]
+           for r in hashed_tf_embedding(docs, dim=16).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = {r[0]: [round(float(x), 6) for x in r[1]]
+           for r in con.execute(_HASHED_TF_SQL.format(dim=16)).fetchall()}
+    assert got == exp  # integer accumulation: bit-exact across engines
+    # partitioning-independent
+    got2 = {r["doc_id"]: [round(float(x), 6) for x in r["embedding"]]
+            for r in hashed_tf_embedding(docs.repartition(11),
+                                         dim=16).collect()}
+    assert got2 == got
+
+
+def test_hashed_tf_embedding_edge_cases(spark):
+    import math
+
+    from catabra_pandas_spark.pipeline import hashed_tf_embedding
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: list(r["embedding"])
+           for r in hashed_tf_embedding(df, dim=8).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(v == 0.0 for v in out[2]) and all(v == 0.0 for v in out[3])
+    assert math.isclose(sum(v * v for v in out[1]), 1.0, rel_tol=1e-6)
+    raw = {r["doc_id"]: list(r["embedding"])
+           for r in hashed_tf_embedding(df, dim=8,
+                                        normalize=False).collect()}
+    # unnormalized components are exact signed integer counts
+    assert all(float(v).is_integer() for v in raw[1])
+    assert sum(abs(v) for v in raw[1]) >= 1.0
+
+
+def test_hashed_tf_chains_into_cosine_topk(spark, docs):
+    """The bridge property: hashed embeddings of an exact text copy are
+    identical, so cosine_topk over them reports the planted duplicate
+    as a cosine-1.0 top neighbor."""
+    from catabra_pandas_spark.pipeline import (cosine_topk,
+                                               hashed_tf_embedding)
+
+    d = _with_planted_dups(spark, docs)
+    emb = hashed_tf_embedding(d, dim=32).withColumnRenamed("doc_id",
+                                                           "vec_id")
+    pairs = cosine_topk(emb, emb, k=2).toPandas()
+    copies = pairs[(pairs.query_id < 10) & (pairs.neighbor_id ==
+                                            pairs.query_id + 10000)]
+    assert len(copies) >= 8  # copy is a top-2 neighbor for almost all
+    assert np.allclose(copies.cosine_sim, 1.0, atol=1e-6)
+
+
+def test_assign_shards_duckdb_oracle(spark, docs):
+    import duckdb
+
+    from catabra_pandas_spark.pipeline import assign_shards
+
+    out = assign_shards(docs.select("doc_id"), on="doc_id", n_shards=8)
+    got = out.toPandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = (con.execute(_ASSIGN_SHARDS_SQL.format(n=8)).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert (got["shard"] == exp["shard"]).all()
+    assert (got["shard_order"] == exp["shard_order"]).all()
+    # balanced within sampling noise: 500 docs over 8 shards
+    counts = got.groupby("shard").size()
+    assert len(counts) == 8 and counts.min() > 25 and counts.max() < 100
+    # partitioning-independent
+    got2 = (assign_shards(docs.select("doc_id").repartition(7),
+                          on="doc_id", n_shards=8)
+            .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert (got2["shard"] == got["shard"]).all()
+
+
+def test_assign_shards_validation(spark, docs):
+    import pytest as _pytest
+
+    from catabra_pandas_spark.pipeline import assign_shards
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        assign_shards(docs, on="doc_id", n_shards=0)
+    with _pytest.raises(ValueError, match="already exists"):
+        assign_shards(docs.withColumn("shard", F.lit(1)),
+                      on="doc_id", n_shards=2)
