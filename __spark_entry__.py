@@ -4384,12 +4384,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r14 — combine_attrs/gaps/k3/union, cube, rollup, decontam,
     # dedup_exact, fingerprint, langid, ngram_jaccard, quality_gate,
     # repetition, scrub_pii, sessionize, stream_ffill, stream_resample,
-    # text_stats; (b) TWO new rows whose oracles are already
+    # text_stats; (b) SEVEN new rows whose oracles are already
     # pre-validated verbatim in tests/test_pipeline.py:
     # quality_classifier (test_quality_classifier_duckdb_oracle +
-    # _quality_classifier_sql generator) and mix_temperature
-    # (_MIX_TEMPERATURE_SQL); (c) ~30 spare slots — fill with the
-    # OLDEST r12 rows to flatten r15's otherwise-47-row bulge.
+    # _quality_classifier_sql generator), mix_temperature
+    # (_MIX_TEMPERATURE_SQL), and the five retrieval/sharding rows
+    # (_TFIDF_SQL, _BM25_SQL or its batch twin _BM25_MANY_SQL,
+    # _HASHED_TF_SQL, _ASSIGN_SHARDS_SQL, and _DOC_FREQ_CTES for a
+    # doc_frequencies row if registered directly — each validated at
+    # sf0.001 by its test and certified at 1M docs by the scale_smoke
+    # `retrieval` tier); (c) ~25 spare slots — fill with the OLDEST
+    # r12 rows to flatten r15's otherwise-47-row bulge.
     return {
         "merge_overlap": q_merge_overlap,
         "merge_open_endpoints": q_merge_open_endpoints,

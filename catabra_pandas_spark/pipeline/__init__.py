@@ -46,8 +46,8 @@ from .classifier import score_quality_classifier, train_quality_classifier
 from .sketches import (approx_distinct, bloom_filter_words, bloom_prejoin,
                        distinct_certificate, heavy_hitters,
                        quantile_certificate, quantile_sketch)
-from .retrieval import (bm25_search, doc_frequencies, hashed_tf_embedding,
-                        tfidf_top_terms)
+from .retrieval import (bm25_search, bm25_search_many, doc_frequencies,
+                        hashed_tf_embedding, tfidf_top_terms)
 from .sampling import assign_shards
 
 __all__ = [
@@ -72,5 +72,5 @@ __all__ = [
     "train_bpe", "bpe_tokenize", "bpe_decode_tokens",
     "train_quality_classifier", "score_quality_classifier",
     "doc_frequencies", "tfidf_top_terms", "bm25_search",
-    "hashed_tf_embedding", "assign_shards",
+    "bm25_search_many", "hashed_tf_embedding", "assign_shards",
 ]

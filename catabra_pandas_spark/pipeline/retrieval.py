@@ -294,3 +294,109 @@ def hashed_tf_embedding(
             yield out
 
     return src.mapInPandas(mapper, schema=schema)
+
+
+def bm25_search_many(
+    df: DataFrame,
+    stats: dict,
+    queries: dict,
+    text_col: str = "text",
+    id_cols: Union[str, Sequence[str]] = ("doc_id",),
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for EACH of many queries in ONE corpus scan —
+    the batch form of :func:`bm25_search` for contamination hunts
+    (every benchmark question as a query, one pass over the corpus)
+    and bulk corpus audits.
+
+    Same scoring as :func:`bm25_search` (Lucene BM25, fixed
+    ascending-term summation, capped-vocabulary semantics).  The scale
+    design is per-partition top-``k`` ACCUMULATION: the Arrow mapper
+    keeps a running top-``k`` candidate list per query across its
+    partition's batches (pruned after every batch with the
+    deterministic (score desc, ids asc) order, so partition memory is
+    O(|queries| · k)) and emits candidates only at partition end; the
+    single exchange that follows carries at most ``partitions × |Q| ×
+    k`` rows — independent of corpus size — and a window rank per query
+    selects the global top-``k``.  Local pruning is lossless: any row
+    in the global top-``k`` is in its partition's top-``k`` under the
+    same total order.
+
+    ``queries``: ``{name: query_text}``.  Output: ``query`` (string) +
+    ``id_cols`` + ``bm25`` (double), ``n_hits`` (long), ``rank``
+    (1-based long); documents matching no term of a query never appear
+    under that query.
+    """
+    from pyspark.sql import Window
+
+    id_cols = list([id_cols] if isinstance(id_cols, str) else id_cols)
+    n_docs = int(stats["n_docs"])
+    if n_docs <= 0:
+        raise ValueError("stats describe an empty corpus")
+    avgdl = stats["total_tokens"] / n_docs
+    prepped = {}
+    for name, qtext in queries.items():
+        qterms = sorted({w for w in qtext.lower().split(" ") if w}
+                        & set(stats["df"]))
+        prepped[name] = [(w, float(stats["df"][w])) for w in qterms]
+    bc = df.sparkSession.sparkContext.broadcast(prepped)
+    schema = ", ".join(
+        ["query string"]
+        + [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in id_cols]
+        + ["bm25 double", "n_hits long"])
+    src = ensure_min_partitions(df.select(*id_cols, text_col))
+
+    def mapper(batches):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        best = {name: None for name in bc.value}  # per-query running top-k
+        for pdf in batches:
+            toks = _tokenize_batch(pdf[text_col])
+            dl = np.asarray([len(t) if t else 0 for t in toks], "float64")
+            denom_dl = k1 * (1.0 - b + b * dl / avgdl)
+            tf_cache = {}
+            for name, terms in bc.value.items():
+                score = np.zeros(len(pdf), dtype=np.float64)
+                hits = np.zeros(len(pdf), dtype=np.int64)
+                for w, dfreq in terms:  # ascending order: fixed summation
+                    tf = tf_cache.get(w)
+                    if tf is None:
+                        tf = np.asarray(
+                            [t.count(w) if t else 0 for t in toks],
+                            "float64")
+                        tf_cache[w] = tf
+                    idf = math.log(
+                        1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+                    score += np.where(
+                        tf > 0.0,
+                        idf * tf * (k1 + 1.0) / (tf + denom_dl), 0.0)
+                    hits += (tf > 0).astype(np.int64)
+                keep = hits > 0
+                if not keep.any():
+                    continue
+                cand = pdf[id_cols].copy()[keep]
+                cand.insert(0, "query", name)
+                cand["bm25"] = score[keep]
+                cand["n_hits"] = hits[keep]
+                pool = cand if best[name] is None \
+                    else pd.concat([best[name], cand], ignore_index=True)
+                # deterministic prune: score desc, id cols asc
+                pool = pool.sort_values(
+                    ["bm25"] + id_cols,
+                    ascending=[False] + [True] * len(id_cols),
+                    kind="mergesort").head(k)
+                best[name] = pool.reset_index(drop=True)
+        out = [p for p in best.values() if p is not None]
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    cands = src.mapInPandas(mapper, schema=schema)
+    w = Window.partitionBy("query").orderBy(
+        F.col("bm25").desc(), *[F.col(c).asc() for c in id_cols])
+    return (cands.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -39,7 +39,8 @@ Usage: python scripts/scale_smoke.py [n_obs] [tiers]
   n_obs  default 10_000_000
   tiers  comma list of {eav,interval,group,ann,text,exactsubstr,bpe16k,
          cosinebig,skew,streamstate,bucketdt,autostrat,resampauto,
-         semdedup,semdecon,semhot,semhot3,wsample,qualclf,qbuckets};
+         semdedup,semdecon,semhot,semhot3,wsample,qualclf,qbuckets,
+         retrieval};
          default = the five original tiers
 """
 
@@ -1142,6 +1143,123 @@ def main():
         ok &= same9 and plan9 and 0.85 < frac9 < 0.97
         if not (same9 and plan9 and 0.85 < frac9 < 0.97):
             print(f"FAIL wsample: same={same9} plan={plan9} frac={frac9}")
+
+    if "retrieval" in tiers:
+        # n/10 documents (the text tier's generator: 10-50 words from a
+        # 5k-word vocabulary, hash-derived executor-side) with a BINDING
+        # 2k df cap.  Certifies at the 1M-doc scale: (a) doc_frequencies
+        # is deterministic under the binding cap (the distributed LIMIT
+        # ordering — same property the LM cap check proves); (b) the
+        # tfidf / hashed-embedding Arrow scans are repartition-stable
+        # row-for-row (content-defined scores, md5 buckets); (c)
+        # bm25_search's global top-k compiles to TakeOrdered with ZERO
+        # exchanges — per-partition top-k + driver merge, never a full
+        # sort shuffle; (d) assign_shards balances and is a pure
+        # zero-exchange projection.
+        from catabra_pandas_spark.pipeline import (assign_shards,
+                                                   bm25_search,
+                                                   doc_frequencies,
+                                                   hashed_tf_embedding,
+                                                   tfidf_top_terms)
+
+        ndr = max(n // 10, 100_000)
+        words_r = F.transform(
+            F.sequence(F.lit(1), F.pmod(F.xxhash64("id"), F.lit(40)) + 10),
+            lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64(F.col("id"), i),
+                                                  F.lit(5000))))
+        docs_r = spark.range(ndr, numPartitions=64).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(words_r, " ").alias("text")) \
+            .localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        st_r = doc_frequencies(docs_r, max_vocab=2000)
+        t_df = time.perf_counter() - t0
+        st_r2 = doc_frequencies(docs_r.repartition(17), max_vocab=2000)
+        df_ok = st_r == st_r2 and len(st_r["df"]) == 2000 \
+            and st_r["n_docs"] == ndr
+        t0 = time.perf_counter()
+        n_tfidf = tfidf_top_terms(docs_r, st_r, k=3).count()
+        t_tf = time.perf_counter() - t0
+        sample_ids = [i * (ndr // 1000) for i in range(1000)]
+        pick = F.col("doc_id").isin(sample_ids)
+        tf_a = {(r["doc_id"], r["rank"]): (r["term"], round(r["tfidf"], 9))
+                for r in tfidf_top_terms(docs_r.filter(pick), st_r,
+                                         k=3).collect()}
+        tf_b = {(r["doc_id"], r["rank"]): (r["term"], round(r["tfidf"], 9))
+                for r in tfidf_top_terms(docs_r.filter(pick).repartition(13),
+                                         st_r, k=3).collect()}
+        tf_ok = tf_a == tf_b and len(tf_a) > 0
+        # query terms from the RETAINED vocabulary (the 2k cap is binding
+        # over 5k near-uniform words, so a hardcoded token may be capped
+        # out): ranks 10 / 500 / 1500 of the (count desc, token asc) order
+        vocab_r = sorted(st_r["df"], key=lambda w: (-st_r["df"][w], w))
+        query_r = " ".join([vocab_r[10], vocab_r[500], vocab_r[1500]])
+        t0 = time.perf_counter()
+        top_r = bm25_search(docs_r, st_r, query_r, k=10)
+        hits_r = [tuple(r) for r in top_r.collect()]
+        t_bm = time.perf_counter() - t0
+        plan_r = top_r._jdf.queryExecution().executedPlan().toString()
+        bm_plan_ok = "TakeOrderedAndProject" in plan_r \
+            and plan_r.count("Exchange") == 0
+        hits_r2 = [tuple(r) for r in
+                   bm25_search(docs_r.repartition(29), st_r,
+                               query_r, k=10).collect()]
+        bm_ok = hits_r == hits_r2 and len(hits_r) == 10 and bm_plan_ok
+        # batch form: 8 queries in one scan; per-partition top-k
+        # accumulation must reproduce the single-query results exactly
+        # and survive a repartition (lossless local pruning)
+        from catabra_pandas_spark.pipeline import bm25_search_many
+        queries_r = {f"q{i}": " ".join(vocab_r[37 * i:37 * i + 3])
+                     for i in range(8)}
+        t0 = time.perf_counter()
+        many_r = {(r["query"], r["rank"]): (r["doc_id"],
+                                            round(r["bm25"], 9))
+                  for r in bm25_search_many(docs_r, st_r, queries_r,
+                                            k=10).collect()}
+        t_bmm = time.perf_counter() - t0
+        many_r2 = {(r["query"], r["rank"]): (r["doc_id"],
+                                             round(r["bm25"], 9))
+                   for r in bm25_search_many(docs_r.repartition(29), st_r,
+                                             queries_r, k=10).collect()}
+        single_q3 = {("q3", i + 1): (r["doc_id"], round(r["bm25"], 9))
+                     for i, r in enumerate(
+                         bm25_search(docs_r, st_r, queries_r["q3"],
+                                     k=10).collect())}
+        bmm_ok = (many_r == many_r2 and len(many_r) == 80
+                  and {k_: v for k_, v in many_r.items()
+                       if k_[0] == "q3"} == single_q3)
+        t0 = time.perf_counter()
+        emb_r = hashed_tf_embedding(docs_r, dim=64)
+        n_emb = emb_r.count()
+        t_emb = time.perf_counter() - t0
+        ea = {r["doc_id"]: tuple(r["embedding"]) for r in
+              hashed_tf_embedding(docs_r.filter(pick), dim=64).collect()}
+        eb = {r["doc_id"]: tuple(r["embedding"]) for r in
+              hashed_tf_embedding(docs_r.filter(pick).repartition(13),
+                                  dim=64).collect()}
+        emb_ok = ea == eb and n_emb == ndr
+        sh_r = assign_shards(docs_r.select("doc_id"), on="doc_id",
+                             n_shards=64)
+        sizes_r = [r["c"] for r in sh_r.groupBy("shard")
+                   .agg(F.count(F.lit(1)).alias("c")).collect()]
+        sh_plan = sh_r._jdf.queryExecution().executedPlan().toString()
+        sh_ok = (len(sizes_r) == 64
+                 and max(sizes_r) < 1.15 * ndr / 64
+                 and min(sizes_r) > 0.85 * ndr / 64
+                 and "Exchange" not in sh_plan)
+        print(f"retrieval {ndr:,} docs: df_table={t_df:.1f}s (cap binding, "
+              f"repartition-identical={df_ok}) tfidf={t_tf:.1f}s "
+              f"({n_tfidf:,} rows, stable={tf_ok}) bm25={t_bm:.1f}s "
+              f"(top10 stable={bm_ok}, exchanges="
+              f"{plan_r.count('Exchange')}) bm25x8={t_bmm:.1f}s "
+              f"(matches single + stable={bmm_ok}) "
+              f"hashed_emb={t_emb:.1f}s "
+              f"(stable={emb_ok}) shards balanced={sh_ok} "
+              f"[{min(sizes_r)}..{max(sizes_r)} vs {ndr // 64}]")
+        ok &= df_ok and tf_ok and bm_ok and bmm_ok and emb_ok and sh_ok
+        if not (df_ok and tf_ok and bm_ok and bmm_ok and emb_ok and sh_ok):
+            print(f"FAIL retrieval: df={df_ok} tfidf={tf_ok} bm25={bm_ok} "
+                  f"bm25many={bmm_ok} emb={emb_ok} shards={sh_ok}")
 
     # --- text tier at n/10 documents -----------------------------------
     if "text" in tiers:

@@ -2427,3 +2427,182 @@ def test_assign_shards_validation(spark, docs):
     with _pytest.raises(ValueError, match="already exists"):
         assign_shards(docs.withColumn("shard", F.lit(1)),
                       on="doc_id", n_shards=2)
+
+
+_BM25_MANY_SQL = """
+    WITH """ + _DOC_FREQ_CTES + """,
+    dl AS (SELECT doc_id, len(list_filter(string_split(lower(text), ' '),
+                                          t -> t <> '')) AS dl
+           FROM documents),
+    qmap AS ({qmap}),
+    qterms AS (SELECT DISTINCT q, unnest(list_filter(
+                 string_split(lower(qtext), ' '), t -> t <> '')) AS w
+               FROM qmap),
+    tf AS (SELECT q, doc_id, w, count(*) AS tf
+           FROM toks JOIN qterms USING (w) GROUP BY q, doc_id, w),
+    contrib AS (
+      SELECT q, tf.doc_id,
+             ln(1.0 + (c - n + 0.5) / (n + 0.5)) * tf * ({k1} + 1.0)
+               / (tf + {k1} * (1.0 - {b} + {b} * dl / (tt::DOUBLE / c))) AS s
+      FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id) CROSS JOIN corp),
+    scored AS (SELECT q, doc_id, sum(s) AS bm25, count(*) AS n_hits
+               FROM contrib GROUP BY q, doc_id),
+    ranked AS (SELECT q AS query, doc_id, round(bm25, 6) AS bm25, n_hits,
+                      row_number() OVER (PARTITION BY q
+                        ORDER BY bm25 DESC, doc_id ASC) AS rank
+               FROM scored)
+    SELECT * FROM ranked WHERE rank <= {k}
+"""
+
+
+def test_bm25_search_many_duckdb_oracle(spark, docs):
+    import duckdb
+
+    from catabra_pandas_spark.pipeline import bm25_search_many, doc_frequencies
+
+    stats = doc_frequencies(docs, max_vocab=500)
+    terms = sorted(stats["df"], key=lambda w: (-stats["df"][w], w))
+    queries = {"qa": " ".join(terms[2:5]), "qb": " ".join(terms[6:8]),
+               "qc": terms[10] + " notaword9x"}
+    got = (bm25_search_many(docs, stats, queries, k=5)
+           .withColumn("bm25", F.round("bm25", 6)).toPandas()
+           .sort_values(["query", "rank"]).reset_index(drop=True))
+    qmap = " UNION ALL ".join(
+        f"SELECT '{n}' AS q, '{t}' AS qtext" for n, t in queries.items())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    exp = (con.execute(_BM25_MANY_SQL.format(
+        max_vocab=500, qmap=qmap, k1=1.2, b=0.75, k=5)).df()
+           .sort_values(["query", "rank"]).reset_index(drop=True))
+    assert len(got) == len(exp) == 15
+    for c in ("query", "doc_id", "n_hits", "rank"):
+        assert (got[c] == exp[c]).all()
+    assert np.allclose(got["bm25"], exp["bm25"], atol=1e-9)
+
+
+def test_bm25_search_many_matches_single_and_is_stable(spark, docs):
+    from catabra_pandas_spark.pipeline import (bm25_search, bm25_search_many,
+                                               doc_frequencies)
+
+    stats = doc_frequencies(docs, max_vocab=500)
+    terms = sorted(stats["df"], key=lambda w: (-stats["df"][w], w))
+    queries = {"qa": " ".join(terms[2:5]), "qb": " ".join(terms[6:8])}
+    many = (bm25_search_many(docs, stats, queries, k=7).toPandas()
+            .sort_values(["query", "rank"]).reset_index(drop=True))
+    for name, qtext in queries.items():
+        single = (bm25_search(docs, stats, qtext, k=7).toPandas()
+                  .reset_index(drop=True))
+        part = many[many["query"] == name].reset_index(drop=True)
+        assert list(part["doc_id"]) == list(single["doc_id"])
+        assert np.allclose(part["bm25"], single["bm25"], atol=1e-12)
+    # local top-k pruning is lossless under any partitioning
+    many2 = (bm25_search_many(docs.repartition(23), stats, queries, k=7)
+             .toPandas().sort_values(["query", "rank"])
+             .reset_index(drop=True))
+    assert list(many2["doc_id"]) == list(many["doc_id"])
+    # candidate shuffle is the only wide stage beyond the small-source
+    # round-robin guard: one Exchange for the per-query window rank
+    plan = bm25_search_many(docs, stats, queries, k=7)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2 and "Window" in plan
+
+
+@_hsettings(max_examples=10, deadline=None)
+@_hgiven(nd=_hst.integers(min_value=1, max_value=25),
+         max_vocab=_hst.integers(min_value=1, max_value=8),
+         dim=_hst.sampled_from([1, 4, 8]),
+         seed=_hst.integers(min_value=0, max_value=2**31 - 1))
+def test_retrieval_property_vs_brute_force(spark, nd, max_vocab, dim, seed):
+    """Independent pure-Python replay of the whole retrieval tier on
+    random corpora from a TINY alphabet (so df-count ties, binding caps,
+    all-OOV docs and empty docs all occur): doc_frequencies' capped
+    table, tfidf_top_terms' scores/ranks, bm25_search's ordering, and
+    hashed_tf_embedding's exact components must match the brute force
+    bit-for-bit (same log calls, same tie rules)."""
+    import hashlib
+    import math
+    import random
+    from collections import Counter
+
+    from catabra_pandas_spark.pipeline import (bm25_search,
+                                               doc_frequencies,
+                                               hashed_tf_embedding,
+                                               tfidf_top_terms)
+
+    rng = random.Random(seed)
+    alpha = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = []
+    for _ in range(nd):
+        r = rng.random()
+        if r < 0.1:
+            texts.append(None)
+        elif r < 0.2:
+            texts.append("")
+        else:
+            texts.append(" ".join(rng.choice(alpha)
+                                  for _ in range(rng.randint(1, 12))))
+    sdf = spark.createDataFrame(list(enumerate(texts)),
+                                "doc_id long, text string")
+    tok = lambda t: [w for w in t.lower().split(" ") if w] if t else []
+
+    # --- doc_frequencies brute force
+    dfc = Counter()
+    for t in texts:
+        dfc.update(set(tok(t)))
+    capped = dict(sorted(dfc.items(), key=lambda kv: (-kv[1], kv[0]))
+                  [:max_vocab])
+    exp_stats = {"df": capped, "n_docs": nd,
+                 "total_tokens": sum(len(tok(t)) for t in texts)}
+    stats = doc_frequencies(sdf, max_vocab=max_vocab)
+    assert stats == exp_stats
+
+    # --- tfidf brute force (same np.log the operator applies)
+    idf = {w: float(np.log((1.0 + nd) / (1.0 + n)) + 1.0)
+           for w, n in capped.items()}
+    exp_rows = set()
+    for i, t in enumerate(texts):
+        cnt = {w: c for w, c in Counter(tok(t)).items() if w in capped}
+        scored = sorted(((c * idf[w], w) for w, c in cnt.items()),
+                        key=lambda sw: (-sw[0], sw[1]))[:2]
+        for rk, (s, w) in enumerate(scored, 1):
+            exp_rows.add((i, w, round(s, 9), rk))
+    got_rows = {(r["doc_id"], r["term"], round(r["tfidf"], 9), r["rank"])
+                for r in tfidf_top_terms(sdf, stats, k=2).collect()}
+    assert got_rows == exp_rows
+
+    # --- bm25 brute force (same math.log, ascending-term accumulation)
+    query = " ".join(rng.choice(alpha + ["zz"]) for _ in range(3))
+    qterms = sorted(set(tok(query)) & set(capped))
+    if stats["n_docs"] > 0:
+        avgdl = exp_stats["total_tokens"] / nd
+        exp_bm = []
+        for i, t in enumerate(texts):
+            toks_i = tok(t)
+            s, hits = 0.0, 0
+            for w in qterms:
+                tf = toks_i.count(w)
+                if tf:
+                    n = capped[w]
+                    widf = math.log(1.0 + (nd - n + 0.5) / (n + 0.5))
+                    s += widf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75
+                         * len(toks_i) / avgdl))
+                    hits += 1
+            if hits:
+                exp_bm.append((i, round(s, 9), hits))
+        exp_bm = sorted(exp_bm, key=lambda r: (-r[1], r[0]))[:4]
+        got_bm = [(r["doc_id"], round(r["bm25"], 9), r["n_hits"])
+                  for r in bm25_search(sdf, stats, query, k=4).collect()]
+        assert got_bm == exp_bm
+
+    # --- hashed embedding brute force (exact integer accumulation)
+    got_emb = {r["doc_id"]: list(r["embedding"])
+               for r in hashed_tf_embedding(sdf, dim=dim,
+                                            normalize=False).collect()}
+    for i, t in enumerate(texts):
+        vec = [0.0] * dim
+        for w in tok(t):
+            h = hashlib.md5(w.encode()).hexdigest()
+            vec[int(h[:8], 16) % dim] += 1.0 if int(h[8], 16) % 2 == 0 \
+                else -1.0
+        assert got_emb[i] == vec, (i, got_emb[i], vec)
