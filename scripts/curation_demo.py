@@ -157,7 +157,26 @@ def main():
     #    second catches paraphrased eval leakage the first cannot
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = neardup.filter(F.col("doc_id") % 20 != 0)
+
+    # 5-pre. BM25 contamination TRIAGE (an audit, not a filter): EVERY
+    #    benchmark document as a query, scored against the whole corpus
+    #    in ONE scan (bm25_search_many's per-partition top-k
+    #    accumulation — query count does not add corpus passes) — the
+    #    cheap term-level hunt a reviewer runs before committing to the
+    #    exact n-gram filter; its candidate recall over the filter's
+    #    actual drops is printed below
+    bench_q = {f"bench{r['doc_id']}": r["text"]
+               for r in bench.orderBy("doc_id").collect()}
+    bm_cand = (P.bm25_search_many(
+        corpus, P.doc_frequencies(corpus, max_vocab=5000), bench_q, k=5)
+        .select("doc_id").distinct())
+    n_cand = bm_cand.count()
+
     clean = P.decontaminate(corpus, bench, n=8, min_hits=1, mode="drop")
+    dropped_ngram = corpus.select("doc_id").exceptAll(
+        clean.select("doc_id"))
+    n_dropped = dropped_ngram.count()
+    n_cand_hit = bm_cand.join(dropped_ngram, "doc_id", "left_semi").count()
     bench_emb = emb.filter(F.col("vec_id") % 20 == 0)
     clean = (P.semantic_decontaminate(
         clean.join(emb, clean.doc_id == emb.vec_id).drop("vec_id", "label"),
@@ -225,6 +244,9 @@ def main():
         print(f"  {stage:>16}: {cnt}{drop}")
         prev = cnt
     print("  rejection reasons:", {r["rule"]: r["count"] for r in loss})
+    print(f"  bm25 contamination triage: {n_cand} candidates "
+          f"({len(bench_q)} queries, one scan); recall over n-gram "
+          f"drops: {n_cand_hit}/{n_dropped}")
     print(f"  learned BPE merges: {len(merges)}")
     print(f"  packed bins: {n_bins}; rows written: {written}")
     print(f"  wall: {time.perf_counter() - t0:.1f}s")
