@@ -41,28 +41,35 @@ def doc_frequencies(
     """Corpus document-frequency statistics — the shared sufficient
     statistics for :func:`tfidf_top_terms` and :func:`bm25_search`.
 
-    ONE map-side-combinable count shuffle: per document the DISTINCT
-    token set (``array_distinct``, computed inside the scan) explodes to
-    (token, 1) and aggregates to document frequencies, capped at the
-    ``max_vocab`` most frequent tokens with deterministic ordering
-    (df desc, token asc) — the tail beyond the cap scores as
-    unseen/zero, the standard vocabulary-pruning semantics.  A second
-    single-row aggregation (same scan shape, no shuffle) records the
-    corpus size and token total for IDF and length normalization.
+    ONE corpus scan, ONE map-side-combinable count shuffle: per document
+    the DISTINCT token set (``array_distinct``, computed inside the
+    scan) explodes to (token, 1) and aggregates to document
+    frequencies, capped at the ``max_vocab`` most frequent tokens with
+    deterministic ordering (df desc, token asc) — the tail beyond the
+    cap scores as unseen/zero, the standard vocabulary-pruning
+    semantics.  The corpus size and token total (for IDF and length
+    normalization) ride the SAME job as an ``Observation`` — accumulated
+    on the scan's rows as they stream past, no second pass over the
+    corpus (the ``orderBy`` before the cap's ``limit`` guarantees every
+    row is processed, so the observed totals are exact).
 
     Returns ``{"df": {token: n_docs}, "n_docs": N, "total_tokens": T}``;
     driver state is O(max_vocab), never O(corpus).
     """
+    from pyspark.sql import Observation
+
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
                     lambda t: t != "")
-    base = df.select(toks.alias("__t__"))
+    obs = Observation()
+    base = df.select(toks.alias("__t__")).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size("__t__")), F.lit(0)).alias("total"))
     rows = (base.select(F.explode(F.array_distinct("__t__")).alias("w"))
             .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), F.col("w").asc())
             .limit(max_vocab).collect())
-    totals = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.coalesce(F.sum(F.size("__t__")), F.lit(0)).alias("total")).first()
+    totals = obs.get
     return {"df": {r["w"]: int(r["n"]) for r in rows},
             "n_docs": int(totals["n_docs"]),
             "total_tokens": int(totals["total"])}
