@@ -49,6 +49,7 @@ from .sketches import (approx_distinct, bloom_filter_words, bloom_prejoin,
 from .retrieval import (bm25_search, bm25_search_many, doc_frequencies,
                         hashed_tf_embedding, tfidf_top_terms)
 from .sampling import assign_shards
+from .text import normalize_text, strip_html
 
 __all__ = [
     "exact_dedup", "exact_substring_dedup", "exact_substring_stats",
@@ -73,4 +74,5 @@ __all__ = [
     "train_quality_classifier", "score_quality_classifier",
     "doc_frequencies", "tfidf_top_terms", "bm25_search",
     "bm25_search_many", "hashed_tf_embedding", "assign_shards",
+    "strip_html", "normalize_text",
 ]

@@ -675,3 +675,103 @@ def quantile_buckets(
     bucket = bucket.otherwise(F.lit(labels[-1]))
     return joined.withColumn(out_col, bucket) \
         .drop(*[f"__t{i}__" for i in range(len(cuts))])
+
+
+def strip_html(
+    df: DataFrame,
+    html_col: str = "text",
+    out_col: str = "text",
+) -> DataFrame:
+    """Plain text from raw HTML — the extraction step every web-corpus
+    pipeline runs before any quality/dedup stage (RefinedWeb, Penedo et
+    al. 2023 §3.1 runs trafilatura; this is the engine-native regex
+    core of that step: tag/script/style/comment removal + entity
+    decoding + whitespace normalization, NOT a DOM parser — documented
+    approximation, same spirit as the repo's other from-scratch
+    codecs).
+
+    Stages, each a single codegen regexp/replace (zero shuffle, scales
+    linearly inside the scan):
+
+    1. drop ``<script>``/``<style>`` elements wholesale (non-greedy
+       dotall, case-insensitive) and ``<!-- comments -->``;
+    2. block-level closers and ``<br>`` become NEWLINES (so
+       line-structure survives for ``line_frequency_filter``), every
+       other tag becomes a space;
+    3. decode the six predefined entities + ``&nbsp;`` / ``&#39;``;
+    4. collapse space runs, trim each line, collapse blank-line runs.
+
+    Both regex dialects (Java here, RE2 in the DuckDB oracle) support
+    the ``(?is)`` flags and non-greedy ``.*?`` used, so the definition
+    replays exactly.
+    """
+    df = ensure_min_partitions(df)
+    s = F.col(html_col)
+    # two rules, not one with a backreference: the DuckDB oracle's RE2
+    # dialect has no backreferences
+    s = F.regexp_replace(s, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    s = F.regexp_replace(s, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(
+        s, r"(?i)<(br\s*/?|/p|/div|/li|/h[1-6]|/tr|/table|/blockquote)>",
+        "\n")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+                    ("&amp;", "&")):  # &amp; LAST: double-escaped stays
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.regexp_replace(s, r"[ \t]+", " ")
+    s = F.regexp_replace(s, r" ?\n ?", "\n")
+    s = F.regexp_replace(s, r"\n{2,}", "\n")
+    # trim() strips only spaces in both engines — newlines need the regex
+    s = F.regexp_replace(s, r"^[ \n]+|[ \n]+$", "")
+    return df.withColumn(out_col, s)
+
+
+# fixed Latin-1/Latin-Extended fold map for normalize_text: 1:1 char
+# translation (the composed single-codepoint forms; combining marks are
+# separately stripped) — deliberately a CLOSED list so the definition is
+# engine-replayable, not locale- or ICU-dependent.  Alignment is
+# unit-asserted: len(SRC) == len(DST), no duplicate sources, and the
+# uppercase block folds consistently with the lowercase block
+_ACCENT_SRC = ("àáâãäåāăąçćčèéêëēĕėęěìíîïĩīĭįñńňòóôõöøōŏőùúûüũūŭůűýÿžźż"
+               "šśđďļľłŕřťţğÀÁÂÃÄÅĀĂĄÇĆČÈÉÊËĒĔĖĘĚÌÍÎÏĨĪĬĮÑŃŇÒÓÔÕÖØŌŎŐÙÚ"
+               "ÛÜŨŪŬŮŰÝŸŽŹŻŠŚĐĎĻĽŁŔŘŤŢĞ")
+_ACCENT_DST = ("aaaaaaaaaccceeeeeeeeeiiiiiiiinnnooooooooouuuuuuuuuyyzzz"
+               "ssddlllrrttgAAAAAAAAACCCEEEEEEEEEIIIIIIIINNNOOOOOOOOOUU"
+               "UUUUUUUYYZZZSSDDLLLRRTTG")
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    lowercase: bool = True,
+    accent_fold: bool = True,
+    collapse_whitespace: bool = True,
+) -> DataFrame:
+    """Canonicalize text before exact/fuzzy dedup and fingerprinting —
+    the step that makes "Café  Menu" and "cafe menu" hash
+    identically: lowercase, fold accented Latin letters to ASCII (the
+    fixed ``_ACCENT_SRC``/``_ACCENT_DST`` table + stripping combining
+    diacritical marks U+0300-U+036F, so both composed and decomposed
+    forms normalize alike), drop control characters, and collapse
+    whitespace runs to single spaces.
+
+    Pure codegen column expressions (translate + regexp_replace): zero
+    shuffle, linear inside the scan, and a CLOSED definition — no ICU /
+    locale dependence — so external engines replay it bit-for-bit.
+    """
+    df = ensure_min_partitions(df)
+    s = F.col(text_col)
+    if lowercase:
+        s = F.lower(s)
+    if accent_fold:
+        src = _ACCENT_SRC.lower() if lowercase else _ACCENT_SRC
+        dst = _ACCENT_DST.lower() if lowercase else _ACCENT_DST
+        s = F.translate(s, src, dst)
+        s = F.regexp_replace(s, r"[̀-ͯ]", "")
+    s = F.regexp_replace(s, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    if collapse_whitespace:
+        s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return df.withColumn(out_col, s)

@@ -2606,3 +2606,129 @@ def test_retrieval_property_vs_brute_force(spark, nd, max_vocab, dim, seed):
             vec[int(h[:8], 16) % dim] += 1.0 if int(h[8], 16) % 2 == 0 \
                 else -1.0
         assert got_emb[i] == vec, (i, got_emb[i], vec)
+
+
+# ---------------------------------------------------------------------------
+# text cleaning: strip_html / normalize_text — r14-ready DuckDB twins.
+
+_STRIP_HTML_SQL = r"""
+    SELECT doc_id, regexp_replace(
+     regexp_replace(
+      regexp_replace(
+       regexp_replace(
+        replace(replace(replace(replace(replace(replace(replace(
+         regexp_replace(
+          regexp_replace(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace({col},
+               '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+             '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+           '(?i)<(br\s*/?|/p|/div|/li|/h[1-6]|/tr|/table|/blockquote)>',
+           chr(10), 'g'),
+          '(?s)<[^>]*>', ' ', 'g'),
+         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&'),
+        '[ \t]+', ' ', 'g'),
+       ' ?\n ?', chr(10), 'g'),
+      '\n{{2,}}', chr(10), 'g'),
+     '^[ \n]+|[ \n]+$', '', 'g') AS text
+    FROM {table}
+"""
+
+_NORMALIZE_TEXT_SQL = r"""
+    SELECT doc_id, trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(translate(lower({col}), '{src}', '{dst}'),
+                       '[̀-ͯ]', '', 'g'),
+        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+      '\s+', ' ', 'g')) AS text_norm
+    FROM {table}
+"""
+
+
+def test_accent_fold_map_is_aligned():
+    from catabra_pandas_spark.pipeline.text import _ACCENT_DST, _ACCENT_SRC
+
+    assert len(_ACCENT_SRC) == len(_ACCENT_DST)
+    assert len(set(_ACCENT_SRC)) == len(_ACCENT_SRC)  # no dup sources
+    m = dict(zip(_ACCENT_SRC, _ACCENT_DST))
+    for ch, tgt in m.items():
+        # uppercase and lowercase forms fold to case-matching targets
+        lo, up = ch.lower(), ch.upper()
+        if lo in m and up in m:
+            assert m[lo] == m[up].lower(), (ch, m[lo], m[up])
+        assert tgt.isascii() and tgt.isalpha()
+    # after F.lower() the runtime map keys collapse: duplicates must agree
+    lowered = {}
+    for s, d in zip(_ACCENT_SRC.lower(), _ACCENT_DST.lower()):
+        assert lowered.setdefault(s, d) == d, s
+
+
+def test_strip_html_duckdb_oracle(spark):
+    import duckdb
+
+    from catabra_pandas_spark.pipeline import strip_html
+
+    rows = [
+        (1, "<html><head><style>body{x}</style>"
+            "<SCRIPT src='x'>var a='<p>';</script></head>"
+            "<body><h1>Title</h1><p>First &amp; second &lt;p&gt;.</p>"
+            "<div>Block</div><ul><li>one</li><li>two</li></ul>"
+            "<!-- hidden --><p>After&nbsp;c &#39;q&#39;</p></body>"),
+        (2, "no markup"),
+        (3, "<p>a</p>\n\n\n<p>b</p>"),
+        (4, None),
+        (5, "<br>l1<br/>l2<BR >l3<b>bold</b>text"),
+        (6, "&amp;lt; stays escaped once"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in strip_html(sdf).select("doc_id", "text").collect()}
+    assert got[1] == ("Title\nFirst & second <p>.\nBlock\none\ntwo\n"
+                      "After c 'q'")
+    assert got[2] == "no markup" and got[4] is None
+    assert got[5] == "l1\nl2\nl3 bold text"
+    assert got[6] == "&lt; stays escaped once"  # no double-decode
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    exp = dict(con.execute(_STRIP_HTML_SQL.format(
+        col="text", table="docs")).fetchall())
+    assert got == exp
+
+
+def test_normalize_text_duckdb_oracle(spark):
+    import duckdb
+
+    from catabra_pandas_spark.pipeline import normalize_text
+    from catabra_pandas_spark.pipeline.text import _ACCENT_DST, _ACCENT_SRC
+
+    rows = [(1, "Café  MENÜ\tréservé"), (2, "naïve façade łódź"),
+            (3, "étude"),  # decomposed: e + combining acute
+            (4, "ctrl\x01chars\x7fhere"), (5, None),
+            (6, "  spaces   and\nnewlines "), (7, "ŽÁDNÝ PŘÍKLAD")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text_norm"]
+           for r in normalize_text(sdf).collect()}
+    assert got[1] == "cafe menu reserve"
+    assert got[2] == "naive facade lodz"
+    assert got[3] == "etude"  # decomposed form folds like composed
+    assert got[4] == "ctrlcharshere"
+    assert got[5] is None
+    assert got[6] == "spaces and newlines"
+    assert got[7] == "zadny priklad"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = dict(con.execute(_NORMALIZE_TEXT_SQL.format(
+        col="text", table="t", src=_ACCENT_SRC.lower(),
+        dst=_ACCENT_DST.lower())).fetchall())
+    assert got == exp
+    # canonicalization makes variant spellings exact-dedup-able
+    sdf2 = spark.createDataFrame(
+        [(1, "Café Menu"), (2, "cafe  menu"), (3, "CAFE\tMENU")],
+        "doc_id long, text string")
+    norms = {r["text_norm"] for r in normalize_text(sdf2).collect()}
+    assert norms == {"cafe menu"}
