@@ -4393,8 +4393,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # _HASHED_TF_SQL, _ASSIGN_SHARDS_SQL, and _DOC_FREQ_CTES for a
     # doc_frequencies row if registered directly — each validated at
     # sf0.001 by its test and certified at 1M docs by the scale_smoke
-    # `retrieval` tier); (c) ~25 spare slots — fill with the OLDEST
-    # r12 rows to flatten r15's otherwise-47-row bulge.
+    # `retrieval` tier), plus the two text-cleaning rows
+    # (_STRIP_HTML_SQL, _NORMALIZE_TEXT_SQL — likewise pre-validated);
+    # (c) ~23 spare slots — fill with the OLDEST r12 rows to flatten
+    # r15's otherwise-47-row bulge.
     return {
         "merge_overlap": q_merge_overlap,
         "merge_open_endpoints": q_merge_open_endpoints,

@@ -1282,3 +1282,55 @@ def test_stream_sessionize_cross_batch_property(spark, rows, cut):
             assert got[c].tolist() == exp[c].tolist(), c
         import numpy as np
         assert np.allclose(got["value_sum"], exp["value_sum"], rtol=1e-12)
+
+
+def test_map_only_curation_ops_run_on_streams(spark, tmp_path):
+    """The zero-shuffle curation operators are streaming-compatible by
+    construction (pure projections / stateless mapInPandas): the SAME
+    operator call works unchanged on a readStream source and produces
+    batch-identical rows — the property that lets a 100 TB pipeline
+    reuse one cleaning/sharding/featurization definition for both its
+    backfill and its live-ingest paths."""
+    from catabra_pandas_spark.pipeline import (assign_shards,
+                                               hashed_tf_embedding,
+                                               normalize_text, strip_html)
+
+    rows = [(1, "<p>Café &amp; BAR</p>"), (2, "plain  TEXT here"),
+            (3, "<div>líne one</div><div>line two</div>")]
+    src_dir = str(tmp_path / "docs_src")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(src_dir)
+    schema = "doc_id long, text string"
+
+    def pipeline(df):
+        out = strip_html(df)
+        out = normalize_text(out)
+        out = assign_shards(out, on="doc_id", n_shards=4)
+        emb = hashed_tf_embedding(out.select("doc_id",
+                                             F.col("text_norm").alias("text")),
+                                  dim=8)
+        return out, emb
+
+    batch_df = spark.read.schema(schema).parquet(src_dir)
+    b_out, b_emb = pipeline(batch_df)
+    stream_df = spark.readStream.schema(schema).parquet(src_dir)
+    s_out, s_emb = pipeline(stream_df)
+    assert s_out.isStreaming and s_emb.isStreaming
+
+    q1 = (s_out.writeStream.format("memory").queryName("clean_stream")
+          .outputMode("append").trigger(availableNow=True).start())
+    q1.awaitTermination(60)
+    q2 = (s_emb.writeStream.format("memory").queryName("emb_stream")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(60)
+
+    got = {r["doc_id"]: (r["text_norm"], r["shard"], r["shard_order"])
+           for r in spark.sql("SELECT * FROM clean_stream").collect()}
+    exp = {r["doc_id"]: (r["text_norm"], r["shard"], r["shard_order"])
+           for r in b_out.collect()}
+    assert got == exp and len(got) == 3
+    assert got[1][0] == "cafe & bar"
+    got_emb = {r["doc_id"]: list(r["embedding"])
+               for r in spark.sql("SELECT * FROM emb_stream").collect()}
+    exp_emb = {r["doc_id"]: list(r["embedding"]) for r in b_emb.collect()}
+    assert got_emb == exp_emb
