@@ -50,6 +50,7 @@ from .retrieval import (bm25_search, bm25_search_many, doc_frequencies,
                         hashed_tf_embedding, tfidf_top_terms)
 from .sampling import assign_shards
 from .text import normalize_text, strip_html
+from .artifacts import load_artifact, save_artifact
 
 __all__ = [
     "exact_dedup", "exact_substring_dedup", "exact_substring_stats",
@@ -75,4 +76,5 @@ __all__ = [
     "doc_frequencies", "tfidf_top_terms", "bm25_search",
     "bm25_search_many", "hashed_tf_embedding", "assign_shards",
     "strip_html", "normalize_text",
+    "save_artifact", "load_artifact",
 ]

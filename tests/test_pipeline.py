@@ -2732,3 +2732,82 @@ def test_normalize_text_duckdb_oracle(spark):
         "doc_id long, text string")
     norms = {r["text_norm"] for r in normalize_text(sdf2).collect()}
     assert norms == {"cafe menu"}
+
+
+def test_artifact_roundtrip_all_model_shapes(spark, docs, emb, tmp_path):
+    """Every training artifact the engine produces survives
+    save_artifact/load_artifact STRUCTURALLY IDENTICAL — tuple keys,
+    dtypes and all — and the loaded artifact SCORES identically (the
+    train-once / score-everywhere contract a multi-day pipeline needs)."""
+    from catabra_pandas_spark.pipeline import (bpe_tokenize,
+                                               doc_frequencies,
+                                               load_artifact,
+                                               ngram_perplexity,
+                                               save_artifact,
+                                               score_quality_classifier,
+                                               train_bpe, train_ngram_lm,
+                                               train_quality_classifier)
+
+    small = docs.limit(50)
+
+    lm = train_ngram_lm(small, max_vocab=100, max_bigrams=300)
+    p = str(tmp_path / "lm.json")
+    save_artifact(lm, p)
+    lm2 = load_artifact(p)
+    assert lm2 == lm  # incl. tuple-keyed bigram table
+    assert all(isinstance(k, tuple) for k in lm2["bigrams"])
+    a = ngram_perplexity(small, lm).toPandas().sort_values("doc_id")
+    b = ngram_perplexity(small, lm2).toPandas().sort_values("doc_id")
+    assert (a["perplexity"].to_numpy() == b["perplexity"].to_numpy()).all()
+
+    stats = doc_frequencies(small, max_vocab=50)
+    p = str(tmp_path / "df.json")
+    save_artifact(stats, p)
+    assert load_artifact(p) == stats
+
+    merges = train_bpe(small, n_merges=20, max_words=500)
+    p = str(tmp_path / "bpe.json")
+    save_artifact(merges, p)
+    merges2 = load_artifact(p)
+    assert merges2 == merges
+    ta = bpe_tokenize(small, merges, tokens_col="toks").toPandas() \
+        .sort_values("doc_id")
+    tb = bpe_tokenize(small, merges2, tokens_col="toks").toPandas() \
+        .sort_values("doc_id")
+    assert list(map(list, ta["toks"])) == list(map(list, tb["toks"]))
+    assert (ta["n_bpe_tokens"].to_numpy()
+            == tb["n_bpe_tokens"].to_numpy()).all()
+
+    labeled = small.withColumn("__y__",
+                               (F.col("doc_id") % 2 == 0).cast("int"))
+    qc = train_quality_classifier(labeled, "__y__", ["n_chars"], n_iter=3)
+    p = str(tmp_path / "qc.json")
+    save_artifact(qc, p)
+    qc2 = load_artifact(p)
+    assert qc2 == qc
+    sa = score_quality_classifier(labeled, qc).toPandas() \
+        .sort_values("doc_id")
+    sb = score_quality_classifier(labeled, qc2).toPandas() \
+        .sort_values("doc_id")
+    assert (sa["quality_prob"].to_numpy()
+            == sb["quality_prob"].to_numpy()).all()
+
+    # numpy payloads (codebook-style) keep dtype/shape; "__t__" keys in
+    # plain dicts survive the escaping
+    art = {"mat": np.arange(6, dtype=np.float32).reshape(2, 3),
+           "scal": np.float64(1.5), "nested": [(1, "a"), (2, "b")],
+           "__t__": "not-a-tag"}
+    p = str(tmp_path / "np.json")
+    save_artifact(art, p)
+    back = load_artifact(p)
+    assert (back["mat"] == art["mat"]).all() \
+        and back["mat"].dtype == np.float32 and back["mat"].shape == (2, 3)
+    assert back["scal"] == 1.5 and isinstance(back["scal"], np.float64)
+    assert back["nested"] == [(1, "a"), (2, "b")]
+    assert back["__t__"] == "not-a-tag"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="artifact"):
+        bad = str(tmp_path / "bad.json")
+        open(bad, "w").write("{}")
+        load_artifact(bad)
