@@ -49,6 +49,13 @@ def _encode(obj):
     if isinstance(obj, list):
         return [_encode(v) for v in obj]
     if isinstance(obj, np.ndarray):
+        # numeric/bool only: object/datetime/str arrays would round-trip
+        # lossily (tolist() flattens tuples, dates stringify) — fail
+        # loudly instead of returning a structurally different value
+        if obj.dtype.kind not in "biuf":
+            raise TypeError(
+                f"cannot persist ndarray of dtype {obj.dtype!r}; only "
+                "bool/int/uint/float arrays round-trip exactly")
         return {"__t__": "ndarray", "dtype": str(obj.dtype),
                 "shape": list(obj.shape),
                 "data": obj.reshape(-1).tolist()}
@@ -84,13 +91,15 @@ def _decode(obj):
 
 def save_artifact(obj, path: Union[str, IO[str]]) -> None:
     """Write a training artifact as tagged JSON.  ``path`` is a file
-    path or an open text file object."""
-    doc = {"format": _FORMAT, "artifact": _encode(obj)}
+    path or an open text file object.  Serialization happens BEFORE the
+    target is opened, so an unencodable value can never truncate a
+    previously valid artifact file."""
+    text = json.dumps({"format": _FORMAT, "artifact": _encode(obj)})
     if hasattr(path, "write"):
-        json.dump(doc, path)
+        path.write(text)
     else:
         with open(path, "w", encoding="utf-8") as fh:
-            json.dump(doc, fh)
+            fh.write(text)
 
 
 def load_artifact(path: Union[str, IO[str]]):

@@ -152,6 +152,31 @@ def tfidf_top_terms(
     return src.mapInPandas(mapper, schema=schema)
 
 
+def _bm25_batch_scores(counters, denom_dl, terms, n_docs, k1):
+    """(score, n_hits) arrays for one Arrow batch against one query's
+    prepped ``[(term, df), ...]`` list — the SINGLE copy of the BM25
+    arithmetic both :func:`bm25_search` and :func:`bm25_search_many`
+    call (two hand-maintained copies of the idf/score math would drift).
+    ``counters``: one ``collections.Counter`` per document, built ONCE
+    per batch and shared across every query — O(1) tf lookups instead
+    of an O(doc_len) rescan per term.  Terms accumulate in the given
+    (ascending) order: fixed float summation."""
+    import math
+
+    import numpy as np
+
+    n = len(counters)
+    score = np.zeros(n, dtype=np.float64)
+    hits = np.zeros(n, dtype=np.int64)
+    for w, dfreq in terms:
+        idf = math.log(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+        tf = np.fromiter((c[w] for c in counters), "float64", n)
+        score += np.where(tf > 0.0,
+                          idf * tf * (k1 + 1.0) / (tf + denom_dl), 0.0)
+        hits += (tf > 0).astype(np.int64)
+    return score, hits
+
+
 def bm25_search(
     df: DataFrame,
     stats: dict,
@@ -200,24 +225,18 @@ def bm25_search(
     src = ensure_min_partitions(df.select(*id_cols, text_col))
 
     def mapper(batches):
-        import math
+        from collections import Counter
 
         import numpy as np
 
         terms = bc.value
         for pdf in batches:
             toks = _tokenize_batch(pdf[text_col])
+            counters = [Counter(t) if t else Counter() for t in toks]
             dl = np.asarray([len(t) if t else 0 for t in toks], "float64")
-            score = np.zeros(len(pdf), dtype=np.float64)
-            hits = np.zeros(len(pdf), dtype=np.int64)
             denom_dl = k1 * (1.0 - b + b * dl / avgdl)
-            for w, dfreq in terms:  # ascending term order: fixed summation
-                idf = math.log(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
-                tf = np.asarray(
-                    [t.count(w) if t else 0 for t in toks], "float64")
-                score += np.where(
-                    tf > 0.0, idf * tf * (k1 + 1.0) / (tf + denom_dl), 0.0)
-                hits += (tf > 0).astype(np.int64)
+            score, hits = _bm25_batch_scores(counters, denom_dl, terms,
+                                             n_docs, k1)
             keep = hits > 0
             out = pdf[id_cols].copy()[keep]
             out["bm25"] = score[keep]
@@ -356,7 +375,7 @@ def bm25_search_many(
     src = ensure_min_partitions(df.select(*id_cols, text_col))
 
     def mapper(batches):
-        import math
+        from collections import Counter
 
         import numpy as np
         import pandas as pd
@@ -364,25 +383,12 @@ def bm25_search_many(
         best = {name: None for name in bc.value}  # per-query running top-k
         for pdf in batches:
             toks = _tokenize_batch(pdf[text_col])
+            counters = [Counter(t) if t else Counter() for t in toks]
             dl = np.asarray([len(t) if t else 0 for t in toks], "float64")
             denom_dl = k1 * (1.0 - b + b * dl / avgdl)
-            tf_cache = {}
             for name, terms in bc.value.items():
-                score = np.zeros(len(pdf), dtype=np.float64)
-                hits = np.zeros(len(pdf), dtype=np.int64)
-                for w, dfreq in terms:  # ascending order: fixed summation
-                    tf = tf_cache.get(w)
-                    if tf is None:
-                        tf = np.asarray(
-                            [t.count(w) if t else 0 for t in toks],
-                            "float64")
-                        tf_cache[w] = tf
-                    idf = math.log(
-                        1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
-                    score += np.where(
-                        tf > 0.0,
-                        idf * tf * (k1 + 1.0) / (tf + denom_dl), 0.0)
-                    hits += (tf > 0).astype(np.int64)
+                score, hits = _bm25_batch_scores(counters, denom_dl,
+                                                 terms, n_docs, k1)
                 keep = hits > 0
                 if not keep.any():
                     continue

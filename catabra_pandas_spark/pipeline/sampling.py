@@ -292,10 +292,15 @@ def assign_shards(
     standard "shuffle your corpus once, globally, deterministically"
     recipe for LLM training data.  Both are pure map-side projections
     (zero shuffle, zero state); the actual write is
-    ``out.repartition(n_shards, "shard").sortWithinPartitions(order_col)
-    .write...``, whose single hash exchange is the unavoidable minimum
-    for co-locating each shard.  md5 keying follows this module's
-    contract: any engine replays the assignment bit-for-bit.
+    ``out.repartition(n_shards, "shard")
+    .sortWithinPartitions(shard_col, order_col)
+    .write.partitionBy(shard_col)...`` — the single hash exchange is
+    the unavoidable minimum for co-locating shards, and because
+    ``hash(shard) % n_shards`` is NOT a bijection (several shard ids
+    can share a task, some tasks get none), the within-partition sort
+    MUST lead with the shard column and the write should partition by
+    it so co-located shards never interleave.  md5 keying follows this
+    module's contract: any engine replays the assignment bit-for-bit.
 
     ``on`` must uniquely key rows (the :func:`weighted_sample` contract)
     — duplicate keys land in the same shard at the same order position,

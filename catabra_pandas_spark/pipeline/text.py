@@ -707,6 +707,9 @@ def strip_html(
     """
     df = ensure_min_partitions(df)
     s = F.col(html_col)
+    # CRLF/CR first: real-world HTML is mostly \r\n, and every later
+    # whitespace stage speaks \n only
+    s = F.regexp_replace(s, r"\r\n?", "\n")
     # two rules, not one with a backreference: the DuckDB oracle's RE2
     # dialect has no backreferences
     s = F.regexp_replace(s, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
@@ -771,7 +774,12 @@ def normalize_text(
         dst = _ACCENT_DST.lower() if lowercase else _ACCENT_DST
         s = F.translate(s, src, dst)
         s = F.regexp_replace(s, r"[̀-ͯ]", "")
-    s = F.regexp_replace(s, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    # \x0b/\x0c are WHITESPACE (page/line separators): they become
+    # spaces, not deletions — deleting would glue adjacent words, and
+    # letting them reach the \s+ collapse would diverge cross-engine
+    # (Java's \s includes \x0b, RE2's does not)
+    s = F.regexp_replace(s, r"[\x0b\x0c]", " ")
+    s = F.regexp_replace(s, r"[\x00-\x08\x0e-\x1f\x7f]", "")
     if collapse_whitespace:
         s = F.trim(F.regexp_replace(s, r"\s+", " "))
     return df.withColumn(out_col, s)

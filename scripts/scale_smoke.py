@@ -1199,8 +1199,12 @@ def main():
         hits_r = [tuple(r) for r in top_r.collect()]
         t_bm = time.perf_counter() - t0
         plan_r = top_r._jdf.queryExecution().executedPlan().toString()
+        # every Exchange must be the documented small-source round-robin
+        # guard (none on this 64-partition input at <=64 cores, one on a
+        # wider box) — never a hash/sort exchange
         bm_plan_ok = "TakeOrderedAndProject" in plan_r \
-            and plan_r.count("Exchange") == 0
+            and plan_r.count("Exchange") \
+            == plan_r.count("RoundRobinPartitioning")
         hits_r2 = [tuple(r) for r in
                    bm25_search(docs_r.repartition(29), st_r,
                                query_r, k=10).collect()]

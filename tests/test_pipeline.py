@@ -2621,7 +2621,8 @@ _STRIP_HTML_SQL = r"""
           regexp_replace(
            regexp_replace(
             regexp_replace(
-             regexp_replace({col},
+             regexp_replace(
+               regexp_replace({col}, '\r\n?', chr(10), 'g'),
                '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
              '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
             '(?s)<!--.*?-->', ' ', 'g'),
@@ -2640,9 +2641,11 @@ _STRIP_HTML_SQL = r"""
 _NORMALIZE_TEXT_SQL = r"""
     SELECT doc_id, trim(regexp_replace(
       regexp_replace(
-        regexp_replace(translate(lower({col}), '{src}', '{dst}'),
-                       '[̀-ͯ]', '', 'g'),
-        '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+        regexp_replace(
+          regexp_replace(translate(lower({col}), '{src}', '{dst}'),
+                         '[̀-ͯ]', '', 'g'),
+          '[\x0b\x0c]', ' ', 'g'),
+        '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
       '\s+', ' ', 'g')) AS text_norm
     FROM {table}
 """
@@ -2682,6 +2685,7 @@ def test_strip_html_duckdb_oracle(spark):
         (4, None),
         (5, "<br>l1<br/>l2<BR >l3<b>bold</b>text"),
         (6, "&amp;lt; stays escaped once"),
+        (7, "<p>win\r\ndows</p>\r\n<p>crlf</p>\r\n"),
     ]
     sdf = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["text"]
@@ -2691,6 +2695,7 @@ def test_strip_html_duckdb_oracle(spark):
     assert got[2] == "no markup" and got[4] is None
     assert got[5] == "l1\nl2\nl3 bold text"
     assert got[6] == "&lt; stays escaped once"  # no double-decode
+    assert got[7] == "win\ndows\ncrlf"  # CRLF normalized, no stray \r
     con = duckdb.connect()
     con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
@@ -2708,6 +2713,7 @@ def test_normalize_text_duckdb_oracle(spark):
     rows = [(1, "Café  MENÜ\tréservé"), (2, "naïve façade łódź"),
             (3, "étude"),  # decomposed: e + combining acute
             (4, "ctrl\x01chars\x7fhere"), (5, None),
+            (8, "page one\x0cpage two\x0bend"),
             (6, "  spaces   and\nnewlines "), (7, "ŽÁDNÝ PŘÍKLAD")]
     sdf = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["text_norm"]
@@ -2716,6 +2722,7 @@ def test_normalize_text_duckdb_oracle(spark):
     assert got[2] == "naive facade lodz"
     assert got[3] == "etude"  # decomposed form folds like composed
     assert got[4] == "ctrlcharshere"
+    assert got[8] == "page one page two end"  # \x0c/\x0b are separators
     assert got[5] is None
     assert got[6] == "spaces and newlines"
     assert got[7] == "zadny priklad"
@@ -2811,3 +2818,10 @@ def test_artifact_roundtrip_all_model_shapes(spark, docs, emb, tmp_path):
         bad = str(tmp_path / "bad.json")
         open(bad, "w").write("{}")
         load_artifact(bad)
+    # object-dtype arrays fail LOUDLY (lossy round-trip) and never
+    # truncate an existing file: serialization precedes the open
+    good = str(tmp_path / "keep.json")
+    save_artifact({"ok": 1}, good)
+    with _pytest.raises(TypeError, match="dtype"):
+        save_artifact({"bad": np.array([(1, 2)], dtype=object)}, good)
+    assert load_artifact(good) == {"ok": 1}
