@@ -2966,13 +2966,16 @@ def q_dsir(spark, sf):
     et al. 2023): target model = the capped bigram LM of the ENGLISH
     slice, raw model = the whole corpus; each document's weight is the
     per-bigram mean add-1 log-prob difference, scored for both models in
-    ONE broadcast Arrow pass (zero shuffle, one corpus scan).  The
-    DuckDB twin replays shared tokenization, all four capped count
-    tables with the same deterministic ordering, and the clamped smoothed
-    log-prob difference."""
+    ONE broadcast Arrow pass (zero shuffle, one corpus scan).  Both
+    models train from a single tagged count shuffle
+    (``train_ngram_lm_pair`` — one corpus scan for all four capped
+    tables, identical by construction to two separate trainings; the
+    r13 optimization round's change, proven by this row's unchanged
+    oracle).  The DuckDB twin replays shared tokenization, all four
+    capped count tables with the same deterministic ordering, and the
+    clamped smoothed log-prob difference."""
     docs = read_table(spark, sf, "documents")
-    raw = P.train_ngram_lm(docs)
-    target = P.train_ngram_lm(docs.filter(F.col("lang") == "en"))
+    target, raw = P.train_ngram_lm_pair(docs, F.col("lang") == "en")
     out = P.dsir_logratio(docs, target, raw)
     return out.select("doc_id", "n_bigrams",
                       F.round("dsir_logratio", 6).alias("dsir_logratio"))
@@ -3046,8 +3049,7 @@ def q_dsir_resample(spark, sf):
     this corpus size are ~12 orders of magnitude above the cross-engine
     ulp of the weight arithmetic, so the selected ids match exactly."""
     docs = read_table(spark, sf, "documents")
-    raw = P.train_ngram_lm(docs)
-    target = P.train_ngram_lm(docs.filter(F.col("lang") == "en"))
+    target, raw = P.train_ngram_lm_pair(docs, F.col("lang") == "en")
     # id_cols passthrough keeps the payload column on the scored rows:
     # ONE corpus scan feeds scoring AND selection, zero joins (plan =
     # scan -> MapInPandas -> TakeOrderedAndProject)

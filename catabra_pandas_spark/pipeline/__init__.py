@@ -33,7 +33,7 @@ from .similarity import (cosine_topk, embedding_near_dup_pairs,
 from .text import (apply_filters, detect_language, dsir_logratio,
                    fingerprint, ngram_perplexity, quantile_buckets,
                    repetition_stats, scrub_pii, text_quality, token_count,
-                   token_count_bpe, train_ngram_lm)
+                   token_count_bpe, train_ngram_lm, train_ngram_lm_pair)
 from .multimodal import (attach_binary_metadata, decode_binary,
                          mp3_metadata, mp4_metadata, resize_image,
                          sample_frames)
@@ -64,7 +64,7 @@ __all__ = [
     "quantize_embeddings", "q8_cosine_topk", "semantic_dedup",
     "semantic_decontaminate",
     "detect_language", "fingerprint", "text_quality", "token_count",
-    "train_ngram_lm", "ngram_perplexity", "dsir_logratio",
+    "train_ngram_lm", "train_ngram_lm_pair", "ngram_perplexity", "dsir_logratio",
     "quantile_buckets",
     "token_count_bpe", "repetition_stats", "scrub_pii",
     "attach_binary_metadata", "decode_binary", "mp3_metadata", "mp4_metadata",

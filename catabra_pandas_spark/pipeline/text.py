@@ -351,37 +351,120 @@ def train_ngram_lm(
 
     Tokens = lowercased single-space split with empties dropped (the same
     convention as ``heavy_hitters``'s oracle, so the model is SQL-
-    replayable).  Counts are the SUFFICIENT STATISTICS: two map-side-
-    combinable count shuffles (unigrams from an explode; bigrams from a
+    replayable).  Counts are the SUFFICIENT STATISTICS, gathered in ONE
+    corpus scan: unigram entries (``w2 = NULL``) and bigram entries (a
     map-only ``arrays_zip`` of the token array against its own shift —
-    no window, no per-doc shuffle), each capped at the most frequent
-    ``max_vocab`` / ``max_bigrams`` entries with deterministic ordering
-    (count desc, token asc) — the rare tail beyond the cap scores as
-    unseen, which is exactly what smoothing is for.  The retained tables
-    are KBs-to-MBs however large the corpus; the driver never holds
-    anything proportional to data size.
+    no window, no per-doc shuffle) explode into a single tagged key
+    stream feeding one map-side-combinable count shuffle; the grouped
+    counts (O(distinct keys), never corpus-sized) are checkpointed and
+    each table capped at the most frequent ``max_vocab`` /
+    ``max_bigrams`` entries by one TakeOrdered job with deterministic
+    ordering (count desc, token asc) — the rare tail beyond the cap
+    scores as unseen, which is exactly what smoothing is for.  (The
+    pre-r13 formulation paid two corpus scans — one per count table;
+    the shuffle volume is the same, the scan+tokenize cost halves.)
+    The retained tables are KBs-to-MBs however large the corpus; the
+    driver never holds anything proportional to data size.
 
     Returns ``{"unigrams": {tok: n}, "bigrams": {(w1, w2): n}, "v": V}``
     with ``V`` = retained vocabulary size + 1 (the add-k denominator),
     ready for :func:`ngram_perplexity`.
     """
+    grouped = _lm_grouped_counts(df, text_col, None)
+    try:
+        return _lm_collect_caps(grouped, max_vocab, max_bigrams, "n")
+    finally:
+        grouped.unpersist()
+
+
+def train_ngram_lm_pair(
+    df: DataFrame,
+    target_cond,
+    text_col: str = "text",
+    max_vocab: int = 50_000,
+    max_bigrams: int = 200_000,
+) -> tuple:
+    """Train the TARGET-slice and RAW (whole-``df``) capped bigram LMs in
+    ONE corpus scan — the DSIR shape (Xie et al. 2023: a target model
+    over the in-domain slice, a raw model over the pool, both feeding
+    :func:`dsir_logratio`).  ``target_cond`` is a boolean Column (or
+    column name) selecting the target rows.
+
+    Equivalent by construction to ``(train_ngram_lm(df.filter(cond)),
+    train_ngram_lm(df))`` — the single count shuffle carries BOTH counts
+    per key (``count(*)`` and the conditional target count), the grouped
+    table is checkpointed once, and each of the four capped tables is
+    one TakeOrdered job over it with the same deterministic
+    (count desc, token asc) ordering, so every retained entry and count
+    is identical to the two-pass formulation (property-tested in
+    tests/test_pipeline.py).  Two separate trainings pay four
+    scan+tokenize passes; this pays one.
+
+    Returns ``(target_model, raw_model)``.
+    """
+    cond = F.col(target_cond) if isinstance(target_cond, str) else target_cond
+    grouped = _lm_grouped_counts(df, text_col, cond)
+    try:
+        target = _lm_collect_caps(grouped, max_vocab, max_bigrams, "nt")
+        raw = _lm_collect_caps(grouped, max_vocab, max_bigrams, "n")
+    finally:
+        grouped.unpersist()
+    return target, raw
+
+
+def _lm_grouped_counts(df: DataFrame, text_col: str, target_cond):
+    """Shared single-scan count job for :func:`train_ngram_lm` /
+    :func:`train_ngram_lm_pair`: unigram (``w2 = NULL``) and bigram
+    entries from one tokenize pass explode into one tagged key stream,
+    grouped by one map-side-combinable count shuffle, eagerly
+    checkpointed (the caller caps it with TakeOrdered jobs and must
+    ``unpersist()``).  With ``target_cond`` an ``nt`` column carries the
+    conditional count alongside ``n``."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
                     lambda t: t != "")
-    base = df.select(toks.alias("__t__"))
-    uni = (base.select(F.explode("__t__").alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
-           .orderBy(F.col("n").desc(), F.col("w").asc())
+    cols = [toks.alias("__t__")]
+    if target_cond is not None:
+        cols.append(target_cond.cast("boolean").alias("__tgt__"))
+    base = df.select(*cols)
+    t = F.col("__t__")
+    n = F.size(t)
+    uni = F.transform(
+        t, lambda w: F.struct(w.alias("w1"),
+                              F.lit(None).cast("string").alias("w2")))
+    pairs = F.when(n >= 2, F.arrays_zip(
+        F.slice(t, 1, n - 1).alias("w1"),
+        F.slice(t, 2, n - 1).alias("w2"))).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>"))
+    kv = F.explode(F.concat(uni, pairs)).alias("__kv__")
+    keep = ["__tgt__"] if target_cond is not None else []
+    rows = (base.select(kv, *keep)
+            .select(F.col("__kv__.w1").alias("w1"),
+                    F.col("__kv__.w2").alias("w2"), *keep))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if target_cond is not None:
+        aggs.append(F.count(F.when(F.col("__tgt__"), 1)).alias("nt"))
+    return (rows.groupBy("w1", "w2").agg(*aggs)
+            .localCheckpoint(eager=True))
+
+
+def _lm_collect_caps(grouped, max_vocab: int, max_bigrams: int,
+                     count_col: str) -> dict:
+    """Cap one model's tables out of the checkpointed grouped counts:
+    two TakeOrdered jobs (top ``max_vocab`` unigrams / ``max_bigrams``
+    bigrams by ``count_col`` desc, token asc — the deterministic
+    ordering every oracle replays).  Zero-count keys (a key absent from
+    the conditional slice) are excluded, matching a training run on the
+    filtered input."""
+    nc = F.col(count_col)
+    uni = (grouped.filter(F.col("w2").isNull() & (nc > 0))
+           .select("w1", nc.alias("n"))
+           .orderBy(F.col("n").desc(), F.col("w1").asc())
            .limit(max_vocab).collect())
-    n = F.size("__t__")
-    pairs = F.arrays_zip(F.slice("__t__", 1, n - 1).alias("w1"),
-                         F.slice("__t__", 2, n - 1).alias("w2"))
-    big = (base.filter(n >= 2)
-           .select(F.explode(pairs).alias("p"))
-           .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    big = (grouped.filter(F.col("w2").isNotNull() & (nc > 0))
+           .select("w1", "w2", nc.alias("n"))
            .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
            .limit(max_bigrams).collect())
-    unigrams = {r["w"]: int(r["n"]) for r in uni}
+    unigrams = {r["w1"]: int(r["n"]) for r in uni}
     return {"unigrams": unigrams,
             "bigrams": {(r["w1"], r["w2"]): int(r["n"]) for r in big},
             "v": len(unigrams) + 1}

@@ -188,8 +188,7 @@ def main():
     #     target-vs-raw in one broadcast Arrow pass, then draw a
     #     weight-proportional exact-N subset WITHOUT replacement
     #     (Efraimidis-Spirakis A-Res, md5-deterministic)
-    raw_lm = P.train_ngram_lm(clean)
-    tgt_lm = P.train_ngram_lm(clean.filter(F.col("lang") == "en"))
+    tgt_lm, raw_lm = P.train_ngram_lm_pair(clean, F.col("lang") == "en")
     lr = P.dsir_logratio(clean, tgt_lm, raw_lm)
     weighted = (clean.join(lr.select("doc_id", "dsir_logratio"), "doc_id")
                 .withColumn("dsir_w", F.exp(F.col("dsir_logratio"))))

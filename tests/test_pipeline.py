@@ -660,6 +660,33 @@ def test_dsir_logratio(spark, docs):
     assert got["doc_id"].tolist() == [2]
 
 
+def test_train_ngram_lm_pair_matches_two_trainings(spark, docs):
+    """The r13 single-scan pair training must reproduce the two-pass
+    formulation EXACTLY: every retained unigram/bigram, every count and
+    both V values — including the capped case, where the deterministic
+    (count desc, token asc) ordering decides the boundary entries."""
+    from pyspark.sql import functions as F
+
+    from catabra_pandas_spark.pipeline import (train_ngram_lm,
+                                               train_ngram_lm_pair)
+
+    cond = F.col("lang") == "en"
+    tgt, raw = train_ngram_lm_pair(docs, cond)
+    assert raw == train_ngram_lm(docs)
+    assert tgt == train_ngram_lm(docs.filter(cond))
+
+    # tight caps exercise the ordering at the cut boundary
+    tgt2, raw2 = train_ngram_lm_pair(docs, cond, max_vocab=20,
+                                     max_bigrams=30)
+    assert raw2 == train_ngram_lm(docs, max_vocab=20, max_bigrams=30)
+    assert tgt2 == train_ngram_lm(docs.filter(cond), max_vocab=20,
+                                  max_bigrams=30)
+    # string condition form
+    tgt3, raw3 = train_ngram_lm_pair(
+        docs.withColumn("is_en", cond), "is_en")
+    assert (tgt3, raw3) == (tgt, raw)
+
+
 def test_connected_components_long_chain_converges(spark):
     """Pointer jumping must converge in O(log d) rounds: a 1024-node path
     graph (diameter 1023) finishes well inside the 30-iteration default —
