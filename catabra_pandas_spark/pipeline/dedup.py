@@ -812,8 +812,12 @@ def _dup_window_starts(df, text_col, id_col, width, min_count):
     corpus-wide duplicated ``width``-token windows.  Window hashes are
     built inside one codegen ``transform`` over the token array (the
     array is never replicated per window), so only (id, start, hash64)
-    triples shuffle; one count shuffle finds duplicated hashes, one
-    semi-join brings the verdict back."""
+    triples shuffle; ONE exchange on the hash both counts each window's
+    global frequency and keeps the duplicated rows (an analytic count
+    over the hash partition — the r12 formulation aggregated counts and
+    semi-joined the verdict back, which re-ran the scan+tokenize+hash
+    pass a second time for the join probe side: two corpus scans where
+    one suffices, guide §2.4)."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
                     lambda t: t != "")
     base = (df.select(F.col(id_col), toks.alias("__t__"))
@@ -825,9 +829,9 @@ def _dup_window_starts(df, text_col, id_col, width, min_count):
     wins = (base.filter(F.col("__n__") >= width)
             .select(id_col, F.posexplode(hashes).alias("__p__", "__h__"))
             .select(id_col, (F.col("__p__") + 1).alias("__s__"), "__h__"))
-    dup_h = (wins.groupBy("__h__").agg(F.count(F.lit(1)).alias("__c__"))
-             .filter(F.col("__c__") >= min_count).select("__h__"))
-    dup_starts = (wins.join(dup_h, "__h__", "left_semi")
+    wc = Window.partitionBy("__h__")
+    dup_starts = (wins.withColumn("__c__", F.count(F.lit(1)).over(wc))
+                  .filter(F.col("__c__") >= min_count)
                   .groupBy(id_col)
                   .agg(F.sort_array(F.collect_list("__s__")).alias("__ss__")))
     return base, dup_starts
