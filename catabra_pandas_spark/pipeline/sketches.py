@@ -116,6 +116,13 @@ def heavy_hitters(
     and count exactly; keep cnt >= ceil(min_share * N).  The aggregation
     runs over candidate rows only — the exchange never carries the long
     tail, which is what makes exact frequent-items affordable at scale.
+
+    The candidate pass also emits one MARKER row per partition carrying
+    that partition's row count, and its (tiny) output is materialized
+    eagerly: the global N is the sum of the markers, so the operator
+    reads the input exactly TWICE (candidates+count, exact recount) —
+    the r12 formulation paid a third full scan just for ``count(*)``
+    (guide §1.2: don't recompute what a pass already saw).
     """
     if not (0.0 < min_share <= 1.0):
         raise ValueError("min_share must be in (0, 1]")
@@ -125,7 +132,7 @@ def heavy_hitters(
     import pandas as pd
 
     vals = ensure_min_partitions(df.select(F.col(col).alias("val")))
-    out_schema = "val " + dict(vals.dtypes)["val"]
+    out_schema = "val " + dict(vals.dtypes)["val"] + ", __np__ long"
 
     def candidates(batches):
         counts: dict = {}
@@ -140,14 +147,19 @@ def heavy_hitters(
                 # undercount by at most the cut value (sum of cuts <= n/cap)
                 cut = sorted(counts.values())[len(counts) - capacity]
                 counts = {v: c - cut for v, c in counts.items() if c > cut}
-        if n == 0:
-            return
         thresh = (min_share - (1.0 / capacity if capacity else 0.0)) * n
         keep = [v for v, c in counts.items() if c >= thresh]
-        yield pd.DataFrame({"val": keep})
+        # marker row (val NULL — value_counts(dropna) never emits a null
+        # candidate, so NULL unambiguously tags the partition count)
+        yield pd.DataFrame({"val": keep + [None],
+                            "__np__": [None] * len(keep) + [n]})
 
-    cand = vals.mapInPandas(candidates, out_schema).distinct()
-    total = vals.agg(F.count(F.lit(1)).alias("__n__"))
+    cand_all = (vals.mapInPandas(candidates, out_schema)
+                .localCheckpoint(eager=True))
+    cand = (cand_all.filter(F.col("val").isNotNull())
+            .select("val").distinct())
+    total = (cand_all.filter(F.col("val").isNull())
+             .agg(F.coalesce(F.sum("__np__"), F.lit(0)).alias("__n__")))
     counted = (vals.join(F.broadcast(cand), "val", "left_semi")
                .groupBy("val").agg(F.count(F.lit(1)).alias("cnt")))
     return (counted.crossJoin(F.broadcast(total))
