@@ -791,11 +791,20 @@ def _bucket_join(
                 "bucket strategy: mixed string/non-string interval "
                 "endpoints cannot be ranked into one code space")
         from ..util import ordered_dense_ids
-        dic = (lm.select(F.col(l_start).alias("__v__"))
-               .unionByName(lm.select(F.col(l_stop).alias("__v__")))
-               .unionByName(rm.select(F.col(r_start).alias("__v__")))
-               .unionByName(rm.select(F.col(r_stop).alias("__v__")))
-               .distinct())
+        # point intervals (start == stop) contribute ONE dictionary branch
+        # and ONE code-attach join per side, not two identical ones — the
+        # common point-in-range case would otherwise scan and broadcast-join
+        # the big side twice for the same code
+        branches = [lm.select(F.col(l_start).alias("__v__"))]
+        if l_stop != l_start:
+            branches.append(lm.select(F.col(l_stop).alias("__v__")))
+        branches.append(rm.select(F.col(r_start).alias("__v__")))
+        if r_stop != r_start:
+            branches.append(rm.select(F.col(r_stop).alias("__v__")))
+        dic = branches[0]
+        for b in branches[1:]:
+            dic = dic.unionByName(b)
+        dic = dic.distinct()
         # distributed order-preserving rank (range buckets + O(P) offsets
         # — no single-partition sort), then checkpoint: the dictionary
         # derives from BOTH inputs, so joining it back to either would be
@@ -810,8 +819,12 @@ def _bucket_join(
                                        F.col("__code__").alias(out)))
             return df.join(d, on=df[col] == d["__v__"], how="left").drop("__v__")
 
-        lm = code_of(code_of(lm, l_start, "__lsc__"), l_stop, "__ltc__")
-        rm = code_of(code_of(rm, r_start, "__rsc__"), r_stop, "__rtc__")
+        lm = code_of(lm, l_start, "__lsc__")
+        lm = (lm.withColumn("__ltc__", F.col("__lsc__"))
+              if l_stop == l_start else code_of(lm, l_stop, "__ltc__"))
+        rm = code_of(rm, r_start, "__rsc__")
+        rm = (rm.withColumn("__rtc__", F.col("__rsc__"))
+              if r_stop == r_start else code_of(rm, r_stop, "__rtc__"))
         l_s, l_t, r_s, r_t = "__lsc__", "__ltc__", "__rsc__", "__rtc__"
         code_cols = ["__lsc__", "__ltc__", "__rsc__", "__rtc__"]
         numeric = lambda frame, c: frame[c]  # noqa: E731 — codes are double
