@@ -828,9 +828,10 @@ def kmeans_codebook(
     corpus scan (map-only — the centroid matrix is closure-captured), the
     centroid update is one map-side-combinable ``groupBy(cell).avg`` —
     the textbook scalable k-means loop, O(n_centroids·dim) driver state
-    and never a corpus-sized collect.  Iterations re-scan the source
-    (centroids change each round, so there is nothing to checkpoint but
-    the tiny codebook itself).  Empty cells keep their previous centroid.
+    and never a corpus-sized collect.  The projected (id, vec) input is
+    persisted (MEMORY_AND_DISK) for the duration of the loop — iterations
+    re-read the columnar cache, not the source — and released before
+    returning.  Empty cells keep their previous centroid.
 
     Returns ``[(cell_id, centroid_vector), ...]`` — pass as ``centroids=``
     to ``ivf_cosine_topk``.
@@ -849,6 +850,16 @@ def kmeans_codebook(
         dim = _infer_dim(corpus, corpus_vec)
     base = corpus.select(F.col(corpus_id).alias("__id__"),
                          F.col(corpus_vec).cast("array<double>").alias("__v__"))
+    # the Lloyd loop re-reads `base` n_iter+1 times (init + one assignment
+    # scan per iteration); persist the projected (id, vec) rows so every
+    # pass after the first reads the columnar cache instead of re-scanning
+    # and re-decoding the source (the standard iterative-training layout —
+    # MEMORY_AND_DISK so larger-than-memory corpora spill instead of
+    # thrashing; the cache is released before returning)
+    persisted = n_iter > 0
+    if persisted:
+        from pyspark import StorageLevel
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     init = base.orderBy("__id__").limit(n_centroids).collect()
     C = np.asarray([r["__v__"] for r in init], dtype=np.float64)
 
@@ -872,6 +883,8 @@ def kmeans_codebook(
             v = np.asarray([r[f"c{d}"] for d in range(dim)], dtype=np.float64)
             C[int(r["cell"])] = (v.round(round_decimals)
                                  if round_decimals is not None else v)
+    if persisted:
+        base.unpersist(blocking=False)
     if normalize:
         C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     return [(i, C[i].tolist()) for i in range(len(C))]
