@@ -166,3 +166,41 @@ def test_quantile_certificate_property(spark, seed, dist, accuracy):
         np.testing.assert_allclose(r.q_05, grp.quantile(0.05), rtol=1e-9)
         np.testing.assert_allclose(r.q_50, grp.quantile(0.5), rtol=1e-9)
         np.testing.assert_allclose(r.q_95, grp.quantile(0.95), rtol=1e-9)
+
+
+def test_quantile_certificate_rank_equals_agg(spark):
+    """The distributed-rank exact side must be BIT-identical to the
+    percentile() aggregate (same interpolation formula), across grouped
+    data with heavy ties, null values, a null group key, an all-null
+    group, and the keyless case."""
+    rng = np.random.RandomState(31)
+    pdf = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c", None], 4000),
+        "x": np.where(rng.rand(4000) < 0.1, np.nan,
+                      np.round(rng.lognormal(0, 1, 4000), 2)),
+    })
+    # one group whose values are ALL null
+    pdf = pd.concat([pdf, pd.DataFrame({"g": ["z"] * 5, "x": [np.nan] * 5})],
+                    ignore_index=True)
+    sdf = to_sdf(spark, pdf)
+    probs = [0.1, 0.5, 0.9]
+    kw = dict(probs=probs, accuracy=1000)
+    a = (quantile_certificate(sdf, "g", "x", exact_strategy="agg", **kw)
+         .toPandas().sort_values("g", na_position="last").reset_index(drop=True))
+    r = (quantile_certificate(sdf, "g", "x", exact_strategy="rank", **kw)
+         .toPandas().sort_values("g", na_position="last").reset_index(drop=True))
+    assert list(a.columns) == list(r.columns)
+    assert len(a) == len(r)
+    for c in a.columns:
+        av, rv = a[c].tolist(), r[c].tolist()
+        for x, y in zip(av, rv):
+            assert (x is None and y is None) or \
+                   (isinstance(x, float) and isinstance(y, float)
+                    and np.isnan(x) and np.isnan(y)) or x == y, (c, x, y)
+    # keyless
+    ka = quantile_certificate(sdf, None, "x", exact_strategy="agg", **kw).collect()
+    kr = quantile_certificate(sdf, None, "x", exact_strategy="rank", **kw).collect()
+    assert [tuple(row) for row in ka] == [tuple(row) for row in kr]
+    # auto picks agg here (4k rows) and stays equal
+    au = quantile_certificate(sdf, None, "x", **kw).collect()
+    assert [tuple(row) for row in au] == [tuple(row) for row in ka]
