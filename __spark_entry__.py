@@ -4381,6 +4381,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries whose exercised code is unchanged (rotation_check proves
     # it at AST-symbol level).
     #
+    # r13 OPTIMIZATION-round amendment: heavy_hitters (single-count-pass
+    # candidate mapper) and quantile_sketch (cost-based exact strategy)
+    # changed this round, so they swap INTO the window for sample_split
+    # and zorder — two r10-green map-only rows whose exercised code is
+    # byte-unchanged (rotation_check-verified).  The optimization driver
+    # re-verifies EVERY declared query this round, so the displaced rows
+    # re-green regardless of window position; both swapped-in oracles
+    # were re-proven at sf0.001+sf0.01 before the swap.
+    #
     # r14 window plan (so the next round starts from arithmetic, not
     # archaeology): (a) the 18 r11 rows that hit the 3-round limit at
     # r14 — combine_attrs/gaps/k3/union, cube, rollup, decontam,
@@ -4444,10 +4453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_ann": q_kmeans_ann,
         "q8_ann": q_q8_ann,
         "sample_stratified": q_sample_stratified,
-        "sample_split": q_sample_split,
+        "heavy_hitters": q_heavy_hitters,
         "mix_corpora": q_mix_corpora,
         "pack_sequences": q_pack_sequences,
-        "zorder": q_zorder,
+        "quantile_sketch": q_quantile_sketch,
         "json_props": q_json_props,
         "ccnet_buckets": q_ccnet_buckets,
         # ---- driver window ends here (50) ----
@@ -4474,11 +4483,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "embedding_q8": q_embedding_q8,
-        "heavy_hitters": q_heavy_hitters,
+        "sample_split": q_sample_split,
         "hll_distinct": q_hll_distinct,
         "ivf_ann": q_ivf_ann,
         "lsh_ann": q_lsh_ann,
-        "quantile_sketch": q_quantile_sketch,
+        "zorder": q_zorder,
         "stream_asof": q_stream_asof,
         "merge_asof": q_merge_asof,
         "merge_asof_timedelta": q_merge_asof_timedelta,
