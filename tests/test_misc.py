@@ -212,3 +212,23 @@ def test_plan_stats(spark, tmp_path):
     # number as an upper bound, not a post-filter estimate
     rc3, sz3 = plan_stats(scan.filter("id < 3"))
     assert rc3 is None and sz3 >= sz2 // 2
+
+
+def test_materialization_gate(spark, tmp_path):
+    """THE shared one-shot-materialization cost gate (funnel checkpoint,
+    quantile rank path, ExactSubstr skew leg, r14): row count decides when
+    the optimizer knows it; unknown row count falls through to the
+    always-present size estimate — never treated as zero."""
+    from catabra_pandas_spark.util import materialization_gate
+
+    # known row counts: the row threshold decides
+    assert not materialization_gate(spark.range(10))
+    assert materialization_gate(spark.range(2_000_000))
+    assert not materialization_gate(spark.range(2_000_000),
+                                    row_threshold=3_000_000)
+    # parquet scans carry no row count: the size estimate decides
+    p = str(tmp_path / "mg")
+    spark.range(1000).write.mode("overwrite").parquet(p)
+    scan = spark.read.parquet(p)
+    assert not materialization_gate(scan)          # a few KB << 32 MB
+    assert materialization_gate(scan, size_threshold=1)
