@@ -137,7 +137,10 @@ def heavy_hitters(
     def candidates(batches):
         counts: dict = {}
         n = 0
+        val_dtype = None
         for pdf in batches:
+            if val_dtype is None:
+                val_dtype = pdf["val"].dtype
             n += len(pdf)
             for v, c in pdf["val"].value_counts(dropna=True).items():
                 counts[v] = counts.get(v, 0) + int(c)
@@ -149,10 +152,21 @@ def heavy_hitters(
                 counts = {v: c - cut for v, c in counts.items() if c > cut}
         thresh = (min_share - (1.0 / capacity if capacity else 0.0)) * n
         keep = [v for v, c in counts.items() if c >= thresh]
+        # candidates and the marker are SEPARATE frames so the candidate
+        # column keeps its native dtype: one mixed frame with the None
+        # marker coerces int64 -> float64 (pandas cannot hold None in
+        # int64), silently corrupting values above 2^53 before Arrow
+        # casts back to long — for 64-bit hash/id columns the corrupted
+        # candidate then misses the pass-2 semi-join and a true heavy
+        # hitter is dropped
+        if keep:
+            yield pd.DataFrame(
+                {"val": pd.Series(keep, dtype=val_dtype),
+                 "__np__": pd.array([None] * len(keep), dtype="Int64")})
         # marker row (val NULL — value_counts(dropna) never emits a null
         # candidate, so NULL unambiguously tags the partition count)
-        yield pd.DataFrame({"val": keep + [None],
-                            "__np__": [None] * len(keep) + [n]})
+        yield pd.DataFrame({"val": pd.Series([None], dtype="object"),
+                            "__np__": pd.array([n], dtype="Int64")})
 
     cand_all = (vals.mapInPandas(candidates, out_schema)
                 .localCheckpoint(eager=True))
@@ -244,14 +258,11 @@ def quantile_certificate(
                  + [min(1.0, float(p) + eps) for p in probs])
 
     if exact_strategy == "auto":
-        from ..util import plan_stats
-        rows, size = plan_stats(df.select(*gb, col))
-        # row_count=None means "unknown", never zero: fall through to the
-        # size estimate (always present; file-size based for scans)
-        if rows is not None:
-            exact_strategy = "rank" if rows >= 2_000_000 else "agg"
-        else:
-            exact_strategy = "rank" if size >= (32 << 20) else "agg"
+        from ..util import materialization_gate
+        # the shared plan-stats gate (no job): "rank" past the measured
+        # crossover, "agg" below it — calibration recorded on the gate
+        exact_strategy = ("rank" if materialization_gate(df.select(*gb, col))
+                          else "agg")
 
     if exact_strategy == "agg":
         # ONE exact percentile aggregate evaluating all 3n probabilities

@@ -204,3 +204,36 @@ def test_quantile_certificate_rank_equals_agg(spark):
     # auto picks agg here (4k rows) and stays equal
     au = quantile_certificate(sdf, None, "x", **kw).collect()
     assert [tuple(row) for row in au] == [tuple(row) for row in ka]
+
+
+def test_heavy_hitters_long_values_above_2_53(spark):
+    """Candidate values must keep their native dtype through the pass-1
+    mapper: a mixed candidates+marker frame coerces int64 -> float64 and
+    silently corrupts values above 2^53, so true heavy hitters with
+    64-bit hash/id values would miss the pass-2 semi-join (ADVICE r13)."""
+    hot = 2**62 + 1          # not float64-representable
+    hot2 = 2**62 + 3         # rounds to the SAME float64 as hot
+    vals = [hot] * 40 + [hot2] * 40 + list(range(20))
+    sdf = spark.createDataFrame([(int(v),) for v in vals], "val long")
+    out = heavy_hitters(sdf, "val", min_share=0.2).toPandas()
+    got = {int(v): int(c) for v, c in zip(out.val, out.cnt)}
+    assert got == {hot: 40, hot2: 40}
+
+
+def test_quantile_rank_seq_reads_checkpointed_lineage(spark):
+    """The rank path's __seq__ (lower 33 bits of
+    monotonically_increasing_id) is only meaningful because the eager
+    localCheckpoint pins the sampled range boundaries and physical row
+    order BEFORE any seq-consuming job runs (VERDICT r13 item 4).  Pin
+    the invariant: the returned plan must read __seq__ from the
+    checkpointed RDD scan — monotonically_increasing_id must never
+    appear in a consumer's physical plan (it would re-evaluate per job
+    over a re-sampled range partitioning)."""
+    pdf = pd.DataFrame({"g": ["a", "b"] * 500,
+                        "x": np.arange(1000, dtype=float)})
+    out = quantile_certificate(to_sdf(spark, pdf), "g", "x", [0.5],
+                               exact_strategy="rank")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "monotonically_increasing_id" not in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
