@@ -72,11 +72,9 @@ def funnel(
     # cost gate); streaming frames never checkpoint (stream_funnel
     # handles streaming with its own stateful operator).
     if len(steps) > 1 and not df.isStreaming:
-        from ..util import plan_stats
+        from ..util import materialization_gate
 
-        rows, size = plan_stats(ev)
-        if (rows is not None and rows >= 2_000_000) or \
-           (rows is None and size >= (32 << 20)):
+        if materialization_gate(ev):
             # DISK_ONLY: the materialization is a spill file, not a cache —
             # MEMORY_AND_DISK (the localCheckpoint default) pins the block
             # in unified storage memory, squeezing the stage aggregations'
