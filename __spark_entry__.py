@@ -4396,10 +4396,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # swap, so the driver has no green row for the new funnel code.  They
     # displace prev_next and pack_bins, two r13-green rows whose
     # exercised code is byte-unchanged (rotation_check-verified).
-    # Later r14 amendments (each committed only after rotation_check
-    # reported 0 violations on the full tree): dedup_clusters and
-    # ivf_ann swap in for json_props and mix_corpora when the
-    # dedup.py seed-round / similarity.py cache-release changes land.
+    # Later r14 amendment (committed only after rotation_check reported
+    # 0 violations on the full tree): dedup_clusters swaps in for
+    # json_props — the near_dup_dedup paired-nodes-only change flags it.
+    # ivf_ann turned out NOT to flag (its builder passes explicit
+    # centroids, so its closure never reaches kmeans_codebook), so
+    # mix_corpora keeps its slot.
     #
     # r14 window plan inherited from r13 (kept for the record; this
     # round is an optimization round, so NEW rows were out of scope):
@@ -4469,7 +4471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpora": q_mix_corpora,
         "pack_sequences": q_pack_sequences,
         "quantile_sketch": q_quantile_sketch,
-        "json_props": q_json_props,
+        "dedup_clusters": q_dedup_clusters,
         "ccnet_buckets": q_ccnet_buckets,
         # ---- driver window ends here (50) ----
         "dedup_exact": q_dedup_exact,
@@ -4509,7 +4511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_blocked": q_cosine_topk_blocked,
-        "dedup_clusters": q_dedup_clusters,
+        "json_props": q_json_props,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "factorize": q_factorize,
         "group_intervals": q_group_intervals,

@@ -604,19 +604,29 @@ def near_dup_dedup(
     max_iterations: int = 30,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: cluster the pair graph with
-    ``connected_components`` (every ``df`` row is a node, so isolated rows
-    are singleton clusters) and keep the smallest-id document per cluster.
+    ``connected_components`` (isolated rows come back as singleton
+    clusters) and keep the smallest-id document per cluster.
 
     ``mode="mark"`` adds ``cluster_id`` and ``is_duplicate``
     (true unless the row is its cluster's canonical, i.e. minimum, id);
     ``mode="drop"`` returns only canonical rows.  The canonical-per-cluster
     rule is ``id == cluster_id`` — no extra reduction needed, because
     ``cluster_id`` IS the component minimum.
+
+    The component computation runs over PAIRED ids only — the corpus
+    does NOT ride through the label-propagation rounds: an unpaired row
+    is by definition its own singleton cluster, and the final left join's
+    ``coalesce(cluster_id, id)`` labels it identically to carrying it
+    through every round.  On a typical corpus duplicates are a small
+    fraction, so each CC round's label table, joins and checkpoints
+    shrink from O(corpus) to O(paired docs) — the rounds' cost scales
+    with the duplicate graph, not the corpus (guide §2.3: shuffle the
+    proxy, not the payload).
     """
     if mode not in ("mark", "drop"):
         raise ValueError(f"mode must be mark/drop, got {mode!r}")
-    comp = connected_components(pairs, id_a, id_b, nodes=df.select(id_col),
-                                node_col=id_col, max_iterations=max_iterations)
+    comp = connected_components(pairs, id_a, id_b,
+                                max_iterations=max_iterations)
     out = (df.join(comp.select(F.col("id").alias(id_col), "cluster_id"),
                    id_col, "left")
            .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
@@ -812,12 +822,15 @@ def _dup_window_starts(df, text_col, id_col, width, min_count):
     corpus-wide duplicated ``width``-token windows.  Window hashes are
     built inside one codegen ``transform`` over the token array (the
     array is never replicated per window), so only (id, start, hash64)
-    triples shuffle; ONE exchange on the hash both counts each window's
-    global frequency and keeps the duplicated rows (an analytic count
-    over the hash partition — the r12 formulation aggregated counts and
-    semi-joined the verdict back, which re-ran the scan+tokenize+hash
-    pass a second time for the join probe side: two corpus scans where
-    one suffices, guide §2.4)."""
+    triples shuffle.  Below the shared materialization gate ONE exchange
+    on the hash both counts each window's global frequency and keeps the
+    duplicated rows (an analytic count over the hash partition — the r12
+    formulation aggregated counts and semi-joined the verdict back,
+    which re-ran the scan+tokenize+hash pass a second time for the join
+    probe side: two corpus scans where one suffices, guide §2.4); past
+    the gate the triples are checkpointed once and counted with a
+    map-side-combinable groupBy + semi-join so a hot boilerplate window
+    cannot pile every occurrence into one window task (guide §2.5)."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
                     lambda t: t != "")
     base = (df.select(F.col(id_col), toks.alias("__t__"))
@@ -829,11 +842,34 @@ def _dup_window_starts(df, text_col, id_col, width, min_count):
     wins = (base.filter(F.col("__n__") >= width)
             .select(id_col, F.posexplode(hashes).alias("__p__", "__h__"))
             .select(id_col, (F.col("__p__") + 1).alias("__s__"), "__h__"))
-    wc = Window.partitionBy("__h__")
-    dup_starts = (wins.withColumn("__c__", F.count(F.lit(1)).over(wc))
-                  .filter(F.col("__c__") >= min_count)
-                  .groupBy(id_col)
-                  .agg(F.sort_array(F.collect_list("__s__")).alias("__ss__")))
+    from ..util import materialization_gate
+    if materialization_gate(df.select(id_col, text_col)):
+        # SKEW-SAFE scale leg: under the analytic count every occurrence
+        # of one window hash lands in a single window task with no
+        # partial aggregation — a boilerplate window repeated across a
+        # huge corpus is a straggler/OOM on one key.  Past the gate,
+        # materialize the (id, start, hash) triples once (DISK_ONLY — a
+        # spill file, not a pinned cache) and count with a map-side-
+        # combinable groupBy instead; the verdict joins back as a
+        # left_semi, which AQE's skew-join handling CAN split (it splits
+        # joins, never window partitions).  Same single corpus scan; the
+        # second exchange of the window stream is the price of bounding
+        # per-task state by 1/P of the hot key instead of all of it.
+        from pyspark import StorageLevel
+        wins = wins.localCheckpoint(eager=True,
+                                    storageLevel=StorageLevel.DISK_ONLY)
+        hot = (wins.groupBy("__h__").agg(F.count(F.lit(1)).alias("__c__"))
+               .filter(F.col("__c__") >= min_count).select("__h__"))
+        dup = wins.join(hot, "__h__", "left_semi")
+    else:
+        # small inputs: ONE exchange does both the count and the keep
+        # (the r13 single-scan plan); hot-key skew cannot hurt at sizes
+        # below the gate
+        wc = Window.partitionBy("__h__")
+        dup = (wins.withColumn("__c__", F.count(F.lit(1)).over(wc))
+               .filter(F.col("__c__") >= min_count).drop("__c__"))
+    dup_starts = dup.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("__s__")).alias("__ss__"))
     return base, dup_starts
 
 
