@@ -531,14 +531,21 @@ def connected_components(
     (label(u) ← min over N(u) of label, then label(u) ← label(label(u))).
     The jump halves label-chain depth each round, so convergence takes
     O(log d) rounds for diameter d — near-dup graphs are dense clusters with
-    tiny diameters, so 2-4 rounds in practice; ``max_iterations`` bounds the
-    adversarial case.  Per round: one map-side-combinable min-aggregate on
-    the edge list plus two label-table equi-joins — all shuffles are on the
-    node-id key, AQE-coalescible, and the edge list (persisted once) never
-    re-shuffles.  Lineage is truncated every round with ``localCheckpoint``
-    (mandatory for iterative Spark: an un-truncated loop re-executes every
-    prior round per action and overflows the planner).  Driver-side state is
-    one scalar count per round — nothing proportional to data size.
+    tiny diameters, so 1-3 advancing rounds in practice; ``max_iterations``
+    bounds the adversarial case.  Per round: one map-side-combinable
+    min-aggregate on the edge list (checkpointed — it feeds both the
+    convergence probe and the label update), a limit-1 stability probe,
+    and — only when a node can still improve — two label-table
+    equi-joins; all shuffles are on the node-id key, AQE-coalescible, and
+    the edge list (checkpointed once) never re-shuffles.  The probe is
+    sufficient: one-hop stability forces labels constant per component at
+    the component minimum, so the converged case (including the common
+    seed-already-converged shape) never rebuilds a label table.  Lineage
+    is truncated every round with ``localCheckpoint`` (mandatory for
+    iterative Spark: an un-truncated loop re-executes every prior round
+    per action and overflows the planner), and each round's blocks are
+    released deterministically.  Driver-side state is one scalar count
+    per round — nothing proportional to data size.
     """
     if max_iterations < 1:
         raise ValueError("max_iterations must be >= 1")
@@ -553,44 +560,57 @@ def connected_components(
         nc = node_col or nodes.columns[0]
         node_ids = node_ids.union(nodes.select(F.col(nc).alias("id")))
     # seed with the one-hop minimum (min of self and direct neighbors):
-    # shallow clusters — the common near-dup shape — then converge in a
-    # single verification round instead of two propagation rounds
+    # shallow clusters — the common near-dup shape — are then already
+    # converged and the loop exits on its first (cheap) probe
     labels = (node_ids.select("id", F.col("id").alias("cluster_id"))
               .union(edges.select(F.col("u").alias("id"),
                                   F.col("v").alias("cluster_id")))
               .groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
               .localCheckpoint(eager=True))
+    from ..util import release_local_checkpoint
     for _ in range(max_iterations):
+        # one-hop neighbor minimum, checkpointed once per round: both
+        # the convergence probe and (when advancing) the label update
+        # read it, so the edge-sized join+aggregate runs exactly once
         nbr = (edges.join(labels.select(F.col("id").alias("v"),
                                         F.col("cluster_id").alias("nl")), "v")
                .groupBy(F.col("u").alias("id"))
-               .agg(F.min("nl").alias("nbr_min")))
+               .agg(F.min("nl").alias("nbr_min"))
+               .localCheckpoint(eager=True))
+        # convergence probe (r14): labels are final iff NO node can
+        # improve from a neighbor.  Pre-propagation stability forces
+        # l(u) = l(v) across every edge, so labels are constant per
+        # component; the constant is a component node id c with
+        # l(c) = c and l(w) <= w, hence c = the component minimum and
+        # the pointer jump is a no-op too.  The r13 loop paid a full
+        # verification round (label rebuild + jump join + label-table
+        # checkpoint + count) to discover this; the probe is one
+        # limit-1 count over two checkpointed tables — the common
+        # seed-converged shape never builds a second label table.
+        improving = (nbr.join(labels, "id")
+                     .filter(F.col("nbr_min") < F.col("cluster_id"))
+                     .limit(1).count())
+        if improving == 0:
+            release_local_checkpoint(nbr)
+            break
         new = (labels.join(nbr, "id", "left")
-               .select("id", F.col("cluster_id").alias("__old__"),
-                       F.least("cluster_id",
-                               F.coalesce("nbr_min", "cluster_id"))
+               .select("id", F.least("cluster_id",
+                                     F.coalesce("nbr_min", "cluster_id"))
                        .alias("cluster_id")))
-        # pointer jump: cluster_id is itself a node id, so chase one hop.
-        # The changed flag rides along (old label is already on the row),
-        # so convergence costs one tiny scan of the checkpointed result
-        # instead of an extra labels join per round.
+        # pointer jump: cluster_id is itself a node id, so chase one hop
+        # (halves label-chain depth per round; both sides of the self-
+        # join read the checkpointed nbr/labels, never the edge list)
         lookup = new.select(F.col("id").alias("cluster_id"),
                             F.col("cluster_id").alias("jump"))
         new = (new.join(lookup, "cluster_id", "left")
                .select("id",
                        F.least("cluster_id", F.coalesce("jump", "cluster_id"))
-                       .alias("cluster_id"),
-                       F.col("__old__"))
-               .withColumn("__changed__",
-                           F.col("cluster_id") != F.col("__old__"))
-               .drop("__old__")
+                       .alias("cluster_id"))
                .localCheckpoint(eager=True))
-        changed = new.filter(F.col("__changed__")).limit(1).count()
-        labels, prev = new.drop("__changed__"), labels
-        prev.unpersist()
-        if changed == 0:
-            break
-    edges.unpersist()
+        labels, prev = new, labels
+        release_local_checkpoint(prev)
+        release_local_checkpoint(nbr)
+    release_local_checkpoint(edges)
     return labels
 
 
