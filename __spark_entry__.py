@@ -4396,12 +4396,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # swap, so the driver has no green row for the new funnel code.  They
     # displace prev_next and pack_bins, two r13-green rows whose
     # exercised code is byte-unchanged (rotation_check-verified).
-    # Later r14 amendment (committed only after rotation_check reported
-    # 0 violations on the full tree): dedup_clusters swaps in for
-    # json_props — the near_dup_dedup paired-nodes-only change flags it.
-    # ivf_ann turned out NOT to flag (its builder passes explicit
+    # Later r14 amendments (each committed only after rotation_check
+    # reported 0 violations on the full tree): dedup_clusters swaps in
+    # for json_props — the near_dup_dedup paired-nodes-only change flags
+    # it.  ivf_ann turned out NOT to flag (its builder passes explicit
     # centroids, so its closure never reaches kmeans_codebook), so
-    # mix_corpora keeps its slot.
+    # mix_corpora keeps its slot.  The ngram_jaccard_pairs skew-safe
+    # hot-shingle cap then flags its whole consumer set: ngram_jaccard,
+    # minhash_lsh, cross_dedup and simhash swap in for merge_keep_both,
+    # merge_indexers, make_windows and topk (all four byte-unchanged
+    # since their r13 green rows).
     #
     # r14 window plan inherited from r13 (kept for the record; this
     # round is an optimization round, so NEW rows were out of scope):
@@ -4426,8 +4430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_overlap": q_merge_overlap,
         "merge_open_endpoints": q_merge_open_endpoints,
         "merge_left_keep_first": q_merge_left_keep_first,
-        "merge_keep_both": q_merge_keep_both,
-        "merge_indexers": q_merge_indexers,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
         "merge_cat_intervals": q_merge_cat_intervals,
         "merge_str_intervals": q_merge_str_intervals,
         "merge_str_bucket": q_merge_str_bucket,
@@ -4453,7 +4457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_eav_custom_slope": q_resample_eav_custom_slope,
         "resample_interval": q_resample_interval,
         "resample_interval_sweep": q_resample_interval_sweep,
-        "make_windows": q_make_windows,
+        "cross_dedup": q_cross_dedup,
         "semantic_dedup": q_semantic_dedup,
         "line_dedup": q_line_dedup,
         "dsir": q_dsir,
@@ -4461,7 +4465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "funnel": q_funnel,
         "stream_funnel": q_stream_funnel,
-        "topk": q_topk,
+        "simhash": q_simhash,
         "substring_dedup": q_substring_dedup,
         "substring_removal": q_substring_removal,
         "kmeans_ann": q_kmeans_ann,
@@ -4492,9 +4496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png": q_multimodal_png,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_wav": q_multimodal_wav,
-        "cross_dedup": q_cross_dedup,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
+        "make_windows": q_make_windows,
+        "merge_indexers": q_merge_indexers,
+        "topk": q_topk,
         "retention": q_retention,
         "embedding_q8": q_embedding_q8,
         "sample_split": q_sample_split,
@@ -4535,7 +4539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "repetition": q_repetition,
         "langid": q_langid,
-        "ngram_jaccard": q_ngram_jaccard,
+        "merge_keep_both": q_merge_keep_both,
         "sessionize": q_sessionize,
         "stream_resample": q_stream_resample,
         "stream_ffill": q_stream_ffill,

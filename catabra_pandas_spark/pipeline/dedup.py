@@ -485,9 +485,28 @@ def ngram_jaccard_pairs(
         # a small map-side-combinable groupBy joined onto the
         # already-reduced pair set.
         sh = shingle_rows(df, text_col, id_col, k)
-        wdf = Window.partitionBy("sh")
-        sh = (sh.withColumn("__df__", F.count(F.lit(1)).over(wdf))
-              .filter(F.col("__df__") <= max_doc_freq).drop("__df__"))
+        from ..util import materialization_gate
+        if materialization_gate(df.select(id_col, text_col)):
+            # SKEW-SAFE scale leg (same pattern as _dup_window_starts):
+            # the analytic doc-freq count sends every occurrence of one
+            # hot shingle to a single window task BEFORE the cap can drop
+            # it — the exact rows the cap exists to protect against are
+            # the ones that straggle/OOM the counting task.  Past the
+            # gate, checkpoint the shingle rows once (DISK_ONLY), count
+            # with a map-side-combinable groupBy, and remove hot shingles
+            # with a left_anti join (the hot set is the small side; the
+            # join is AQE-skew-splittable where a window partition never
+            # is).
+            from pyspark import StorageLevel
+            sh = sh.localCheckpoint(eager=True,
+                                    storageLevel=StorageLevel.DISK_ONLY)
+            hot = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df__"))
+                   .filter(F.col("__df__") > max_doc_freq).select("sh"))
+            sh = sh.join(hot, "sh", "left_anti")
+        else:
+            wdf = Window.partitionBy("sh")
+            sh = (sh.withColumn("__df__", F.count(F.lit(1)).over(wdf))
+                  .filter(F.col("__df__") <= max_doc_freq).drop("__df__"))
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n__"))
         l, r = sh.alias("l"), sh.alias("r")
         common = (

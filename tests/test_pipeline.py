@@ -2885,6 +2885,33 @@ def test_exact_substring_skew_leg_matches_window_leg(spark, monkeypatch):
     pd.testing.assert_frame_equal(small_dedup, big_dedup)
 
 
+def test_ngram_cap_skew_leg_matches_window_leg(spark, monkeypatch):
+    """ngram_jaccard_pairs' hot-shingle cap picks between the analytic
+    doc-freq window (small inputs) and the skew-safe checkpoint +
+    combinable groupBy + left_anti (past the gate, r14).  Both legs must
+    produce identical pair sets and jaccards."""
+    import catabra_pandas_spark.util as U
+    from catabra_pandas_spark.pipeline import ngram_jaccard_pairs
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy cat",
+             "a completely different document body here now",
+             "a completely different document body here too",
+             "the quick brown fox leaps over the lazy dog"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts * 4)],
+        "doc_id long, text string")
+    kw = dict(k=3, threshold=0.1, max_doc_freq=6)
+    monkeypatch.setattr(U, "materialization_gate", lambda df, **k2: False)
+    small = ngram_jaccard_pairs(docs, **kw).toPandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    monkeypatch.setattr(U, "materialization_gate", lambda df, **k2: True)
+    big = ngram_jaccard_pairs(docs, **kw).toPandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(small, big)
+    assert len(small) > 0
+
+
 def _n_stored_rdds(spark) -> int:
     return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
