@@ -384,7 +384,16 @@ def train_ngram_lm(
     """
     from ..util import materialization_gate, release_local_checkpoint
 
-    if not materialization_gate(df.select(text_col)):
+    # The trainer's thresholds sit BELOW the shared defaults: the gate
+    # sees document rows, but the materialized stream is tokens+bigrams
+    # (~40-60 rows per doc), so the crossover arrives earlier.
+    # Bracketing interleaved A/Bs (local[32]): 60k docs/sf0.1 two-scan
+    # 0.618 s vs tagged+ckpt 0.745 s; 1M synthesized docs two-scan
+    # 14.32 s vs 12.16 s — crossover between, log-midpoint ~250k docs
+    # / ~8 MB of projected text.
+    if not materialization_gate(df.select(text_col),
+                                row_threshold=250_000,
+                                size_threshold=8 << 20):
         return _lm_caps_two_scan(df, text_col, max_vocab, max_bigrams)
     grouped = _lm_grouped_counts(df, text_col, None)
     try:
